@@ -1,0 +1,258 @@
+"""Aggregation operators — SURVEY.md §2.4 (#19–28).
+
+Scale notes: every groupBy/agg below compiles to a two-phase hash
+aggregate (map-side partial + final after a shuffle on the group keys)
+under whole-stage codegen — at 100 TB the partial agg collapses the
+shuffle to |groups| × partitions rows, so low-cardinality keys
+(returnflag/status/priority) shuffle kilobytes regardless of input
+size. countDistinct expands to a two-shuffle plan; at extreme
+cardinality prefer approx_count_distinct (#22, HLL, one shuffle).
+
+Determinism: engine-order-dependent float accumulations (sum/avg/
+stddev/corr) are ROUNDed identically in the Spark plan and the DuckDB
+oracle (SURVEY.md §2 rules); single-row arithmetic is IEEE-identical
+across engines and left unrounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_metadata_collect_spark.registry import register
+from hive_metadata_collect_spark.sources.fixtures import load_table
+
+def _revenue():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@register(
+    "agg_pricing_summary",
+    survey_row=19,
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                    AS avg_qty,
+           round(avg(l_extendedprice), 4)                               AS avg_price,
+           round(avg(l_discount), 4)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → filter → 8-measure grouped agg → sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(_revenue()), 2).alias("sum_disc_price"),
+            F.round(F.sum(_revenue() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_global_nokey",
+    survey_row=20,
+    oracle="""
+    SELECT round(sum(l_quantity), 2)       AS sum_qty,
+           min(l_extendedprice)            AS min_price,
+           max(l_extendedprice)            AS max_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+           count(*)                        AS n_rows
+    FROM lineitem
+    """,
+)
+def agg_global_nokey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped global aggregate (single-row result, partial-agg tree)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.round(F.sum(_revenue()), 2).alias("sum_revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    survey_row=21,
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS distinct_parts,
+           count(DISTINCT l_suppkey) AS distinct_supps,
+           count(*)                  AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct counts (Catalyst Expand + 2-phase agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register("agg_approx_distinct", survey_row=22, oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct (one shuffle; the 100 TB path for
+    high-cardinality keys). Rows-only driver check; engine-side pytest
+    asserts within ±5% of exact (tests/test_edge_cases.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    )
+
+
+@register(
+    "agg_having",
+    survey_row=23,
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+    HAVING count(*) > 100 AND avg(o_totalprice) > 1000
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .filter((F.col("n_orders") > 100) & (F.col("avg_price") > 1000))
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    survey_row=24,
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets incl. grand total (Catalyst Expand node)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "agg_rollup",
+    survey_row=25,
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup: (a,b) → (a) → ()."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "agg_cube",
+    survey_row=26,
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over two flags (4 grouping combinations)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "agg_statistical",
+    survey_row=27,
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6)              AS sd_qty,
+           round(var_samp(l_quantity), 6)                 AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6)    AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_statistical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev/variance/correlation/covariance per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "cov_qty_price"
+        ),
+    )
+
+
+@register(
+    "agg_collect_set_sorted",
+    survey_row=28,
+    oracle="""
+    SELECT c_nationkey,
+           list_sort(list(DISTINCT c_mktsegment)) AS segments,
+           count(*) AS n_customers
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def agg_collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic set-valued aggregate: sort_array(collect_set())."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )

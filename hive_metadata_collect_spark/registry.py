@@ -1,0 +1,78 @@
+"""Operator registry: the single source of truth binding each
+SURVEY.md §2 operator name to (a) its PySpark implementation and
+(b) its DuckDB oracle SQL.
+
+``__spark_entry__.py`` is a thin adapter over this module.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_OPS: dict[str, "Op"] = {}
+_LOADED = False
+
+# Every module that registers operators. Imported once by load_all().
+_OP_MODULES = [
+    "hive_metadata_collect_spark.operators.scans",
+    "hive_metadata_collect_spark.operators.filters",
+    "hive_metadata_collect_spark.operators.joins",
+    "hive_metadata_collect_spark.operators.aggregates",
+    "hive_metadata_collect_spark.operators.windows",
+    "hive_metadata_collect_spark.operators.setops",
+    "hive_metadata_collect_spark.functions.scalar",
+    "hive_metadata_collect_spark.streaming.batch_eq",
+    "hive_metadata_collect_spark.catalog.stats",
+    "hive_metadata_collect_spark.llm.udfs",
+    "hive_metadata_collect_spark.llm.dedup",
+    "hive_metadata_collect_spark.llm.similarity",
+    "hive_metadata_collect_spark.llm.text",
+    "hive_metadata_collect_spark.llm.multimodal",
+]
+
+
+@dataclass(frozen=True)
+class Op:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None → driver's rows-only check
+    survey_row: int  # SURVEY.md §2 operator number
+
+
+def register(name: str, oracle: str | None = None, survey_row: int = 0):
+    """Decorator registering an operator. ``oracle`` must alias every
+    computed column identically to the Spark side (driver hash sorts
+    columns by name)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _OPS:
+            raise ValueError(f"duplicate operator {name!r}")
+        _OPS[name] = Op(name=name, fn=fn, oracle=oracle, survey_row=survey_row)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, Op]:
+    global _LOADED
+    if not _LOADED:
+        for mod in _OP_MODULES:
+            importlib.import_module(mod)
+        _LOADED = True
+    return _OPS
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: op.fn for name, op in load_all().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: op.oracle for name, op in load_all().items() if op.oracle is not None
+    }

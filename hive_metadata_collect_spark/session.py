@@ -1,0 +1,62 @@
+"""SparkSession factory with engine-standard configs.
+
+Scale notes (the configs that matter at 100 TB / 1000 executors):
+- AQE on: runtime shuffle-partition coalescing, broadcast-join
+  conversion from runtime stats, skew-join splitting.
+- ``spark.sql.shuffle.partitions`` is sized for local[32] here; at
+  cluster scale leave it high (e.g. 2000+) and let AQE coalesce.
+- Arrow on: every pandas-UDF / toPandas crossing is columnar-batched.
+- Session timezone pinned to UTC: fixture timestamps are naive and the
+  DuckDB oracle treats them as UTC (FIXTURES.md "Harness notes").
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "hive-metadata-collect-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    if master is None:
+        master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    return configure(
+        SparkSession.builder.appName(app_name).master(master),
+        shuffle_partitions=shuffle_partitions,
+    ).getOrCreate()
+
+
+def configure(builder: SparkSession.Builder, shuffle_partitions: int = 32):
+    """Apply engine-standard configs to any SparkSession builder."""
+    return (
+        builder.config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+    )
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine configs to an externally created
+    session (the driver harness owns its own SparkSession; ``queries()``
+    callables go through here so results are deterministic anyway)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass  # non-runtime-settable on some builds; harmless
+    return spark

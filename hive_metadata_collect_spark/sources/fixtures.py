@@ -1,0 +1,31 @@
+"""Parquet fixture sources (TESTDATA.md).
+
+At fixture scale these are single files; at 100 TB the same call reads
+a date-partitioned parquet/iceberg layout and Catalyst applies
+partition pruning + predicate pushdown + column pruning automatically —
+operators therefore always express filters/projections declaratively
+and never pre-materialize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table {name!r}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
