@@ -1,1 +1,95 @@
-"""Placeholder: operators land in a later batch this round."""
+"""Projection / filter / predicate operators — SURVEY.md §2.2 (#5–7).
+
+Scale notes: all predicates here are expressed on raw columns, so
+Catalyst pushes them into the parquet scan (PushedFilters → row-group
+min/max skipping). At 100 TB with a date-partitioned layout, the
+shipdate range predicate in #5 additionally becomes static partition
+pruning. Row-level arithmetic (#7) is IEEE-identical across engines —
+no rounding needed, stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_metadata_collect_spark.registry import register
+from hive_metadata_collect_spark.sources.fixtures import load_table
+
+
+@register(
+    "filter_range_pred",
+    survey_row=5,
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def filter_range_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: conjunctive range predicates → tiny agg.
+    Every predicate is pushed to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "filter_in_or_not",
+    survey_row=6,
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority
+    FROM orders
+    WHERE (o_orderpriority IN ('1-URGENT', '2-HIGH') OR o_orderstatus = 'F')
+      AND NOT (o_orderpriority = '5-LOW')
+      AND o_orderdate IS NOT NULL
+    """,
+)
+def filter_in_or_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list / OR / NOT / IS NULL predicate mix."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        (
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            | (F.col("o_orderstatus") == "F")
+        )
+        & ~(F.col("o_orderpriority") == "5-LOW")
+        & F.col("o_orderdate").isNotNull()
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority")
+
+
+@register(
+    "project_expr",
+    survey_row=7,
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           l_returnflag || '-' || l_linestatus AS flag_status
+    FROM lineitem
+    """,
+)
+def project_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed projections: row-level arithmetic + string concat."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.concat_ws("-", "l_returnflag", "l_linestatus").alias("flag_status"),
+    )

@@ -1,1 +1,346 @@
-"""Placeholder: operators land in a later batch this round."""
+"""Join operators — SURVEY.md §2.3 (#8–18).
+
+Scale notes (the part that matters at 100 TB):
+- Equi-joins shuffle both sides on the key unless one side is small →
+  AQE converts to broadcast-hash at runtime from observed stats; #15
+  pins the hint explicitly for the always-small dimension case.
+- The star join (#9) joins facts against dims that are KB-sized at any
+  scale (region/nation) — those broadcast, so lineitem/orders only
+  shuffle once on the fact-fact key.
+- Skewed fact keys are handled by AQE skew-join splitting
+  (session.py); at known-pathological skew, salt the key.
+- The interval join (#17) keeps an equi key (user_id) so Spark plans a
+  shuffled hash/sort-merge join with a range residual instead of a
+  broadcast-nested-loop over the cross product.
+- The as-of join (#18) deliberately avoids join+argmax: it is a single
+  shuffle on user_id + one window sort — the scalable idiom for
+  "latest prior event" at billions of events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_metadata_collect_spark.registry import register
+from hive_metadata_collect_spark.sources.fixtures import load_table
+
+
+@register(
+    "join_inner_equi",
+    survey_row=8,
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain inner equi-join fact→dim (strategy left to Catalyst/AQE)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_multiway_star",
+    survey_row=9,
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-table star join + revenue agg per nation.
+    nation/region broadcast (KB at any scale); the lineitem⋈orders
+    fact-fact join is the only real shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    survey_row=10,
+    oracle="""
+    SELECT c_custkey, c_name,
+           coalesce(oa.n_orders, 0) AS n_orders,
+           coalesce(oa.sum_spent, 0.0) AS sum_spent
+    FROM customer
+    LEFT JOIN (
+        SELECT o_custkey, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_spent
+        FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey
+    ) oa ON c_custkey = oa.o_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customers + per-customer agg of their big orders; nulls →
+    0 for customers with none (aggregate-then-join keeps the outer
+    side unexploded)."""
+    c = load_table(spark, sf_dir, "customer")
+    oa = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_spent"),
+        )
+    )
+    return c.join(oa, c.c_custkey == oa.o_custkey, "left").select(
+        "c_custkey",
+        "c_name",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("sum_spent", F.lit(0.0)).alias("sum_spent"),
+    )
+
+
+@register(
+    "join_full_outer",
+    survey_row=11,
+    oracle="""
+    SELECT coalesce(a.k, b.k) AS custkey,
+           coalesce(a.n_cust, 0) AS n_cust,
+           coalesce(b.n_orders, 0) AS n_orders
+    FROM (SELECT c_custkey AS k, count(*) AS n_cust
+          FROM customer WHERE c_custkey < 100 GROUP BY c_custkey) a
+    FULL OUTER JOIN
+         (SELECT o_custkey AS k, count(*) AS n_orders
+          FROM orders WHERE o_custkey >= 50 GROUP BY o_custkey) b
+    ON a.k = b.k
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two overlapping key slices (left-only, both,
+    right-only regions all non-empty)."""
+    a = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 100)
+        .groupBy(F.col("c_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    b = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") >= 50)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return a.join(b, a.k == b.k, "full").select(
+        F.coalesce(a.k, b.k).alias("custkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+
+
+@register(
+    "join_left_semi",
+    survey_row=12,
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having at least one very large order (semi join —
+    never duplicates the left side; Catalyst rewrites IN-subqueries to
+    exactly this)."""
+    c = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_left_anti",
+    survey_row=13,
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 450000
+    )
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with NO very large order (anti join = NOT EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_cross",
+    survey_row=14,
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product of two tiny dims (5 × 25). Only ever
+    valid for bounded inputs — at scale cross joins are a bug unless
+    one side is O(1) rows."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "join_broadcast_hint",
+    survey_row=15,
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_acctbal
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_broadcast_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#8 with an explicit broadcast hint on the dimension side: the
+    fact table never shuffles (map-side hash join on every partition)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = F.broadcast(load_table(spark, sf_dir, "customer"))
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "join_non_equi",
+    survey_row=16,
+    oracle="""
+    SELECT o_orderkey, c_custkey, o_totalprice, c_acctbal
+    FROM customer JOIN orders
+      ON c_custkey = o_custkey AND o_totalprice > c_acctbal * 20
+    """,
+)
+def join_non_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi key + non-equi residual. The equi component
+    keeps this a hash/sort-merge join (residual evaluated post-match)
+    rather than a nested-loop cross product."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > c.c_acctbal * 20)
+    return c.join(o, cond, "inner").select(
+        "o_orderkey", "c_custkey", "o_totalprice", "c_acctbal"
+    )
+
+
+@register(
+    "join_range_interval",
+    survey_row=17,
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           count(c.event_id) AS n_clicks_6h
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts
+     AND c.ts < p.ts + INTERVAL 6 HOUR
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: clicks within 6h after each purchase, per user.
+    user_id equi key bounds the match set; the time range is a
+    residual predicate. At 100 TB, additionally bucket both sides by
+    time (e.g. date) and join on (user_id, date±1) to cap partition
+    fan-out."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    cond = (
+        (p.user_id == c.c_user_id)
+        & (c.c_ts >= p.ts)
+        & (c.c_ts < p.ts + F.expr("INTERVAL 6 HOURS"))
+    )
+    return (
+        p.join(c, cond, "left")
+        .groupBy("event_id", "user_id", "ts")
+        .agg(F.count("c_event_id").alias("n_clicks_6h"))
+    )
+
+
+@register(
+    "join_asof",
+    survey_row=18,
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT max(v.ts) FROM events v
+            WHERE v.user_id = e.user_id
+              AND v.event_type = 'view'
+              AND v.ts <= e.ts) AS prior_view_ts
+    FROM events e
+    WHERE e.event_type = 'click'
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the latest prior-or-equal
+    'view' timestamp of the same user.
+
+    Spark has no native ASOF JOIN; the scalable idiom is union both
+    event sets, sort once per user (ts asc, views before clicks on
+    ties), and carry the last seen view-ts forward with
+    last(ignoreNulls) — one shuffle + one sort, no join, no argmax.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "view", F.col("ts")).alias("view_ts"),
+        # views sort before clicks at equal ts so ts-equal views count
+        # as "prior-or-equal" (ASOF >= semantics)
+        F.when(F.col("event_type") == "view", F.lit(0)).otherwise(F.lit(1)).alias(
+            "type_order"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("type_order").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("prior_view_ts", F.last("view_ts", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts", "prior_view_ts")
+    )

@@ -1,1 +1,84 @@
-"""Placeholder: operators land in a later batch this round."""
+"""Scan / source / sink operators — SURVEY.md §2.1 (#1–4).
+
+Scale notes: #2's ``.select`` reaches the parquet reader as ReadSchema
+(column pruning) — at 100 TB a 2-of-11-column projection of lineitem
+reads ~20% of the bytes. #3 is a metadata-ish rowcount sweep: each
+``count()`` is a partial-count-per-partition + single-row final agg,
+no wide shuffle. #4 demonstrates the parquet sink roundtrip; at scale
+the same ``write.parquet`` call takes ``partitionBy`` for a
+date-partitioned layout (partition pruning on re-read).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_metadata_collect_spark.registry import register
+from hive_metadata_collect_spark.sources.fixtures import TABLES, load_table
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SCRATCH = os.path.join(_REPO_ROOT, ".scratch")
+
+
+@register(
+    "scan_full",
+    survey_row=1,
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def scan_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan of a small table."""
+    return load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+@register(
+    "scan_project",
+    survey_row=2,
+    oracle="SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+)
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned scan: projection is pushed into the parquet
+    ReadSchema (verify with .explain — only 3 of 11 columns read)."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
+    "scan_count",
+    survey_row=3,
+    oracle=" UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, count(*) AS n_rows FROM {t}" for t in TABLES
+    ),
+)
+def scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-style rowcount inventory: one (table_name, n_rows) row
+    per fixture table, unioned into a single frame."""
+    counts = [
+        load_table(spark, sf_dir, t).agg(
+            F.lit(t).alias("table_name"), F.count(F.lit(1)).alias("n_rows")
+        )
+        for t in TABLES
+    ]
+    return reduce(DataFrame.unionAll, counts)
+
+
+@register(
+    "sink_parquet_roundtrip",
+    survey_row=4,
+    oracle="SELECT * FROM orders WHERE o_orderstatus = 'F'",
+)
+def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a filtered result to parquet, read it back. Values must
+    survive the roundtrip bit-exactly (timestamps as TIMESTAMP_MICROS)."""
+    target = os.path.join(_SCRATCH, "roundtrip_orders.parquet")
+    (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .write.mode("overwrite")
+        .parquet(target)
+    )
+    return spark.read.parquet(target)

@@ -1,1 +1,150 @@
-"""Placeholder: operators land in a later batch this round."""
+"""Sort / limit / top-k / set operators — SURVEY.md §2.6 (#36–41).
+
+Scale notes: #37 compiles to TakeOrderedAndProject — per-partition
+top-k heaps + a k-row driver merge, never a global sort. #36's global
+sort is a range-partitioned exchange (sampled bounds), the one
+operator here that genuinely needs a full shuffle. Set ops are
+hash-based: union is free (no shuffle), distinct/intersect/except
+shuffle on the full row hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_metadata_collect_spark.registry import register
+from hive_metadata_collect_spark.sources.fixtures import load_table
+
+
+@register(
+    "sort_multikey_nulls",
+    survey_row=36,
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    ORDER BY o_orderstatus ASC NULLS LAST, o_totalprice DESC NULLS LAST,
+             o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def sort_multikey_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with explicit null placement; LIMIT makes the
+    sort order observable through the order-insensitive oracle hash."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_last(),
+            F.col("o_totalprice").desc_nulls_last(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "limit_topk_global",
+    survey_row=37,
+    oracle="""
+    SELECT o_custkey, round(sum(o_totalprice), 2) AS sum_spent
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY sum_spent DESC, o_custkey ASC
+    LIMIT 10
+    """,
+)
+def limit_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 customers by spend. orderBy().limit() is planned
+    as TakeOrderedAndProject (per-partition heaps, no global sort);
+    ordering on the ROUNDED measure keeps rank boundaries engine-
+    deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("sum_spent"))
+        .orderBy(F.col("sum_spent").desc(), F.col("o_custkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "set_union_all",
+    survey_row=38,
+    oracle="""
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union (duplicates kept — rows in both slices appear twice)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return a.unionAll(b)
+
+
+@register(
+    "set_union_distinct",
+    survey_row=39,
+    oracle="""
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set union (one hash-distinct shuffle after the free bag union)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return a.union(b).distinct()
+
+
+@register(
+    "set_intersect",
+    survey_row=40,
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct keys present in both sets (left-semi under the hood)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = o.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.intersect(big)
+
+
+@register(
+    "set_except",
+    survey_row=41,
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct keys in A but not B (left-anti under the hood)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = o.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.subtract(big)
