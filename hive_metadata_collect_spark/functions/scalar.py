@@ -1,1 +1,272 @@
-"""Placeholder: operators land in a later batch this round."""
+"""Scalar-function suites — SURVEY.md §2.7 (#42–50).
+
+All expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+inside whole-stage codegen) — never Python UDFs; that is the entire
+point of this family at 100 TB.
+
+Cross-engine gotchas handled here:
+- ceil/floor: Spark returns LONG, DuckDB DOUBLE → cast to double on
+  the Spark side.
+- double→int casts: Spark truncates, DuckDB rounds → floor() first on
+  both sides.
+- libm functions (ln/power) can differ in the last ulp between
+  engines → rounded to 8 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_metadata_collect_spark.registry import register
+from hive_metadata_collect_spark.sources.fixtures import load_table
+
+
+@register(
+    "fn_string_suite",
+    survey_row=42,
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                                   AS name_upper,
+           lower(p_brand)                                  AS brand_lower,
+           substr(p_type, 1, 4)                            AS type_prefix,
+           length(p_name)                                  AS name_len,
+           trim(concat(p_brand, ' '))                      AS brand_trim,
+           p_type LIKE 'PROMO%'                            AS is_promo,
+           regexp_extract(p_brand, 'Brand#(\\d+)', 1)      AS brand_num
+    FROM part
+    """,
+)
+def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/lower/substr/trim/length/concat/LIKE/regexp_extract."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_type", 1, 4).alias("type_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.trim(F.concat(F.col("p_brand"), F.lit(" "))).alias("brand_trim"),
+        F.col("p_type").like("PROMO%").alias("is_promo"),
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).alias("brand_num"),
+    )
+
+
+@register(
+    "fn_date_suite",
+    survey_row=43,
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                                   AS yr,
+           month(o_orderdate)                                  AS mo,
+           date_trunc('month', o_orderdate)                    AS month_start,
+           date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS days_to_2002,
+           CAST(o_orderdate AS DATE) + 30                      AS plus_30,
+           last_day(CAST(o_orderdate AS DATE))                 AS month_end
+    FROM orders
+    """,
+)
+def fn_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/date_trunc/datediff/date_add/last_day — the
+    staleness-math toolbox of a metadata catalog (staleness =
+    datediff(now, last_ddl))."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        # DuckDB's date_trunc('month', ts) yields DATE; match it.
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d.cast("date")).alias(
+            "days_to_2002"
+        ),
+        F.date_add(d.cast("date"), 30).alias("plus_30"),
+        F.last_day(d.cast("date")).alias("month_end"),
+    )
+
+
+@register(
+    "fn_math_suite",
+    survey_row=44,
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1)                    AS price_r1,
+           abs(l_quantity - 25)                         AS qty_dev,
+           CAST(ceil(l_extendedprice) AS DOUBLE)        AS price_ceil,
+           CAST(floor(l_extendedprice) AS DOUBLE)       AS price_floor,
+           round(ln(l_extendedprice), 8)                AS price_ln,
+           round(power(1 + l_discount, 2), 8)           AS disc_sq,
+           mod(l_orderkey, 7)                           AS key_mod7
+    FROM lineitem
+    """,
+)
+def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/abs/ceil/floor/ln/power/mod."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.ceil("l_extendedprice").cast("double").alias("price_ceil"),
+        F.floor("l_extendedprice").cast("double").alias("price_floor"),
+        F.round(F.log(F.col("l_extendedprice")), 8).alias("price_ln"),
+        F.round(F.pow(1 + F.col("l_discount"), 2), 8).alias("disc_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+    )
+
+
+@register(
+    "fn_conditional",
+    survey_row=45,
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 400000 THEN 'high'
+                WHEN o_totalprice >= 150000 THEN 'mid'
+                ELSE 'low' END                            AS price_tier,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN')   AS status_label,
+           greatest(o_totalprice, 100000.0)               AS price_floor100k,
+           least(o_totalprice, 400000.0)                  AS price_cap400k
+    FROM orders
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN tiers, coalesce/nullif, greatest/least."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 400000, "high")
+        .when(F.col("o_totalprice") >= 150000, "mid")
+        .otherwise("low")
+        .alias("price_tier"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_label"
+        ),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("price_floor100k"),
+        F.least(F.col("o_totalprice"), F.lit(400000.0)).alias("price_cap400k"),
+    )
+
+
+@register(
+    "fn_cast_types",
+    survey_row=46,
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR)                      AS key_str,
+           CAST(floor(o_totalprice) AS BIGINT)              AS price_int,
+           CAST(o_totalprice AS DECIMAL(12,2))              AS price_dec,
+           CAST(o_orderdate AS DATE)                        AS order_date,
+           CAST(o_orderdate AS VARCHAR)                     AS date_str,
+           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT)      AS key_roundtrip
+    FROM orders
+    """,
+)
+def fn_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast matrix string↔int↔double↔timestamp↔decimal(12,2).
+    double→int goes through floor() on both sides (Spark truncates,
+    DuckDB rounds — floor removes the divergence)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.floor("o_totalprice").cast("long").alias("price_int"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price_dec"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_orderdate").cast("string").alias("date_str"),
+        F.col("o_orderkey").cast("string").cast("long").alias("key_roundtrip"),
+    )
+
+
+@register(
+    "fn_array_suite",
+    survey_row=47,
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))                          AS n_words,
+           list_contains(string_split(text, ' '), 'data')        AS has_data,
+           string_split(text, ' ')[1:5]                          AS first5,
+           list_sort(string_split(text, ' ')[1:5])               AS first5_sorted
+    FROM documents
+    """,
+)
+def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split → array, size, array_contains, slice, sort_array."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.array_contains(words, "data").alias("has_data"),
+        F.slice(words, 1, 5).alias("first5"),
+        F.sort_array(F.slice(words, 1, 5)).alias("first5_sorted"),
+    )
+
+
+@register(
+    "fn_explode_unnest",
+    survey_row=48,
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def fn_explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode(split(text)) — one row per token. At 100 TB this is the
+    fan-out step of the text pipeline; the generator runs inside
+    codegen with no shuffle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+
+
+@register(
+    "fn_json_extract",
+    survey_row=49,
+    oracle="""
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pull $.k out of the JSON props string and aggregate by it —
+    the TABLE_PARAMS/stringly-typed-params pattern of a Hive-metadata
+    catalog."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k_val"), 4).alias("avg_k"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "fn_map_ops",
+    survey_row=50,
+    oracle="""
+    SELECT event_id,
+           json_keys(props)                                  AS prop_keys,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json → MapType, map_keys, element access — the typed-map
+    analog of Hive's *_PARAMS key/value tables."""
+    ev = load_table(spark, sf_dir, "events")
+    props_map = F.from_json(F.col("props"), "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.map_keys(props_map).alias("prop_keys"),
+        props_map.getItem("k").alias("k_val"),
+    )

@@ -1,1 +1,217 @@
-"""Placeholder: operators land in a later batch this round."""
+"""Window-function operators — SURVEY.md §2.5 (#29–35).
+
+Scale notes: every window here is partitioned by a real key
+(customer/user/status) so the sort happens per-partition after one
+shuffle on the partition key — never a single-task global window.
+(#34's quartile is the one conceptually-global spec; it still
+partitions by segment so each task sorts one segment. A truly global
+ntile at 100 TB needs a two-pass quantile-bounds approach instead.)
+
+Determinism: every orderBy carries a unique trailing key (orderkey /
+event_id / custkey) per SURVEY.md §2.5's tie-break rule; running
+aggregations over frames are ROUNDed identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_metadata_collect_spark.registry import register
+from hive_metadata_collect_spark.sources.fixtures import load_table
+
+
+@register(
+    "win_topk_per_group",
+    survey_row=29,
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders
+    ) t WHERE rn <= 3
+    """,
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (the latest-partition-per-table shape
+    of a metadata catalog): row_number + filter."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "win_rank_dense",
+    survey_row=30,
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, price_bucket,
+           rank()       OVER (PARTITION BY o_orderstatus ORDER BY price_bucket DESC) AS rnk,
+           dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY price_bucket DESC) AS drnk
+    FROM (SELECT o_orderkey, o_orderstatus,
+                 CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_bucket
+          FROM orders) t
+    """,
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank vs dense_rank with real ties (bucketed price). Tied rows
+    get identical ranks, so no tie-break key is needed for
+    determinism."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") / 50000).cast("long").alias("price_bucket"),
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("price_bucket").desc())
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "price_bucket",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    survey_row=31,
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           round(value - lag(value) OVER w, 6) AS delta_prev,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-time deltas (lag) and next-event peek (lead) —
+    the sessionization prereq for stream analysis."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "win_running_sum",
+    survey_row=32,
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per customer in order-date order."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "win_moving_avg",
+    survey_row=33,
+    oracle="""
+    SELECT event_id, user_id, ts,
+           round(avg(value) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg3
+    FROM events
+    """,
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row trailing moving average of event value per user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-2, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.avg("value").over(w), 6).alias("mavg3"),
+    )
+
+
+@register(
+    "win_ntile_quartile",
+    survey_row=34,
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           ntile(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
+    FROM customer
+    """,
+)
+def win_ntile_quartile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance quartile within each market segment."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "win_first_last",
+    survey_row=35,
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice)  OVER w AS last_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First and last order price per customer over the full-partition
+    frame (last_value needs the explicit UNBOUNDED FOLLOWING frame —
+    the default frame would return the current row)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+    )
