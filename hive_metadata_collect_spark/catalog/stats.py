@@ -1,1 +1,259 @@
-"""Placeholder: operators land in a later batch this round."""
+"""Data-catalog domain operators — SURVEY.md §2.10 (#61–66).
+
+This family re-expresses what a Hive-metadata collector computes —
+table inventory, column profiles, partition freshness, table heat,
+cold-table detection, lineage — as set-oriented DataFrame jobs over
+the fixture tables (`events` plays the query/audit log, per-table
+stats play the metastore inventory; SURVEY.md §1.3). In a live
+deployment the same operators run over `spark.read.jdbc` frames of
+the metastore RDBMS (see sources/connectors.py).
+
+Scale notes: the inventory sweep (#61) is one partial-count per table;
+the column profile (#62) is a single full scan computing every metric
+in one agg (no per-column rescans); freshness/heat/cold/lineage all
+reduce to low-cardinality aggregates of the audit stream — shuffles
+carry |entities| rows, not |events|.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hive_metadata_collect_spark.registry import register
+from hive_metadata_collect_spark.sources.fixtures import TABLES, load_table
+
+
+@register(
+    "cat_table_stats",
+    survey_row=61,
+    oracle=" UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, count(*) AS n_rows, "
+        f"count(*) FILTER (WHERE TRUE) AS n_live_rows FROM {t}"
+        for t in TABLES
+    ),
+)
+def cat_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat table inventory: one row per catalog table with row
+    counts — the collector's core output frame."""
+    stats = []
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t)
+        stats.append(
+            df.agg(
+                F.lit(t).alias("table_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(F.lit(1)).alias("n_live_rows"),
+            )
+        )
+    return reduce(DataFrame.unionAll, stats)
+
+
+_PROFILE_COLS = [
+    # (column, kind) — kind drives which min/max slot is populated
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for col, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn, mx = f"CAST(min({col}) AS DOUBLE)", f"CAST(max({col}) AS DOUBLE)"
+            ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        else:
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            ms, xs = f"min({col})", f"max({col})"
+        parts.append(
+            f"SELECT '{col}' AS column_name, "
+            f"count(*) - count({col}) AS n_nulls, "
+            f"count(DISTINCT {col}) AS n_distinct, "
+            f"{mn} AS min_num, {mx} AS max_num, "
+            f"{ms} AS min_str, {xs} AS max_str FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register("cat_column_profile", survey_row=62, oracle=_profile_oracle())
+def cat_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of `orders`: null count, distinct count,
+    min/max — computed in ONE scan (all metrics in a single agg, then
+    pivoted to rows), not a scan per column."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for col, kind in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(col)).alias(f"{col}__nulls"),
+            F.countDistinct(col).alias(f"{col}__distinct"),
+        ]
+        if kind == "num":
+            aggs += [
+                F.min(col).cast("double").alias(f"{col}__min_num"),
+                F.max(col).cast("double").alias(f"{col}__max_num"),
+            ]
+        else:
+            aggs += [
+                F.min(col).alias(f"{col}__min_str"),
+                F.max(col).alias(f"{col}__max_str"),
+            ]
+    wide = o.agg(*aggs)
+    rows = []
+    for col, kind in _PROFILE_COLS:
+        rows.append(
+            wide.select(
+                F.lit(col).alias("column_name"),
+                F.col(f"{col}__nulls").alias("n_nulls"),
+                F.col(f"{col}__distinct").alias("n_distinct"),
+                (
+                    F.col(f"{col}__min_num")
+                    if kind == "num"
+                    else F.lit(None).cast("double")
+                ).alias("min_num"),
+                (
+                    F.col(f"{col}__max_num")
+                    if kind == "num"
+                    else F.lit(None).cast("double")
+                ).alias("max_num"),
+                (
+                    F.col(f"{col}__min_str")
+                    if kind == "str"
+                    else F.lit(None).cast("string")
+                ).alias("min_str"),
+                (
+                    F.col(f"{col}__max_str")
+                    if kind == "str"
+                    else F.lit(None).cast("string")
+                ).alias("max_str"),
+            )
+        )
+    return reduce(DataFrame.unionAll, rows)
+
+
+@register(
+    "cat_partition_freshness",
+    survey_row=63,
+    oracle="""
+    WITH per_type AS (
+        SELECT event_type, max(ts) AS last_ts FROM events GROUP BY event_type
+    ), gmax AS (SELECT max(ts) AS global_max FROM events)
+    SELECT event_type, last_ts,
+           epoch_us(global_max) - epoch_us(last_ts) AS stale_us,
+           round((epoch_us(global_max) - epoch_us(last_ts)) / 3600000000.0, 6)
+               AS stale_hours
+    FROM per_type CROSS JOIN gmax
+    """,
+)
+def cat_partition_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-partition freshness per entity (event_type as the
+    partition analog): last ts + staleness vs the newest data point.
+    The global max is a 1-row broadcast, not a window over all rows."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(F.max("ts").alias("last_ts"))
+    glob = ev.agg(F.max("ts").alias("global_max"))
+    stale_us = F.unix_micros("global_max") - F.unix_micros("last_ts")
+    return (
+        per_type.crossJoin(F.broadcast(glob))
+        .select(
+            "event_type",
+            "last_ts",
+            stale_us.alias("stale_us"),
+            F.round(stale_us / 3.6e9, 6).alias("stale_hours"),
+        )
+    )
+
+
+@register(
+    "cat_table_heat",
+    survey_row=64,
+    oracle="""
+    SELECT day, event_type, n_events,
+           rank() OVER (PARTITION BY day ORDER BY n_events DESC, event_type ASC)
+               AS heat_rank
+    FROM (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ) t
+    """,
+)
+def cat_table_heat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Usage heat: events per entity per day, ranked hot→cold within
+    each day (the hot/cold table ranking of a catalog)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("day").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return daily.select(
+        "day", "event_type", "n_events", F.rank().over(w).alias("heat_rank")
+    )
+
+
+@register(
+    "cat_cold_tables",
+    survey_row=65,
+    oracle="""
+    WITH gmax AS (SELECT max(ts) AS global_max FROM events)
+    SELECT user_id FROM events GROUP BY user_id
+    EXCEPT
+    SELECT DISTINCT user_id FROM events, gmax
+    WHERE ts >= global_max - INTERVAL 1 DAY
+    """,
+)
+def cat_cold_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-entity detection: users (the catalog-entity analog) with
+    zero activity in the trailing day of the data range —
+    anti-join of all entities against recently-active ones."""
+    ev = load_table(spark, sf_dir, "events")
+    glob = ev.agg(F.max("ts").alias("global_max"))
+    recent = (
+        ev.crossJoin(F.broadcast(glob))
+        .filter(F.col("ts") >= F.col("global_max") - F.expr("INTERVAL 1 DAYS"))
+        .select("user_id")
+        .distinct()
+    )
+    all_users = ev.select("user_id").distinct()
+    return all_users.join(recent, "user_id", "left_anti")
+
+
+@register(
+    "cat_lineage_2hop",
+    survey_row=66,
+    oracle="""
+    WITH edges AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.user_id,
+           count(DISTINCT a.event_type) AS n_types,
+           count(DISTINCT b.user_id) - 1 AS n_2hop_users
+    FROM edges a JOIN edges b ON a.event_type = b.event_type
+    GROUP BY a.user_id
+    """,
+)
+def cat_lineage_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineage as an edge-list DataFrame (user→entity edges standing
+    in for src-table→dst-table): 2-hop reachability + degree via one
+    self-join — no graph library, traversals stay relational."""
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.select("user_id", "event_type").distinct()
+    b = edges.select(
+        F.col("user_id").alias("b_user_id"),
+        F.col("event_type").alias("b_event_type"),
+    )
+    return (
+        edges.join(b, edges.event_type == b.b_event_type)
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("event_type").alias("n_types"),
+            (F.countDistinct("b_user_id") - 1).alias("n_2hop_users"),
+        )
+    )

@@ -1,1 +1,211 @@
-"""Placeholder: operators land in a later batch this round."""
+"""Batch-equivalent forms of the streaming operators — SURVEY.md §2.8
+(#51–56). These are what the driver's DuckDB oracle hashes; the true
+Structured Streaming forms (identical semantics, incremental
+execution) live in streaming/streams.py and are smoke-tested against
+these in tests/test_streaming.py.
+
+Scale notes: tumbling/sliding windows are plain hash aggregates on a
+derived time key (the sliding form fans each event out to
+window/slide rows *before* the shuffle — partial aggregation still
+collapses it). Session windows and dedup are one shuffle on the
+entity key + a per-partition sort; watermarking is a pure filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hive_metadata_collect_spark.registry import register
+from hive_metadata_collect_spark.sources.fixtures import load_table
+
+
+@register(
+    "stream_tumbling_counts",
+    survey_row=51,
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per 1-hour tumbling window × type (usage heat per hour).
+    F.window(ts, '1 hour') is epoch-aligned — identical bucketing to
+    date_trunc('hour')."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_sliding_counts",
+    survey_row=52,
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes'
+               AS window_start,
+           count(*) AS n_events
+    FROM events
+    CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+    GROUP BY 1
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 minutes: each event lands in 4
+    overlapping windows (window/slide fan-out, then count)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+
+
+@register(
+    "stream_session_windows",
+    survey_row=53,
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), sessions AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+           round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 6)
+               AS duration_secs
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap
+    (sessionized audit log). Uses the native session_window primitive;
+    the oracle proves equivalence to gaps-and-islands SQL.
+    session_window.end = last_event + gap, so duration = end - start
+    - gap."""
+    ev = load_table(spark, sf_dir, "events")
+    grouped = ev.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    dur_us = (
+        F.unix_micros("session_window.end")
+        - F.unix_micros("session_window.start")
+        - F.lit(30 * 60 * 1_000_000)
+    )
+    return grouped.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        "n_events",
+        F.round(dur_us / 1e6, 6).alias("duration_secs"),
+    )
+
+
+@register(
+    "stream_dedup_keys",
+    survey_row=54,
+    oracle="""
+    SELECT event_id, user_id, event_type, ts
+    FROM (
+        SELECT event_id, user_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts ASC, event_id ASC) AS rn
+        FROM events
+    ) t WHERE rn = 1
+    """,
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keeping the FIRST event per (user, type) by time.
+    Batch dropDuplicates picks an arbitrary row — this form pins the
+    winner deterministically; the streaming twin is
+    dropDuplicatesWithinWatermark (streams.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.select(
+            "event_id", "user_id", "event_type", "ts", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "stream_watermark_late",
+    survey_row=55,
+    oracle="""
+    WITH marked AS (
+        SELECT ts,
+               max(ts) OVER (ORDER BY event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_seen
+        FROM events
+    )
+    SELECT date_trunc('hour', ts) AS window_start, count(*) AS n_kept
+    FROM marked
+    WHERE max_seen IS NULL OR ts >= max_seen - INTERVAL 10 MINUTE
+    GROUP BY 1
+    """,
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics, batch-replayed: with arrival order =
+    event_id, an event is LATE (dropped) if its event time lags the
+    max seen so far by over 10 minutes; survivors feed a 1h tumbling
+    count. The streaming twin is withWatermark('ts','10 minutes')."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.orderBy(F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = ev.select("ts", F.max("ts").over(w).alias("max_seen"))
+    kept = marked.filter(
+        F.col("max_seen").isNull()
+        | (F.col("ts") >= F.col("max_seen") - F.expr("INTERVAL 10 MINUTES"))
+    )
+    return (
+        kept.groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+@register(
+    "stream_stateful_running",
+    survey_row=56,
+    oracle="""
+    SELECT event_id, user_id, ts,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+               AS running_count
+    FROM events
+    """,
+)
+def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running event count — the batch equivalent of a
+    custom stateful operator (streaming twin: transformWithState /
+    applyInPandasWithState keeping a per-key counter, streams.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id", "user_id", "ts", F.row_number().over(w).alias("running_count")
+    )

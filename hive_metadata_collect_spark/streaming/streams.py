@@ -1,0 +1,188 @@
+"""Structured Streaming forms of SURVEY.md §2.8 (#51–56).
+
+The DuckDB-hashed batch equivalents live in batch_eq.py; these are the
+incremental implementations a production deployment runs (file source
+here; swap for Kafka via sources/connectors.py). Each is smoke-tested
+in tests/test_streaming.py with an availableNow trigger against the
+fixture events and, where output mode allows, cross-checked against
+its batch twin.
+
+Scale notes: state lives in the RocksDB state store (session.py pins
+the provider); watermarks bound state for windows/dedup/sessions.
+Shuffle partitioning of streaming state is fixed at first run —
+size spark.sql.shuffle.partitions before the first checkpoint.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# Raw parquet schema: ts is TIMESTAMP(NANOS) which Spark reads as long
+# only under nanosAsLong (see sources/fixtures.py).
+_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture (one-file directory
+    glob); ts arrives as nanos-long and is floor-truncated to a µs
+    timestamp exactly like the batch source."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#51: per-hour × type counts with a 10-minute watermark."""
+    ev = events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#52: 1h windows sliding every 15 minutes."""
+    ev = events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+
+
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#53: per-user sessions, 30-minute inactivity gap."""
+    ev = events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#54: keyed dedup within the watermark horizon."""
+    ev = events_stream(spark, sf_dir)
+    return ev.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#55: 10-minute watermark dropping late rows from a 1h count."""
+    ev = events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .select(F.col("window.start").alias("window_start"), "n_kept")
+    )
+
+
+def stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#56: custom stateful operator — per-user running event count
+    via applyInPandasWithState (a per-key counter in the state store;
+    transformWithStateInPandas is the Spark-4 successor with the same
+    shape)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("batch_events", LongType()),
+            StructField("running_count", LongType()),
+            StructField("last_ts", TimestampType()),
+        ]
+    )
+    state_schema = StructType([StructField("count", LongType())])
+
+    def update(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
+        prior = state.get[0] if state.exists else 0
+        batch = 0
+        last_ts = None
+        for pdf in pdf_iter:
+            batch += len(pdf)
+            m = pdf["ts"].max()
+            last_ts = m if last_ts is None else max(last_ts, m)
+        state.update((prior + batch,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "batch_events": [batch],
+                "running_count": [prior + batch],
+                "last_ts": [last_ts],
+            }
+        )
+
+    ev = events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_available_now(
+    sdf: DataFrame, name: str, checkpoint_dir: str, output_mode: str = "update"
+) -> DataFrame:
+    """Execute a streaming frame to completion over all available
+    input (availableNow trigger) into an in-memory sink; returns the
+    materialized result as a batch DataFrame."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,87 @@
+"""Smoke tests for the Structured Streaming forms (SURVEY.md §5.3c):
+each runs over the fixture events with an availableNow trigger; where
+the output mode emits complete per-key results they are cross-checked
+against the DuckDB-hashed batch equivalents.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from hive_metadata_collect_spark.streaming import streams
+
+
+@pytest.fixture()
+def checkpoint():
+    d = tempfile.mkdtemp(prefix="hmcs_ckpt_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run(spark, sdf, name, checkpoint, mode="update"):
+    return streams.run_available_now(sdf, name, checkpoint, output_mode=mode)
+
+
+def test_stream_tumbling_counts(spark, sf_dir, checkpoint):
+    out = _run(spark, streams.tumbling_counts(spark, sf_dir), "t_tumbling", checkpoint)
+    rows = out.collect()
+    assert len(rows) > 0
+    # cross-check totals vs batch twin (update mode emits every key
+    # once here: single input batch)
+    from hive_metadata_collect_spark.streaming.batch_eq import stream_tumbling_counts
+
+    batch = stream_tumbling_counts(spark, sf_dir)
+    assert out.count() == batch.count()
+    assert (
+        out.agg({"n_events": "sum"}).collect()[0][0]
+        == batch.agg({"n_events": "sum"}).collect()[0][0]
+    )
+
+
+def test_stream_sliding_counts(spark, sf_dir, checkpoint):
+    out = _run(spark, streams.sliding_counts(spark, sf_dir), "t_sliding", checkpoint)
+    assert out.count() > 0
+
+
+def test_stream_session_windows(spark, sf_dir, checkpoint):
+    # session-window aggregation only supports append/complete output
+    out = _run(
+        spark,
+        streams.session_windows(spark, sf_dir),
+        "t_sessions",
+        checkpoint,
+        mode="complete",
+    )
+    assert out.count() > 0
+
+
+def test_stream_dedup_keys(spark, sf_dir, checkpoint):
+    out = _run(
+        spark, streams.dedup_keys(spark, sf_dir), "t_dedup", checkpoint, mode="append"
+    )
+    n = out.count()
+    from hive_metadata_collect_spark.streaming.batch_eq import stream_dedup_keys
+
+    # same number of surviving (user, type) keys as the batch twin
+    assert n == stream_dedup_keys(spark, sf_dir).count()
+
+
+def test_stream_watermark_late(spark, sf_dir, checkpoint):
+    out = _run(spark, streams.watermark_late(spark, sf_dir), "t_late", checkpoint)
+    assert out.count() > 0
+
+
+def test_stream_stateful_running(spark, sf_dir, checkpoint):
+    out = _run(spark, streams.stateful_running(spark, sf_dir), "t_stateful", checkpoint)
+    rows = {r["user_id"]: r["running_count"] for r in out.collect()}
+    assert len(rows) > 0
+    from hive_metadata_collect_spark.sources.fixtures import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    expected = {
+        r["user_id"]: r["n"] for r in ev.groupBy("user_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert rows == expected
