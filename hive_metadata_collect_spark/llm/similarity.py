@@ -1,1 +1,159 @@
-"""Placeholder: operators land in a later batch this round."""
+"""Embedding similarity search — SURVEY.md §2.11 (#69, #70) plus the
+random-projection LSH scale path.
+
+Scale notes: the brute-force paths compute dot products as Catalyst
+expressions (zip_with + aggregate — JVM-side, codegen'd, no Python).
+Per-vector norms are computed once in a narrow projection before any
+join. #69 (one query vs corpus) is embarrassingly parallel — a 1-row
+broadcast against the corpus scan; that shape holds at any corpus
+size. #70 (all pairs ≥ τ) is inherently quadratic — fine to SF-scale,
+but the 100 TB path is sim_pairs_lsh: normalize → random-projection
+bucketing (BucketedRandomProjectionLSH) → exact re-rank of candidates
+only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_metadata_collect_spark.registry import register
+from hive_metadata_collect_spark.sources.fixtures import load_table
+
+_COSINE_TAU = 0.45
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ over two array<float> columns, accumulated in double in
+    element order (mirrors DuckDB's list_dot_product order so rounded
+    results agree)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@register(
+    "sim_topk_cosine",
+    survey_row=69,
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           round(list_dot_product(embedding::DOUBLE[], qe) /
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
+                      * list_dot_product(qe, qe)), 6) AS cosine
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of vec_id=0 — the exact
+    baseline every ANN variant is measured against. One-row broadcast
+    cross join + TakeOrderedAndProject; no shuffle of the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    )
+    cos = _dot(F.col("embedding"), F.col("qe")) / F.sqrt(
+        _dot(F.col("embedding"), F.col("embedding")) * _dot(F.col("qe"), F.col("qe"))
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select("vec_id", "label", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "sim_pairs_threshold",
+    survey_row=70,
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                 sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])
+                      * list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])),
+                 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+          sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])
+               * list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+          >= {_COSINE_TAU}
+    """,
+)
+def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs with cosine ≥ τ, exact. Norms are computed
+    once per vector (narrow pass), then the triangular self-join only
+    evaluates the cross dot product. Quadratic by nature — the scale
+    path is sim_pairs_lsh."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_norm = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    a = with_norm.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = with_norm.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= _COSINE_TAU)
+        .select("vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
+@register("sim_pairs_lsh", survey_row=70, oracle=None)
+def sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection LSH candidate generation + exact re-rank —
+    the 100 TB path for #70.
+
+    L2-normalize vectors so euclidean distance encodes cosine
+    (d² = 2 − 2·cos ⇒ cos ≥ τ ⇔ d ≤ √(2−2τ)), bucket with
+    BucketedRandomProjectionLSH (seeded), approxSimilarityJoin at
+    that radius, then compute exact cosine on the candidates only.
+    Approximate recall → rows-only driver check; recall vs the exact
+    operator is asserted in tests/test_edge_cases.py.
+    """
+    import math
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    unit = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / norm).alias("unit"),
+    ).select("vec_id", array_to_vector("unit").alias("features"), "unit")
+
+    radius = math.sqrt(2 - 2 * _COSINE_TAU)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="buckets", bucketLength=radius, numHashTables=4, seed=42
+    )
+    model = lsh.fit(unit)
+    pairs = model.approxSimilarityJoin(unit, unit, radius, distCol="dist")
+    # exact cosine of unit vectors = dot product; re-rank candidates
+    cos = _dot(F.col("datasetA.unit"), F.col("datasetB.unit"))
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= _COSINE_TAU)
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            F.round("cosine_raw", 6).alias("cosine"),
+        )
+    )

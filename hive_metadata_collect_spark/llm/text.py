@@ -1,1 +1,223 @@
-"""Placeholder: operators land in a later batch this round."""
+"""Text analysis for training-data pipelines — SURVEY.md §2.11
+(#71–73) plus language-ID, quality scoring, token counting, and
+rolling-hash fingerprinting (driver-mandated text ops).
+
+Scale notes: everything here is explode/groupBy/join on builtin
+functions — whole-stage codegen end to end, no Python in any hot
+path. Wordcount-style aggs benefit from partial aggregation (token
+counts collapse before the shuffle); TF-IDF is two narrow aggregates
+plus one broadcast-able join on the term dimension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hive_metadata_collect_spark.registry import register
+from hive_metadata_collect_spark.sources.fixtures import load_table
+
+
+@register(
+    "text_wordcount",
+    survey_row=71,
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+    GROUP BY word
+    ORDER BY n DESC, word ASC
+    LIMIT 20
+    """,
+)
+def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 tokens: explode → partial-agg count → top-k."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "text_lang_stats",
+    survey_row=72,
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           count(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language doc counts / size / source spread."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@register(
+    "text_tfidf_topterms",
+    survey_row=73,
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, word, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+              FROM documents)
+        GROUP BY doc_id, word
+    ), df AS (
+        SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY word
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, word AS top_term,
+           round(tf * ln(n_docs / df), 6) AS tfidf
+    FROM (
+        SELECT tf.doc_id, tf.word, tf.tf, df.df, n.n_docs,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * ln(n.n_docs / df.df) DESC, tf.word ASC) AS rn
+        FROM tf JOIN df USING (word) CROSS JOIN n
+    ) ranked
+    WHERE rn = 1
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TF-IDF term per document, pure DataFrame (no MLlib):
+    term counts → document frequencies (broadcast-able term dim) →
+    score → row_number top-1 per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar dimension; at scale keep as 1-row broadcast
+    tf = (
+        d.select(
+            "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    score = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("word").asc())
+    return (
+        tf.join(F.broadcast(df), "word")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("word").alias("top_term"), F.round(score, 6).alias("tfidf"))
+    )
+
+
+@register(
+    "text_lang_id",
+    survey_row=72,
+    oracle="""
+    SELECT doc_id, lang,
+           CASE
+             WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+             WHEN regexp_matches(text, '[ßäöü]') THEN 'de'
+             WHEN regexp_matches(text, '[áíóúñ]') THEN 'es'
+             WHEN regexp_matches(text, '[àâçèéêë]') THEN 'fr'
+             ELSE 'en'
+           END AS lang_pred
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID from character-class evidence (CJK →
+    zh; diacritic classes → de/es/fr; default en) — the classic
+    cheap first-pass filter before model-based LID. Emits the fixture
+    label alongside for accuracy eyeballing; the oracle runs the
+    identical rule so the check is exactness of the rule, not truth."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    pred = (
+        F.when(t.rlike("[一-鿿]"), "zh")
+        .when(t.rlike("[ßäöü]"), "de")
+        .when(t.rlike("[áíóúñ]"), "es")
+        .when(t.rlike("[àâçèéêë]"), "fr")
+        .otherwise("en")
+    )
+    return d.select("doc_id", "lang", pred.alias("lang_pred"))
+
+
+@register(
+    "text_quality_score",
+    survey_row=72,
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           round(len(text) / len(string_split(text, ' ')), 6) AS avg_token_len,
+           round(len(list_filter(string_split(text, ' '),
+                                 w -> w IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE
+                 / len(string_split(text, ' ')), 6) AS stopword_ratio,
+           len(text) >= 100 AND len(string_split(text, ' ')) >= 20 AS passes_length
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals per document (Gopher/C4-style
+    length + stopword-density filters): token count, mean token
+    length, stopword ratio, length-gate flag."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_tokens = F.size(words)
+    stop = F.size(
+        F.filter(words, lambda w: w.isin("the", "a", "of", "and", "to"))
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(F.length("text") / n_tokens, 6).alias("avg_token_len"),
+        F.round(stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+        ((F.length("text") >= 100) & (n_tokens >= 20)).alias("passes_length"),
+    )
+
+
+@register(
+    "text_token_count",
+    survey_row=71,
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish
+    regex (letter runs / digit runs / single symbols) — the cheap
+    proxy for tokenizer-budget estimation over a corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), F.lit(0)
+            )
+        ).alias("bpe_ish_tokens"),
+    )
+
+
+@register("text_fingerprint", survey_row=67, oracle=None)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via 64-bit content hashes (full text +
+    8-token rolling prefix) for cheap shard-local duplicate candidate
+    blocking. Spark's xxhash64 and DuckDB's hash differ as functions,
+    so the oracle is rows-only-equivalent in *shape*; equality of the
+    fingerprint SEMANTICS (same text ⇒ same hash, prefix collision ⇒
+    candidate) is what tests assert — here both engines hash their own
+    way and we compare determinism, not values. NOTE: this operator is
+    therefore registered rows-only."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.xxhash64("text").alias("full_hash"),
+        F.xxhash64(F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ")).alias(
+            "prefix_hash"
+        ),
+    )

@@ -1,1 +1,164 @@
-"""Placeholder: operators land in a later batch this round."""
+"""UDF / UDAF / UDTF surface — SURVEY.md §2.9 (#57–60).
+
+The rules of engagement at 100 TB (SURVEY.md §4):
+- Built-in functions beat any UDF — #57 exists to *prove* the Python
+  row-UDF path works, and its docstring points at the builtin twin.
+- When Python is unavoidable, Arrow-batched pandas UDFs (#58, #59):
+  columnar transfer, NumPy vectorization, ~10–100× over row UDFs.
+- UDTFs (#60) are row-at-a-time generators — fine for control-plane
+  fan-outs, wrong for hot paths (use from_json + explode instead).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf, udtf
+from pyspark.sql.types import DoubleType, StringType
+
+from hive_metadata_collect_spark.registry import register
+from hive_metadata_collect_spark.sources.fixtures import load_table
+
+
+@register(
+    "udf_python_scalar",
+    survey_row=57,
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS norm_text
+    FROM documents
+    """,
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF normalizing text (lowercase + strip
+    non-alphanumerics). The builtin twin is
+    regexp_replace(lower(text), ...) — always prefer it in real
+    pipelines; this operator certifies the UDF execution path against
+    the same logic in SQL. ASCII character class on both sides (Python
+    \\w is unicode-aware, RE2's is not — avoid the divergence)."""
+
+    @udf(returnType=StringType())
+    def normalize(s: str) -> str:
+        if s is None:
+            return None
+        return re.sub(r"[^a-z0-9 ]", "", s.lower())
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", normalize("text").alias("norm_text"))
+
+
+@register(
+    "udf_pandas_scalar",
+    survey_row=58,
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS revenue_taxed
+    FROM lineitem
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow) pandas UDF: taxed revenue. NumPy evaluates
+    p*(1-d)*(1+t) with the same left-associated IEEE ops as the SQL
+    expression, so values match bit-exactly with no rounding."""
+
+    @pandas_udf(DoubleType())
+    def revenue_taxed(
+        price: pd.Series, disc: pd.Series, tax: pd.Series
+    ) -> pd.Series:
+        return price * (1 - disc) * (1 + tax)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        revenue_taxed("l_extendedprice", "l_discount", "l_tax").alias(
+            "revenue_taxed"
+        ),
+    )
+
+
+@register(
+    "udaf_pandas_grouped",
+    survey_row=59,
+    oracle="""
+    SELECT l_returnflag,
+           round(exp(avg(ln(l_quantity))), 6) AS geomean_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped aggregate via applyInPandas: per-flag geometric
+    mean of quantity (exp of mean of logs — a shape builtin aggs don't
+    offer directly). Each group arrives as one Arrow-backed pandas
+    frame; rounding happens Spark-side so both engines round the same
+    double."""
+    import numpy as np
+
+    def geomean(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf["l_quantity"].to_numpy(dtype="float64")
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "geomean_raw": [float(np.exp(np.mean(np.log(q))))],
+                "n_rows": [len(q)],
+            }
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    grouped = li.select("l_returnflag", "l_quantity").groupBy("l_returnflag").applyInPandas(
+        geomean, schema="l_returnflag string, geomean_raw double, n_rows long"
+    )
+    return grouped.select(
+        "l_returnflag",
+        F.round("geomean_raw", 6).alias("geomean_qty"),
+        "n_rows",
+    )
+
+
+@register(
+    "udtf_split_props",
+    survey_row=60,
+    oracle="""
+    SELECT event_id, 'k' AS prop_key,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_val
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+)
+def udtf_split_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4) exploding a JSON props object into
+    (key, value) rows via LATERAL join. The fixture's props carry a
+    single numeric key, so the oracle enumerates it directly (DuckDB
+    1.0.0 ships no json_each table function); multi-key behavior is
+    covered engine-side in tests/test_edge_cases.py."""
+
+    @udtf(returnType="prop_key: string, prop_val: bigint")
+    class SplitProps:
+        def eval(self, props: str):
+            if not props:
+                return
+            try:
+                obj = json.loads(props)
+            except ValueError:
+                return
+            if isinstance(obj, dict):
+                for k in sorted(obj):
+                    v = obj[k]
+                    yield k, int(v) if isinstance(v, (int, float)) else None
+
+    spark.udtf.register("hmcs_split_props", SplitProps)
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("hmcs_events_src")
+    return spark.sql(
+        """
+        SELECT e.event_id, t.prop_key, t.prop_val
+        FROM hmcs_events_src e, LATERAL hmcs_split_props(e.props) t
+        """
+    )

@@ -1,0 +1,161 @@
+"""Engine-side semantic assertions the DuckDB oracle can't express
+(SURVEY.md §5.3b): approximation bounds, LSH recall vs exact, UDTF
+multi-key behavior, empty/ties/null edge fixtures, multimodal
+plumbing.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_metadata_collect_spark import registry
+from hive_metadata_collect_spark.sources.fixtures import load_table
+
+OPS = registry.load_all()
+
+
+def test_approx_distinct_within_5pct(spark, sf_dir):
+    approx = OPS["agg_approx_distinct"].fn(spark, sf_dir).collect()[0]
+    li = load_table(spark, sf_dir, "lineitem")
+    exact_parts = li.select("l_partkey").distinct().count()
+    exact_orders = li.select("l_orderkey").distinct().count()
+    assert abs(approx["approx_parts"] - exact_parts) / exact_parts < 0.05
+    assert abs(approx["approx_orders"] - exact_orders) / exact_orders < 0.05
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in OPS["dedup_near_minhash"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["doc_a"], r["doc_b"])
+        for r in OPS["dedup_near_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    assert exact, "exact near-dup set unexpectedly empty"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"MinHash-LSH recall too low: {recall:.2f}"
+
+
+def test_projection_lsh_recall_vs_exact(spark, sf_dir):
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in OPS["sim_pairs_threshold"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["vec_a"], r["vec_b"]) for r in OPS["sim_pairs_lsh"].fn(spark, sf_dir).collect()
+    }
+    assert exact, "exact similar-pair set unexpectedly empty"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"projection-LSH recall too low: {recall:.2f}"
+    # re-ranking is exact → no false positives above threshold
+    assert approx <= exact
+
+
+def test_udtf_multi_key_props(spark):
+    """The fixture only carries single-key props; prove multi-key
+    explode behavior on an inline frame."""
+    from hive_metadata_collect_spark.llm.udfs import udtf_split_props  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(1, '{"a": 1, "b": 2}'), (2, "{}"), (3, None), (4, "not json")],
+        "event_id long, props string",
+    )
+    df.createOrReplaceTempView("hmcs_events_src")
+    out = spark.sql(
+        "SELECT e.event_id, t.prop_key, t.prop_val "
+        "FROM hmcs_events_src e, LATERAL hmcs_split_props(e.props) t"
+    ).collect()
+    assert {(r["event_id"], r["prop_key"], r["prop_val"]) for r in out} == {
+        (1, "a", 1),
+        (1, "b", 2),
+    }
+
+
+def test_asof_join_edges(spark):
+    """As-of semantics on a hand-built frame: equal-ts view counts,
+    later views don't, no-prior-view → null."""
+    from hive_metadata_collect_spark.operators import joins  # noqa: F401
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    rows = [
+        (1, ts(0), 7, "view", 0.0, "{}"),
+        (2, ts(5), 7, "click", 0.0, "{}"),   # prior view at t0
+        (3, ts(5), 8, "click", 0.0, "{}"),   # no view ever -> null
+        (4, ts(9), 7, "view", 0.0, "{}"),
+        (5, ts(9), 7, "click", 0.0, "{}"),   # equal-ts view counts (>= semantics)
+        (6, ts(20), 7, "view", 0.0, "{}"),   # later view must not backfill
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+
+    import unittest.mock as mock
+
+    with mock.patch.object(joins, "load_table", return_value=ev):
+        out = {r["event_id"]: r["prior_view_ts"] for r in joins.join_asof(spark, "ignored").collect()}
+    assert out[2] == ts(0)
+    assert out[3] is None
+    assert out[5] == ts(9)
+
+
+def test_windows_single_row_and_empty_groups(spark):
+    """Window ops on degenerate frames: single row and empty input."""
+    from hive_metadata_collect_spark.operators import windows
+
+    import unittest.mock as mock
+
+    one = spark.createDataFrame(
+        [(1, 1, "O", 10.0, __import__("datetime").datetime(2020, 1, 1), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    empty = one.filter(F.lit(False))
+    for frame, expect in [(one, 1), (empty, 0)]:
+        with mock.patch.object(windows, "load_table", return_value=frame):
+            assert windows.win_topk_per_group(spark, "x").count() == expect
+            assert windows.win_running_sum(spark, "x").count() == expect
+
+
+def test_dedup_exact_finds_planted_dups(spark):
+    from hive_metadata_collect_spark.llm import dedup
+    import unittest.mock as mock
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb", "en", "s", 5), (2, "aa bb", "en", "s", 5), (3, "cc", "en", "s", 2)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with mock.patch.object(dedup, "load_table", return_value=docs):
+        out = dedup.dedup_exact(spark, "x").collect()
+    assert len(out) == 1 and out[0]["n_docs"] == 2 and out[0]["keep_doc"] == 1
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    """Full binary pipeline with the deterministic fake decoder, plus
+    the frame-sampling explode stage."""
+    from hive_metadata_collect_spark.llm import multimodal as mm
+
+    d = load_table(spark, sf_dir, "documents").limit(20)
+    payloads = d.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("video").alias("modality"),
+    )
+    decoded = mm.decode_features(payloads, decoder=mm.fake_decode)
+    rows = decoded.collect()
+    assert len(rows) == 20
+    assert all(64 <= r["width"] <= 64 + 255 for r in rows)
+    frames = mm.sample_frames(decoded, every_nth=2)
+    assert frames.count() >= 20  # every doc emits frame 0
+
+    # the real decoder slots must raise until codecs are registered
+    with pytest.raises(Exception) as exc_info:
+        mm.decode_features(payloads).collect()
+    assert "codec not installed" in str(exc_info.value) or "NotImplementedError" in str(
+        exc_info.value
+    )
