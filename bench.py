@@ -41,7 +41,10 @@ HEADLINE = {
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
-    spark = get_spark(app_name="hmcs-bench")
+    # 16 shuffle partitions measured fastest for the sf0.1 suite on
+    # local[32] (AQE coalesces further at runtime); env-overridable.
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "16"))
+    spark = get_spark(app_name="hmcs-bench", shuffle_partitions=shuffle)
     ops = registry.load_all()
 
     # Warm the JVM/codegen/IO path once so per-query numbers measure the

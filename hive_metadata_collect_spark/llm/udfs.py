@@ -122,22 +122,9 @@ def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "udtf_split_props",
-    survey_row=60,
-    oracle="""
-    SELECT event_id, 'k' AS prop_key,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_val
-    FROM events
-    WHERE json_extract_string(props, '$.k') IS NOT NULL
-    """,
-)
-def udtf_split_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Python UDTF (Spark 4) exploding a JSON props object into
-    (key, value) rows via LATERAL join. The fixture's props carry a
-    single numeric key, so the oracle enumerates it directly (DuckDB
-    1.0.0 ships no json_each table function); multi-key behavior is
-    covered engine-side in tests/test_edge_cases.py."""
+def register_split_props(spark: SparkSession) -> None:
+    """Register the `hmcs_split_props` UDTF on this session (idempotent;
+    callable from any session that wants LATERAL prop explosion)."""
 
     @udtf(returnType="prop_key: string, prop_val: bigint")
     class SplitProps:
@@ -154,6 +141,25 @@ def udtf_split_props(spark: SparkSession, sf_dir: str) -> DataFrame:
                     yield k, int(v) if isinstance(v, (int, float)) else None
 
     spark.udtf.register("hmcs_split_props", SplitProps)
+
+
+@register(
+    "udtf_split_props",
+    survey_row=60,
+    oracle="""
+    SELECT event_id, 'k' AS prop_key,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_val
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+)
+def udtf_split_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4) exploding a JSON props object into
+    (key, value) rows via LATERAL join. The fixture's props carry a
+    single numeric key, so the oracle enumerates it directly (DuckDB
+    1.0.0 ships no json_each table function); multi-key behavior is
+    covered engine-side in tests/test_edge_cases.py."""
+    register_split_props(spark)
     ev = load_table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("hmcs_events_src")
     return spark.sql(

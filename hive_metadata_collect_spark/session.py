@@ -40,6 +40,11 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int = 32):
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Local-mode profile: split single-file fixtures into enough
+        # scan tasks to feed all cores (measured best at sf0.1; a real
+        # cluster keeps the 128m default and parallelism comes from
+        # the partitioned table layout instead).
+        .config("spark.sql.files.maxPartitionBytes", "32m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.ui.enabled", "false")

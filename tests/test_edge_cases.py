@@ -56,8 +56,9 @@ def test_projection_lsh_recall_vs_exact(spark, sf_dir):
 def test_udtf_multi_key_props(spark):
     """The fixture only carries single-key props; prove multi-key
     explode behavior on an inline frame."""
-    from hive_metadata_collect_spark.llm.udfs import udtf_split_props  # noqa: F401
+    from hive_metadata_collect_spark.llm.udfs import register_split_props
 
+    register_split_props(spark)
     df = spark.createDataFrame(
         [(1, '{"a": 1, "b": 2}'), (2, "{}"), (3, None), (4, "not json")],
         "event_id long, props string",

@@ -1,0 +1,97 @@
+"""Plan-property assertions (SURVEY.md §4): the physical plans must
+BE the scale-appropriate plans, not merely produce correct rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_metadata_collect_spark import registry
+from hive_metadata_collect_spark.plans.explain import (
+    assert_plan,
+    physical_plan,
+    scan_summary,
+)
+from hive_metadata_collect_spark.sources.fixtures import load_table
+
+OPS = registry.load_all()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """Q6-shape predicates appear as PushedFilters on the parquet scan."""
+    df = OPS["filter_range_pred"].fn(spark, sf_dir)
+    scan = scan_summary(df)
+    assert "PushedFilters" in scan
+    assert "l_quantity" in scan and "l_discount" in scan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """A 3-column projection reads a 3-column ReadSchema."""
+    df = OPS["scan_project"].fn(spark, sf_dir)
+    scan = scan_summary(df)
+    assert "l_orderkey" in scan
+    assert "l_extendedprice" not in scan and "l_shipdate" not in scan
+
+
+def test_broadcast_hint_plan(spark, sf_dir):
+    """#15 must build a broadcast hash join, never shuffle the fact."""
+    df = OPS["join_broadcast_hint"].fn(spark, sf_dir)
+    assert_plan(df, contains=("BroadcastHashJoin",), absent=("SortMergeJoin",))
+
+
+def test_star_join_fact_never_shuffles(spark, sf_dir):
+    """Q5 shape: every dim broadcasts; the only Exchange is the final
+    group-by on n_name — lineitem itself is never hash-repartitioned."""
+    df = OPS["join_multiway_star"].fn(spark, sf_dir)
+    df.count()  # let AQE finalize
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "n_name" in line, f"unexpected fact shuffle: {line}"
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    """orderBy().limit() compiles to TakeOrderedAndProject (per-
+    partition heaps), not a global Sort."""
+    df = OPS["limit_topk_global"].fn(spark, sf_dir)
+    assert_plan(df, contains=("TakeOrderedAndProject",))
+
+
+def test_agg_is_two_phase(spark, sf_dir):
+    """Grouped agg runs partial (map-side) + final HashAggregate."""
+    plan = physical_plan(OPS["agg_pricing_summary"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+def test_semi_join_never_expands(spark, sf_dir):
+    df = OPS["join_left_semi"].fn(spark, sf_dir)
+    assert "LeftSemi" in physical_plan(df)
+
+
+def test_wholestage_codegen_covers_hot_path(spark, sf_dir):
+    """The pricing-summary pipeline stays inside whole-stage codegen
+    (no Python evaluation nodes in the hot path). The AQE plan wrapper
+    hides codegen spans in explain output, so toggle it off just for
+    the display (codegen itself runs either way)."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = OPS["agg_pricing_summary"].fn(spark, sf_dir)
+        plan = physical_plan(df)
+        codegen = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "codegen"
+            )
+        )
+        assert "Found 0 WholeStageCodegen" not in codegen
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_scan_count_has_no_wide_shuffle(spark, sf_dir):
+    """The rowcount inventory is partial-count per table + 1-row
+    unions — no hashpartitioning exchange anywhere."""
+    plan = physical_plan(OPS["scan_count"].fn(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
