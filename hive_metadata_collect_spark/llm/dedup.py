@@ -22,6 +22,37 @@ from hive_metadata_collect_spark.registry import register
 from hive_metadata_collect_spark.sources.fixtures import load_table
 
 _JACCARD_TAU = 0.95
+_NGRAM_TAU = 0.8
+_EMB_COSINE_TAU = 0.45
+
+
+def _jaccard_pairs(items: DataFrame, tau: float) -> DataFrame:
+    """All (doc_a, doc_b, jaccard ≥ tau) pairs from a distinct
+    ``(doc_id, item)`` frame via an inverted-index self-join.
+
+    Only pairs sharing ≥1 item are ever generated (the join key IS the
+    item), so candidate volume is Σ df(item)² — bounded by dropping
+    ultra-high-DF items at scale, never by materializing all pairs.
+    |A ∪ B| = |A| + |B| − |A ∩ B| from per-doc set sizes.
+    """
+    sizes = items.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = items.select(F.col("doc_id").alias("doc_a"), "item")
+    b = items.select(F.col("doc_id").alias("doc_b"), "item")
+    inter = (
+        a.join(b, "item")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    jac = F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= tau)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
 
 
 @register(
@@ -103,26 +134,9 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     words = d.select(
         "doc_id",
-        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("word"),
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("item"),
     )
-    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    a = words.select(F.col("doc_id").alias("doc_a"), "word")
-    b = words.select(F.col("doc_id").alias("doc_b"), "word")
-    inter = (
-        a.join(b, "word")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
-    jac = F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= _JACCARD_TAU)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+    return _jaccard_pairs(words, _JACCARD_TAU)
 
 
 @register("dedup_near_minhash_lsh", survey_row=68, oracle=None)
@@ -153,4 +167,181 @@ def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("datasetA.doc_id").alias("doc_a"),
         F.col("datasetB.doc_id").alias("doc_b"),
         F.round(1 - F.col("jaccard_dist"), 6).alias("est_jaccard"),
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    survey_row=68,
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    gs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(w) - 2),
+                   i -> array_to_string(w[i:i+2], ' '))) AS grams
+        FROM t
+    ),
+    gf AS (SELECT doc_id, grams FROM gs WHERE len(grams) > 0)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                 (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+                 6) AS jaccard
+    FROM gf a JOIN gf b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+          (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+          >= {_NGRAM_TAU}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by word-3-gram-shingle Jaccard ≥ τ.
+
+    Shingling makes the set order-sensitive (unlike the word-set
+    variant #68), so reordered texts stop matching — the standard
+    web-dedup formulation. Same inverted-index pair generation as
+    dedup_near_minhash: the shuffle key is the shingle, pairs never
+    materialize beyond co-occurring candidates.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    # Guard: F.sequence(1, n) descends when n < 1, so gate on size ≥ 3
+    # (DuckDB's generate_series just returns [] there).
+    grams = F.when(
+        F.size(w) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 2),
+                lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    items = d.select("doc_id", F.explode(grams).alias("item"))
+    return _jaccard_pairs(items, _NGRAM_TAU)
+
+
+@register(
+    "dedup_simhash",
+    survey_row=68,
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents
+    ),
+    contrib AS (
+        SELECT doc_id, p * 4 + b AS j,
+               CASE WHEN (((instr('0123456789abcdef', substring(md5(w), p + 1, 1)) - 1)
+                           >> b) & 1) = 1
+                    THEN 1 ELSE -1 END AS c
+        FROM words, generate_series(0, 15) t1(p), generate_series(0, 3) t2(b)
+    ),
+    sums AS (SELECT doc_id, j, sum(c) AS s FROM contrib GROUP BY doc_id, j),
+    fp AS (
+        SELECT doc_id,
+               string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j)
+                   AS simhash
+        FROM sums GROUP BY doc_id
+    )
+    SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_doc
+    FROM fp GROUP BY simhash HAVING count(*) > 1
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash duplicate groups: 64-bit fingerprint from the signs of
+    per-bit ±1 sums over md5(token) bits; docs sharing a fingerprint
+    form a dup group (the equality-bucket stage of simhash dedup).
+
+    Token hash = first 16 hex chars of md5 (4 bits per char), chosen
+    because md5 is bit-identical in Spark and DuckDB — the oracle
+    recomputes the same fingerprint independently. The Spark plan keeps
+    one row per (doc, token) and folds all 64 bit-sums into a single
+    map-side-combined groupBy (64 agg columns), so the shuffle carries
+    64 ints per doc — never doc × token × 64 rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w"),
+    ).select("doc_id", F.md5(F.col("w").cast("binary")).alias("h"))
+    hexvals = [
+        F.conv(F.substring(F.col("h"), p + 1, 1), 16, 10).cast("int")
+        for p in range(16)
+    ]
+    aggs = [
+        F.sum(F.shiftright(hexvals[p], b).bitwiseAND(F.lit(1)) * 2 - 1).alias(
+            f"s{p * 4 + b}"
+        )
+        for p in range(16)
+        for b in range(4)
+    ]
+    sums = tok.groupBy("doc_id").agg(*aggs)
+    bitstr = F.concat(
+        *[
+            F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(64)
+        ]
+    )
+    fp = sums.select("doc_id", bitstr.alias("simhash"))
+    return (
+        fp.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    survey_row=68,
+    oracle=f"""
+    WITH de AS (
+        SELECT d.doc_id, d.lang, e.embedding::DOUBLE[] AS emb
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.lang AS lang_a, b.lang AS lang_b,
+           round(list_dot_product(a.emb, b.emb) /
+                 sqrt(list_dot_product(a.emb, a.emb) * list_dot_product(b.emb, b.emb)),
+                 6) AS cosine
+    FROM de a JOIN de b ON a.doc_id < b.doc_id
+    WHERE list_dot_product(a.emb, b.emb) /
+          sqrt(list_dot_product(a.emb, a.emb) * list_dot_product(b.emb, b.emb))
+          >= {_EMB_COSINE_TAU}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup candidates: document pairs whose embeddings
+    (doc_id = vec_id) have cosine ≥ τ, labeled with both languages —
+    the cross-modal dedup signal lexical methods miss (translations,
+    paraphrases). Exact pairwise here; the 100 TB path swaps the
+    triangular join for sim_pairs_lsh-style bucketing, keeping this
+    documents⋈embeddings enrichment unchanged.
+    """
+    from hive_metadata_collect_spark.llm.similarity import _dot
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = load_table(spark, sf_dir, "embeddings")
+    de = docs.join(emb, docs["doc_id"] == emb["vec_id"]).select(
+        "doc_id", "lang", "embedding"
+    )
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    den = de.select("doc_id", "lang", "embedding", norm.alias("norm"))
+    a = den.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = den.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= _EMB_COSINE_TAU)
+        .select(
+            "doc_a", "doc_b", "lang_a", "lang_b",
+            F.round("cosine_raw", 6).alias("cosine"),
+        )
     )
