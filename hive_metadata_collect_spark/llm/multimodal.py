@@ -170,3 +170,87 @@ def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = decode_features(payloads, decoder=fake_decode)
     return feats.select("doc_id", "n_bytes", "payload_md5")
+
+
+# fake_decode's md5-derived pseudo-dims, re-derived in DuckDB SQL so
+# the Arrow decode stage itself is oracle-checkable: digest byte k of
+# md5 = hex chars 2k+1..2k+2.
+_SQL_HEXVAL = "(instr('0123456789abcdef', substring(md5(text), {pos}, 1)) - 1)"
+_SQL_BYTE0 = f"({_SQL_HEXVAL.format(pos=1)} * 16 + {_SQL_HEXVAL.format(pos=2)})"
+_SQL_BYTE1 = f"({_SQL_HEXVAL.format(pos=3)} * 16 + {_SQL_HEXVAL.format(pos=4)})"
+_SQL_BYTE2 = f"({_SQL_HEXVAL.format(pos=5)} * 16 + {_SQL_HEXVAL.format(pos=6)})"
+_SQL_FAKE_DECODE = f"""
+    SELECT doc_id,
+           64 + {_SQL_BYTE0} AS width,
+           64 + {_SQL_BYTE1} AS height,
+           1 + {_SQL_BYTE2} % 8 AS n_frames
+    FROM documents
+"""
+
+
+def _fake_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text as an opaque binary payload — the stand-in media
+    column all mm_* ops decode."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("image").alias("modality"),
+    )
+
+
+@register(
+    "mm_frame_sample",
+    survey_row=74,
+    oracle=f"""
+    WITH dec AS ({_SQL_FAKE_DECODE})
+    SELECT doc_id, frame_idx
+    FROM (SELECT doc_id, unnest(generate_series(0, n_frames - 1)) AS frame_idx
+          FROM dec)
+    WHERE frame_idx % 2 = 0
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling, end to end: binary payload → Arrow
+    mapInPandas decode (frame count) → sequence-explode → keep every
+    2nd frame. The decode is the deterministic fake (no codecs in this
+    container), which the oracle recomputes from md5 — so the whole
+    decode→explode plumbing is hash-checked, not just smoke-run."""
+    decoded = decode_features(_fake_payloads(spark, sf_dir), decoder=fake_decode)
+    return sample_frames(decoded, every_nth=2)
+
+
+@register(
+    "mm_resize_plan",
+    survey_row=74,
+    oracle=f"""
+    WITH dec AS ({_SQL_FAKE_DECODE})
+    SELECT doc_id, width, height,
+           CASE WHEN greatest(width, height) > 224
+                THEN floor(width * 224 / greatest(width, height))::BIGINT
+                ELSE width::BIGINT END AS out_w,
+           CASE WHEN greatest(width, height) > 224
+                THEN floor(height * 224 / greatest(width, height))::BIGINT
+                ELSE height::BIGINT END AS out_h
+    FROM dec
+    """,
+)
+def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage: decode dims via the Arrow stage, then compute the
+    fit-within-224px output geometry (aspect-preserving) as pure
+    Catalyst arithmetic. Real pixel resampling belongs in the same
+    mapInPandas stage as the decode; the *plan* (what drives batch
+    sizing and output schema) is engine-side and oracle-checked."""
+    decoded = decode_features(_fake_payloads(spark, sf_dir), decoder=fake_decode)
+    g = F.greatest(F.col("width"), F.col("height"))
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.when(g > 224, F.floor(F.col("width") * 224 / g))
+        .otherwise(F.col("width").cast("long"))
+        .alias("out_w"),
+        F.when(g > 224, F.floor(F.col("height") * 224 / g))
+        .otherwise(F.col("height").cast("long"))
+        .alias("out_h"),
+    )

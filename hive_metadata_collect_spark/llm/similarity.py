@@ -157,3 +157,61 @@ def sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cosine_raw", 6).alias("cosine"),
         )
     )
+
+
+@register("sim_topk_ivf", survey_row=69, oracle=None)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN top-10 for vec_id=0 — the partition-
+    pruned scale path for #69.
+
+    Pipeline: L2-normalize → k-means coarse quantizer (seeded) →
+    every vector lands in one inverted list keyed by its nearest
+    centroid → the query probes only the nprobe closest lists →
+    exact cosine re-rank inside probed lists. At 100 TB the corpus
+    is written partitioned by the list id, so a probe is literal
+    partition pruning: the scan touches nprobe/k of the data and the
+    re-rank is the same brute-force kernel as sim_topk_cosine on that
+    slice. Approximate (a true neighbor can live in an unprobed
+    list) → rows-only driver check; recall vs the exact operator is
+    asserted in tests/test_edge_cases.py.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    k, nprobe = 10, 3
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    unit = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double") / norm).alias("unit"),
+    ).select("vec_id", "label", "unit", array_to_vector("unit").alias("features"))
+
+    model = KMeans(k=k, seed=42, featuresCol="features", predictionCol="list_id").fit(
+        unit
+    )
+    lists = model.transform(unit)
+
+    # Driver-side probe selection: centroids are k tiny vectors; rank
+    # them by dot with the query's unit vector.
+    qrow = unit.filter(F.col("vec_id") == 0).select("unit").head()
+    quv = qrow["unit"]
+    scored = sorted(
+        ((sum(c[i] * quv[i] for i in range(len(quv))), lid)
+         for lid, c in enumerate(model.clusterCenters())),
+        reverse=True,
+    )
+    probe_ids = [lid for _, lid in scored[:nprobe]]
+
+    q = F.broadcast(
+        unit.filter(F.col("vec_id") == 0).select(F.col("unit").alias("qu"))
+    )
+    cos = _dot(F.col("unit"), F.col("qu"))  # unit vectors: cosine = dot
+    return (
+        lists.filter(F.col("list_id").isin(probe_ids))
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select("vec_id", "label", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )

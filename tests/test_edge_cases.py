@@ -160,3 +160,10 @@ def test_multimodal_plumbing(spark, sf_dir):
     assert "codec not installed" in str(exc_info.value) or "NotImplementedError" in str(
         exc_info.value
     )
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    exact = [r["vec_id"] for r in OPS["sim_topk_cosine"].fn(spark, sf_dir).collect()]
+    approx = [r["vec_id"] for r in OPS["sim_topk_ivf"].fn(spark, sf_dir).collect()]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
