@@ -257,3 +257,40 @@ def cat_lineage_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.countDistinct("b_user_id") - 1).alias("n_2hop_users"),
         )
     )
+
+
+@register(
+    "cat_schema_inventory",
+    survey_row=62,
+    oracle="""
+    SELECT table_name, column_name,
+           CASE data_type
+               WHEN 'BIGINT' THEN 'bigint'
+               WHEN 'INTEGER' THEN 'int'
+               WHEN 'VARCHAR' THEN 'string'
+               WHEN 'DOUBLE' THEN 'double'
+               WHEN 'TIMESTAMP' THEN 'timestamp'
+               WHEN 'FLOAT[]' THEN 'array<float>'
+               ELSE lower(data_type) END AS type_name,
+           ordinal_position AS ordinal
+    FROM information_schema.columns
+    WHERE table_name IN ('region','nation','customer','supplier','part',
+                         'orders','lineitem','events','documents','embeddings')
+    """,
+)
+def cat_schema_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMNS_V2-style column inventory: (table, column, type,
+    ordinal) for every catalog table — the core artifact a metadata
+    collector emits. Schemas come from parquet footers (metadata-only,
+    no data scan); the oracle recomputes it from DuckDB's
+    information_schema over the same files. timestamp_ntz is
+    canonicalized to timestamp (engines name the same physical type
+    differently)."""
+    rows = []
+    for t in TABLES:
+        for i, f in enumerate(load_table(spark, sf_dir, t).schema.fields):
+            type_name = f.dataType.simpleString().replace("timestamp_ntz", "timestamp")
+            rows.append((t, f.name, type_name, i + 1))
+    return spark.createDataFrame(
+        rows, "table_name string, column_name string, type_name string, ordinal int"
+    )

@@ -256,3 +256,55 @@ def agg_collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
         F.count(F.lit(1)).alias("n_customers"),
     )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@register(
+    "agg_pivot",
+    survey_row=24,
+    oracle="SELECT o_orderstatus, "
+    + ", ".join(
+        f"""count(*) FILTER (o_orderpriority = '{p}') AS "{p}" """ for p in _PRIORITIES
+    )
+    + " FROM orders GROUP BY o_orderstatus",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order counts: status rows × priority columns. Pivot
+    values are passed explicitly — that skips the extra distinct-scan
+    job AND fixes the output schema (mandatory at scale: never let a
+    100 TB scan decide your column list). Empty cells coalesce to 0 to
+    match SQL's count-FILTER semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(p) for p in _PRIORITIES],
+    )
+
+
+@register(
+    "agg_percentiles",
+    survey_row=27,
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+           round(quantile_cont(l_quantity, 0.9), 4) AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ≡
+    DuckDB `quantile_cont`). At 100 TB swap for `approx_percentile`
+    with a stated error bound — exact percentile fully sorts each
+    group's values; the approximate sketch is mergeable map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile(F.col("l_quantity"), F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile(F.col("l_quantity"), F.lit(0.9)), 4).alias("p90"),
+    )

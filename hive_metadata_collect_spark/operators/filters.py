@@ -93,3 +93,49 @@ def project_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         F.concat_ws("-", "l_returnflag", "l_linestatus").alias("flag_status"),
     )
+
+
+@register(
+    "sub_scalar_agg",
+    survey_row=6,
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def sub_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter. Expressed as SQL so Catalyst plans the
+    subquery itself (one global agg broadcast into the scan's filter) —
+    no driver-side collect of the average."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sub_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM sub_orders
+        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM sub_orders)
+        """
+    )
+
+
+@register(
+    "sub_exists_correlated",
+    survey_row=12,
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def sub_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — Catalyst decorrelates it into a left-semi
+    join (same physical plan as #12's API form; `.explain` shows
+    LeftSemi). Declared separately because the SQL surface matters:
+    users port EXISTS queries verbatim."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("sub_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sub_orders2")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM sub_customer c
+        WHERE EXISTS (SELECT 1 FROM sub_orders2 o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        """
+    )

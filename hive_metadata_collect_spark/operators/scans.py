@@ -82,3 +82,47 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(target)
     )
     return spark.read.parquet(target)
+
+
+@register(
+    "sink_csv_roundtrip",
+    survey_row=4,
+    oracle="SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'",
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a filtered result to CSV, read it back with the source's
+    own schema (CSV is typeless — the explicit schema is what makes
+    the roundtrip lossless; never infer in engine code)."""
+    src = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    target = os.path.join(_SCRATCH, "roundtrip_customer.csv")
+    src.write.mode("overwrite").option("header", "true").csv(target)
+    return spark.read.schema(src.schema).option("header", "true").csv(target)
+
+
+@register(
+    "sink_json_roundtrip",
+    survey_row=4,
+    oracle="SELECT * FROM supplier WHERE s_nationkey < 10",
+)
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a filtered result to JSON lines, read it back with the
+    source's schema. Same losslessness rule as the CSV twin."""
+    src = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 10)
+    target = os.path.join(_SCRATCH, "roundtrip_supplier.json")
+    src.write.mode("overwrite").json(target)
+    return spark.read.schema(src.schema).json(target)
+
+
+@register(
+    "sink_orc_roundtrip",
+    survey_row=4,
+    oracle="SELECT * FROM nation",
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write to ORC, read it back — third columnar sink format beside
+    parquet; ORC preserves types natively (no schema needed on read)."""
+    target = os.path.join(_SCRATCH, "roundtrip_nation.orc")
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").orc(target)
+    return spark.read.orc(target)
