@@ -344,3 +344,93 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "click")
         .select("event_id", "user_id", "ts", "prior_view_ts")
     )
+
+
+_SALT_N = 8
+
+
+@register(
+    "join_skew_salted",
+    survey_row=8,
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join — the manual fix for pathological key skew
+    that AQE's splitter can't fully absorb.
+
+    Fact side: salt = pmod(l_linenumber, N) (deterministic, no rand()
+    — reruns must plan identically). Dim side: replicated N× via a
+    tiny explode, so (key, salt) partitions carry ≤ 1/N of any hot
+    key. The join condition gains the salt column; results are
+    provably identical to the unsalted join, which is exactly what
+    the oracle checks.
+    """
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.col("l_linenumber"), F.lit(_SALT_N))
+    )
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "salt",
+        F.explode(F.sequence(F.lit(0), F.lit(_SALT_N - 1))),
+    )
+    joined = li.join(
+        orders,
+        (li["l_orderkey"] == orders["o_orderkey"]) & (li["salt"] == orders["salt"]),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "join_bucketed_colocated",
+    survey_row=8,
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, o_orderstatus
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides written `bucketBy(8, key)`
+    + sorted, then joined — Spark matches the bucket spec to the join
+    key and plans a sort-merge join with NO shuffle exchange on either
+    side (tests/test_plans.py asserts it). This is the 100 TB pattern
+    for repeated fact-fact joins: pay the partitioning once at write
+    time, reuse it on every read."""
+    import os
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderstatus")
+    for name, df, key in (
+        ("bk_lineitem", li, "l_orderkey"),
+        ("bk_orders", orders, "o_orderkey"),
+    ):
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(scratch, name))
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    return spark.table("bk_lineitem").join(
+        spark.table("bk_orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "o_orderstatus")

@@ -95,3 +95,41 @@ def test_scan_count_has_no_wide_shuffle(spark, sf_dir):
     unions — no hashpartitioning exchange anywhere."""
     plan = physical_plan(OPS["scan_count"].fn(spark, sf_dir))
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Both sides bucketed on the join key → sort-merge join with no
+    shuffle exchange on either side (broadcast disabled so the bucket
+    path is actually exercised)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = OPS["join_bucketed_colocated"].fn(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_join_result_matches_unsalted(spark, sf_dir):
+    """Salting must be semantics-preserving: same rows as the plain
+    join, any N."""
+    salted = {
+        tuple(r) for r in OPS["join_skew_salted"].fn(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    plain = {
+        tuple(r)
+        for r in li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .collect()
+    }
+    assert salted == plain
