@@ -294,3 +294,63 @@ def cat_schema_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "table_name string, column_name string, type_name string, ordinal int"
     )
+
+
+@register(
+    "cat_lineage_closure",
+    survey_row=66,
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT prev_type AS src, event_type AS dst FROM (
+            SELECT event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events)
+        WHERE prev_type IS NOT NULL AND prev_type <> event_type
+    ), reach AS (
+        SELECT src, dst, 1 AS hops FROM edges
+        UNION ALL
+        SELECT r.src, e.dst, r.hops + 1
+        FROM reach r JOIN edges e ON r.dst = e.src
+        WHERE r.hops < 4
+    )
+    SELECT src, dst, min(hops) AS min_hops FROM reach GROUP BY src, dst
+    """,
+)
+def cat_lineage_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded transitive closure of the lineage graph — the iterative
+    algorithm a DataFrame engine expresses as a driver-side loop of
+    joins (each iteration is one distributed self-join; the loop only
+    controls plan construction, no data ever reaches the driver).
+
+    Edges: temporal type→type transitions per user (lag over the
+    audit stream — "read X, then wrote Y"). Closure: min-hop
+    reachability within ≤4 hops; the oracle recomputes it with a
+    recursive CTE. At scale, each frontier is deduped per step so the
+    join input stays ≤ |V|², and 100 TB of events reduce to a
+    |V|-sized edge list before any iteration starts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        F.lag("event_type").over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+    )
+    edges = (
+        trans.filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+        .cache()
+    )
+    hop = edges.select(
+        F.col("src").alias("hop_src"), F.col("dst").alias("hop_dst")
+    )
+    reach = edges.withColumn("hops", F.lit(1))
+    frontier = edges
+    for h in range(2, 5):
+        frontier = (
+            frontier.join(hop, frontier["dst"] == hop["hop_src"], "inner")
+            .select(F.col("src"), F.col("hop_dst").alias("dst"))
+            .distinct()
+        )
+        reach = reach.unionAll(frontier.withColumn("hops", F.lit(h)))
+    return reach.groupBy("src", "dst").agg(F.min("hops").alias("min_hops"))
