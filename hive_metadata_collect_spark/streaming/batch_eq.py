@@ -80,15 +80,16 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_row=53,
     oracle="""
     WITH flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     ), sessions AS (
         SELECT user_id, ts,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+               sum(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts ASC, event_id ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         FROM flagged
     )
@@ -104,7 +105,9 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sessionized audit log). Uses the native session_window primitive;
     the oracle proves equivalence to gaps-and-islands SQL.
     session_window.end = last_event + gap, so duration = end - start
-    - gap."""
+    - gap. Boundary semantics (found by tests/test_property_parity.py):
+    Spark merges an event at EXACTLY prev_ts + gap into the session, so
+    the gaps-and-islands split condition is strictly-greater-than."""
     ev = load_table(spark, sf_dir, "events")
     grouped = ev.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
         F.count(F.lit(1)).alias("n_events")

@@ -1,0 +1,163 @@
+"""Property-based oracle parity (SURVEY.md §5.3b, strengthened):
+hypothesis generates adversarial mini `events` tables (duplicate
+timestamps, single users, interleaved types, empty-ish inputs), writes
+them as TIMESTAMP(NANOS) parquet exactly like the driver fixtures, and
+runs the REGISTERED operator against its REGISTERED DuckDB oracle on
+that data. This is the same comparison the driver makes, but over the
+input space instead of one fixture — it hunts tie-break and
+timezone divergences the fixtures may never exercise.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hive_metadata_collect_spark import registry
+from hive_metadata_collect_spark.testing import compare_frames
+
+OPS = registry.load_all()
+
+# Ops whose oracle reads only `events` — checked in-test below.
+EVENT_OPS = [
+    "join_asof",
+    "stream_session_windows",
+    "stream_dedup_keys",
+    "win_lag_lead",
+    "cat_lineage_closure",
+    "stream_tumbling_counts",
+]
+
+_BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
+
+
+@st.composite
+def events_tables(draw):
+    """Rows with few users, coarse timestamps (forced ties), and the
+    event types the operators filter on."""
+    n = draw(st.integers(min_value=1, max_value=40))
+    rows = []
+    for i in range(n):
+        user = draw(st.integers(min_value=0, max_value=2))
+        # offsets quantized to 10-minute steps over ~3h → plenty of
+        # equal-ts collisions and >30min session gaps
+        off_us = draw(st.integers(min_value=0, max_value=18)) * 600_000_000
+        etype = draw(st.sampled_from(["click", "view", "buy"]))
+        value = float(draw(st.integers(min_value=-5, max_value=5)))
+        rows.append((i, _BASE_US + off_us, user, etype, value, json.dumps({"k": i % 3})))
+    return rows
+
+
+def _write_events(rows) -> str:
+    tmp = tempfile.mkdtemp(prefix="hmcs_prop_")
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] * 1000 for r in rows], pa.timestamp("ns")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(tmp, "events.parquet"))
+    return tmp
+
+
+@pytest.mark.parametrize("name", EVENT_OPS)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=events_tables())
+def test_event_op_parity_on_generated_data(spark, name, rows):
+    op = OPS[name]
+    for t in ("documents", "embeddings", "lineitem", "orders", "customer"):
+        assert t not in op.oracle, f"{name} oracle needs more than events"
+    tmp = _write_events(rows)
+    try:
+        con = duckdb.connect()
+        con.execute("SET timezone='UTC'")
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp}/events.parquet')"
+        )
+        compare_frames(op.fn(spark, tmp), con, op.oracle)
+        con.close()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+DOC_OPS = [
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_near_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "text_wordcount",
+    "text_lang_stats",
+]
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "x"]
+
+
+@st.composite
+def documents_tables(draw):
+    """Tiny vocab + short docs → forced exact dups, near-dups, and
+    shingle collisions."""
+    n = draw(st.integers(min_value=1, max_value=25))
+    rows = []
+    for i in range(n):
+        words = draw(st.lists(st.sampled_from(_WORDS), min_size=1, max_size=6))
+        text = " ".join(words)
+        lang = draw(st.sampled_from(["en", "de"]))
+        rows.append((i, text, lang, "src0", len(text)))
+    return rows
+
+
+def _write_documents(rows) -> str:
+    tmp = tempfile.mkdtemp(prefix="hmcs_prop_")
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(tmp, "documents.parquet"))
+    return tmp
+
+
+@pytest.mark.parametrize("name", DOC_OPS)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=documents_tables())
+def test_doc_op_parity_on_generated_data(spark, name, rows):
+    op = OPS[name]
+    for t in ("events", "embeddings", "lineitem", "orders", "customer"):
+        assert t not in op.oracle, f"{name} oracle needs more than documents"
+    tmp = _write_documents(rows)
+    try:
+        con = duckdb.connect()
+        con.execute("SET timezone='UTC'")
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp}/documents.parquet')"
+        )
+        compare_frames(op.fn(spark, tmp), con, op.oracle)
+        con.close()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
