@@ -161,3 +161,77 @@ def test_doc_op_parity_on_generated_data(spark, name, rows):
         con.close()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# Tie/null/ordering-sensitive ops whose oracle reads only `orders`.
+ORDER_OPS = [
+    "win_topk_per_group",
+    "win_rank_dense",
+    "win_running_sum",
+    "win_first_last",
+    "sort_multikey_nulls",
+    "agg_rollup",
+    "agg_grouping_sets",
+    "limit_topk_global",
+    "cat_column_profile",
+]
+
+
+@st.composite
+def orders_tables(draw):
+    """Few customers, coarse prices and dates → heavy ties in every
+    window ordering and rollup group."""
+    n = draw(st.integers(min_value=1, max_value=30))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,  # o_orderkey (unique)
+                draw(st.integers(min_value=1, max_value=4)),  # o_custkey
+                draw(st.sampled_from(["F", "O", "P"])),
+                float(draw(st.integers(min_value=1, max_value=5)) * 1000),
+                _BASE_US // 1000 + draw(st.integers(min_value=0, max_value=3)) * 86_400_000,
+                draw(st.sampled_from(["1-URGENT", "3-MEDIUM", "5-LOW"])),
+            )
+        )
+    return rows
+
+
+def _write_orders(rows) -> str:
+    tmp = tempfile.mkdtemp(prefix="hmcs_prop_")
+    table = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array([r[2] for r in rows], pa.string()),
+            "o_totalprice": pa.array([r[3] for r in rows], pa.float64()),
+            "o_orderdate": pa.array([r[4] for r in rows], pa.timestamp("ms")),
+            "o_orderpriority": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(tmp, "orders.parquet"))
+    return tmp
+
+
+@pytest.mark.parametrize("name", ORDER_OPS)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=orders_tables())
+def test_order_op_parity_on_generated_data(spark, name, rows):
+    op = OPS[name]
+    for t in ("events", "embeddings", "lineitem", "documents", "customer"):
+        assert t not in op.oracle, f"{name} oracle needs more than orders"
+    tmp = _write_orders(rows)
+    try:
+        con = duckdb.connect()
+        con.execute("SET timezone='UTC'")
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM read_parquet('{tmp}/orders.parquet')"
+        )
+        compare_frames(op.fn(spark, tmp), con, op.oracle)
+        con.close()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
