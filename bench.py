@@ -35,6 +35,11 @@ HEADLINE = {
     "q_json": "fn_json_extract",
     "q_doc_dedup": "dedup_exact",
     "q_cosine_knn": "sim_topk_cosine",
+    "q_asof": "join_asof",
+    "q_sessions": "stream_session_windows",
+    "q_lineage": "cat_lineage_closure",
+    "q_percentiles": "agg_percentiles",
+    "q_salted_join": "join_skew_salted",
 }
 
 
