@@ -186,3 +186,52 @@ def run_available_now(
     )
     q.awaitTermination()
     return sdf.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def stateful_running_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#56, Spark-4 form: the same per-user running counter as
+    stateful_running, but through transformWithStateInPandas — the
+    current stateful API (typed value state on a StatefulProcessor
+    handle, RocksDB-backed, TTL-capable). Kept alongside the
+    applyInPandasWithState form so both state APIs stay exercised.
+
+    Runtime requirement: the TWS state-server protocol needs the
+    `protobuf` package in the Python environment (absent in this
+    container — the smoke test skips itself; the
+    applyInPandasWithState twin is the one exercised here)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("count", "count bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            prior = self._count.get()[0] if self._count.exists() else 0
+            batch = sum(len(pdf) for pdf in rows)
+            total = prior + batch
+            self._count.update((total,))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "batch_events": [batch],
+                    "running_count": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningCount(),
+            outputStructType="user_id bigint, batch_events bigint, running_count bigint",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

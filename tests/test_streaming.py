@@ -85,3 +85,33 @@ def test_stream_stateful_running(spark, sf_dir, checkpoint):
         r["user_id"]: r["n"] for r in ev.groupBy("user_id").count().withColumnRenamed("count", "n").collect()
     }
     assert rows == expected
+
+
+def test_stream_stateful_running_tws(spark, sf_dir, checkpoint):
+    """Spark-4 transformWithStateInPandas form: same totals as the
+    batch running count. Requires protobuf (TWS state-server
+    protocol); skipped where absent."""
+    pytest.importorskip("google.protobuf")
+    from hive_metadata_collect_spark.streaming.streams import (
+        run_available_now,
+        stateful_running_tws,
+    )
+
+    sdf = stateful_running_tws(spark, sf_dir)
+    out = run_available_now(sdf, "tws_running", checkpoint)
+    totals = {
+        r["user_id"]: r["running_count"]
+        for r in out.groupBy("user_id")
+        .agg(F.max("running_count").alias("running_count"))
+        .collect()
+    }
+    from hive_metadata_collect_spark.sources.fixtures import load_table
+
+    expected = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert totals == expected
