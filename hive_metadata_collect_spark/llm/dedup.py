@@ -345,3 +345,91 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cosine_raw", 6).alias("cosine"),
         )
     )
+
+
+@register(
+    "dedup_components",
+    survey_row=68,
+    oracle=f"""
+    WITH RECURSIVE w AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM w a JOIN w b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
+              (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)))
+              >= {_JACCARD_TAU}
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), reach(node, r) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT reach.node, edges.dst
+        FROM reach JOIN edges ON reach.r = edges.src
+    )
+    SELECT node AS doc_id, least(node, min(r)) AS canonical_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the Jaccard-pair
+    graph, labeling every clustered doc with its component's minimum
+    doc_id (the canonical survivor) — the final stage of a dedup
+    pipeline (pairs alone over-delete: A~B, B~C must kill at most two
+    of three, not break A-C arbitrarily).
+
+    Algorithm: min-label propagation — each doc starts as its own
+    label; every iteration takes the min of its own and its
+    neighbors' labels; loop until a fixpoint action reports zero
+    changes (≤ graph diameter iterations; near-dup clusters at
+    τ=0.95 are near-cliques, so 2-3). Each iteration is one
+    distributed join + agg; the driver only inspects the converged
+    flag. The oracle recomputes components with a recursive CTE.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("item"),
+    )
+    pairs = _jaccard_pairs(words, _JACCARD_TAU).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).cache()
+
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(16):  # hard bound; fixpoint check exits far earlier
+        neigh_min = (
+            edges.join(labels, edges["doc_b"] == labels["doc_id"])
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("neigh_label"))
+        )
+        # localCheckpoint truncates the logical plan each iteration —
+        # without it the self-referencing lineage doubles per step and
+        # planning itself blows up (the standard iterative-DataFrame
+        # pitfall; same fix applies on a cluster via checkpoint()).
+        new_labels = (
+            labels.join(neigh_min, labels["doc_id"] == neigh_min["doc_a"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("neigh_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("canonical_id"))
