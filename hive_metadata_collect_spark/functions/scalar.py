@@ -270,3 +270,59 @@ def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_keys(props_map).alias("prop_keys"),
         props_map.getItem("k").alias("k_val"),
     )
+
+
+@register(
+    "fn_bitwise_suite",
+    survey_row=44,
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS band,
+           o_orderkey | 15 AS bor,
+           xor(o_orderkey, 255) AS bxor,
+           o_orderkey << 2 AS shl,
+           o_orderkey >> 3 AS shr
+    FROM orders
+    """,
+)
+def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator suite (the workhorses of salting, banding, and
+    hash-bucket math)."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(15)).alias("bor"),
+        k.bitwiseXOR(F.lit(255)).alias("bxor"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+    )
+
+
+@register(
+    "fn_trig_suite",
+    survey_row=44,
+    oracle="""
+    SELECT DISTINCT l_quantity AS qty,
+           round(sin(l_quantity), 6) AS sin_q,
+           round(cos(l_quantity), 6) AS cos_q,
+           round(atan2(l_quantity, 10.0), 6) AS atan2_q,
+           round(degrees(l_quantity / 10.0), 6) AS deg_q,
+           round(radians(l_quantity), 6) AS rad_q
+    FROM lineitem
+    """,
+)
+def fn_trig_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric function suite over the (small) distinct quantity
+    domain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.select(
+        q.alias("qty"),
+        F.round(F.sin(q), 6).alias("sin_q"),
+        F.round(F.cos(q), 6).alias("cos_q"),
+        F.round(F.atan2(q, F.lit(10.0)), 6).alias("atan2_q"),
+        F.round(F.degrees(q / 10.0), 6).alias("deg_q"),
+        F.round(F.radians(q), 6).alias("rad_q"),
+    ).distinct()

@@ -126,3 +126,29 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = os.path.join(_SCRATCH, "roundtrip_nation.orc")
     load_table(spark, sf_dir, "nation").write.mode("overwrite").orc(target)
     return spark.read.orc(target)
+
+
+@register(
+    "sink_partitioned_layout",
+    survey_row=4,
+    oracle="""
+    SELECT event_id, user_id, event_type, value, ts::DATE AS event_date
+    FROM events
+    WHERE ts::DATE BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+    """,
+)
+def sink_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE 100 TB layout pattern: write the event stream partitioned
+    by date (`partitionBy` → one directory per day), read it back with
+    a date predicate — Catalyst turns the predicate into
+    PartitionFilters, so the scan lists only 3 of 30 day-directories
+    and never opens the rest (tests/test_plans.py asserts it)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    target = os.path.join(_SCRATCH, "events_by_date.parquet")
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(target)
+    back = spark.read.parquet(target)
+    return back.filter(
+        F.col("event_date").between("2024-01-10", "2024-01-12")
+    ).select("event_id", "user_id", "event_type", "value", "event_date")

@@ -215,3 +215,26 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_totalprice").over(w).alias("first_price"),
         F.last("o_totalprice").over(w).alias("last_price"),
     )
+
+
+@register(
+    "win_percent_rank_cume",
+    survey_row=30,
+    oracle="""
+    SELECT o_orderkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position window functions over a total order (unique
+    key appended → ties impossible → bit-deterministic)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

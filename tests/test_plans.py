@@ -133,3 +133,13 @@ def test_salted_join_result_matches_unsalted(spark, sf_dir):
         .collect()
     }
     assert salted == plain
+
+
+def test_partitioned_layout_prunes_partitions(spark, sf_dir):
+    """The date predicate must become PartitionFilters on the
+    partitioned-layout scan — directories outside the range are never
+    listed, the foundation of the 100 TB date-partitioned design."""
+    df = OPS["sink_partitioned_layout"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "PartitionFilters" in plan
+    assert "event_date" in plan
