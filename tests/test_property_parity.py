@@ -235,3 +235,87 @@ def test_order_op_parity_on_generated_data(spark, name, rows):
         con.close()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# Aggregation ops whose oracle reads only `lineitem`. Generated values
+# are small exact-in-double numbers so float sums are order-insensitive
+# and any mismatch is semantic, not accumulation noise.
+LINEITEM_OPS = [
+    "agg_pricing_summary",
+    "agg_global_nokey",
+    "agg_cube",
+    "agg_percentiles",
+    "agg_statistical",
+    "filter_range_pred",
+    "project_expr",
+]
+
+
+@st.composite
+def lineitem_tables(draw):
+    n = draw(st.integers(min_value=1, max_value=30))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i // 3 + 1,                                        # l_orderkey
+                draw(st.integers(min_value=1, max_value=5)),       # l_partkey
+                draw(st.integers(min_value=1, max_value=3)),       # l_suppkey
+                i % 3 + 1,                                         # l_linenumber
+                float(draw(st.integers(min_value=1, max_value=50))),
+                float(draw(st.integers(min_value=1, max_value=40)) * 25),
+                draw(st.sampled_from([0.0, 0.05, 0.1])),           # l_discount
+                draw(st.sampled_from([0.0, 0.125])),               # l_tax
+                draw(st.sampled_from(["A", "N", "R"])),
+                draw(st.sampled_from(["F", "O"])),
+                _BASE_US // 1000
+                + draw(st.integers(min_value=0, max_value=400)) * 86_400_000,
+            )
+        )
+    return rows
+
+
+def _write_lineitem(rows) -> str:
+    tmp = tempfile.mkdtemp(prefix="hmcs_prop_")
+    cols = [
+        ("l_orderkey", pa.int64()),
+        ("l_partkey", pa.int64()),
+        ("l_suppkey", pa.int64()),
+        ("l_linenumber", pa.int32()),
+        ("l_quantity", pa.float64()),
+        ("l_extendedprice", pa.float64()),
+        ("l_discount", pa.float64()),
+        ("l_tax", pa.float64()),
+        ("l_returnflag", pa.string()),
+        ("l_linestatus", pa.string()),
+        ("l_shipdate", pa.timestamp("ms")),
+    ]
+    table = pa.table(
+        {name: pa.array([r[i] for r in rows], typ) for i, (name, typ) in enumerate(cols)}
+    )
+    pq.write_table(table, os.path.join(tmp, "lineitem.parquet"))
+    return tmp
+
+
+@pytest.mark.parametrize("name", LINEITEM_OPS)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=lineitem_tables())
+def test_lineitem_op_parity_on_generated_data(spark, name, rows):
+    op = OPS[name]
+    for t in ("events", "embeddings", "orders", "documents", "customer"):
+        assert t not in op.oracle, f"{name} oracle needs more than lineitem"
+    tmp = _write_lineitem(rows)
+    try:
+        con = duckdb.connect()
+        con.execute("SET timezone='UTC'")
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{tmp}/lineitem.parquet')"
+        )
+        compare_frames(op.fn(spark, tmp), con, op.oracle)
+        con.close()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
