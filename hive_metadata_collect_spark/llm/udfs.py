@@ -168,3 +168,76 @@ def udtf_split_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM hmcs_events_src e, LATERAL hmcs_split_props(e.props) t
         """
     )
+
+
+@register(
+    "udf_cogrouped_asof",
+    survey_row=59,
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT max(v.ts) FROM events v
+            WHERE v.user_id = e.user_id
+              AND v.event_type = 'view'
+              AND v.ts <= e.ts) AS prior_view_ts
+    FROM events e
+    WHERE e.event_type = 'click'
+    """,
+)
+def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas: clicks and views cogrouped per user,
+    merged with pandas merge_asof inside each Arrow batch — the
+    second, independent implementation of the as-of join (#18 is the
+    pure window idiom; both hash-match the same oracle).
+
+    Scale shape: one shuffle of each side on user_id, then per-key
+    pandas work whose input is a single user's events — bounded state,
+    no cross-key memory. The cogroup API is the right tool whenever
+    per-key logic needs TWO aligned inputs (asof, interval matching,
+    per-entity reconciliation).
+    """
+    from hive_metadata_collect_spark.sources.fixtures import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+
+    out_schema = (
+        "event_id bigint, user_id bigint, ts timestamp, prior_view_ts timestamp"
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in
+                 [("event_id", "int64"), ("user_id", "int64"),
+                  ("ts", "datetime64[us]"), ("prior_view_ts", "datetime64[us]")]}
+            )
+        left = left.sort_values("ts", kind="mergesort")
+        if right.empty:
+            out = left.copy()
+            out["prior_view_ts"] = pd.NaT
+            return out[["event_id", "user_id", "ts", "prior_view_ts"]]
+        right = (
+            right[["view_ts"]]
+            .sort_values("view_ts", kind="mergesort")
+            .rename(columns={"view_ts": "prior_view_ts"})
+        )
+        out = pd.merge_asof(
+            left,
+            right,
+            left_on="ts",
+            right_on="prior_view_ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return out[["event_id", "user_id", "ts", "prior_view_ts"]]
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(views.groupBy("user_id"))
+        .applyInPandas(merge, schema=out_schema)
+    )

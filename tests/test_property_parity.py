@@ -35,6 +35,7 @@ EVENT_OPS = [
     "win_lag_lead",
     "cat_lineage_closure",
     "stream_tumbling_counts",
+    "udf_cogrouped_asof",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
