@@ -433,3 +433,66 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("canonical_id"))
+
+
+@register(
+    "pipeline_clean_corpus",
+    survey_row=68,
+    oracle=f"""
+    WITH RECURSIVE w AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM w a JOIN w b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
+              (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)))
+              >= {_JACCARD_TAU}
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), reach(node, r) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT reach.node, edges.dst
+        FROM reach JOIN edges ON reach.r = edges.src
+    ), casualties AS (
+        SELECT node AS doc_id FROM reach
+        GROUP BY node HAVING least(node, min(r)) <> node
+    )
+    SELECT lang, count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           min(doc_id) AS first_doc
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM casualties)
+      AND len(string_split(text, ' ')) >= 3
+    GROUP BY lang
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning — the composite every stage above
+    exists for: near-dup components → keep only each cluster's
+    canonical doc (which also kills exact dups: identical texts have
+    Jaccard 1) → length quality floor → per-language stats of the
+    surviving corpus.
+
+    Composition stays lazy end to end: the casualty set (non-canonical
+    cluster members) is a tiny frame anti-joined against the corpus
+    scan, so the full pipeline is one job whose width is |documents| +
+    |clustered docs| — nothing quadratic survives past the pair stage.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    labels = dedup_components(spark, sf_dir)
+    casualties = labels.filter(F.col("canonical_id") != F.col("doc_id")).select(
+        "doc_id"
+    )
+    return (
+        d.join(casualties, "doc_id", "left_anti")
+        .filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
