@@ -326,3 +326,28 @@ def fn_trig_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.degrees(q / 10.0), 6).alias("deg_q"),
         F.round(F.radians(q), 6).alias("rad_q"),
     ).distinct()
+
+
+@register(
+    "fn_hash_suite",
+    survey_row=42,
+    oracle="""
+    SELECT p_partkey,
+           md5(p_name) AS h_md5,
+           sha256(p_name) AS h_sha256,
+           substring(md5(p_name), 1, 8) AS h_prefix
+    FROM part
+    """,
+)
+def fn_hash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digest suite (md5 / sha-256) — the primitives
+    under every content-addressed dedup key. Bit-identical across
+    engines on UTF-8 bytes."""
+    p = load_table(spark, sf_dir, "part")
+    name_bin = F.col("p_name").cast("binary")
+    return p.select(
+        "p_partkey",
+        F.md5(name_bin).alias("h_md5"),
+        F.sha2(name_bin, 256).alias("h_sha256"),
+        F.substring(F.md5(name_bin), 1, 8).alias("h_prefix"),
+    )

@@ -308,3 +308,34 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile(F.col("l_quantity"), F.lit(0.5)), 4).alias("p50"),
         F.round(F.percentile(F.col("l_quantity"), F.lit(0.9)), 4).alias("p90"),
     )
+
+
+@register(
+    "agg_decimal_money",
+    survey_row=46,
+    oracle="""
+    SELECT l_returnflag,
+           sum(l_extendedprice::DECIMAL(12,2)) AS sum_price,
+           min(l_extendedprice::DECIMAL(12,2)) AS min_price,
+           max(l_extendedprice::DECIMAL(12,2)) AS max_price,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money-typed aggregation: prices as DECIMAL(12,2) so the sums are
+    EXACT (no float accumulation error at any scale or partitioning —
+    the reason money columns are decimal, not double, in the 100 TB
+    layout)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    return (
+        li.select("l_returnflag", price.alias("price"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("price").alias("sum_price"),
+            F.min("price").alias("min_price"),
+            F.max("price").alias("max_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
