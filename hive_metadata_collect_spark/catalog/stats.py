@@ -354,3 +354,35 @@ def cat_lineage_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         reach = reach.unionAll(frontier.withColumn("hops", F.lit(h)))
     return reach.groupBy("src", "dst").agg(F.min("hops").alias("min_hops"))
+
+
+@register(
+    "cat_quality_observe",
+    survey_row=62,
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def cat_quality_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation instrumented with `df.observe`: data-quality
+    counters (row count, null keys, negative prices) are collected as
+    a side effect of the SAME job — no second scan. At 100 TB a
+    collector emits these observation metrics to its monitoring sink
+    on every run; the returned frame is the ordinary business result
+    and is what the oracle checks."""
+    from pyspark.sql import Observation
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = Observation("quality")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_custkey"),
+        F.count(F.when(F.col("o_totalprice") < 0, 1)).alias("negative_price"),
+    )
+    return observed.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

@@ -241,3 +241,29 @@ def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(views.groupBy("user_id"))
         .applyInPandas(merge, schema=out_schema)
     )
+
+
+@register(
+    "udf_arrow_scalar",
+    survey_row=57,
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS norm_text
+    FROM documents
+    """,
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (Spark 4 `useArrow=True`): same
+    normalize logic and oracle as udf_python_scalar, but rows cross to
+    Python as Arrow batches instead of pickled rows — the drop-in
+    upgrade when a row UDF can't be vectorized but serialization is
+    the bottleneck."""
+
+    @udf(returnType=StringType(), useArrow=True)
+    def normalize(s: str) -> str:
+        if s is None:
+            return None
+        return re.sub(r"[^a-z0-9 ]", "", s.lower())
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", normalize("text").alias("norm_text"))

@@ -231,7 +231,15 @@ def agg_statistical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
         F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        # corr() via try_divide: ANSI-mode F.corr raises DIVIDE_BY_ZERO on a
+        # zero-variance group, where the oracle (and ISO SQL) yield NULL.
+        F.round(
+            F.try_divide(
+                F.covar_samp("l_quantity", "l_extendedprice"),
+                F.stddev_samp("l_quantity") * F.stddev_samp("l_extendedprice"),
+            ),
+            6,
+        ).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
             "cov_qty_price"
         ),

@@ -235,3 +235,25 @@ def stateful_running_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def run_foreach_batch(
+    sdf: DataFrame,
+    checkpoint_dir: str,
+    sink: "callable",
+) -> None:
+    """Production sink pattern: drain a streaming frame through
+    foreachBatch — each micro-batch arrives as a plain DataFrame with
+    a monotonically increasing batch_id, letting the sink do
+    idempotent upserts (write keyed on batch_id; a replayed batch
+    overwrites itself instead of duplicating). This is how streaming
+    results land in the reporting RDBMS (sources/connectors.py
+    write_report) on a live cluster."""
+    q = (
+        sdf.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

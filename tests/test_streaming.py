@@ -115,3 +115,21 @@ def test_stream_stateful_running_tws(spark, sf_dir, checkpoint):
         .collect()
     }
     assert totals == expected
+
+
+def test_foreach_batch_sink(spark, sf_dir, checkpoint):
+    """foreachBatch drains every micro-batch exactly once: collected
+    row total equals the source count."""
+    from hive_metadata_collect_spark.sources.fixtures import load_table
+    from hive_metadata_collect_spark.streaming.streams import (
+        events_stream,
+        run_foreach_batch,
+    )
+
+    seen = {}
+
+    def sink(batch_df, batch_id):
+        seen[batch_id] = batch_df.count()
+
+    run_foreach_batch(events_stream(spark, sf_dir), checkpoint, sink)
+    assert sum(seen.values()) == load_table(spark, sf_dir, "events").count()
