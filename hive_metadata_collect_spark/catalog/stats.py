@@ -386,3 +386,90 @@ def cat_quality_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+@register(
+    "cat_funnel_conversion",
+    survey_row=64,
+    oracle="""
+    WITH fv AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    fc AS (SELECT e.user_id, min(e.ts) AS t
+           FROM events e JOIN fv ON e.user_id = fv.user_id
+           WHERE e.event_type = 'click' AND e.ts > fv.t
+           GROUP BY e.user_id),
+    fp AS (SELECT e.user_id, min(e.ts) AS t
+           FROM events e JOIN fc ON e.user_id = fc.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > fc.t
+           GROUP BY e.user_id)
+    SELECT '1_view' AS stage, count(*) AS n_users FROM fv
+    UNION ALL
+    SELECT '2_click_after_view' AS stage, count(*) AS n_users FROM fc
+    UNION ALL
+    SELECT '3_purchase_after_click' AS stage, count(*) AS n_users FROM fp
+    """,
+)
+def cat_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over the audit-log stream: users who viewed →
+    clicked after their first view → purchased after that click. Each
+    stage is a pre-reduced (user_id, min ts) frame, so the stage joins
+    shuffle one row per user, not one per event; at 100 TB the event
+    filter prunes before any join."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_after(event_type: str, prev: DataFrame) -> DataFrame:
+        s = e.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            s = s.join(prev, "user_id").filter(F.col("ts") > F.col("t")).drop("t")
+        return s.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    fv = first_after("view", None)
+    fc = first_after("click", fv)
+    fp = first_after("purchase", fc)
+    stages = [
+        fv.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("1_view").alias("stage"), "n_users"
+        ),
+        fc.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("2_click_after_view").alias("stage"), "n_users"
+        ),
+        fp.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("3_purchase_after_click").alias("stage"), "n_users"
+        ),
+    ]
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionAll(s)
+    return out
+
+
+@register(
+    "cat_retention_cohort",
+    survey_row=64,
+    oracle="""
+    WITH first AS (SELECT user_id, min(ts::DATE) AS cohort_day
+                   FROM events GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events)
+    SELECT cohort_day,
+           date_diff('day', cohort_day, day) AS day_offset,
+           count(*) AS n_users
+    FROM act JOIN first USING (user_id)
+    WHERE date_diff('day', cohort_day, day) <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def cat_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, counted on
+    each active day-offset ≤ 7. Both inputs reduce to one row per
+    (user, day) before the join — the classic pattern that keeps
+    retention queries linear in distinct users, not raw events."""
+    e = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    first = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = e.select("user_id", "day").distinct()
+    return (
+        act.join(first, "user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort_day"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -351,3 +351,78 @@ def fn_hash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(name_bin, 256).alias("h_sha256"),
         F.substring(F.md5(name_bin), 1, 8).alias("h_prefix"),
     )
+
+
+@register(
+    "fn_array_hof",
+    survey_row=47,
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), w -> strlen(w) > 5))
+               AS n_long_words,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                                        w -> strlen(w))) AS INT)
+               AS total_word_chars,
+           list_transform(list_sort(string_split(text, ' '))[1:3],
+                          w -> upper(w))
+               AS first3_upper,
+           list_contains(string_split(text, ' '), 'data') AS has_data
+    FROM documents
+    """,
+)
+def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (lambda expressions): filter /
+    aggregate / transform / exists over the token array of each
+    document. These run entirely inside Catalyst (codegen'd lambda
+    evaluation per row) — the scalable way to do per-row collection
+    work that would otherwise tempt a Python UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(words, lambda w: F.length(w) > 5)).alias("n_long_words"),
+        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)).alias(
+            "total_word_chars"
+        ),
+        F.transform(F.slice(F.array_sort(words), 1, 3), F.upper).alias(
+            "first3_upper"
+        ),
+        F.exists(words, lambda w: w == F.lit("data")).alias("has_data"),
+    )
+
+
+@register(
+    "fn_sequence_dates",
+    survey_row=43,
+    oracle="""
+    WITH b AS (SELECT min(o_orderdate::DATE) AS mn, max(o_orderdate::DATE) AS mx
+               FROM orders),
+    days AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS day
+             FROM b),
+    pd AS (SELECT o_orderdate::DATE AS d, count(*) AS n,
+                  round(sum(o_totalprice), 2) AS t
+           FROM orders GROUP BY 1)
+    SELECT day, coalesce(n, 0) AS n_orders, coalesce(t, 0.0) AS total_price
+    FROM days LEFT JOIN pd ON day = d
+    """,
+)
+def fn_sequence_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense date-dimension generation: sequence()+explode builds every
+    calendar day between min and max order date (zero-order days
+    included), then left-joins daily order aggregates. The generated
+    dimension is tiny and the per-day aggregate is pre-reduced before
+    the join, so Spark broadcasts it — no shuffle of the fact table
+    beyond the groupBy."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "d", F.to_date("o_orderdate")
+    )
+    bounds = o.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    days = bounds.select(F.explode(F.sequence("mn", "mx")).alias("day"))
+    per_day = o.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("t")
+    )
+    return days.join(per_day, days["day"] == per_day["d"], "left").select(
+        "day",
+        F.coalesce("n", F.lit(0)).alias("n_orders"),
+        F.coalesce("t", F.lit(0.0)).alias("total_price"),
+    )

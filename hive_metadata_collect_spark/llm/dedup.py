@@ -496,3 +496,47 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+@register(
+    "dedup_levenshtein",
+    survey_row=68,
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS lev_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand
+     AND a.p_partkey < b.p_partkey
+     AND abs(length(a.p_name) - length(b.p_name)) <= 2
+     AND levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution near-dup pairs by edit distance ≤ 3 within a
+    blocking key (brand) plus a length-band prefilter. Blocking turns
+    the quadratic all-pairs scan into per-block pairs — the standard
+    record-linkage shape; at 100 TB the block key must bound block
+    size (brand+type, or an LSH bucket) and Spark 3.5+'s
+    levenshtein(l, r, threshold) short-circuits the DP early."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_name", F.length("p_name").alias("name_len")
+    )
+    a, b = p.alias("a"), p.alias("b")
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (F.abs(F.col("a.name_len") - F.col("b.name_len")) <= 2),
+        )
+        .filter(lev <= 3)
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            lev.alias("lev_dist"),
+        )
+    )

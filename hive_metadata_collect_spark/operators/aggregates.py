@@ -347,3 +347,55 @@ def agg_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "agg_grouping_id",
+    survey_row=26,
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT)  AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT)  AS g_status,
+           count(*)                             AS n,
+           round(sum(l_quantity), 2)            AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with GROUPING() markers: the flags disambiguate a real
+    NULL group key from a rollup-generated NULL — essential when the
+    cube feeds a report sink."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "agg_bool_count_if",
+    survey_row=27,
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000)      AS all_over_1k,
+           bool_or(o_orderstatus = 'F')       AS any_final,
+           count_if(o_totalprice > 100000)    AS n_big,
+           count(*)                           AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_bool_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregates: bool_and / bool_or / count_if.
+    All map-side combinable — partial aggregation halves shuffle
+    volume automatically."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_final"),
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.count(F.lit(1)).alias("n"),
+    )

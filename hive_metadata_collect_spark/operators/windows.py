@@ -238,3 +238,40 @@ def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "win_range_frame",
+    survey_row=32,
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER w, 2) AS trailing_30d_spend,
+           count(*) OVER w                    AS n_orders_30d
+    FROM orders
+    WINDOW w AS (
+        PARTITION BY o_custkey
+        ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): per customer, total
+    spend in the 30 days up to and including each order. Unlike ROWS
+    frames, RANGE includes all peers of the current order-date, so the
+    result is deterministic without a tie-break key."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "day_num",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_num")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d_spend"),
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+    )
