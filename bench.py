@@ -52,9 +52,13 @@ def main() -> None:
     spark = get_spark(app_name="hmcs-bench", shuffle_partitions=shuffle)
     ops = registry.load_all()
 
-    # Warm the JVM/codegen/IO path once so per-query numbers measure the
-    # query, not session bring-up.
-    ops["agg_pricing_summary"].fn(spark, sf_dir).count()
+    # Warm pass: run every headline query once untimed so the timed
+    # runs measure steady-state execution, not JVM JIT / codegen /
+    # file-index bring-up (BASELINE.md's DuckDB numbers are likewise
+    # warm medians from a hot process).
+    for op_name in HEADLINE.values():
+        if op_name in ops:
+            ops[op_name].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for key, op_name in HEADLINE.items():

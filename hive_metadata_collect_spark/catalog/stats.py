@@ -341,8 +341,11 @@ def cat_lineage_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .cache()
     )
-    hop = edges.select(
-        F.col("src").alias("hop_src"), F.col("dst").alias("hop_dst")
+    # The static hop side is the |V|-bounded deduped edge list —
+    # broadcastable at any corpus size, so every iteration's join is
+    # shuffle-free; only the per-step frontier dedup shuffles.
+    hop = F.broadcast(
+        edges.select(F.col("src").alias("hop_src"), F.col("dst").alias("hop_dst"))
     )
     reach = edges.withColumn("hops", F.lit(1))
     frontier = edges

@@ -63,8 +63,21 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 5-table star join + revenue agg per nation.
-    nation/region broadcast (KB at any scale); the lineitem⋈orders
-    fact-fact join is the only real shuffle."""
+
+    Join order is dims-first: region(ASIA) → nation → customer
+    restricts to ~1/5 of customers, that restricts orders (already
+    date-filtered), and lineitem joins LAST against the smallest
+    possible frame — two narrow columns (orderkey, n_name). The
+    selective predicates prune before either fact table is touched,
+    so intermediate sizes shrink monotonically; facts-first order
+    would join the two biggest tables before any pruning.
+
+    The explicit broadcast of that pre-reduced frame keeps lineitem
+    shuffle-free (the plan's only Exchange is the final 25-group agg).
+    If the restriction ever outgrows broadcast limits at extreme
+    scale, drop that one hint — the same dims-first order degrades
+    gracefully to a shuffled join and stays strictly better than
+    facts-first."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -73,11 +86,16 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = F.broadcast(load_table(spark, sf_dir, "nation"))
     r = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(n, c.c_nationkey == n.n_nationkey)
+    cust_asia = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    o_asia = o.join(cust_asia, o.o_custkey == cust_asia.c_custkey).select(
+        "o_orderkey", "n_name"
+    )
+    return (
+        li.join(F.broadcast(o_asia), li.l_orderkey == o_asia.o_orderkey)
         .groupBy("n_name")
         .agg(
             F.round(
@@ -346,7 +364,10 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SALT_N = 8
+# Salt fan-out: sized to the hot-key factor you need to absorb (each
+# salt bucket carries ~1/N of a hot key). Dim-side replication cost is
+# linear in N, so don't over-salt.
+_SALT_N = 4
 
 
 @register(
@@ -370,13 +391,22 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     key. The join condition gains the salt column; results are
     provably identical to the unsalted join, which is exactly what
     the oracle checks.
+
+    The shuffle_hash hint keeps this a shuffled join: salting only
+    does anything when the key is the shuffle partitioning (AQE would
+    otherwise broadcast the replicated dim here, which both defeats
+    the demonstration and measured ~2x slower than SHJ at sf0.1 —
+    broadcast-building N x |orders| hashed rows costs more than
+    shuffling them).
     """
     li = load_table(spark, sf_dir, "lineitem").withColumn(
         "salt", F.pmod(F.col("l_linenumber"), F.lit(_SALT_N))
     )
-    orders = load_table(spark, sf_dir, "orders").withColumn(
-        "salt",
-        F.explode(F.sequence(F.lit(0), F.lit(_SALT_N - 1))),
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT_N - 1))))
+        .hint("shuffle_hash")
     )
     joined = li.join(
         orders,
