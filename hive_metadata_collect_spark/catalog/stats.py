@@ -476,3 +476,38 @@ def cat_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "cat_anomaly_zscore",
+    survey_row=64,
+    oracle="""
+    WITH daily AS (SELECT event_type, ts::DATE AS day, count(*) AS n
+                   FROM events GROUP BY event_type, day),
+    scored AS (
+        SELECT event_type, day, n,
+               (n - avg(n) OVER (PARTITION BY event_type)) /
+               nullif(stddev_samp(n) OVER (PARTITION BY event_type), 0) AS z
+        FROM daily)
+    SELECT event_type, day, n, round(z, 4) AS z
+    FROM scored WHERE abs(z) > 2
+    """,
+)
+def cat_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Usage-anomaly detection: days whose event volume deviates more
+    than 2σ from that type's mean — the alert a catalog raises when a
+    table's query traffic spikes or collapses. Events reduce to one
+    row per (type, day) before the window, so the anomaly scan costs
+    one tiny unpartitioned-by-time window over |types|×|days| rows
+    regardless of raw volume."""
+    e = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = e.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    z = (F.col("n") - F.avg("n").over(w)) / F.nullif(
+        F.stddev_samp("n").over(w), F.lit(0)
+    )
+    return (
+        daily.withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 2)
+        .select("event_type", "day", "n", F.round("z", 4).alias("z"))
+    )

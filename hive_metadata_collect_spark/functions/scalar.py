@@ -426,3 +426,68 @@ def fn_sequence_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n_orders"),
         F.coalesce("t", F.lit(0.0)).alias("total_price"),
     )
+
+
+@register(
+    "fn_str_pad_translate",
+    survey_row=42,
+    oracle="""
+    SELECT p_partkey,
+           lpad(p_brand, 12, '*')        AS brand_lpad,
+           rpad(p_brand, 12, '.')        AS brand_rpad,
+           translate(p_name, 'aeiou', '#####') AS name_devoweled,
+           reverse(p_type)               AS type_rev,
+           repeat(substr(p_name, 1, 2), 3) AS name2x3,
+           strpos(p_name, ' ')           AS first_space
+    FROM part
+    """,
+)
+def fn_str_pad_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string suite: pad / translate / reverse / repeat /
+    position — all JVM-codegen built-ins."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_lpad"),
+        F.rpad("p_brand", 12, ".").alias("brand_rpad"),
+        F.translate("p_name", "aeiou", "#####").alias("name_devoweled"),
+        F.reverse("p_type").alias("type_rev"),
+        F.repeat(F.substring("p_name", 1, 2), 3).alias("name2x3"),
+        F.instr("p_name", " ").alias("first_space"),
+    )
+
+
+@register(
+    "fn_interval_arith",
+    survey_row=43,
+    oracle="""
+    SELECT event_id,
+           ts + INTERVAL 90 MINUTE                    AS ts_plus90m,
+           ts - INTERVAL 1 DAY                        AS ts_minus1d,
+           CAST(floor(epoch(ts)) AS BIGINT)           AS epoch_s,
+           isodow(ts) - 1                             AS dow_mon0,
+           CAST(extract(hour FROM ts) AS INT)         AS hour_of_day,
+           CAST(date_diff('minute', ts, ts + INTERVAL 90 MINUTE) AS BIGINT)
+               AS delta_min
+    FROM events
+    """,
+)
+def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic + timestamp part extraction. Cross-engine
+    gotchas: day-of-week numbering differs (Spark weekday() is
+    Monday=0 ≡ DuckDB isodow-1; never use dayofweek/dow, whose
+    Sunday-origin differs between engines), and epoch seconds must go
+    through an explicit BIGINT on both sides."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTE")).alias("ts_plus90m"),
+        (F.col("ts") - F.expr("INTERVAL 1 DAY")).alias("ts_minus1d"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.weekday("ts").alias("dow_mon0"),
+        F.hour("ts").alias("hour_of_day"),
+        (
+            (F.unix_timestamp(F.col("ts") + F.expr("INTERVAL 90 MINUTE"))
+             - F.unix_timestamp("ts")) / 60
+        ).cast("bigint").alias("delta_min"),
+    )

@@ -221,3 +221,38 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prefix_hash"
         ),
     )
+
+
+@register(
+    "text_bigram_topk",
+    survey_row=71,
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    SELECT z[1] || ' ' || z[2] AS bigram, count(*) AS n
+    FROM w, unnest(list_zip(ws[1:-2], ws[2:])) AS t(z)
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 word bigrams: zip_with pairs each token with its
+    successor inside Catalyst (no Python), explode, count. The n-gram
+    generation is per-row and shuffle-free; the only shuffle is the
+    bigram count — at corpus scale, partial aggregation collapses it
+    to |vocab²∩corpus| rows, and a count-min sketch or a pre-filter on
+    document frequency caps the tail if the bigram space explodes."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    pairs = F.zip_with(
+        F.slice(ws, 1, F.size(ws) - 1),
+        F.slice(ws, 2, F.size(ws) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        d.select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )

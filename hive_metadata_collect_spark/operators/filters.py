@@ -139,3 +139,35 @@ def sub_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
         """
     )
+
+
+@register(
+    "sub_lateral_topk",
+    survey_row=29,
+    oracle="""
+    SELECT n_name, c_custkey, c_acctbal
+    FROM nation,
+    LATERAL (SELECT c_custkey, c_acctbal FROM customer
+             WHERE c_nationkey = n_nationkey
+             ORDER BY c_acctbal DESC, c_custkey
+             LIMIT 2)
+    """,
+)
+def sub_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: per nation, its top-2 customers by
+    balance. Catalyst decorrelates the lateral into a ranked window
+    join — same physical shape as win_topk_per_group, but declared
+    per-row; the deterministic tie-break (custkey) keeps the top-2 set
+    stable across engines."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT n_name, c_custkey, c_acctbal
+        FROM v_nation
+        JOIN LATERAL (SELECT c_custkey, c_acctbal FROM v_customer
+                      WHERE c_nationkey = n_nationkey
+                      ORDER BY c_acctbal DESC, c_custkey
+                      LIMIT 2)
+        """
+    )
