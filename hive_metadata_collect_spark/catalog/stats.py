@@ -511,3 +511,69 @@ def cat_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("z")) > 2)
         .select("event_type", "day", "n", F.round("z", 4).alias("z"))
     )
+
+
+@register(
+    "cat_scd2_diff",
+    survey_row=61,
+    oracle="""
+    WITH incoming AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer WHERE c_custkey % 97 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000 AS c_custkey, c_acctbal
+        FROM customer WHERE c_custkey % 89 = 0
+    )
+    SELECT coalesce(cur.c_custkey, inc.c_custkey) AS c_custkey,
+           CASE WHEN cur.c_custkey IS NULL THEN 'insert'
+                WHEN inc.c_custkey IS NULL THEN 'delete'
+                WHEN cur.c_acctbal <> inc.c_acctbal THEN 'update'
+                ELSE 'unchanged' END AS change_type,
+           cur.c_acctbal AS old_bal,
+           inc.c_acctbal AS new_bal
+    FROM customer cur FULL OUTER JOIN incoming inc
+      ON cur.c_custkey = inc.c_custkey
+    """,
+)
+def cat_scd2_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot change-capture (the SCD2 / MERGE prelude a catalog
+    runs on every collection cycle): full-outer-join yesterday's
+    snapshot against today's, classifying every key as insert /
+    delete / update / unchanged. The incoming snapshot is derived
+    deterministically from the fixture (bump %7 keys, drop %97 keys,
+    add new %89 keys) so both engines diff identical inputs. At scale
+    both snapshots are bucketed on the business key, making the diff
+    a co-located merge with no shuffle."""
+    cur = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    k = F.col("c_custkey")
+    inc = (
+        cur.filter(k % 97 != 0)
+        .select(
+            "c_custkey",
+            F.when(k % 7 == 0, F.col("c_acctbal") + 100)
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+        )
+        .unionAll(
+            cur.filter(k % 89 == 0).select(
+                (k + 1000000).alias("c_custkey"), "c_acctbal"
+            )
+        )
+    )
+    cur_a, inc_a = cur.alias("cur"), inc.alias("inc")
+    return cur_a.join(
+        inc_a, F.col("cur.c_custkey") == F.col("inc.c_custkey"), "full"
+    ).select(
+        F.coalesce(F.col("cur.c_custkey"), F.col("inc.c_custkey")).alias(
+            "c_custkey"
+        ),
+        F.when(F.col("cur.c_custkey").isNull(), "insert")
+        .when(F.col("inc.c_custkey").isNull(), "delete")
+        .when(F.col("cur.c_acctbal") != F.col("inc.c_acctbal"), "update")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        F.col("cur.c_acctbal").alias("old_bal"),
+        F.col("inc.c_acctbal").alias("new_bal"),
+    )

@@ -491,3 +491,57 @@ def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
              - F.unix_timestamp("ts")) / 60
         ).cast("bigint").alias("delta_min"),
     )
+
+
+@register(
+    "fn_unpivot",
+    survey_row=47,
+    oracle="""
+    SELECT * FROM (
+        UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+                        l_extendedprice, l_discount FROM lineitem)
+        ON l_quantity, l_extendedprice, l_discount
+        INTO NAME measure VALUE val
+    )
+    """,
+)
+def fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt): three measure columns become
+    (measure, val) rows. Runs as a Catalyst Expand — 3× the rows, no
+    shuffle; the long layout is what per-metric profiling and
+    plotting pipelines consume."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
+@register(
+    "fn_map_hof",
+    survey_row=50,
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k_doubled,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                THEN 1 ELSE 0 END AS n_kept
+    FROM events
+    """,
+)
+def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: transform_values rewrites every
+    value, map_filter keeps entries by predicate — the typed way to
+    munge TABLE_PARAMS-style k/v maps without exploding them. The
+    oracle re-derives the same scalars via JSON (DuckDB 1.0 has no
+    map lambdas), so outputs are projected to scalar columns."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    kept = F.map_filter(m, lambda k, v: v > 50)
+    return ev.select(
+        "event_id",
+        F.element_at(doubled, "k").alias("k_doubled"),
+        F.size(kept).alias("n_kept"),
+    )

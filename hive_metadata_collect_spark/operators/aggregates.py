@@ -399,3 +399,35 @@ def agg_bool_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "agg_max_by",
+    survey_row=27,
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice * 100000000 + o_orderkey)
+               AS top_order,
+           arg_min(o_orderkey, o_totalprice * 100000000 + o_orderkey)
+               AS bottom_order,
+           max(o_totalprice) AS top_price,
+           min(o_totalprice) AS bottom_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (argmax aggregates). The ordering key is made
+    tie-proof by a composite that is integer-exact in a double:
+    price*1e8 (2-decimal prices → min gap 1e6) + orderkey (≤ ~1e6),
+    so equal prices break by key identically in both engines — plain
+    max_by(x, price) is nondeterministic under ties and WILL diverge
+    (sf0.1 has 61 tied (priority, price) pairs)."""
+    o = load_table(spark, sf_dir, "orders")
+    ordk = F.col("o_totalprice") * 100000000 + F.col("o_orderkey")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", ordk).alias("top_order"),
+        F.min_by("o_orderkey", ordk).alias("bottom_order"),
+        F.max("o_totalprice").alias("top_price"),
+        F.min("o_totalprice").alias("bottom_price"),
+    )

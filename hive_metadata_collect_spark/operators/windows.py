@@ -275,3 +275,34 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d_spend"),
         F.count(F.lit(1)).over(w).alias("n_orders_30d"),
     )
+
+
+@register(
+    "win_nth_lead",
+    survey_row=31,
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           nth_value(o_totalprice, 2) OVER w AS second_price,
+           lead(o_totalprice, 2, -1.0) OVER w AS price_after_next
+    FROM orders
+    WINDOW w AS (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def win_nth_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over a full frame + lead with offset and default.
+    Unique trailing sort key (orderkey) per the §2.5 tie-break rule."""
+    o = load_table(spark, sf_dir, "orders")
+    w_order = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w_order.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_totalprice", 2).over(w_full).alias("second_price"),
+        F.lead("o_totalprice", 2, -1.0).over(w_order).alias("price_after_next"),
+    )
