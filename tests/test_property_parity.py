@@ -36,6 +36,11 @@ EVENT_OPS = [
     "cat_lineage_closure",
     "stream_tumbling_counts",
     "udf_cogrouped_asof",
+    "cat_funnel_conversion",
+    "cat_retention_cohort",
+    "cat_anomaly_zscore",
+    "fn_interval_arith",
+    "fn_map_hof",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
@@ -49,10 +54,14 @@ def events_tables(draw):
     rows = []
     for i in range(n):
         user = draw(st.integers(min_value=0, max_value=2))
-        # offsets quantized to 10-minute steps over ~3h → plenty of
-        # equal-ts collisions and >30min session gaps
-        off_us = draw(st.integers(min_value=0, max_value=18)) * 600_000_000
-        etype = draw(st.sampled_from(["click", "view", "buy"]))
+        # offsets quantized to 10-minute steps over ~3h, spread over
+        # 0-3 days → equal-ts collisions, >30min session gaps, AND
+        # multi-day cohort/retention/anomaly boundaries
+        off_us = (
+            draw(st.integers(min_value=0, max_value=3)) * 86_400_000_000
+            + draw(st.integers(min_value=0, max_value=18)) * 600_000_000
+        )
+        etype = draw(st.sampled_from(["click", "view", "buy", "purchase"]))
         value = float(draw(st.integers(min_value=-5, max_value=5)))
         rows.append((i, _BASE_US + off_us, user, etype, value, json.dumps({"k": i % 3})))
     return rows
@@ -100,6 +109,8 @@ def test_event_op_parity_on_generated_data(spark, name, rows):
 
 DOC_OPS = [
     "dedup_exact",
+    "text_bigram_topk",
+    "fn_array_hof",
     "dedup_fingerprint",
     "dedup_near_minhash",
     "dedup_ngram_jaccard",
@@ -167,6 +178,11 @@ def test_doc_op_parity_on_generated_data(spark, name, rows):
 # Tie/null/ordering-sensitive ops whose oracle reads only `orders`.
 ORDER_OPS = [
     "win_topk_per_group",
+    "win_range_frame",
+    "win_nth_lead",
+    "agg_max_by",
+    "agg_bool_count_if",
+    "fn_sequence_dates",
     "win_rank_dense",
     "win_running_sum",
     "win_first_last",
@@ -243,6 +259,8 @@ def test_order_op_parity_on_generated_data(spark, name, rows):
 # and any mismatch is semantic, not accumulation noise.
 LINEITEM_OPS = [
     "agg_pricing_summary",
+    "agg_grouping_id",
+    "fn_unpivot",
     "agg_global_nokey",
     "agg_cube",
     "agg_percentiles",
