@@ -143,3 +143,29 @@ def test_partitioned_layout_prunes_partitions(spark, sf_dir):
     plan = physical_plan(df)
     assert "PartitionFilters" in plan
     assert "event_date" in plan
+
+
+def test_salted_join_is_shuffled_hash(spark, sf_dir):
+    """Salting is only meaningful on a shuffled join: the plan must be
+    a ShuffledHashJoin on (key, salt) — if AQE broadcast the replicated
+    dim the demonstration would be void (and slower)."""
+    plan = physical_plan(OPS["join_skew_salted"].fn(spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_lineage_iterations_broadcast(spark, sf_dir):
+    """Every closure iteration joins against the broadcast |V|-bounded
+    hop list — no sort-merge join anywhere in the iterative plan."""
+    plan = physical_plan(OPS["cat_lineage_closure"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_hof_ops_stay_jvm_side(spark, sf_dir):
+    """Lambda higher-order functions must not fall back to Python
+    evaluation — the whole point is per-row collection work inside
+    codegen."""
+    for name in ("fn_array_hof", "text_bigram_topk", "fn_map_hof"):
+        plan = physical_plan(OPS[name].fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
