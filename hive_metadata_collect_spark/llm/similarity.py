@@ -215,3 +215,28 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+@register(
+    "sim_label_centroids",
+    survey_row=69,
+    oracle="""
+    SELECT label, i AS dim, round(avg(embedding[i]), 6) AS centroid
+    FROM embeddings, generate_series(1, 64) AS t(i)
+    GROUP BY label, i
+    """,
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding space — the training step
+    of an IVF index (sim_topk_ivf) and the summary statistic behind
+    label-drift monitoring. posexplode flattens to (label, dim, val)
+    so the centroid is one hash aggregate; partial aggregation
+    collapses the 64× row fan-out map-side, so the shuffle carries
+    |labels|×|dims| rows. At extreme dims prefer spark.ml's
+    Summarizer.mean over vectors to avoid the explode entirely."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(F.round(F.avg("val"), 6).alias("centroid"))
+    )

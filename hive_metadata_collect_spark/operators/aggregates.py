@@ -431,3 +431,25 @@ def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("top_price"),
         F.min("o_totalprice").alias("bottom_price"),
     )
+
+
+@register("agg_hll_union", survey_row=22, oracle=None)
+def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Datasketches, Spark 3.5+): per-flag
+    sketches of l_partkey are built in one pass, then UNIONED into a
+    global estimate without rescanning — the property that lets a
+    100 TB pipeline maintain distinct counts per partition and roll
+    them up to any grain for free. Rows-only driver check; the ±5%
+    accuracy bound vs exact is asserted in tests/test_edge_cases.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sketch")
+    )
+    flag_counts = per_flag.select(
+        F.col("l_returnflag").alias("key"),
+        F.hll_sketch_estimate("sketch").alias("approx_distinct"),
+    )
+    global_count = per_flag.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_distinct")
+    ).select(F.lit("__global__").alias("key"), "approx_distinct")
+    return flag_counts.unionAll(global_count)

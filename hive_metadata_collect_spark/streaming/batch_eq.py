@@ -212,3 +212,52 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", "ts", F.row_number().over(w).alias("running_count")
     )
+
+
+# Static enrichment dim for the stream-static join: event_type → tier
+# and weight. In production this is the broadcastable dim table a
+# stream joins on every micro-batch (reloaded per batch if mutable).
+EVENT_TIERS = [
+    ("click", "engage", 1.0),
+    ("view", "engage", 0.5),
+    ("purchase", "convert", 5.0),
+    ("signup", "convert", 3.0),
+    ("error", "ops", 0.0),
+]
+
+
+@register(
+    "stream_static_join",
+    survey_row=51,
+    oracle="""
+    SELECT e.event_type, d.tier,
+           count(*) AS n_events,
+           round(sum(e.value * d.weight), 2) AS weighted_value
+    FROM events e
+    JOIN (VALUES ('click', 'engage', 1.0), ('view', 'engage', 0.5),
+                 ('purchase', 'convert', 5.0), ('signup', 'convert', 3.0),
+                 ('error', 'ops', 0.0)) AS d(event_type, tier, weight)
+      ON e.event_type = d.event_type
+    GROUP BY e.event_type, d.tier
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (batch-equivalent): every event
+    joins a small static dim and aggregates per (type, tier). The dim
+    is explicitly broadcast — in the streaming form (streams.py
+    static_join_stream) the same broadcast happens per micro-batch,
+    which is why stream-static joins need no watermark or state."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = F.broadcast(
+        spark.createDataFrame(EVENT_TIERS, ["event_type", "tier", "weight"])
+    )
+    return (
+        ev.join(dim, "event_type")
+        .groupBy("event_type", "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value") * F.col("weight")), 2).alias(
+                "weighted_value"
+            ),
+        )
+    )

@@ -257,3 +257,26 @@ def run_foreach_batch(
         .start()
     )
     q.awaitTermination()
+
+
+def static_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming form of stream_static_join: the file-source event
+    stream joined to the in-memory dim. Stateless — each micro-batch
+    broadcast-joins the current dim snapshot; aggregation downstream
+    is the stateful part."""
+    from hive_metadata_collect_spark.streaming.batch_eq import EVENT_TIERS
+
+    ev = events_stream(spark, sf_dir)
+    dim = F.broadcast(
+        spark.createDataFrame(EVENT_TIERS, ["event_type", "tier", "weight"])
+    )
+    return (
+        ev.join(dim, "event_type")
+        .groupBy("event_type", "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value") * F.col("weight")), 2).alias(
+                "weighted_value"
+            ),
+        )
+    )

@@ -167,3 +167,26 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     approx = [r["vec_id"] for r in OPS["sim_topk_ivf"].fn(spark, sf_dir).collect()]
     recall = len(set(exact) & set(approx)) / len(exact)
     assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+
+
+def test_hll_union_within_5pct(spark, sf_dir):
+    """Union-of-sketches estimate must be within 5% of the exact
+    global distinct (and per-flag estimates within 5% of per-flag
+    exact)."""
+    from hive_metadata_collect_spark import registry
+    from hive_metadata_collect_spark.sources.fixtures import load_table
+
+    ops = registry.load_all()
+    est = {
+        r["key"]: r["approx_distinct"]
+        for r in ops["agg_hll_union"].fn(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    exact_global = li.select("l_partkey").distinct().count()
+    assert abs(est["__global__"] - exact_global) <= 0.05 * exact_global
+    for row in (
+        li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    ):
+        assert abs(est[row["l_returnflag"]] - row["n"]) <= 0.05 * max(row["n"], 20)

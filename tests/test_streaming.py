@@ -133,3 +133,30 @@ def test_foreach_batch_sink(spark, sf_dir, checkpoint):
 
     run_foreach_batch(events_stream(spark, sf_dir), checkpoint, sink)
     assert sum(seen.values()) == load_table(spark, sf_dir, "events").count()
+
+
+def test_static_join_stream_matches_batch(spark, sf_dir, checkpoint):
+    """Stream-static join totals equal the batch-equivalent's."""
+    from hive_metadata_collect_spark import registry
+    from hive_metadata_collect_spark.streaming.streams import static_join_stream
+
+    ops = registry.load_all()
+    sdf = static_join_stream(spark, sf_dir)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("static_join_smoke")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["event_type"], r["tier"]): (r["n_events"], r["weighted_value"])
+        for r in spark.sql("SELECT * FROM static_join_smoke").collect()
+    }
+    want = {
+        (r["event_type"], r["tier"]): (r["n_events"], r["weighted_value"])
+        for r in ops["stream_static_join"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
