@@ -545,3 +545,52 @@ def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(doubled, "k").alias("k_doubled"),
         F.size(kept).alias("n_kept"),
     )
+
+
+@register(
+    "fn_format_number",
+    survey_row=42,
+    oracle="""
+    SELECT p_partkey,
+           printf('%s-%04d', p_brand, p_partkey % 1000) AS sku,
+           printf('%.2f', p_retailprice)                AS price_str,
+           printf('%08x', p_partkey)                    AS key_hex
+    FROM part
+    """,
+)
+def fn_format_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf-style formatting (SKU/label synthesis)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.format_string(
+            "%s-%04d", F.col("p_brand"), F.col("p_partkey") % 1000
+        ).alias("sku"),
+        F.format_string("%.2f", F.col("p_retailprice")).alias("price_str"),
+        F.format_string("%08x", F.col("p_partkey")).alias("key_hex"),
+    )
+
+
+@register(
+    "fn_try_arith",
+    survey_row=45,
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / nullif(l_discount, 0)  AS price_per_disc,
+           l_quantity / nullif(l_tax, 0)            AS qty_per_tax
+    FROM lineitem
+    """,
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: try_divide returns NULL on a zero divisor
+    instead of raising (Spark 4 runs ANSI mode by default — plain `/`
+    on a zero-heavy column aborts the job; this is the idiom that
+    keeps 100 TB jobs alive through dirty data). Oracle expresses the
+    identical semantics via nullif."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide("l_extendedprice", "l_discount").alias("price_per_disc"),
+        F.try_divide("l_quantity", "l_tax").alias("qty_per_tax"),
+    )

@@ -152,3 +152,27 @@ def sink_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.filter(
         F.col("event_date").between("2024-01-10", "2024-01-12")
     ).select("event_id", "user_id", "event_type", "value", "event_date")
+
+
+@register(
+    "scan_hash_sample",
+    survey_row=1,
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+               AS BIGINT) % 100 < 10
+    """,
+)
+def scan_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample by content hash of the key — unlike
+    TABLESAMPLE, the same rows are selected on every engine, every
+    run, and every partitioning, which is what a debugging/eval split
+    of a 100 TB table needs (resampling must not shift under
+    repartition or speculative re-execution)."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    return o.filter(bucket < 10).select("o_orderkey", "o_custkey", "o_totalprice")
