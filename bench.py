@@ -40,6 +40,10 @@ HEADLINE = {
     "q_lineage": "cat_lineage_closure",
     "q_percentiles": "agg_percentiles",
     "q_salted_join": "join_skew_salted",
+    "q_funnel": "cat_funnel_conversion",
+    "q_scd2": "cat_scd2_diff",
+    "q_centroids": "sim_label_centroids",
+    "q_bigrams": "text_bigram_topk",
 }
 
 
