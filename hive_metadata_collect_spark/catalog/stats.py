@@ -414,36 +414,50 @@ def cat_quality_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cat_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel over the audit-log stream: users who viewed →
-    clicked after their first view → purchased after that click. Each
-    stage is a pre-reduced (user_id, min ts) frame, so the stage joins
-    shuffle one row per user, not one per event; at 100 TB the event
-    filter prunes before any join."""
+    clicked after their first view → purchased after that click.
+
+    Single-pass formulation: ONE shuffle partitions events by user;
+    inside that sorted frame, two running-min window columns carry
+    "first view so far" and "first qualified click so far", so every
+    stage qualification is a row-local comparison (strict > makes
+    equal-timestamp rows non-qualifying, so the result is invariant
+    to tie order). The per-user rollup reuses the window's
+    partitioning (no second shuffle); only 3 stage counters cross to
+    the final single-row reduction. The staged-joins alternative (the
+    oracle's shape) shuffles the event log three times."""
     e = load_table(spark, sf_dir, "events")
-
-    def first_after(event_type: str, prev: DataFrame) -> DataFrame:
-        s = e.filter(F.col("event_type") == event_type)
-        if prev is not None:
-            s = s.join(prev, "user_id").filter(F.col("ts") > F.col("t")).drop("t")
-        return s.groupBy("user_id").agg(F.min("ts").alias("t"))
-
-    fv = first_after("view", None)
-    fc = first_after("click", fv)
-    fp = first_after("purchase", fc)
-    stages = [
-        fv.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit("1_view").alias("stage"), "n_users"
-        ),
-        fc.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit("2_click_after_view").alias("stage"), "n_users"
-        ),
-        fp.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit("3_purchase_after_click").alias("stage"), "n_users"
-        ),
-    ]
-    out = stages[0]
-    for s in stages[1:]:
-        out = out.unionAll(s)
-    return out
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_type = lambda t: F.col("event_type") == t  # noqa: E731
+    tagged = (
+        e.select("user_id", "ts", "event_type", "event_id")
+        .withColumn("fv", F.min(F.when(is_type("view"), F.col("ts"))).over(w))
+        .withColumn(
+            "qc_ts",
+            F.when(is_type("click") & (F.col("ts") > F.col("fv")), F.col("ts")),
+        )
+        .withColumn("fc", F.min("qc_ts").over(w))
+        .withColumn("qp", is_type("purchase") & (F.col("ts") > F.col("fc")))
+    )
+    per_user = tagged.groupBy("user_id").agg(
+        F.max(is_type("view")).alias("s1"),
+        F.max(F.col("qc_ts").isNotNull()).alias("s2"),
+        F.max("qp").alias("s3"),
+    )
+    counts = per_user.agg(
+        F.count_if("s1").alias("n1"),
+        F.count_if("s2").alias("n2"),
+        F.count_if("s3").alias("n3"),
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, '1_view', n1, '2_click_after_view', n2, "
+            "'3_purchase_after_click', n3) AS (stage, n_users)"
+        )
+    )
 
 
 @register(
