@@ -540,3 +540,47 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             lev.alias("lev_dist"),
         )
     )
+
+
+@register(
+    "pipeline_train_eval_split",
+    survey_row=67,
+    oracle="""
+    WITH bucketed AS (
+        SELECT lang, n_chars,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS bucket
+        FROM documents)
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM bucketed
+    GROUP BY split, lang
+    """,
+)
+def pipeline_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test corpus split by content
+    hash of the document id — the assignment is a pure function of the
+    row, so it is identical across engines, reruns, repartitions, and
+    incremental appends (a new document never moves an old one between
+    splits, unlike randomSplit). Output: per (split, lang) doc counts
+    and length stats for split-balance monitoring."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    return (
+        d.withColumn(
+            "split",
+            F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
