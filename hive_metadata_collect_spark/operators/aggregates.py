@@ -453,3 +453,28 @@ def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_distinct")
     ).select(F.lit("__global__").alias("key"), "approx_distinct")
     return flag_counts.unionAll(global_count)
+
+
+@register(
+    "agg_string_concat",
+    survey_row=28,
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+               AS segments_csv,
+           count(*) AS n_customers
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG semantics): distinct
+    segments joined in sorted order — deterministic by construction
+    (sort_array fixes what raw collect order would scramble)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias(
+            "segments_csv"
+        ),
+        F.count(F.lit(1)).alias("n_customers"),
+    )

@@ -464,3 +464,34 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("bk_orders"),
         F.col("l_orderkey") == F.col("o_orderkey"),
     ).select("l_orderkey", "l_linenumber", "l_quantity", "o_orderstatus")
+
+
+@register(
+    "join_existence_flag",
+    survey_row=10,
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           EXISTS (SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_totalprice > 300000) AS has_big_order
+    FROM customer c
+    """,
+)
+def join_existence_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence-flag (mark) join: every customer row kept, plus a
+    boolean for having a qualifying order — the left-join+isNotNull
+    idiom a DataFrame engine uses where SQL would put EXISTS in the
+    SELECT list. Distinct-before-join keeps the probe side one row
+    per key, so the flag join never duplicates customers."""
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+        .distinct()
+    )
+    return c.join(big, c["c_custkey"] == big["o_custkey"], "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("o_custkey").isNotNull().alias("has_big_order"),
+    )

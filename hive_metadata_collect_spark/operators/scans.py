@@ -176,3 +176,38 @@ def scan_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint") % 100
     )
     return o.filter(bucket < 10).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "scan_schema_evolution",
+    survey_row=1,
+    oracle="""
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet snapshots written with
+    different schemas (v2 adds o_orderstatus) are read as ONE dataset
+    via mergeSchema — v1 rows surface NULL for the added column. This
+    is how a long-lived 100 TB table absorbs additive schema changes
+    without rewriting history; merge-on-read costs one footer merge,
+    not a data pass. (Dropping/retyping columns is NOT covered by
+    mergeSchema — that needs a real table format.)"""
+    import os as _os
+
+    o = load_table(spark, sf_dir, "orders")
+    base = _os.path.join(_SCRATCH, f"schema_evo_{_os.path.basename(sf_dir.rstrip('/'))}")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    v1.write.mode("overwrite").parquet(_os.path.join(base, "v=1"))
+    v2.write.mode("overwrite").parquet(_os.path.join(base, "v=2"))
+    merged = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(base)
+    return merged.select("o_orderkey", "o_totalprice", "o_orderstatus")
