@@ -261,3 +261,55 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "stream_stream_join",
+    survey_row=52,
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           c.event_id AS click_id,
+           CAST(date_diff('second', v.ts, c.ts) AS BIGINT) AS gap_s
+    FROM events v
+    JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view'
+     AND c.event_type = 'click'
+     AND c.ts > v.ts
+     AND c.ts <= v.ts + INTERVAL 10 MINUTE
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join, batch-equivalent: every click matched to
+    the views it followed within 10 minutes, per user. The equi key
+    (user_id) keeps this one shuffle per side with a range residual —
+    never a time-only cross join. In the streaming form
+    (streams.py stream_stream_join_stream) the same predicate plus
+    watermarks on BOTH sides bounds the join state: a buffered view
+    can be evicted once the click watermark passes view.ts + 10min."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        v.join(
+            c,
+            (v["user_id"] == c["c_user"])
+            & (c["c_ts"] > v["v_ts"])
+            & (c["c_ts"] <= v["v_ts"] + F.expr("INTERVAL 10 MINUTE")),
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "click_id",
+            # date_diff('second') counts boundary crossings: truncate
+            # EACH side to seconds, then subtract (not floor of the
+            # microsecond delta — differs when fractional parts wrap).
+            (F.unix_timestamp("c_ts") - F.unix_timestamp("v_ts")).alias("gap_s"),
+        )
+    )

@@ -280,3 +280,36 @@ def static_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def stream_stream_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True stream-stream join: clicks matched to prior views ≤10 min,
+    watermarked on BOTH sides so the state store can evict buffered
+    rows — without both watermarks plus a time-bound join condition,
+    stream-stream join state grows forever."""
+    ev = events_stream(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "10 minutes")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    return v.join(
+        c,
+        (v["user_id"] == c["c_user"])
+        & (c["c_ts"] > v["v_ts"])
+        & (c["c_ts"] <= v["v_ts"] + F.expr("INTERVAL 10 MINUTE")),
+    ).select(
+        "user_id",
+        "view_id",
+        "click_id",
+        (F.unix_timestamp("c_ts") - F.unix_timestamp("v_ts")).alias("gap_s"),
+    )

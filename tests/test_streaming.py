@@ -160,3 +160,32 @@ def test_static_join_stream_matches_batch(spark, sf_dir, checkpoint):
         for r in ops["stream_static_join"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, checkpoint):
+    """Dual-watermark stream-stream join drains to exactly the
+    batch-equivalent's row set (no row lost to eviction in a bounded
+    replay, none duplicated)."""
+    from hive_metadata_collect_spark import registry
+    from hive_metadata_collect_spark.streaming.streams import (
+        stream_stream_join_stream,
+    )
+
+    ops = registry.load_all()
+    q = (
+        stream_stream_join_stream(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName("ss_join_smoke")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        tuple(r) for r in spark.sql("SELECT * FROM ss_join_smoke").collect()
+    }
+    want = {
+        tuple(r) for r in ops["stream_stream_join"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
