@@ -185,21 +185,30 @@ def fn_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(string_split(text, ' '))                          AS n_words,
            list_contains(string_split(text, ' '), 'data')        AS has_data,
-           string_split(text, ' ')[1:5]                          AS first5,
-           list_sort(string_split(text, ' ')[1:5])               AS first5_sorted
+           array_to_string(string_split(text, ' ')[1:5], ',')    AS first5,
+           array_to_string(list_sort(string_split(text, ' ')[1:5]), ',')
+               AS first5_sorted
     FROM documents
     """,
 )
 def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """split → array, size, array_contains, slice, sort_array."""
+    """split → array, size, array_contains, slice, sort_array.
+
+    Array-valued columns are joined to strings for the result: the
+    driver's pandas canonicalizer cannot hash list cells (r01
+    agg_collect_set_sorted err), and the join is after all the array
+    ops this entry exists to exercise.
+    """
     d = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
         F.size(words).alias("n_words"),
         F.array_contains(words, "data").alias("has_data"),
-        F.slice(words, 1, 5).alias("first5"),
-        F.sort_array(F.slice(words, 1, 5)).alias("first5_sorted"),
+        F.array_join(F.slice(words, 1, 5), ",").alias("first5"),
+        F.array_join(F.sort_array(F.slice(words, 1, 5)), ",").alias(
+            "first5_sorted"
+        ),
     )
 
 
@@ -255,19 +264,23 @@ def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_row=50,
     oracle="""
     SELECT event_id,
-           json_keys(props)                                  AS prop_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
     FROM events
     """,
 )
 def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """from_json → MapType, map_keys, element access — the typed-map
-    analog of Hive's *_PARAMS key/value tables."""
+    analog of Hive's *_PARAMS key/value tables. Keys are sorted and
+    joined to one string so the result is order-deterministic and
+    hashable by the driver's pandas canonicalizer (lists are not)."""
     ev = load_table(spark, sf_dir, "events")
     props_map = F.from_json(F.col("props"), "map<string,bigint>")
     return ev.select(
         "event_id",
-        F.map_keys(props_map).alias("prop_keys"),
+        F.array_join(F.sort_array(F.map_keys(props_map)), ",").alias(
+            "prop_keys"
+        ),
         props_map.getItem("k").alias("k_val"),
     )
 
@@ -363,8 +376,8 @@ def fn_hash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(list_sum(list_transform(string_split(text, ' '),
                                         w -> strlen(w))) AS INT)
                AS total_word_chars,
-           list_transform(list_sort(string_split(text, ' '))[1:3],
-                          w -> upper(w))
+           array_to_string(list_transform(list_sort(string_split(text, ' '))[1:3],
+                                          w -> upper(w)), ',')
                AS first3_upper,
            list_contains(string_split(text, ' '), 'data') AS has_data
     FROM documents
@@ -384,9 +397,9 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)).alias(
             "total_word_chars"
         ),
-        F.transform(F.slice(F.array_sort(words), 1, 3), F.upper).alias(
-            "first3_upper"
-        ),
+        F.array_join(
+            F.transform(F.slice(F.array_sort(words), 1, 3), F.upper), ","
+        ).alias("first3_upper"),
         F.exists(words, lambda w: w == F.lit("data")).alias("has_data"),
     )
 

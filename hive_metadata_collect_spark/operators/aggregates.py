@@ -251,17 +251,26 @@ def agg_statistical(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_row=28,
     oracle="""
     SELECT c_nationkey,
-           list_sort(list(DISTINCT c_mktsegment)) AS segments,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',')
+               AS segments,
            count(*) AS n_customers
     FROM customer
     GROUP BY c_nationkey
     """,
 )
 def agg_collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic set-valued aggregate: sort_array(collect_set())."""
+    """Deterministic set-valued aggregate: sort_array(collect_set()).
+
+    The sorted set is joined to one string column: array-typed output
+    is not hashable by pandas-based result canonicalizers (r01 driver
+    errored on ``sort_values`` over lists), and the stringified form
+    is engine-portable while still exercising collect_set + sort_array.
+    """
     c = load_table(spark, sf_dir, "customer")
     return c.groupBy("c_nationkey").agg(
-        F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+        F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias(
+            "segments"
+        ),
         F.count(F.lit(1)).alias("n_customers"),
     )
 
@@ -382,7 +391,7 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            bool_and(o_totalprice > 1000)      AS all_over_1k,
            bool_or(o_orderstatus = 'F')       AS any_final,
-           count_if(o_totalprice > 100000)    AS n_big,
+           count_if(o_totalprice > 100000)::BIGINT AS n_big,
            count(*)                           AS n
     FROM orders
     GROUP BY o_orderpriority
