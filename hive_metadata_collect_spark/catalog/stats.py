@@ -319,16 +319,26 @@ def cat_schema_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cat_lineage_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded transitive closure of the lineage graph — the iterative
-    algorithm a DataFrame engine expresses as a driver-side loop of
-    joins (each iteration is one distributed self-join; the loop only
-    controls plan construction, no data ever reaches the driver).
+    algorithm a DataFrame engine expresses as driver-side plan
+    construction (no data ever reaches the driver).
 
     Edges: temporal type→type transitions per user (lag over the
     audit stream — "read X, then wrote Y"). Closure: min-hop
-    reachability within ≤4 hops; the oracle recomputes it with a
-    recursive CTE. At scale, each frontier is deduped per step so the
-    join input stays ≤ |V|², and 100 TB of events reduce to a
-    |V|-sized edge list before any iteration starts.
+    reachability within ≤4 hops, by DOUBLING instead of hop-at-a-time:
+    reach≤2 = edges ∪ (edges⋈edges), reach≤4 = reach≤2 ∪
+    (reach≤2⋈reach≤2), min-hop per pair after each round. Two
+    broadcast joins and two shuffles replace three serial
+    join+distinct barriers — the log₂(maxhop) trick matters more, not
+    less, on a 1000-executor cluster where each barrier is a
+    stragglers-bound stage. Min-hops stay exact: a shortest path of
+    length L ≤ 4 splits at its midpoint into two shortest halves ≤ 2,
+    and sums of real path lengths can never undercut the true
+    distance. Both join inputs are min-hop-deduped (≤ |V|² rows,
+    |V| = distinct event types), so each is broadcastable at any
+    corpus size; 100 TB of events reduce to that |V|-sized edge list
+    before any closure work starts. The oracle recomputes the closure
+    with a hop-at-a-time recursive CTE — a genuinely different
+    algorithm reaching the same fixpoint.
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -336,27 +346,55 @@ def cat_lineage_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_type").over(w).alias("src"),
         F.col("event_type").alias("dst"),
     )
+    # Both reach frames appear on three plan branches each (union arm,
+    # join probe, broadcast build); Spark has no common-subtree
+    # elimination, so cache() is what makes each computed once. They
+    # are |V|- and |V|²-bounded — trivially cacheable at any scale.
     edges = (
         trans.filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
         .distinct()
+        .withColumn("hops", F.lit(1))
         .cache()
     )
-    # The static hop side is the |V|-bounded deduped edge list —
-    # broadcastable at any corpus size, so every iteration's join is
-    # shuffle-free; only the per-step frontier dedup shuffles.
-    hop = F.broadcast(
-        edges.select(F.col("src").alias("hop_src"), F.col("dst").alias("hop_dst"))
-    )
-    reach = edges.withColumn("hops", F.lit(1))
-    frontier = edges
-    for h in range(2, 5):
-        frontier = (
-            frontier.join(hop, frontier["dst"] == hop["hop_src"], "inner")
-            .select(F.col("src"), F.col("hop_dst").alias("dst"))
-            .distinct()
+    two = (
+        edges.join(
+            F.broadcast(
+                edges.select(
+                    F.col("src").alias("m"), F.col("dst").alias("dst2")
+                )
+            ),
+            F.col("dst") == F.col("m"),
         )
-        reach = reach.unionAll(frontier.withColumn("hops", F.lit(h)))
-    return reach.groupBy("src", "dst").agg(F.min("hops").alias("min_hops"))
+        .select("src", F.col("dst2").alias("dst"), (F.col("hops") + 1).alias("hops"))
+    )
+    reach2 = (
+        edges.unionAll(two)
+        .groupBy("src", "dst")
+        .agg(F.min("hops").alias("hops"))
+        .cache()
+    )
+    four = (
+        reach2.join(
+            F.broadcast(
+                reach2.select(
+                    F.col("src").alias("m"),
+                    F.col("dst").alias("dst2"),
+                    F.col("hops").alias("hops2"),
+                )
+            ),
+            F.col("dst") == F.col("m"),
+        )
+        .select(
+            "src",
+            F.col("dst2").alias("dst"),
+            (F.col("hops") + F.col("hops2")).alias("hops"),
+        )
+    )
+    return (
+        reach2.unionAll(four)
+        .groupBy("src", "dst")
+        .agg(F.min("hops").alias("min_hops"))
+    )
 
 
 @register(

@@ -138,7 +138,19 @@ def register_split_props(spark: SparkSession) -> None:
             if isinstance(obj, dict):
                 for k in sorted(obj):
                     v = obj[k]
-                    yield k, int(v) if isinstance(v, (int, float)) else None
+                    # Match the oracle's CAST-to-BIGINT: integral
+                    # numerics pass through, everything else (floats
+                    # with a fraction, strings, bools, nulls) → NULL —
+                    # silent int() truncation would diverge on dirty
+                    # inputs like 1.9.
+                    if (
+                        isinstance(v, (int, float))
+                        and not isinstance(v, bool)
+                        and float(v).is_integer()
+                    ):
+                        yield k, int(v)
+                    else:
+                        yield k, None
 
     spark.udtf.register("hmcs_split_props", SplitProps)
 

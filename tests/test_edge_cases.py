@@ -60,7 +60,13 @@ def test_udtf_multi_key_props(spark):
 
     register_split_props(spark)
     df = spark.createDataFrame(
-        [(1, '{"a": 1, "b": 2}'), (2, "{}"), (3, None), (4, "not json")],
+        [
+            (1, '{"a": 1, "b": 2}'),
+            (2, "{}"),
+            (3, None),
+            (4, "not json"),
+            (5, '{"f": 1.9, "g": 3.0, "s": "x", "t": true}'),
+        ],
         "event_id long, props string",
     )
     df.createOrReplaceTempView("hmcs_events_src")
@@ -68,9 +74,15 @@ def test_udtf_multi_key_props(spark):
         "SELECT e.event_id, t.prop_key, t.prop_val "
         "FROM hmcs_events_src e, LATERAL hmcs_split_props(e.props) t"
     ).collect()
+    # Non-integral floats, strings, and bools map to NULL (CAST-to-
+    # BIGINT oracle semantics); integral floats pass through.
     assert {(r["event_id"], r["prop_key"], r["prop_val"]) for r in out} == {
         (1, "a", 1),
         (1, "b", 2),
+        (5, "f", None),
+        (5, "g", 3),
+        (5, "s", None),
+        (5, "t", None),
     }
 
 

@@ -155,10 +155,11 @@ def test_salted_join_is_shuffled_hash(spark, sf_dir):
 
 
 def test_lineage_iterations_broadcast(spark, sf_dir):
-    """Every closure iteration joins against the broadcast |V|-bounded
-    hop list — no sort-merge join anywhere in the iterative plan."""
+    """The doubling closure runs exactly two rounds (reach≤2, reach≤4),
+    each a join against a broadcast |V|²-bounded reach frame — no
+    sort-merge join anywhere in the iterative plan."""
     plan = physical_plan(OPS["cat_lineage_closure"].fn(spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
 
 

@@ -11,6 +11,8 @@ import tempfile
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from hive_metadata_collect_spark.streaming import streams
 
 
