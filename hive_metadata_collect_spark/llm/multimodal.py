@@ -4,13 +4,16 @@
 Design: media payloads are opaque ``binary`` columns with typed
 metadata travelling beside them; decode / resize / frame-sample run
 as Arrow-batched ``mapInPandas`` stages so bytes never round-trip
-through Python row objects. The image/audio codec libraries are not
-in this container, so the codec call itself is STUBBED: DECODERS maps
-modality → callable, and the default entries raise
-NotImplementedError("codec not installed") — production swaps in
-Pillow/torchaudio/pyav. ``fake_decode`` is a deterministic
-bytes-derived stand-in used by tests to exercise the full Spark
-plumbing (schema, batching, partitioning) end to end.
+through Python row objects. DECODERS maps modality → callable. Two
+modalities have REAL dependency-free decoders for uncompressed
+containers: ``audio`` parses RIFF/WAVE PCM16 (chunk walk → fmt_ +
+data → NumPy int16 → RMS) and ``image`` parses PPM P6 headers — both
+exercised end to end by oracle-checked operators (mm_audio_rms,
+mm_image_dims) over engine-synthesized real containers. ``video``
+stays STUBBED (no compressed-codec library in this container): its
+entry raises NotImplementedError — production swaps in pyav.
+``fake_decode`` is a deterministic bytes-derived stand-in used where
+the test needs a decode result without any container format.
 
 Scale notes: mapInPandas streams Arrow record batches — payload
 bytes cross to Python once per batch, not per row; size
@@ -48,8 +51,77 @@ def _missing_codec(name: str) -> Callable[[bytes], dict]:
     return decode
 
 
-for _m in ("image", "audio", "video"):
-    DECODERS[_m] = _missing_codec(_m)
+def decode_wav(payload: bytes) -> dict:
+    """REAL audio decode for uncompressed RIFF/WAVE PCM16: validate
+    the RIFF/WAVE magic, walk the chunk list to the ``fmt `` and
+    ``data`` chunks, then compute sample stats with one vectorized
+    NumPy pass over the PCM frames. No codec library involved — this
+    is the container math itself, so it runs in any environment."""
+    import struct
+
+    import numpy as np
+
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate = struct.unpack("<HHI", fmt[0:8])
+    (bits,) = struct.unpack("<H", fmt[14:16])
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only PCM16 supported, got fmt={audio_format} bits={bits}")
+    samples = np.frombuffer(data, dtype="<i2").astype(np.float64)
+    rms = float(np.sqrt(np.mean(samples**2))) if samples.size else 0.0
+    return {
+        "sample_rate": int(sample_rate),
+        "n_samples": samples.size // n_channels,
+        "rms": rms,
+    }
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """REAL image decode for binary PPM (P6): parse the ASCII header
+    (magic, width, height, maxval), then account for the raw RGB
+    plane. Dependency-free by construction."""
+    import numpy as np
+
+    if payload[0:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval per spec
+    width, height, maxval = fields
+    pixels = np.frombuffer(payload, dtype=np.uint8, offset=pos)
+    if pixels.size != width * height * 3:
+        raise ValueError("pixel plane size mismatch")
+    return {
+        "width": width,
+        "height": height,
+        "maxval": maxval,
+        "mean_pixel": float(pixels.mean()) if pixels.size else 0.0,
+    }
+
+
+DECODERS["audio"] = decode_wav
+DECODERS["image"] = decode_ppm
+DECODERS["video"] = _missing_codec("video")
 
 
 def fake_decode(payload: bytes) -> dict:
@@ -253,4 +325,173 @@ def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(g > 224, F.floor(F.col("height") * 224 / g))
         .otherwise(F.col("height").cast("long"))
         .alias("out_h"),
+    )
+
+
+def _synth_wav_payloads(df: DataFrame) -> DataFrame:
+    """Build REAL RIFF/WAVE PCM16 containers, one per doc_id, inside
+    an Arrow batch stage. Waveform is a closed-form function of
+    (doc_id, i) so an oracle can re-derive the decoded stats without
+    ever seeing the bytes: n = 64 + doc_id % 128 samples of
+    s_i = ((doc_id·31 + i·7) mod 65536) − 32768 at 16 kHz mono."""
+    import struct
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 64 + doc_id % 128
+                samples = (
+                    (doc_id * 31 + np.arange(n, dtype=np.int64) * 7) % 65536
+                    - 32768
+                ).astype("<i2")
+                data = samples.tobytes()
+                fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+                payload = (
+                    b"RIFF"
+                    + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<I", len(fmt))
+                    + fmt
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                    + data
+                )
+                rows.append({"doc_id": doc_id, "payload": payload})
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id").mapInPandas(batches, schema="doc_id long, payload binary")
+
+
+@register(
+    "mm_audio_rms",
+    survey_row=74,
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               unnest(generate_series(0, 64 + doc_id % 128 - 1)) AS i
+        FROM documents
+    )
+    SELECT doc_id,
+           16000 AS sample_rate,
+           (64 + doc_id % 128)::BIGINT AS n_samples,
+           round(sqrt(avg(pow(((doc_id * 31 + i * 7) % 65536) - 32768, 2))), 4)
+               AS rms
+    FROM s
+    GROUP BY doc_id
+    """,
+)
+def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, oracle-checked end to end: synthesize a
+    genuine RIFF/WAVE PCM16 container per document (Arrow batch
+    stage), run the dependency-free WAV parser registered in
+    DECODERS['audio'] (chunk walk → PCM frames → RMS), and emit
+    (sample_rate, n_samples, rms). The waveform is a closed-form
+    function of (doc_id, sample index), so DuckDB re-derives the same
+    stats from arithmetic alone — any header-math, byte-order, or DSP
+    slip in the parser breaks the hash. This is the proof that the
+    binary→mapInPandas→features path runs a real container format,
+    not fake_decode."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = DECODERS["audio"]
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                feats = dec(bytes(payload))
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "sample_rate": feats["sample_rate"],
+                        "n_samples": feats["n_samples"],
+                        "rms": feats["rms"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    d = load_table(spark, sf_dir, "documents")
+    payloads = _synth_wav_payloads(d)
+    feats = payloads.mapInPandas(
+        batches, schema="doc_id long, sample_rate long, n_samples long, rms double"
+    )
+    return feats.select(
+        "doc_id", "sample_rate", "n_samples", F.round("rms", 4).alias("rms")
+    )
+
+
+def _synth_ppm_payloads(df: DataFrame) -> DataFrame:
+    """Build REAL binary PPM (P6) images, one per doc_id: w = 1 +
+    doc_id % 16, h = 1 + (doc_id·7) % 16, pixel k = (doc_id + k) mod
+    256 — closed-form, so the decode is oracle-derivable."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 1 + doc_id % 16
+                h = 1 + (doc_id * 7) % 16
+                pixels = (
+                    (doc_id + np.arange(w * h * 3, dtype=np.int64)) % 256
+                ).astype(np.uint8)
+                payload = f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+                rows.append({"doc_id": doc_id, "payload": payload})
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id").mapInPandas(batches, schema="doc_id long, payload binary")
+
+
+@register(
+    "mm_image_dims",
+    survey_row=74,
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               unnest(generate_series(
+                   0, (1 + doc_id % 16) * (1 + (doc_id * 7) % 16) * 3 - 1)) AS k
+        FROM documents
+    )
+    SELECT doc_id,
+           (1 + doc_id % 16)::BIGINT AS width,
+           (1 + (doc_id * 7) % 16)::BIGINT AS height,
+           round(avg((doc_id + k) % 256), 4) AS mean_pixel
+    FROM s
+    GROUP BY doc_id
+    """,
+)
+def mm_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-checked: synthesize genuine P6 PPM
+    bytes per document, parse them with the dependency-free PPM header
+    decoder registered in DECODERS['image'], emit (width, height,
+    mean_pixel). Same proof shape as mm_audio_rms for the image
+    modality."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = DECODERS["image"]
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                feats = dec(bytes(payload))
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": feats["width"],
+                        "height": feats["height"],
+                        "mean_pixel": feats["mean_pixel"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    d = load_table(spark, sf_dir, "documents")
+    payloads = _synth_ppm_payloads(d)
+    feats = payloads.mapInPandas(
+        batches, schema="doc_id long, width long, height long, mean_pixel double"
+    )
+    return feats.select(
+        "doc_id", "width", "height", F.round("mean_pixel", 4).alias("mean_pixel")
     )

@@ -202,3 +202,64 @@ def test_hll_union_within_5pct(spark, sf_dir):
         .collect()
     ):
         assert abs(est[row["l_returnflag"]] - row["n"]) <= 0.05 * max(row["n"], 20)
+
+
+def test_wav_decoder_known_bytes():
+    """decode_wav on a hand-assembled 3-sample PCM16 mono WAV."""
+    import struct
+
+    import math
+
+    from hive_metadata_collect_spark.llm.multimodal import decode_wav
+
+    samples = (100, -200, 300)
+    data = struct.pack("<3h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    payload = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    out = decode_wav(payload)
+    assert out["sample_rate"] == 8000
+    assert out["n_samples"] == 3
+    expected = math.sqrt(sum(s * s for s in samples) / 3)
+    assert abs(out["rms"] - expected) < 1e-9
+
+
+def test_wav_decoder_rejects_garbage():
+    import pytest as _pytest
+
+    from hive_metadata_collect_spark.llm.multimodal import decode_wav
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"not a wav at all........")
+
+
+def test_ppm_decoder_known_bytes():
+    from hive_metadata_collect_spark.llm.multimodal import decode_ppm
+
+    payload = b"P6\n2 3\n255\n" + bytes(range(18))
+    out = decode_ppm(payload)
+    assert (out["width"], out["height"], out["maxval"]) == (2, 3, 255)
+    assert abs(out["mean_pixel"] - sum(range(18)) / 18) < 1e-9
+
+
+def test_ppm_decoder_rejects_truncated():
+    import pytest as _pytest
+
+    from hive_metadata_collect_spark.llm.multimodal import decode_ppm
+
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P6\n4 4\n255\n" + bytes(5))
+
+
+def test_video_decoder_still_stubbed():
+    """The video modality has no real container parser here — its
+    DECODERS entry must keep raising with an actionable message."""
+    import pytest as _pytest
+
+    from hive_metadata_collect_spark.llm.multimodal import DECODERS
+
+    with _pytest.raises(NotImplementedError):
+        DECODERS["video"](b"\x00\x00\x00\x18ftypmp42")
