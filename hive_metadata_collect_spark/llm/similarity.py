@@ -19,7 +19,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 from hive_metadata_collect_spark.registry import register
 from hive_metadata_collect_spark.sources.fixtures import load_table
@@ -162,47 +162,89 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RP_TABLES = 4  # OR-amplified single-hash tables, as ml's BRP-LSH uses
+
+
+def _rp_bucket_udf(planes, radius: float):
+    """pandas UDF mapping an embedding to its _RP_TABLES random-
+    projection bucket ids in one NumPy matmul: unit-normalize the
+    batch, project onto the seeded hyperplanes, floor-divide by the
+    bucket length. Returns array<bigint> (one id per table)."""
+    P = planes.T  # (dim, tables)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def buckets(e: pd.Series) -> pd.Series:
+        E = np.vstack(e.to_numpy()).astype(np.float64)
+        U = E / np.linalg.norm(E, axis=1, keepdims=True)
+        B = np.floor(U @ P / radius).astype(np.int64)
+        return pd.Series(list(B))
+
+    return buckets
+
+
+@F.pandas_udf(DoubleType())
+def _pair_cosine(ea: pd.Series, eb: pd.Series) -> pd.Series:
+    """Exact cosine over candidate pairs, one einsum per Arrow batch."""
+    A = np.vstack(ea.to_numpy()).astype(np.float64)
+    B = np.vstack(eb.to_numpy()).astype(np.float64)
+    num = np.einsum("ij,ij->i", A, B)
+    den = np.sqrt(
+        np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B)
+    )
+    return pd.Series(num / den)
+
+
 @register("sim_pairs_lsh", survey_row=70, oracle=None)
 def sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-projection LSH candidate generation + exact re-rank —
-    the 100 TB path for #70.
+    the 100 TB path for #70, expressed natively (no ML-lib UDF join).
 
     L2-normalize vectors so euclidean distance encodes cosine
-    (d² = 2 − 2·cos ⇒ cos ≥ τ ⇔ d ≤ √(2−2τ)), bucket with
-    BucketedRandomProjectionLSH (seeded), approxSimilarityJoin at
-    that radius, then compute exact cosine on the candidates only.
-    Approximate recall → rows-only driver check; recall vs the exact
-    operator is asserted in tests/test_edge_cases.py.
+    (d² = 2 − 2·cos ⇒ cos ≥ τ ⇔ d ≤ √(2−2τ)); hash each vector into
+    4 seeded random-projection tables (one vectorized NumPy matmul
+    per Arrow batch); self-join on (table, bucket id) — candidate
+    volume scales with corpus × tables, never corpus²; then exact
+    cosine on the deduped candidates only, keeping pairs ≥ τ (so
+    false candidates never survive — approx ⊆ exact, asserted in
+    tests/test_edge_cases.py along with recall vs the exact op).
+    Approximate recall → rows-only driver check.
     """
     import math
 
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-    unit = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double") / norm).alias("unit"),
-    ).select("vec_id", array_to_vector("unit").alias("features"), "unit")
-
+    rng = np.random.default_rng(42)
     radius = math.sqrt(2 - 2 * _COSINE_TAU)
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features", outputCol="buckets", bucketLength=radius, numHashTables=4, seed=42
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+    planes = rng.standard_normal((_RP_TABLES, dim))
+    buckets = _rp_bucket_udf(planes, radius)
+
+    hashed = emb.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(buckets("embedding")).alias("table", "bucket"),
     )
-    model = lsh.fit(unit)
-    pairs = model.approxSimilarityJoin(unit, unit, radius, distCol="dist")
-    # exact cosine of unit vectors = dot product; re-rank candidates
-    cos = _dot(F.col("datasetA.unit"), F.col("datasetB.unit"))
+    a = hashed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        "table",
+        "bucket",
+    )
+    b = hashed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        "table",
+        "bucket",
+    )
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "emb_a", "emb_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
     return (
-        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
-        .withColumn("cosine_raw", cos)
+        cand.withColumn("cosine_raw", _pair_cosine("emb_a", "emb_b"))
         .filter(F.col("cosine_raw") >= _COSINE_TAU)
-        .select(
-            F.col("datasetA.vec_id").alias("vec_a"),
-            F.col("datasetB.vec_id").alias("vec_b"),
-            F.round("cosine_raw", 6).alias("cosine"),
-        )
+        .select("vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine"))
     )
 
 
