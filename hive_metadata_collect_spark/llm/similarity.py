@@ -1,15 +1,18 @@
-"""Embedding similarity search — SURVEY.md §2.11 (#69, #70) plus the
-random-projection LSH scale path.
+"""Embedding similarity search — SURVEY.md §2.11 (#69, #70) plus
+three ANN scale paths: random-projection LSH, IVF, and product
+quantization.
 
-Scale notes: the brute-force paths compute dot products as Catalyst
-expressions (zip_with + aggregate — JVM-side, codegen'd, no Python).
-Per-vector norms are computed once in a narrow projection before any
-join. #69 (one query vs corpus) is embarrassingly parallel — a 1-row
-broadcast against the corpus scan; that shape holds at any corpus
-size. #70 (all pairs ≥ τ) is inherently quadratic — fine to SF-scale,
-but the 100 TB path is sim_pairs_lsh: normalize → random-projection
-bucketing (BucketedRandomProjectionLSH) → exact re-rank of candidates
-only.
+Scale notes: dense numeric kernels run as scalar pandas UDFs (one
+NumPy matmul/einsum per Arrow batch — the sanctioned vectorized-
+Python path); the exact pairwise oracle path keeps the element-order
+Catalyst `_dot` so rounded results match DuckDB exactly. #69 (one
+query vs corpus) is embarrassingly parallel — a scan + per-batch
+matvec + TakeOrderedAndProject; that shape holds at any corpus size.
+#70 (all pairs ≥ τ) is inherently quadratic — fine to SF-scale; the
+100 TB paths bound candidates structurally: sim_pairs_lsh (seeded
+hyperplane buckets → exact re-rank), sim_topk_ivf (k-means lists →
+probe pruning), sim_topk_pq (16×-compressed codes → ADC table lookup
+→ exact re-rank).
 """
 
 from __future__ import annotations
@@ -19,7 +22,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, DoubleType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
 
 from hive_metadata_collect_spark.registry import register
 from hive_metadata_collect_spark.sources.fixtures import load_table
@@ -328,4 +331,132 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("label", F.posexplode("embedding").alias("pos", "val"))
         .groupBy("label", (F.col("pos") + 1).alias("dim"))
         .agg(F.round(F.avg("val"), 6).alias("centroid"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — third ANN path beside LSH and IVF.
+
+_PQ_M = 8  # sub-vectors per embedding
+_PQ_K = 16  # centroids per sub-codebook
+_PQ_TRAIN_MAX = 2048  # codebook training sample cap (driver-side)
+_PQ_CAND = 100  # ADC candidates re-ranked exactly
+
+
+def _pq_train_codebooks(vectors):
+    """Train the M sub-codebooks with a deterministic seeded Lloyd's
+    k-means over the (≤ _PQ_TRAIN_MAX) sample. PQ codebooks are
+    O(M·K·dim/M) floats trained from a tiny sample by design — at
+    100 TB the sample stays this size while encoding scales out, so
+    driver-side training is the production shape, not a shortcut."""
+    X = np.asarray(vectors, dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    d_sub = X.shape[1] // _PQ_M
+    rng = np.random.default_rng(42)
+    books = []
+    for m in range(_PQ_M):
+        S = X[:, m * d_sub : (m + 1) * d_sub]
+        C = S[rng.choice(len(S), size=_PQ_K, replace=False)]
+        for _ in range(10):  # fixed iterations → deterministic
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for k in range(_PQ_K):
+                members = S[assign == k]
+                if len(members):
+                    C[k] = members.mean(axis=0)
+        books.append(C)
+    return books  # list of (K, d_sub) arrays
+
+
+def _pq_encode_udf(books):
+    """pandas UDF: embedding → its M PQ codes (nearest sub-centroid
+    per block), one vectorized distance computation per Arrow batch."""
+    d_sub = books[0].shape[1]
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(e: pd.Series) -> pd.Series:
+        E = np.vstack(e.to_numpy()).astype(np.float64)
+        E = E / np.linalg.norm(E, axis=1, keepdims=True)
+        codes = np.empty((len(E), _PQ_M), dtype=np.int32)
+        for m in range(_PQ_M):
+            S = E[:, m * d_sub : (m + 1) * d_sub]
+            d2 = ((S[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+            codes[:, m] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def _pq_adc_udf(table):
+    """pandas UDF: PQ codes → approximate query dot product via the
+    precomputed asymmetric-distance (ADC) lookup table (M×K)."""
+
+    @F.pandas_udf(DoubleType())
+    def adc(codes: pd.Series) -> pd.Series:
+        C = np.vstack(codes.to_numpy()).astype(np.int64)  # (n, M)
+        scores = table[np.arange(_PQ_M)[:, None], C.T].sum(axis=0)
+        return pd.Series(scores)
+
+    return adc
+
+
+@register("sim_topk_pq", survey_row=69, oracle=None)
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-10 for vec_id=0 — the compressed
+    third scale path for #69 beside LSH (sim_pairs_lsh) and IVF
+    (sim_topk_ivf).
+
+    Pipeline: unit-normalize → split each vector into M=8 sub-vectors
+    → per-block codebook of K=16 centroids (seeded sample-trained
+    k-means; the codebook is tiny by construction and ships to
+    executors inside the encode UDF closure) → every corpus vector
+    compresses to M one-byte codes (16× smaller than the floats — the
+    point of PQ at 100 TB: the candidate scan reads codes, not
+    vectors) → query scoring is a table lookup: ADC table[m][k] =
+    q_m · c_mk, approx dot = Σ_m table[m][code_m] → top-_PQ_CAND by
+    ADC score re-ranked with exact cosine, emit top 10. Approximate
+    (quantization error) → rows-only driver check; recall vs the
+    exact operator is asserted in tests/test_edge_cases.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Deterministic hash-sampled codebook training set (same sampling
+    # idiom as scan_hash_sample — stable under repartition/rerun).
+    sample_rows = (
+        emb.select("vec_id", "embedding")
+        .filter(
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+            ).cast("bigint")
+            % 4
+            == 0
+        )
+        .limit(_PQ_TRAIN_MAX)
+        .collect()
+    )
+    books = _pq_train_codebooks([r["embedding"] for r in sample_rows])
+
+    qv = np.asarray(_query_vector(spark, sf_dir, 0), dtype=np.float64)
+    qu = qv / np.linalg.norm(qv)
+    d_sub = len(qu) // _PQ_M
+    table = np.stack(
+        [books[m] @ qu[m * d_sub : (m + 1) * d_sub] for m in range(_PQ_M)]
+    )  # (M, K) of sub-dot-products
+
+    encode = _pq_encode_udf(books)
+    adc = _pq_adc_udf(table)
+    coded = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", "label", "embedding", encode("embedding").alias("codes")
+    )
+    cand = (
+        coded.withColumn("adc_score", adc("codes"))
+        .orderBy(F.col("adc_score").desc(), F.col("vec_id").asc())
+        .limit(_PQ_CAND)
+    )
+    cos = _cosine_vs_query_udf(qv)
+    return (
+        cand.select(
+            "vec_id", "label", F.round(cos("embedding"), 6).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
     )

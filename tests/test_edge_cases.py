@@ -263,3 +263,12 @@ def test_video_decoder_still_stubbed():
 
     with _pytest.raises(NotImplementedError):
         DECODERS["video"](b"\x00\x00\x00\x18ftypmp42")
+
+
+def test_pq_recall_vs_exact(spark, sf_dir):
+    """PQ ANN must recover most of the exact top-10 after ADC
+    candidate generation + exact re-rank."""
+    exact = [r["vec_id"] for r in OPS["sim_topk_cosine"].fn(spark, sf_dir).collect()]
+    approx = [r["vec_id"] for r in OPS["sim_topk_pq"].fn(spark, sf_dir).collect()]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.5, f"PQ recall too low: {recall:.2f}"
