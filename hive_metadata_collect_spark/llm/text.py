@@ -256,3 +256,53 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(20)
     )
+
+
+@register(
+    "text_unigram_logprob",
+    survey_row=72,
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ),
+    freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT sum(c)::DOUBLE AS t FROM freq)
+    SELECT doc_id,
+           count(*)::BIGINT AS n_tokens,
+           round(avg(log10(c / t)), 6) AS avg_logprob
+    FROM tok JOIN freq USING (w), tot
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram log-probability per document — the
+    frequency-based fluency/quality proxy of a training-data pipeline
+    (documents full of corpus-rare tokens score low; perplexity's
+    cheap unigram cousin).
+
+    Two-pass shape: pass 1 builds the unigram model (token → count,
+    one partially-aggregated shuffle; the model is |vocab|-bounded),
+    pass 2 joins it back onto the exploded token stream and averages
+    log10 p(w) per document. The model join is left to AQE: at
+    fixture scale the vocab broadcasts; at web scale a natural-
+    language vocab still tops out in the low millions of rows —
+    broadcastable — while a truly unbounded key space (URLs, ids)
+    degrades gracefully to a shuffled join on the token key."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").cast("double").alias("t"))
+    return (
+        tok.join(freq, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log10(F.col("c") / F.col("t"))), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )
