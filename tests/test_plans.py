@@ -170,3 +170,33 @@ def test_hof_ops_stay_jvm_side(spark, sf_dir):
     for name in ("fn_array_hof", "text_bigram_topk", "fn_map_hof"):
         plan = physical_plan(OPS[name].fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_native_lsh_plans_have_no_cartesian(spark, sf_dir):
+    """Both native LSH candidate generators must join on (band/table,
+    key) — a cartesian/nested-loop product would mean the bucket keys
+    fell out of the join condition."""
+    for name in ("dedup_near_minhash_lsh", "sim_pairs_lsh"):
+        plan = physical_plan(OPS[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name  # Arrow only
+
+
+def test_cosine_topk_is_take_ordered_arrow(spark, sf_dir):
+    """The brute-force cosine top-k must stay scan → Arrow-batched
+    UDF → TakeOrderedAndProject: no shuffle of the corpus, no
+    row-at-a-time Python."""
+    plan = physical_plan(OPS["sim_topk_cosine"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_unigram_model_agg_is_two_phase(spark, sf_dir):
+    """The unigram model build and the per-doc rollup must both run
+    partial (map-side) aggregation before their shuffles."""
+    plan = physical_plan(OPS["text_unigram_logprob"].fn(spark, sf_dir))
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
