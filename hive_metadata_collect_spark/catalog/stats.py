@@ -629,3 +629,78 @@ def cat_scd2_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cur.c_acctbal").alias("old_bal"),
         F.col("inc.c_acctbal").alias("new_bal"),
     )
+
+
+@register(
+    "cat_metastore_denorm",
+    survey_row=61,
+    oracle=" ".join(
+        [
+            "WITH cols AS (SELECT table_name, count(*)::BIGINT AS n_columns",
+            "FROM information_schema.columns WHERE table_name IN (",
+            ",".join(f"'{t}'" for t in TABLES),
+            ") GROUP BY table_name), counts AS (",
+            " UNION ALL ".join(
+                f"SELECT '{t}' AS table_name, count(*) AS n_rows FROM {t}"
+                for t in TABLES
+            ),
+            ") SELECT 'default' AS db_name, c.table_name,",
+            "'parquet' AS storage_format, c.n_columns, n.n_rows",
+            "FROM cols c JOIN counts n USING (table_name)",
+        ]
+    ),
+)
+def cat_metastore_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference-shape query: the Hive-metastore denormalization
+    join. A metadata collector's core output is the flat table
+    inventory produced by joining DBS ⋈ TBLS ⋈ SDS ⋈ (COLUMNS_V2
+    rolled up per descriptor) ⋈ row counts; here the metastore-shaped
+    frames are built in-engine from the fixture catalog itself (DBS/
+    TBLS/SDS are metadata literals; COLUMNS_V2 comes from parquet
+    footers — no data scan; counts come from the distributed
+    partial-count union, the same plan as scan_count).
+
+    At 100 TB the dimension frames are metastore-RDBMS reads via
+    spark.read.jdbc and stay broadcast-size by construction (a catalog
+    has thousands of tables, not billions), while the only data-scale
+    work — row counts — is already distributed. The oracle re-derives
+    the identical inventory from DuckDB's information_schema plus
+    per-table counts."""
+    from functools import reduce
+
+    dbs = spark.createDataFrame([(1, "default")], "db_id int, db_name string")
+    tbls = spark.createDataFrame(
+        [(i + 1, 1, t, i + 1) for i, t in enumerate(TABLES)],
+        "tbl_id int, db_id int, table_name string, sd_id int",
+    )
+    sds = spark.createDataFrame(
+        [(i + 1, "parquet", i + 1) for i in range(len(TABLES))],
+        "sd_id int, storage_format string, cd_id int",
+    )
+    columns_v2 = spark.createDataFrame(
+        [
+            (i + 1, f.name, f.dataType.simpleString(), j)
+            for i, t in enumerate(TABLES)
+            for j, f in enumerate(load_table(spark, sf_dir, t).schema.fields)
+        ],
+        "cd_id int, column_name string, type_name string, integer_idx int",
+    )
+    counts = reduce(
+        DataFrame.unionAll,
+        [
+            load_table(spark, sf_dir, t).agg(
+                F.lit(t).alias("table_name"), F.count(F.lit(1)).alias("n_rows")
+            )
+            for t in TABLES
+        ],
+    )
+    col_rollup = columns_v2.groupBy("cd_id").agg(
+        F.count(F.lit(1)).alias("n_columns")
+    )
+    return (
+        dbs.join(tbls, "db_id")
+        .join(sds, "sd_id")
+        .join(col_rollup, "cd_id")
+        .join(counts, "table_name")
+        .select("db_name", "table_name", "storage_format", "n_columns", "n_rows")
+    )
