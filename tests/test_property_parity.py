@@ -338,3 +338,56 @@ def test_lineitem_op_parity_on_generated_data(spark, name, rows):
         con.close()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- container-parser roundtrips (no Spark needed) ---------------------
+
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=400
+    ),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_decode_roundtrip_property(samples, rate):
+    """decode_wav(synth(samples)) must recover rate, count, and the
+    exact float64 RMS for arbitrary PCM16 content."""
+    import math
+    import struct
+
+    from hive_metadata_collect_spark.llm.multimodal import decode_wav
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    payload = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    out = decode_wav(payload)
+    assert out["sample_rate"] == rate
+    assert out["n_samples"] == len(samples)
+    expected = math.sqrt(sum(float(s) * s for s in samples) / len(samples))
+    assert abs(out["rms"] - expected) <= 1e-9 * max(1.0, expected)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=32),
+    h=st.integers(min_value=1, max_value=32),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_ppm_decode_roundtrip_property(w, h, seed):
+    """decode_ppm(synth P6) must recover dims and the exact pixel mean
+    for arbitrary geometry and content."""
+    import numpy as np
+
+    from hive_metadata_collect_spark.llm.multimodal import decode_ppm
+
+    rng = np.random.default_rng(seed)
+    pixels = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8)
+    payload = f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+    out = decode_ppm(payload)
+    assert (out["width"], out["height"], out["maxval"]) == (w, h, 255)
+    assert abs(out["mean_pixel"] - float(pixels.mean())) <= 1e-12
