@@ -58,10 +58,28 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int = 32):
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine configs to an externally created
     session (the driver harness owns its own SparkSession; ``queries()``
-    callables go through here so results are deterministic anyway)."""
+    callables go through here so results are deterministic anyway).
+
+    Besides the correctness pin (UTC), this applies the SQL confs that
+    ARE runtime-settable and dominate plain-session local-mode cost:
+    a plain session defaults to 200 shuffle partitions, and even with
+    AQE coalescing the per-task overhead makes the same query suite
+    ~3× slower than at 32 (measured local[8], sf0.01). On a real
+    cluster the driver-set value would stay high and AQE coalesces —
+    these numbers are the local[32] profile, same reasoning as
+    ``configure``.
+    """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    try:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-    except Exception:
-        pass  # non-runtime-settable on some builds; harmless
+    for key, val in (
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE", "32")),
+        ("spark.sql.files.maxPartitionBytes", "32m"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(key, val)
+        except Exception:
+            pass  # non-runtime-settable on some builds; harmless
     return spark
