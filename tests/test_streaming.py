@@ -191,3 +191,87 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, checkpoint):
         tuple(r) for r in ops["stream_stream_join"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_rate_source_live_microbatches(spark, checkpoint):
+    """A genuinely unbounded source (rate), not file-replay: run a
+    windowed count over live micro-batches and stop — proves the
+    engine's streaming path works against a source that never ends,
+    which availableNow file-replay can't show."""
+    sdf = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "500")
+        .load()
+        .withWatermark("timestamp", "1 second")
+        .groupBy(F.window("timestamp", "1 second"), (F.col("value") % 5).alias("k"))
+        .count()
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("rate_counts")
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    try:
+        deadline = __import__("time").time() + 30
+        rows = 0
+        while __import__("time").time() < deadline:
+            q.processAllAvailable()
+            rows = spark.sql("SELECT count(*) AS n FROM rate_counts").collect()[0]["n"]
+            if rows > 0 and q.lastProgress and q.lastProgress["batchId"] >= 2:
+                break
+            __import__("time").sleep(0.5)
+        assert rows > 0, "no rows after 30s of rate-source micro-batches"
+        assert q.lastProgress["batchId"] >= 1
+    finally:
+        q.stop()
+
+
+def test_checkpoint_recovery_no_duplicates(spark, sf_dir, checkpoint, tmp_path):
+    """Exactly-once across restart: run half the input, stop, append
+    the other half, restart from the SAME checkpoint — the final
+    per-key counts must equal the batch counts over the full input
+    (no double counting of the first half)."""
+    import shutil
+
+    from hive_metadata_collect_spark.sources.fixtures import load_table
+
+    src_dir = str(tmp_path / "incoming")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    first.write.mode("overwrite").parquet(src_dir)
+
+    def start():
+        sdf = (
+            spark.readStream.schema(ev.schema)
+            .parquet(src_dir)
+            .groupBy("event_type")
+            .count()
+        )
+        return (
+            sdf.writeStream.format("memory")
+            .queryName("ckpt_counts")
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    q.awaitTermination(120)
+    # append the second half, restart from the same checkpoint
+    second.write.mode("append").parquet(src_dir)
+    q = start()
+    q.awaitTermination(120)
+    got = {
+        r["event_type"]: r["count"]
+        for r in spark.sql("SELECT * FROM ckpt_counts").collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want, f"restart broke exactly-once: {got} != {want}"
+    shutil.rmtree(src_dir, ignore_errors=True)
