@@ -704,3 +704,45 @@ def cat_metastore_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(counts, "table_name")
         .select("db_name", "table_name", "storage_format", "n_columns", "n_rows")
     )
+
+
+@register(
+    "cat_partition_listing",
+    survey_row=63,
+    oracle="""
+    SELECT ts::DATE AS event_date, count(*) AS n_rows
+    FROM events
+    WHERE ts::DATE BETWEEN DATE '2024-01-05' AND DATE '2024-01-25'
+    GROUP BY 1
+    """,
+)
+def cat_partition_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION_KEY_VALS-style partition inventory: write the event
+    stream date-partitioned (one directory per day), read it back, and
+    list one row per partition with its row count — the partition
+    values come from DIRECTORY DISCOVERY (Spark's partition-column
+    reconstruction), not from the data pages, which is exactly where a
+    catalog's partition listing comes from in a Hive layout. The date
+    range predicate prunes at the listing level (PartitionFilters), so
+    the scan never opens out-of-range directories; the oracle
+    re-derives the same inventory from the raw stream."""
+    import os as _os
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    repo_root = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    target = _os.path.join(
+        repo_root,
+        ".scratch",
+        f"part_listing_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(target)
+    back = spark.read.parquet(target)
+    return (
+        back.filter(F.col("event_date").between("2024-01-05", "2024-01-25"))
+        .groupBy("event_date")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

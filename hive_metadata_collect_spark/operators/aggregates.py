@@ -487,3 +487,24 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_customers"),
     )
+
+
+@register("agg_approx_percentiles", survey_row=27, oracle=None)
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch twin of agg_percentiles: per-group p50/p90
+    via approx_percentile (KLL-style sketch, relative accuracy set by
+    the third argument). Exact percentile fully sorts each group's
+    values; the sketch is map-side combinable, so the shuffle carries
+    one bounded sketch per group per task — the only formulation that
+    holds at 100 TB group sizes. Approximate → rows-only driver check;
+    the error bound vs the exact operator is asserted in
+    tests/test_edge_cases.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile(F.col("l_quantity"), F.lit(0.5), F.lit(10000)).alias(
+            "p50_approx"
+        ),
+        F.approx_percentile(F.col("l_quantity"), F.lit(0.9), F.lit(10000)).alias(
+            "p90_approx"
+        ),
+    )

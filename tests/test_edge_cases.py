@@ -272,3 +272,21 @@ def test_pq_recall_vs_exact(spark, sf_dir):
     approx = [r["vec_id"] for r in OPS["sim_topk_pq"].fn(spark, sf_dir).collect()]
     recall = len(set(exact) & set(approx)) / len(exact)
     assert recall >= 0.5, f"PQ recall too low: {recall:.2f}"
+
+
+def test_approx_percentiles_within_bound(spark, sf_dir):
+    """Sketch percentiles must land within one quantile step of the
+    exact interpolated values (accuracy 10000 → ~1e-4 rank error;
+    l_quantity is integer-valued 1..50, so allow one unit)."""
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p90"])
+        for r in OPS["agg_percentiles"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r["l_returnflag"]: (r["p50_approx"], r["p90_approx"])
+        for r in OPS["agg_approx_percentiles"].fn(spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for k in exact:
+        assert abs(exact[k][0] - approx[k][0]) <= 1.0, (k, exact[k], approx[k])
+        assert abs(exact[k][1] - approx[k][1]) <= 1.0, (k, exact[k], approx[k])
