@@ -1,0 +1,97 @@
+"""The collector product surface: run the catalog operator family and
+PERSIST the metadata artifacts — the analog of a Hive metadata
+collector's main() (collect → write inventory tables → optionally diff
+against yesterday's snapshot).
+
+Usage (also exposed as ``python -m hive_metadata_collect_spark.collect``):
+
+    from hive_metadata_collect_spark.collector import run_collection
+    manifest = run_collection(spark, sf_dir, out_dir)
+
+Scale notes: each artifact is an independent catalog query whose
+output is |catalog|-bounded (tables × columns × partitions × days),
+so every write here is small regardless of data scale; the heavy
+lifting (counts, heat, lineage) happens inside the already
+scale-shaped operators. Artifacts are written as parquet snapshot
+directories so the NEXT run can diff against them (snapshot_diff) —
+the daily-collection loop of a production catalog.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_metadata_collect_spark import registry
+
+#: artifact name → registry operator producing it. Every entry is an
+#: oracle-gated catalog query (SURVEY.md §2.10).
+ARTIFACTS = {
+    "table_stats": "cat_table_stats",
+    "schema_inventory": "cat_schema_inventory",
+    "metastore_denorm": "cat_metastore_denorm",
+    "partition_freshness": "cat_partition_freshness",
+    "partition_listing": "cat_partition_listing",
+    "table_heat": "cat_table_heat",
+    "cold_tables": "cat_cold_tables",
+    "lineage_2hop": "cat_lineage_2hop",
+    "lineage_closure": "cat_lineage_closure",
+}
+
+
+def run_collection(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> DataFrame:
+    """Run every catalog artifact query and write it under
+    ``out_dir/<artifact>``; return the collection manifest (one row
+    per artifact: name, rows written, output path)."""
+    ops = registry.load_all()
+    rows = []
+    for artifact, op_name in ARTIFACTS.items():
+        target = os.path.join(out_dir, artifact)
+        df = ops[op_name].fn(spark, sf_dir)
+        df.write.mode("overwrite").parquet(target)
+        n = spark.read.parquet(target).count()
+        rows.append((artifact, op_name, n, target))
+    return spark.createDataFrame(
+        rows, "artifact string, operator string, n_rows long, path string"
+    )
+
+
+def snapshot_diff(
+    spark: SparkSession, prev_dir: str, cur_dir: str, artifact: str, key: str
+) -> DataFrame:
+    """Change set between two collection snapshots of one artifact:
+    full outer join on the artifact key → insert / delete / changed /
+    unchanged per row — the incremental-collection step (same shape as
+    cat_scd2_diff, applied to the collector's own outputs)."""
+    prev = spark.read.parquet(os.path.join(prev_dir, artifact))
+    cur = spark.read.parquet(os.path.join(cur_dir, artifact))
+    val_cols = [c for c in cur.columns if c != key]
+    p = prev.select(
+        F.col(key).alias("k"),
+        *[F.col(c).alias(f"prev_{c}") for c in val_cols],
+    )
+    c = cur.select(
+        F.col(key).alias("k"),
+        *[F.col(c).alias(f"cur_{c}") for c in val_cols],
+    )
+    changed = None
+    for col in val_cols:
+        neq = ~(
+            F.col(f"prev_{col}").eqNullSafe(F.col(f"cur_{col}"))
+        )
+        changed = neq if changed is None else (changed | neq)
+    joined = p.join(c, "k", "full_outer")
+    has_prev = F.col(f"prev_{val_cols[0]}").isNotNull() if val_cols else F.lit(True)
+    has_cur = F.col(f"cur_{val_cols[0]}").isNotNull() if val_cols else F.lit(True)
+    return joined.select(
+        F.col("k").alias(key),
+        F.when(~has_prev, "insert")
+        .when(~has_cur, "delete")
+        .when(changed if changed is not None else F.lit(False), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )
