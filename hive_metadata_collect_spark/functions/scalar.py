@@ -607,3 +607,69 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide("l_extendedprice", "l_discount").alias("price_per_disc"),
         F.try_divide("l_quantity", "l_tax").alias("qty_per_tax"),
     )
+
+
+@register(
+    "fn_regexp_suite",
+    survey_row=42,
+    oracle=r"""
+    SELECT doc_id,
+           coalesce(array_to_string(regexp_extract_all(text, '\b[a-z]{6,}'), '|'), '')
+               AS long_words,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+               AS n_digits,
+           regexp_replace(source, '[aeiou]', '*', 'g') AS masked_source,
+           regexp_matches(text, 'data|model')          AS has_keyword
+    FROM documents
+    """,
+)
+def fn_regexp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""Regexp function family: extract-all, count, global replace,
+    rlike. Patterns are kept inside the Java-regex ∩ RE2 common
+    dialect (`\b`, classes, alternation — no backrefs/lookarounds) so
+    the engine and the oracle agree; all four compile to Catalyst
+    string expressions inside whole-stage codegen. The extracted
+    array is stringified (array cells break pandas canonicalizers —
+    r01 lesson)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.regexp_extract_all(F.col("text"), F.lit(r"\b[a-z]{6,}"), 0), "|"
+        ).alias("long_words"),
+        F.regexp_count(F.col("text"), F.lit("[0-9]")).alias("n_digits"),
+        F.regexp_replace("source", "[aeiou]", "*").alias("masked_source"),
+        F.col("text").rlike("data|model").alias("has_keyword"),
+    )
+
+
+@register(
+    "agg_regr_linear",
+    survey_row=27,
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+           regr_count(l_extendedprice, l_quantity)               AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_regr_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares via the SQL-standard regr_*
+    aggregates (slope / intercept / R² / count). Each is a fixed-size
+    moment sketch (sums of x, y, x², xy) — fully map-side combinable,
+    so the shuffle per group is O(1) regardless of group size: the
+    correct way to fit 100 TB of per-segment trend lines. Results are
+    ROUNDed identically on both sides because the moment accumulation
+    order is engine-specific."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).alias("n"),
+    )

@@ -508,3 +508,55 @@ def join_existence_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.col("o_custkey").isNotNull().alias("has_big_order"),
     )
+
+
+@register(
+    "join_null_safe_eq",
+    survey_row=8,
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+        FROM customer
+    ),
+    d AS (
+        SELECT DISTINCT nullif(c_mktsegment, 'BUILDING') AS seg,
+               coalesce(nullif(c_mktsegment, 'BUILDING'), 'UNSEGMENTED')
+                   AS seg_label
+        FROM customer
+    )
+    SELECT d.seg_label, count(*) AS n_customers
+    FROM c JOIN d ON c.seg IS NOT DISTINCT FROM d.seg
+    GROUP BY d.seg_label
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of silently dropping, the semantics
+    dimension-conforming pipelines need when "unknown" is itself a
+    valid bucket. Spark still treats `eqNullSafe` as an equi-join key,
+    so the plan is a normal broadcast/sort-merge hash join — no
+    degeneration to a nested-loop non-equi join, which is what makes
+    this safe at 100 TB (the naive `a = b OR (a IS NULL AND b IS
+    NULL)` disjunction would NOT be recognized as an equi-join).
+
+    The fixture tables carry no NULLs, so both sides derive one with
+    nullif(): BUILDING customers become the NULL bucket and the tiny
+    distinct-segment dim (broadcast by AQE) carries a NULL row that
+    must pair with them.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    left = c.select("c_custkey", seg.alias("seg"))
+    dim = (
+        c.select(seg.alias("seg"))
+        .distinct()
+        .select(
+            "seg",
+            F.coalesce(F.col("seg"), F.lit("UNSEGMENTED")).alias("seg_label"),
+        )
+    )
+    return (
+        left.join(dim, left["seg"].eqNullSafe(dim["seg"]))
+        .groupBy("seg_label")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

@@ -167,3 +167,24 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     b = o.filter(F.col("o_totalprice") > 200000).select("o_custkey")
     return a.intersectAll(b)
+
+
+@register(
+    "set_except_all",
+    survey_row=41,
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL: each left occurrence is cancelled by at
+    most one right occurrence (bag difference). Completes the bag
+    set-op pair with set_intersect_all; like it, Spark plans this as
+    a single hash aggregation counting multiplicities per side — one
+    shuffle on the value, no join."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 200000).select("o_custkey")
+    return a.exceptAll(b)

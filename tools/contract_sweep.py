@@ -1,0 +1,80 @@
+"""Full driver-contract emulation sweep.
+
+Runs every `__spark_entry__.queries()` entry on a PLAIN SparkSession
+(the driver does not use our tuned builder) against its
+`oracle_sql()` twin in DuckDB at the given fixture dir (default
+sf0.01, the driver's CORRECTNESS scale), comparing row count, column
+set, and canonical values — the same contract the per-round
+CORRECTNESS_r{N}.json check enforces. Entries with no oracle get a
+rows-only smoke (runs and returns >= 0 rows).
+
+Usage: python tools/contract_sweep.py [sf_dir] [--only name1,name2]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    sf_dir = "/root/testdata/sf0.01"
+    only = None
+    args = [a for a in sys.argv[1:]]
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    if args:
+        sf_dir = args[0]
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry_mod
+    from hive_metadata_collect_spark.testing import (
+        compare_frames,
+        duck_connection,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("contract-sweep")
+        .getOrCreate()
+    )
+    con = duck_connection(sf_dir)
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    names = [n for n in queries if only is None or n in only]
+
+    t_all = time.time()
+    n_pass = n_rows_only = n_fail = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            df = queries[name](spark, sf_dir)
+            if name in oracles:
+                compare_frames(df, con, oracles[name])
+                n_pass += 1
+                tag = "pass"
+            else:
+                rows = df.count()
+                assert rows >= 0
+                n_rows_only += 1
+                tag = f"rows-only({rows})"
+        except Exception as e:  # noqa: BLE001 - report and continue
+            n_fail += 1
+            tag = f"FAIL: {type(e).__name__}: {str(e)[:300]}"
+        print(f"{name:36s} {time.time() - t0:6.2f}s  {tag}", flush=True)
+
+    print(
+        f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} FAIL "
+        f"of {len(names)} in {time.time() - t_all:.0f}s @ {sf_dir}"
+    )
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
