@@ -718,3 +718,77 @@ def pipeline_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         )
     )
+
+
+_DECON_N = 8  # shingle width for eval-overlap decontamination
+
+
+@register(
+    "pipeline_decontaminate",
+    survey_row=67,
+    oracle=f"""
+    WITH sh AS MATERIALIZED (
+        SELECT doc_id,
+               array_to_string(
+                   (string_split(text, ' '))[i:i+{_DECON_N - 1}], ' ') AS sh
+        FROM documents,
+             unnest(range(1, len(string_split(text, ' ')) - {_DECON_N} + 2))
+                 AS r(i)
+    ),
+    eval_sh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM sh
+        WHERE doc_id % 20 <> 0 AND sh IN (SELECT sh FROM eval_sh)
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id % 20 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination: drop every train document that
+    shares an 8-token shingle with the held-out eval split (doc_id %
+    20 == 0, the same stable hash-bucket idiom as
+    pipeline_train_eval_split). This is the standard benchmark-leak
+    guard run before LLM pretraining.
+
+    Scale shape: shingles are xxhash64-compressed to 8-byte keys
+    before the joins, so the shuffle carries hashes, not text
+    (collision odds ~n²/2⁶⁴ — negligible against corpus sizes, and a
+    collision only over-drops). The eval side is a DISTINCT over the
+    ~5 % split — orders of magnitude smaller than the corpus, so AQE
+    broadcasts it and the contaminated-doc semi-join never shuffles
+    the train shingles. Final step is a left-anti join of the corpus
+    against the contaminated id set; docs shorter than the shingle
+    width produce no shingles, are never contaminated, and survive
+    through the anti-join unharmed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_sh = F.size(toks) - (_DECON_N - 1)
+    idx = F.when(n_sh > 0, F.sequence(F.lit(1), n_sh)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingles = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.xxhash64(F.array_join(F.slice(toks, i, _DECON_N), " ")),
+            )
+        ).alias("sh"),
+    )
+    is_eval = F.col("doc_id") % 20 == 0
+    eval_sh = shingles.filter(is_eval).select("sh").distinct()
+    contaminated = (
+        shingles.filter(~is_eval)
+        .join(eval_sh, "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.filter(~is_eval)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "source", "n_chars")
+    )

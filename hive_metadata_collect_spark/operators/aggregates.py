@@ -508,3 +508,37 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_approx"
         ),
     )
+
+
+@register(
+    "agg_mode_deterministic",
+    survey_row=27,
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag, l_quantity, count(*) AS cnt
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+    )
+    SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_n
+    FROM c
+    QUALIFY row_number() OVER (
+        PARTITION BY l_returnflag ORDER BY cnt DESC, l_quantity ASC) = 1
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with a DETERMINISTIC tie-break (highest count,
+    then smallest value) — built-in `mode()` leaves ties
+    engine-defined in both Spark and DuckDB, so neither side uses it.
+    Two-level shape: count per (group, value) — map-side combinable —
+    then one `max_by` over a (cnt, -value) ordering struct collapses
+    each group to its winner without a window sort. Shuffle volume is
+    the distinct (group, value) pairs, not the raw rows: the right
+    mode plan at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    winner = F.struct(F.col("cnt"), (-F.col("l_quantity")).alias("neg_qty"))
+    return counts.groupBy("l_returnflag").agg(
+        F.max_by(F.col("l_quantity"), winner).alias("mode_qty"),
+        F.max("cnt").alias("mode_n"),
+    )
