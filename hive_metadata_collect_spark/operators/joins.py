@@ -25,6 +25,28 @@ from pyspark.sql import functions as F
 from hive_metadata_collect_spark.registry import register
 from hive_metadata_collect_spark.sources.fixtures import load_table
 
+# Gate threshold for data-derived broadcast candidates: well under the
+# 10 MB autoBroadcastJoinThreshold so only frames Catalyst is *sure*
+# are small get the static hint; everything else is left to AQE's
+# runtime-stat conversion.
+_BROADCAST_GATE_BYTES = 8 << 20
+
+
+def _stats_gated_broadcast(df: DataFrame) -> DataFrame:
+    """Broadcast-hint `df` only if Catalyst's plan-time size estimate
+    fits under the gate.
+
+    An unconditional hint on a fact-derived frame is an OOM risk at
+    scale (the hint overrides all size checks); no hint at all makes
+    AQE materialize the frame's query stage before it can convert the
+    join, an extra serial barrier. The gate gives the best of both:
+    statically planned broadcast when the estimate (file sizes ×
+    filter selectivity — the same stats autoBroadcastJoinThreshold
+    uses) says it's safely small, AQE's accurate runtime decision
+    otherwise."""
+    est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    return F.broadcast(df) if est < _BROADCAST_GATE_BYTES else df
+
 
 @register(
     "join_inner_equi",
@@ -72,14 +94,17 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     so intermediate sizes shrink monotonically; facts-first order
     would join the two biggest tables before any pruning.
 
-    The pre-reduced orders frame is NOT hint-broadcast: it is fact-
-    derived, so its size scales with the data and an unconditional
-    hint would be an OOM risk at 100×. AQE converts the join to
-    broadcast from runtime stats whenever the frame fits (it does at
-    every fixture SF — test_plans.py asserts lineitem never hash-
-    repartitions), and degrades gracefully to a shuffled join when it
-    doesn't. Dim tables (nation, region) stay hint-broadcast: their
-    size is schema-bounded, not data-bounded."""
+    The pre-reduced orders frame is fact-derived, so its size scales
+    with the data and an UNCONDITIONAL broadcast hint would be an OOM
+    risk at 100×. Instead the hint is gated on Catalyst's plan-time
+    size estimate (`_stats_gated_broadcast`): hinted only when the
+    estimate fits comfortably under the broadcast threshold, which
+    skips AQE's extra stage-materialization barrier locally; past the
+    gate, no hint — AQE still converts from accurate runtime stats
+    when possible and degrades to a shuffled join when not
+    (test_plans.py asserts lineitem never hash-repartitions either
+    way). Dim tables (nation, region) stay hint-broadcast: their size
+    is schema-bounded, not data-bounded."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -96,6 +121,7 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_asia = o.join(cust_asia, o.o_custkey == cust_asia.c_custkey).select(
         "o_orderkey", "n_name"
     )
+    o_asia = _stats_gated_broadcast(o_asia)
     return (
         li.join(o_asia, li.l_orderkey == o_asia.o_orderkey)
         .groupBy("n_name")

