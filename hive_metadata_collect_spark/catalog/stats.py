@@ -746,3 +746,56 @@ def cat_partition_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_date")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@register(
+    "cat_column_histogram",
+    survey_row=62,
+    oracle="""
+    WITH vals AS (
+        SELECT 'o_totalprice' AS col_name,
+               least(greatest(CAST(floor(o_totalprice / 25000) AS BIGINT), 0), 23)
+                   AS bucket
+        FROM orders
+        UNION ALL
+        SELECT 'order_doy',
+               least(greatest(CAST(floor(dayofyear(o_orderdate) / 31) AS BIGINT),
+                              0), 11)
+        FROM orders
+    )
+    SELECT col_name, bucket, count(*) AS n
+    FROM vals GROUP BY col_name, bucket
+    """,
+)
+def cat_column_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histograms for several numeric columns in ONE scan:
+    each row explodes into (col_name, bucket) pairs from a fixed
+    per-column spec (lo, width, nbins), then a single groupBy counts.
+    Fixed bucket specs — not data-driven min/max — keep the operator a
+    single pass with no driver round-trip and make histograms from
+    different snapshots comparable, which is what a metadata
+    collector's column-stats store needs. Partial aggregation means
+    the shuffle carries at most |cols|×|buckets| rows per task at any
+    corpus size."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def bucket(val, width, nbins):
+        b = F.floor(val / F.lit(width)).cast("long")
+        return F.least(F.greatest(b, F.lit(0)), F.lit(nbins - 1))
+
+    pairs = F.array(
+        F.struct(
+            F.lit("o_totalprice").alias("col_name"),
+            bucket(F.col("o_totalprice"), 25000, 24).alias("bucket"),
+        ),
+        F.struct(
+            F.lit("order_doy").alias("col_name"),
+            bucket(F.dayofyear("o_orderdate"), 31, 12).alias("bucket"),
+        ),
+    )
+    return (
+        o.select(F.explode(pairs).alias("p"))
+        .select("p.col_name", "p.bucket")
+        .groupBy("col_name", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -792,3 +792,34 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(contaminated, "doc_id", "left_anti")
         .select("doc_id", "source", "n_chars")
     )
+
+
+@register(
+    "dedup_exact_keep_best",
+    survey_row=67,
+    oracle="""
+    WITH ranked AS (
+        SELECT md5(text) AS text_hash, doc_id,
+               row_number() OVER (
+                   PARTITION BY md5(text)
+                   ORDER BY n_chars DESC, doc_id ASC) AS rn,
+               count(*) OVER (PARTITION BY md5(text)) AS n_docs
+        FROM documents
+    )
+    SELECT text_hash, n_docs, doc_id AS keep_doc FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a QUALITY-keep policy: within each byte-equal
+    group, survive the longest document (n_chars), ties to the lowest
+    doc_id — the policy real corpus dedup uses ("keep the best copy"),
+    vs dedup_exact's simpler min-id canon. Single digest groupBy;
+    `max_by` over a (quality, -id) ordering struct picks the winner
+    map-side, so no per-group sort and the shuffle carries one
+    candidate row per (hash, partition)."""
+    d = load_table(spark, sf_dir, "documents")
+    winner = F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max_by("doc_id", winner).alias("keep_doc"),
+    )

@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
 
@@ -459,4 +459,80 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(10)
+    )
+
+
+_KNN_BATCH_K = 5
+
+
+def _pairwise_cosine_udf():
+    """Scalar pandas UDF: cosine between two array columns, one
+    vectorized einsum per Arrow batch (no per-row Python)."""
+
+    @F.pandas_udf(DoubleType())
+    def cos2(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.vstack(a.to_numpy()).astype(np.float64)
+        B = np.vstack(b.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.sqrt(
+            np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B)
+        )
+        return pd.Series(num / den)
+
+    return cos2
+
+
+@register(
+    "sim_knn_batch",
+    survey_row=69,
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+               FROM embeddings WHERE vec_id % 100 = 0),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS e
+               FROM embeddings WHERE vec_id % 100 <> 0)
+    SELECT q_id, vec_id,
+           round(list_dot_product(e, qe) /
+                 sqrt(list_dot_product(e, e) * list_dot_product(qe, qe)),
+                 6) AS cosine
+    FROM c, q
+    QUALIFY row_number() OVER (
+        PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC)
+        <= {_KNN_BATCH_K}
+    """,
+)
+def sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN for a BATCH of query vectors (vec_id % 100 == 0)
+    against the rest of the corpus — the bulk-retrieval shape (dedup
+    of a new shard against an index, batch eval probes) as opposed to
+    sim_topk_cosine's single online query.
+
+    The query side is structurally tiny (a fixed probe set), so it is
+    broadcast and the corpus scan fans each row out to |Q| scored
+    pairs — the corpus itself never shuffles for the join. Scoring is
+    one einsum per Arrow batch. Top-k per query then runs as a window
+    rank over q_id: the only shuffle is |corpus|×|Q| narrow score
+    rows hashed across |Q| groups. At larger |Q|, cap that shuffle
+    with a per-partition partial top-k (mapInPandas heap) before the
+    final rank — same two-phase idea as partial aggregation; at
+    larger corpus, switch to the IVF/PQ paths which prune candidates
+    structurally."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_q = F.col("vec_id") % 100 == 0
+    q = emb.filter(is_q).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.filter(~is_q).select("vec_id", "embedding")
+    cos2 = _pairwise_cosine_udf()
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        "vec_id",
+        F.round(cos2("embedding", "qe"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_BATCH_K)
+        .drop("rn")
     )
