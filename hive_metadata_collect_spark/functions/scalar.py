@@ -673,3 +673,43 @@ def agg_regr_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(y, x), 6).alias("r2"),
         F.regr_count(y, x).alias("n"),
     )
+
+
+@register(
+    "fn_url_suite",
+    survey_row=42,
+    oracle="""
+    SELECT doc_id,
+           source || '.example.com'                       AS host,
+           '/corpus/' || lang || '/' || doc_id            AS path,
+           'ref=' || source                               AS query,
+           source                                         AS ref_param
+    FROM documents
+    """,
+)
+def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url family: HOST / PATH / QUERY / single query-param
+    extraction. The URL is synthesized from fixture columns (the
+    fixtures carry no URL column), so the oracle re-derives every
+    component from the same inputs by construction — the check
+    verifies Spark's parser inverts the synthesis exactly. parse_url
+    is a JVM built-in (java.net.URI under the hood): URL splitting at
+    corpus scale stays inside codegen, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/corpus/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref="),
+        F.col("source"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+    )

@@ -306,3 +306,75 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_bigram_logprob",
+    survey_row=72,
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+               FROM documents),
+    big AS MATERIALIZED (
+        SELECT doc_id, z[1] AS w1, z[2] AS w2
+        FROM w, unnest(list_zip(ws[1:-2], ws[2:])) AS t(z)
+    ),
+    cb AS MATERIALIZED (
+        SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2
+    ),
+    model AS (
+        SELECT w1, w2,
+               log10((cb + 1.0) /
+                     (sum(cb) OVER (PARTITION BY w1) +
+                      (SELECT count(DISTINCT w1) FROM cb))) AS logp
+        FROM cb
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_bigrams,
+           round(avg(logp), 6) AS avg_logprob
+    FROM big JOIN model USING (w1, w2)
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-1-smoothed bigram language-model score per document — the
+    CCNet-style perplexity filter of a pretraining pipeline, one
+    modeling step up from text_unigram_logprob: P(wᵢ|wᵢ₋₁) =
+    (c(wᵢ₋₁wᵢ)+1)/(c(wᵢ₋₁)+V), averaged in log10 per doc. V is the
+    context vocabulary (distinct wᵢ₋₁), so the whole model — pair
+    counts, per-context totals, smoothing denominator, final log-prob
+    — derives from ONE |bigram-vocab|-bounded aggregate of the
+    exploded pair stream: 3 shuffles total (pair counts; the
+    vocab-sized window over them; per-doc average), not a separate
+    pass per model table. Scoring re-joins the finished model onto
+    the pair stream — AQE broadcasts it at fixture scale and degrades
+    to a shuffled join beyond broadcast size. Documents with fewer
+    than two tokens carry no bigram evidence and drop out (an
+    upstream length filter removes them in a real pipeline)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.col("text")), " ")
+    pairs = F.zip_with(
+        F.slice(ws, 1, F.size(ws) - 1),
+        F.slice(ws, 2, F.size(ws) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    v = cb.select(F.countDistinct("w1").cast("double").alias("v"))
+    cu_w = Window.partitionBy("w1")
+    model = cb.crossJoin(F.broadcast(v)).select(
+        "w1",
+        "w2",
+        F.log10(
+            (F.col("cb") + 1.0) / (F.sum("cb").over(cu_w) + F.col("v"))
+        ).alias("logp"),
+    )
+    return (
+        big.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("logp"), 6).alias("avg_logprob"),
+        )
+    )
