@@ -799,3 +799,163 @@ def cat_column_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("col_name", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "cat_key_uniqueness",
+    survey_row=62,
+    oracle="""
+    SELECT 'o_orderkey' AS col_name,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           count(*) AS n_rows,
+           count(DISTINCT o_orderkey) = count(*) AS is_candidate_key
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(DISTINCT o_custkey), count(*),
+           count(DISTINCT o_custkey) = count(*)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(DISTINCT o_orderstatus), count(*),
+           count(DISTINCT o_orderstatus) = count(*)
+    FROM orders
+    """,
+)
+def cat_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key detection: exact distinct-vs-total ratio per
+    column, the uniqueness facet of a column profiler (is_candidate_
+    key=true ⇒ the column can serve as a join/dedup key). All three
+    exact COUNT(DISTINCT)s run in ONE aggregation job — Catalyst
+    rewrites multi-distinct aggregates into a single Expand + 2-level
+    aggregate, so the table is scanned once, not once per column. At
+    100 TB swap approx_count_distinct in for the exact form (one HLL
+    sketch per column, no Expand multiplier) and accept the stated
+    error; the exact form here is what the oracle can check."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ("o_orderkey", "o_custkey", "o_orderstatus")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.countDistinct(c).alias(f"d_{c}") for c in cols],
+    )
+    profile = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"d_{c}").alias("n_distinct"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col(f"d_{c}") == F.col("n_rows")).alias(
+                    "is_candidate_key"
+                ),
+            )
+            for c in cols
+        ]
+    )
+    return agg.select(F.explode(profile).alias("p")).select("p.*")
+
+
+_PR_ITERS = 5
+_PR_DAMP = 0.85
+
+
+def _pagerank_oracle() -> str:
+    """Chained-CTE power iteration (the iteration count is a fixed
+    engine parameter, so the oracle unrolls it instead of fighting
+    recursive-CTE aggregation limits)."""
+    parts = [
+        """
+    edges AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM (
+            SELECT event_type AS src,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS dst
+            FROM events
+        ) WHERE dst IS NOT NULL AND dst <> src
+    ),
+    nodes AS MATERIALIZED (
+        SELECT src AS node FROM edges
+        UNION SELECT dst FROM edges
+    ),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    outdeg AS MATERIALIZED (
+        SELECT src, count(*)::DOUBLE AS deg FROM edges GROUP BY src
+    ),
+    r0 AS (SELECT node, 1.0 / n AS rank FROM nodes, nn)"""
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        parts.append(f""",
+    r{i} AS (
+        SELECT nodes.node,
+               (1.0 - {_PR_DAMP}) / nn.n +
+               {_PR_DAMP} * coalesce(sum(r{i - 1}.rank / outdeg.deg), 0.0)
+                   AS rank
+        FROM nodes CROSS JOIN nn
+        LEFT JOIN edges ON edges.dst = nodes.node
+        LEFT JOIN outdeg ON outdeg.src = edges.src
+        LEFT JOIN r{i - 1} ON r{i - 1}.node = edges.src
+        GROUP BY nodes.node, nn.n
+    )""")
+    parts.append(f"""
+    SELECT node AS entity, round(rank, 8) AS pagerank
+    FROM r{_PR_ITERS}""")
+    return "WITH " + "".join(parts)
+
+
+@register("cat_lineage_pagerank", survey_row=66, oracle=_pagerank_oracle())
+def cat_lineage_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the entity-transition lineage graph — the
+    "table importance" score a catalog ranks search results and
+    deprecation candidates by. Edges are consecutive-event
+    transitions per user (event_type → next event_type), the same
+    query-flow signal a metastore's audit log yields.
+
+    Power iteration as a fixed driver loop of distributed joins (the
+    loop builds plans, never moves rows — same idiom as
+    cat_lineage_closure): each of the 5 iterations is one
+    edges⋈ranks join + a per-dst partial-agg sum. The rank and
+    degree frames are |V|-bounded — broadcast-size at any corpus
+    scale, since V is the table/entity population, not the event
+    volume; only the one-time edge derivation scans the 100 TB event
+    stream (window over (user, ts), then DISTINCT collapses it to
+    |V|² max). No dangling-mass redistribution on either side (sinks
+    leak rank identically in engine and oracle, so scores still
+    match)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    edges = (
+        trans.filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # |V| scalar: bounds the loop's frames, O(1) result
+    outdeg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("deg")
+    )
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(outdeg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - _PR_DAMP) / n_nodes)
+                    + F.lit(_PR_DAMP) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select(
+        F.col("node").alias("entity"), F.round("rank", 8).alias("pagerank")
+    )

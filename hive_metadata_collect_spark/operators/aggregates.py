@@ -542,3 +542,37 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by(F.col("l_quantity"), winner).alias("mode_qty"),
         F.max("cnt").alias("mode_n"),
     )
+
+
+@register(
+    "agg_entropy",
+    survey_row=27,
+    oracle="""
+    SELECT l_returnflag,
+           round(entropy(l_linestatus), 6) AS status_entropy,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (log2) of a categorical column per group — the
+    column-profiling metric catalogs store to flag near-constant and
+    high-cardinality columns. Spark has no entropy aggregate, so it
+    is composed from two hash aggregations: count per (group, value)
+    — map-side combinable — then H = log2(N) - Σ c·log2(c) / N per
+    group, an algebraically equivalent single-pass form that never
+    materializes probabilities. DuckDB's built-in entropy() is the
+    oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return counts.groupBy("l_returnflag").agg(
+        F.round(
+            F.log2(F.sum("c"))
+            - F.sum(F.col("c") * F.log2("c")) / F.sum("c"),
+            6,
+        ).alias("status_entropy"),
+        F.sum("c").alias("n"),
+    )
