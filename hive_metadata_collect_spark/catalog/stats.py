@@ -935,6 +935,12 @@ def cat_lineage_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     n_nodes = nodes.count()  # |V| scalar: bounds the loop's frames, O(1) result
+    if n_nodes == 0:
+        # Degenerate graph (no transitions, e.g. a single event type):
+        # no nodes, no ranks — mirror the oracle's empty result.
+        return nodes.select(
+            F.col("node").alias("entity"), F.lit(0.0).alias("pagerank")
+        )
     outdeg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("double").alias("deg")
     )

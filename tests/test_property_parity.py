@@ -41,6 +41,7 @@ EVENT_OPS = [
     "cat_anomaly_zscore",
     "fn_interval_arith",
     "fn_map_hof",
+    "cat_lineage_pagerank",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
@@ -117,6 +118,12 @@ DOC_OPS = [
     "dedup_simhash",
     "text_wordcount",
     "text_lang_stats",
+    "pipeline_decontaminate",
+    "dedup_exact_keep_best",
+    "text_bigram_logprob",
+    "text_unigram_logprob",
+    "fn_regexp_suite",
+    "fn_url_suite",
 ]
 
 _WORDS = ["alpha", "beta", "gamma", "delta", "x"]
@@ -129,7 +136,8 @@ def documents_tables(draw):
     n = draw(st.integers(min_value=1, max_value=25))
     rows = []
     for i in range(n):
-        words = draw(st.lists(st.sampled_from(_WORDS), min_size=1, max_size=6))
+        # up to 12 words so 8-token decontamination shingles can occur
+        words = draw(st.lists(st.sampled_from(_WORDS), min_size=1, max_size=12))
         text = " ".join(words)
         lang = draw(st.sampled_from(["en", "de"]))
         rows.append((i, text, lang, "src0", len(text)))
@@ -191,6 +199,9 @@ ORDER_OPS = [
     "agg_grouping_sets",
     "limit_topk_global",
     "cat_column_profile",
+    "cat_column_histogram",
+    "cat_key_uniqueness",
+    "set_except_all",
 ]
 
 
@@ -267,6 +278,13 @@ LINEITEM_OPS = [
     "agg_statistical",
     "filter_range_pred",
     "project_expr",
+    # mode/entropy count exact integers; tie-breaks and degenerate
+    # single-value groups are precisely what random tiny tables hit.
+    # (agg_regr_linear stays out: its slope/r2 divisions can differ in
+    # the last ulp between engines' accumulation formulas, so a round()
+    # boundary would be noise, not semantics.)
+    "agg_mode_deterministic",
+    "agg_entropy",
 ]
 
 
