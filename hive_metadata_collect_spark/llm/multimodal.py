@@ -4,14 +4,16 @@
 Design: media payloads are opaque ``binary`` columns with typed
 metadata travelling beside them; decode / resize / frame-sample run
 as Arrow-batched ``mapInPandas`` stages so bytes never round-trip
-through Python row objects. DECODERS maps modality → callable. Two
-modalities have REAL dependency-free decoders for uncompressed
+through Python row objects. DECODERS maps modality → callable. ALL
+THREE modalities have REAL dependency-free decoders for uncompressed
 containers: ``audio`` parses RIFF/WAVE PCM16 (chunk walk → fmt_ +
-data → NumPy int16 → RMS) and ``image`` parses PPM P6 headers — both
-exercised end to end by oracle-checked operators (mm_audio_rms,
-mm_image_dims) over engine-synthesized real containers. ``video``
-stays STUBBED (no compressed-codec library in this container): its
-entry raises NotImplementedError — production swaps in pyav.
+data → NumPy int16 → RMS), ``image`` parses PPM P6 headers, and
+``video`` parses YUV4MPEG2 (.y4m) streams (header tags → FRAME walk →
+per-plane luma stats) — each exercised end to end by an oracle-checked
+operator (mm_audio_rms, mm_image_dims, mm_video_stats) over
+engine-synthesized real containers. Compressed codecs (JPEG, H.264,
+MP3) are NOT parseable dependency-free — production registers
+Pillow/pyav/torchaudio decoders over the same DECODERS seam.
 ``fake_decode`` is a deterministic bytes-derived stand-in used where
 the test needs a decode result without any container format.
 
@@ -119,9 +121,53 @@ def decode_ppm(payload: bytes) -> dict:
     }
 
 
+def decode_y4m(payload: bytes) -> dict:
+    """REAL video decode for uncompressed YUV4MPEG2 (.y4m): parse the
+    stream header (W/H/F tags), then walk FRAME markers accounting for
+    4:2:0 plane sizes, computing mean luma over every Y plane with one
+    NumPy pass per frame. Container math only — dependency-free;
+    compressed codecs (H.264 etc.) are where pyav would slot in."""
+    import numpy as np
+
+    nl = payload.index(b"\n")
+    header = payload[:nl].split(b" ")
+    if header[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    for tag in header[1:]:
+        if tag[:1] == b"W":
+            w = int(tag[1:])
+        elif tag[:1] == b"H":
+            h = int(tag[1:])
+        elif tag[:1] == b"C" and not tag[1:].startswith(b"420"):
+            raise ValueError(f"only 4:2:0 supported, got {tag!r}")
+    if not w or not h:
+        raise ValueError("missing W/H in stream header")
+    y_size, c_size = w * h, (w // 2) * (h // 2)
+    pos = nl + 1
+    n_frames, y_sum = 0, 0.0
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("expected FRAME marker")
+        pos = fnl + 1
+        y = np.frombuffer(payload, dtype=np.uint8, count=y_size, offset=pos)
+        y_sum += float(y.sum())
+        pos += y_size + 2 * c_size
+        n_frames += 1
+    if pos != len(payload):
+        raise ValueError("trailing bytes after last frame")
+    return {
+        "width": w,
+        "height": h,
+        "n_frames": n_frames,
+        "mean_y": y_sum / (n_frames * y_size) if n_frames else 0.0,
+    }
+
+
 DECODERS["audio"] = decode_wav
 DECODERS["image"] = decode_ppm
-DECODERS["video"] = _missing_codec("video")
+DECODERS["video"] = decode_y4m
 
 
 def fake_decode(payload: bytes) -> dict:
@@ -494,4 +540,99 @@ def mm_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return feats.select(
         "doc_id", "width", "height", F.round("mean_pixel", 4).alias("mean_pixel")
+    )
+
+
+def _synth_y4m_payloads(df: DataFrame) -> DataFrame:
+    """Build REAL YUV4MPEG2 streams, one per doc_id: w = 2+2·(id%8),
+    h = 2+2·((id·3)%8) (even dims for 4:2:0), 1+id%4 frames; Y-plane
+    byte k of frame f = (id + f·17 + k) mod 256, chroma flat 128 —
+    closed-form, so the decode is oracle-derivable."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 2 + 2 * (doc_id % 8)
+                h = 2 + 2 * ((doc_id * 3) % 8)
+                nf = 1 + doc_id % 4
+                chroma = np.full((w // 2) * (h // 2) * 2, 128, np.uint8)
+                parts = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420jpeg\n".encode()]
+                for f in range(nf):
+                    y = (
+                        (doc_id + f * 17 + np.arange(w * h, dtype=np.int64))
+                        % 256
+                    ).astype(np.uint8)
+                    parts += [b"FRAME\n", y.tobytes(), chroma.tobytes()]
+                rows.append({"doc_id": doc_id, "payload": b"".join(parts)})
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id").mapInPandas(batches, schema="doc_id long, payload binary")
+
+
+@register(
+    "mm_video_stats",
+    survey_row=74,
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               2 + 2 * (doc_id % 8)        AS w,
+               2 + 2 * ((doc_id * 3) % 8)  AS h,
+               1 + doc_id % 4              AS nf
+        FROM documents
+    ),
+    fk AS (
+        SELECT doc_id, w, h, nf, f, unnest(generate_series(0, w * h - 1)) AS k
+        FROM (SELECT doc_id, w, h, nf,
+                     unnest(generate_series(0, nf - 1)) AS f
+              FROM dims)
+    )
+    SELECT doc_id,
+           w::BIGINT  AS width,
+           h::BIGINT  AS height,
+           nf::BIGINT AS n_frames,
+           round(avg((doc_id + f * 17 + k) % 256), 4) AS mean_y
+    FROM fk
+    GROUP BY doc_id, w, h, nf
+    """,
+)
+def mm_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode, oracle-checked end to end: synthesize a
+    genuine YUV4MPEG2 stream per document (Arrow batch stage), parse
+    it with the dependency-free .y4m decoder registered in
+    DECODERS['video'] (header tags → FRAME walk → 4:2:0 plane
+    accounting → per-frame luma), and emit (width, height, n_frames,
+    mean_y). The planes are a closed-form function of (doc_id, frame,
+    offset), so DuckDB re-derives identical stats from arithmetic —
+    any header, plane-size, or frame-walk slip in the parser breaks
+    the hash. Completes the real-decoder story for all three
+    modalities (audio/image/video)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = DECODERS["video"]
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                feats = dec(bytes(payload))
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": feats["width"],
+                        "height": feats["height"],
+                        "n_frames": feats["n_frames"],
+                        "mean_y": feats["mean_y"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    d = load_table(spark, sf_dir, "documents")
+    payloads = _synth_y4m_payloads(d)
+    feats = payloads.mapInPandas(
+        batches,
+        schema="doc_id long, width long, height long, n_frames long, mean_y double",
+    )
+    return feats.select(
+        "doc_id", "width", "height", "n_frames", F.round("mean_y", 4).alias("mean_y")
     )

@@ -409,3 +409,34 @@ def test_ppm_decode_roundtrip_property(w, h, seed):
     out = decode_ppm(payload)
     assert (out["width"], out["height"], out["maxval"]) == (w, h, 255)
     assert abs(out["mean_pixel"] - float(pixels.mean())) <= 1e-12
+
+
+@given(
+    w2=st.integers(min_value=1, max_value=16),   # half-width (4:2:0 needs even)
+    h2=st.integers(min_value=1, max_value=16),
+    nf=st.integers(min_value=1, max_value=6),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_y4m_decode_roundtrip_property(w2, h2, nf, seed):
+    """decode_y4m(synth YUV4MPEG2) must recover dims, frame count, and
+    the exact mean luma for arbitrary geometry, frame count, and plane
+    content (chroma planes randomized too — the parser must skip them
+    by size, not by value)."""
+    import numpy as np
+
+    from hive_metadata_collect_spark.llm.multimodal import decode_y4m
+
+    w, h = 2 * w2, 2 * h2
+    rng = np.random.default_rng(seed)
+    parts = [f"YUV4MPEG2 W{w} H{h} F30:1 Ip A1:1 C420\n".encode()]
+    y_planes = []
+    for _ in range(nf):
+        y = rng.integers(0, 256, size=w * h, dtype=np.uint8)
+        c = rng.integers(0, 256, size=(w // 2) * (h // 2) * 2, dtype=np.uint8)
+        y_planes.append(y)
+        parts += [b"FRAME\n", y.tobytes(), c.tobytes()]
+    out = decode_y4m(b"".join(parts))
+    assert (out["width"], out["height"], out["n_frames"]) == (w, h, nf)
+    expected = float(np.concatenate(y_planes).mean())
+    assert abs(out["mean_y"] - expected) <= 1e-9
