@@ -713,3 +713,33 @@ def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY")).alias("query"),
         F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
     )
+
+
+@register(
+    "fn_variant_json",
+    survey_row=49,
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           json_extract_string(props, '$.missing')           AS missing_val,
+           CAST(json_valid(props) AS BOOLEAN)                AS is_obj
+    FROM events
+    """,
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    parse_json once, then typed variant_get path extraction — the
+    modern replacement for repeated get_json_object string parsing.
+    VARIANT stores a parsed binary form, so N path extractions cost
+    one parse (get_json_object re-parses the string per call — at
+    100 TB with several extracted fields, parse-once is the
+    difference). try_variant_get returns NULL for missing paths
+    instead of erroring, mirroring json_extract_string."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "long").alias("k_val"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing_val"),
+        F.schema_of_variant(v).startswith("OBJECT").alias("is_obj"),
+    )

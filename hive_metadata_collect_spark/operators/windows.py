@@ -306,3 +306,40 @@ def win_nth_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_totalprice", 2).over(w_full).alias("second_price"),
         F.lead("o_totalprice", 2, -1.0).over(w_order).alias("price_after_next"),
     )
+
+
+@register(
+    "win_ignore_nulls",
+    survey_row=35,
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           last_value(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END
+                      IGNORE NULLS) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_final_price
+    FROM orders
+    """,
+)
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window semantics: carry the most recent non-NULL
+    observation forward per key (here: each customer's latest
+    final-order price as of each order) — the gap-fill /
+    last-observation-carried-forward idiom of feature backfills and
+    SCD reads. One shuffle on the partition key, one ordered pass;
+    NULL rows cost nothing extra because the frame skips them inside
+    the window operator rather than via a self-join."""
+    o = load_table(spark, sf_dir, "orders")
+    price_f = F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.last(price_f, ignorenulls=True).over(w).alias("last_final_price"),
+    )
