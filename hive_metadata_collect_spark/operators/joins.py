@@ -586,3 +586,55 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("seg_label")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+@register(
+    "join_range_bucketed",
+    survey_row=17,
+    oracle="""
+    WITH p AS (SELECT event_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.ts, count(c.event_id) AS n_clicks_1h
+    FROM p LEFT JOIN c
+      ON c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
+    GROUP BY p.event_id, p.ts
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure time-range join (NO equi key: every click within 1 h after
+    each purchase, across all users) — the case Spark degenerates to a
+    broadcast-nested-loop / cartesian filter. The 100 TB fix
+    demonstrated here: quantize time into buckets the size of the
+    range window, explode each probe row to its two candidate buckets
+    (a 1-hour window spans at most two 1-hour buckets), equi-join ON
+    BUCKET, then refine with the exact range predicate. Work drops
+    from |P|×|C| to Σ per-bucket products, it shuffles and
+    parallelizes like any equi-join (test_plans.py asserts no
+    nested-loop node), and each (purchase, click) pair meets in
+    exactly one bucket — the click's own — so no dedup step is
+    needed. The final left join restores purchases with zero matches.
+    join_range_interval shows the equi+residual form; this is the
+    form for when no natural equi key exists."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket_us = 3_600_000_000  # bucket width == range width (1 h)
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "ts")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"), F.col("ts").alias("c_ts")
+    )
+    p_bkt = F.floor(F.unix_micros("ts") / bucket_us)
+    p2 = p.withColumn("bkt", F.explode(F.array(p_bkt, p_bkt + 1)))
+    c2 = c.withColumn("bkt", F.floor(F.unix_micros("c_ts") / bucket_us))
+    matches = (
+        p2.join(c2, "bkt")
+        .filter(
+            (F.col("c_ts") >= F.col("ts"))
+            & (F.unix_micros("c_ts") < F.unix_micros("ts") + bucket_us)
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return p.join(matches, "event_id", "left").select(
+        "event_id",
+        "ts",
+        F.coalesce("n", F.lit(0)).alias("n_clicks_1h"),
+    )

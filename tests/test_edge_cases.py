@@ -166,10 +166,12 @@ def test_multimodal_plumbing(spark, sf_dir):
     frames = mm.sample_frames(decoded, every_nth=2)
     assert frames.count() >= 20  # every doc emits frame 0
 
-    # the real decoder slots must raise until codecs are registered
+    # every modality slot now holds a REAL container parser; feeding
+    # it non-container bytes (utf-8 text) must fail loudly, never
+    # decode garbage silently
     with pytest.raises(Exception) as exc_info:
         mm.decode_features(payloads).collect()
-    assert "codec not installed" in str(exc_info.value) or "NotImplementedError" in str(
+    assert "not a YUV4MPEG2" in str(exc_info.value) or "ValueError" in str(
         exc_info.value
     )
 

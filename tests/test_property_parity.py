@@ -202,6 +202,7 @@ ORDER_OPS = [
     "cat_column_histogram",
     "cat_key_uniqueness",
     "set_except_all",
+    "win_ignore_nulls",
 ]
 
 
