@@ -72,10 +72,12 @@ def snapshot_diff(
     val_cols = [c for c in cur.columns if c != key]
     p = prev.select(
         F.col(key).alias("k"),
+        F.lit(True).alias("in_prev"),
         *[F.col(c).alias(f"prev_{c}") for c in val_cols],
     )
     c = cur.select(
         F.col(key).alias("k"),
+        F.lit(True).alias("in_cur"),
         *[F.col(c).alias(f"cur_{c}") for c in val_cols],
     )
     changed = None
@@ -85,8 +87,11 @@ def snapshot_diff(
         )
         changed = neq if changed is None else (changed | neq)
     joined = p.join(c, "k", "full_outer")
-    has_prev = F.col(f"prev_{val_cols[0]}").isNotNull() if val_cols else F.lit(True)
-    has_cur = F.col(f"cur_{val_cols[0]}").isNotNull() if val_cols else F.lit(True)
+    # presence markers, not value-column NULLness: a key present on both
+    # sides whose first value column is legitimately NULL must not be
+    # misread as an insert/delete.
+    has_prev = F.col("in_prev").isNotNull()
+    has_cur = F.col("in_cur").isNotNull()
     return joined.select(
         F.col("k").alias(key),
         F.when(~has_prev, "insert")

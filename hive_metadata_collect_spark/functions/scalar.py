@@ -722,7 +722,8 @@ def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
            json_extract_string(props, '$.missing')           AS missing_val,
-           CAST(json_valid(props) AS BOOLEAN)                AS is_obj
+           COALESCE(json_valid(props)
+                    AND json_type(props) = 'OBJECT', FALSE)  AS is_obj
     FROM events
     """,
 )
@@ -734,12 +735,19 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     one parse (get_json_object re-parses the string per call — at
     100 TB with several extracted fields, parse-once is the
     difference). try_variant_get returns NULL for missing paths
-    instead of erroring, mirroring json_extract_string."""
+    instead of erroring, mirroring json_extract_string. try_parse_json
+    (not parse_json) keeps malformed rows NULL rather than failing the
+    job, and is_obj expresses the same object-typed predicate as the
+    oracle's json_type(props) = 'OBJECT' — the two sides agree on
+    arbitrary inputs (invalid JSON, valid non-object JSON), not just on
+    the always-object fixture."""
     ev = load_table(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    v = F.try_parse_json("props")
     return ev.select(
         "event_id",
         F.try_variant_get(v, "$.k", "long").alias("k_val"),
         F.try_variant_get(v, "$.missing", "string").alias("missing_val"),
-        F.schema_of_variant(v).startswith("OBJECT").alias("is_obj"),
+        F.coalesce(
+            F.schema_of_variant(v).startswith("OBJECT"), F.lit(False)
+        ).alias("is_obj"),
     )

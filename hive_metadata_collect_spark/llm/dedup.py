@@ -235,10 +235,19 @@ def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda eq: eq,
         )
     )
-    return cand.select(
-        "doc_a",
-        "doc_b",
-        F.round(matches / F.lit(float(n_mh)), 6).alias("est_jaccard"),
+    # Threshold on the signature-estimated Jaccard so the operator has
+    # the same semantics as the exact twin (pairs with j ≥ τ), not "any
+    # band collision": band collisions alone admit ~25% of all pairs on
+    # short-doc fixtures. 0.7 < τ=0.95 leaves headroom for estimator
+    # variance (std ≈ sqrt(j(1-j)/64) ≈ 0.03 at j=0.95) so true dups
+    # aren't dropped, while bounding output volume.
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / F.lit(float(n_mh)), 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= 0.7)
     )
 
 

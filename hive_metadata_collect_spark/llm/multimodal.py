@@ -129,10 +129,12 @@ def decode_y4m(payload: bytes) -> dict:
     compressed codecs (H.264 etc.) are where pyav would slot in."""
     import numpy as np
 
-    nl = payload.index(b"\n")
-    header = payload[:nl].split(b" ")
-    if header[0] != b"YUV4MPEG2":
+    if not payload.startswith(b"YUV4MPEG2"):
         raise ValueError("not a YUV4MPEG2 stream")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("not a YUV4MPEG2 stream: missing header newline")
+    header = payload[:nl].split(b" ")
     w = h = None
     for tag in header[1:]:
         if tag[:1] == b"W":

@@ -256,14 +256,23 @@ def test_ppm_decoder_rejects_truncated():
         decode_ppm(b"P6\n4 4\n255\n" + bytes(5))
 
 
-def test_video_decoder_still_stubbed():
-    """The video modality has no real container parser here — its
-    DECODERS entry must keep raising with an actionable message."""
+def test_video_decoder_real_y4m_and_bad_magic():
+    """The video modality carries a REAL YUV4MPEG2 parser: a synth
+    stream decodes to its closed-form luma stats, and non-y4m bytes
+    (e.g. an MP4 ftyp box) raise a format error, not a decode."""
     import pytest as _pytest
 
     from hive_metadata_collect_spark.llm.multimodal import DECODERS
 
-    with _pytest.raises(NotImplementedError):
+    w, h = 4, 2
+    y_plane = bytes(range(w * h))
+    chroma = bytes((w // 2) * (h // 2)) * 2
+    stream = b"YUV4MPEG2 W4 H2 F25:1 C420\n" + 2 * (b"FRAME\n" + y_plane + chroma)
+    out = DECODERS["video"](stream)
+    assert (out["width"], out["height"], out["n_frames"]) == (w, h, 2)
+    assert abs(out["mean_y"] - sum(range(w * h)) / (w * h)) < 1e-9
+
+    with _pytest.raises(ValueError, match="YUV4MPEG2"):
         DECODERS["video"](b"\x00\x00\x00\x18ftypmp42")
 
 
