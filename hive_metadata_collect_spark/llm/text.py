@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hive_metadata_collect_spark.registry import register
-from hive_metadata_collect_spark.sources.fixtures import load_table
+from hive_metadata_collect_spark.sources.fixtures import load_table, spread_small
 
 
 @register(
@@ -242,15 +242,18 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram count — at corpus scale, partial aggregation collapses it
     to |vocab²∩corpus| rows, and a count-min sketch or a pre-filter on
     document frequency caps the tail if the bigram space explodes."""
-    d = load_table(spark, sf_dir, "documents")
     ws = F.split(F.col("text"), " ")
     pairs = F.zip_with(
         F.slice(ws, 1, F.size(ws) - 1),
         F.slice(ws, 2, F.size(ws) - 1),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
+    # Single-row-group fixture file → 1 scan task; spread the small
+    # input before the CPU-heavy pair/explode stage (size-gated no-op
+    # at scale — see spread_small).
     return (
-        d.select(F.explode(pairs).alias("bigram"))
+        spread_small(spark, sf_dir, "documents", cols=["text"])
+        .select(F.explode(pairs).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "bigram")

@@ -45,6 +45,54 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return cache[key]
 
 
+#: Inputs under this are "small": a redistribution shuffle costs less
+#: than leaving 30+ cores idle through a CPU-heavy stage.
+_SPREAD_GATE_BYTES = 64 << 20
+
+
+def spread_small(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    cols: list[str] | None = None,
+    partitions: int = 8,
+) -> DataFrame:
+    """Load a fixture table, round-robin repartitioned ONLY if its
+    on-disk size is small (< 64 MB).
+
+    Why: fixture parquet files have a single row group, so a scan is
+    one task no matter what `maxPartitionBytes` says — a CPU-heavy
+    stage downstream (tokenize / explode / n-gram) then runs on one
+    core while 31 idle. Exchanging a few-MB input is ~free and unlocks
+    full-core compute. The gate makes this scale-safe: a 100 TB table
+    blows past it, no repartition is inserted, and parallelism comes
+    from the table's own file/row-group layout — blanket-
+    repartitioning a big read would be the classic full-shuffle
+    anti-pattern this helper exists to avoid. The gate reads the
+    filesystem size directly (no Catalyst stats round-trip: a plan
+    analysis per call costs more driver time than the shuffle saves at
+    fixture scale); an unlistable path counts as big — err on the
+    no-shuffle side."""
+    import os
+
+    df = load_table(spark, sf_dir, name)
+    if cols is not None:
+        # project before the exchange so the shuffle carries only the
+        # columns the downstream stage reads
+        df = df.select(*cols)
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isdir(path):
+            size = sum(
+                e.stat().st_size for e in os.scandir(path) if e.is_file()
+            )
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        size = _SPREAD_GATE_BYTES
+    return df.repartition(partitions) if size < _SPREAD_GATE_BYTES else df
+
+
 def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}")

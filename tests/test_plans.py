@@ -40,12 +40,14 @@ def test_broadcast_hint_plan(spark, sf_dir):
 
 
 def test_star_join_fact_never_shuffles(spark, sf_dir):
-    """Q5 shape: every dim broadcasts; the only Exchange is the final
+    """Q5 shape: lineitem probes two independent broadcast sides
+    (date-filtered orders, ASIA customers — region/nation are resolved
+    driver-side, see _region_nations); the only Exchange is the final
     group-by on n_name — lineitem itself is never hash-repartitioned."""
     df = OPS["join_multiway_star"].fn(spark, sf_dir)
     df.count()  # let AQE finalize
     plan = physical_plan(df)
-    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("BroadcastHashJoin") >= 2
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "n_name" in line, f"unexpected fact shuffle: {line}"
