@@ -2,25 +2,35 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "stage_breakdown": {...}, "sf": ...}
 
 Query keys mirror BASELINE.md's measured-baseline table so the judge
 can line BENCH_r{N}.json up against it row by row. One SparkSession is
 reused for the whole suite (BASELINE.md "interpretation" note); each
 query is fully executed via a count-style action that forces every row.
+
+`stage_breakdown` carries per-stage wall timings (from the Spark event
+log, parsed after the suite) for the queries in BREAKDOWN: each entry
+is the stage list of that query's best timed run — submission→
+completion wall ms and task count per stage — so a floor-vs-fixable
+judgment can be made from evidence instead of guesses.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hive_metadata_collect_spark import registry
-from hive_metadata_collect_spark.session import get_spark
+from hive_metadata_collect_spark.session import configure
 
 # BENCH key → registry operator name (BASELINE.md table rows).
 HEADLINE = {
@@ -46,6 +56,52 @@ HEADLINE = {
     "q_bigrams": "text_bigram_topk",
 }
 
+#: Queries that get a per-stage breakdown in the output (the ones
+#: sitting above the local floor — evidence for floor-vs-fixable).
+BREAKDOWN = [
+    "q_join_agg",
+    "q_salted_join",
+    "q_lineage",
+    "q_sessions",
+    "q_funnel",
+    "q_bigrams",
+]
+
+
+def _parse_stage_windows(event_dir: str) -> list[dict]:
+    """Completed stages from the (single-app) event log: submission /
+    completion epoch ms, task count, first line of the stage name."""
+    stages = []
+    paths = [
+        os.path.join(root, name)
+        for root, _dirs, files in os.walk(event_dir)
+        for name in files
+        if "appstatus" not in name
+    ]
+    for path in paths:
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if ev.get("Event") != "SparkListenerStageCompleted":
+                    continue
+                si = ev.get("Stage Info", {})
+                sub, comp = si.get("Submission Time"), si.get("Completion Time")
+                if sub is None or comp is None:
+                    continue
+                stages.append(
+                    {
+                        "stage": si.get("Stage ID"),
+                        "name": str(si.get("Stage Name", ""))[:60],
+                        "tasks": si.get("Number of Tasks"),
+                        "sub_ms": sub,
+                        "wall_ms": comp - sub,
+                    }
+                )
+    return stages
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -53,7 +109,16 @@ def main() -> None:
     # 16 shuffle partitions measured fastest for the sf0.1 suite on
     # local[32] (AQE coalesces further at runtime); env-overridable.
     shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "16"))
-    spark = get_spark(app_name="hmcs-bench", shuffle_partitions=shuffle)
+    from pyspark.sql import SparkSession
+
+    master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+
+    # ---- pass 1: timed, UNinstrumented (event logging costs ~7% of
+    # suite wall, so the reported numbers come from a clean session) --
+    spark = configure(
+        SparkSession.builder.appName("hmcs-bench").master(master),
+        shuffle_partitions=shuffle,
+    ).getOrCreate()
     ops = registry.load_all()
 
     # Warm pass: run every headline query once untimed so the timed
@@ -75,8 +140,50 @@ def main() -> None:
             df = fn(spark, sf_dir)
             df.count()  # force full execution of every partition
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            best = dt if best is None or dt < best else best
         timings[key] = round(best, 4)
+    spark.stop()
+
+    # ---- pass 2: event-logged session, breakdown queries only — the
+    # per-stage evidence (floor vs fixable), not the headline time ----
+    event_dir = tempfile.mkdtemp(prefix="hmcs-bench-events-")
+    spark = (
+        configure(
+            SparkSession.builder.appName("hmcs-bench-stages").master(master),
+            shuffle_partitions=shuffle,
+        )
+        .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", event_dir)
+        .config("spark.eventLog.compress", "false")
+        .getOrCreate()
+    )
+    windows: dict[str, tuple[float, float]] = {}  # best run's epoch-ms span
+    for key in BREAKDOWN:
+        op_name = HEADLINE.get(key)
+        if op_name not in ops:
+            continue
+        fn = ops[op_name].fn
+        fn(spark, sf_dir).count()  # warm
+        best = None
+        for _ in range(2):
+            e0 = time.time() * 1000
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            if best is None or dt < best:
+                best = dt
+                windows[key] = (e0, time.time() * 1000)
+    spark.stop()  # flush + finalize the event log before parsing
+
+    stages = _parse_stage_windows(event_dir)
+    breakdown: dict[str, list] = {}
+    for key, (lo, hi) in windows.items():
+        breakdown[key] = [
+            {k: s[k] for k in ("stage", "name", "tasks", "wall_ms")}
+            for s in sorted(stages, key=lambda s: s["sub_ms"])
+            if lo <= s["sub_ms"] <= hi
+        ]
+    shutil.rmtree(event_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -86,11 +193,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "stage_breakdown": breakdown,
                 "sf": sf,
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -45,6 +45,16 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int = 32):
         # cluster keeps the 128m default and parallelism comes from
         # the partitioned table layout instead).
         .config("spark.sql.files.maxPartitionBytes", "32m")
+        # Local-mode profile: AQE coalescing with parallelismFirst
+        # respects minPartitionSize (default 1m), which collapses the
+        # few-MB fixture shuffles to 1-2 partitions and serializes
+        # window/sort stages on a single core. 256k re-spreads them
+        # (measured: session/funnel/window/star queries −30..50% at
+        # sf0.1). A real cluster keeps the 1m default — its shuffles
+        # are orders of magnitude past either bound.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k"
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.ui.enabled", "false")
@@ -76,6 +86,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE", "32")),
         ("spark.sql.files.maxPartitionBytes", "32m"),
+        ("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
     ):
         try:
