@@ -1,20 +1,21 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
-   "stage_breakdown": {...}, "sf": ...}
+Prints ONE compact JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Query keys mirror BASELINE.md's measured-baseline table so the judge
 can line BENCH_r{N}.json up against it row by row. One SparkSession is
 reused for the whole suite (BASELINE.md "interpretation" note); each
 query is fully executed via a count-style action that forces every row.
 
-`stage_breakdown` carries per-stage wall timings (from the Spark event
-log, parsed after the suite) for the queries in BREAKDOWN: each entry
-is the stage list of that query's best timed run — submission→
-completion wall ms and task count per stage — so a floor-vs-fixable
-judgment can be made from evidence instead of guesses.
+The per-stage wall-timing evidence for the above-floor queries (the
+floor-vs-fixable breakdown) is written to BENCH_STAGES.json NEXT TO
+this script, NOT printed: round 3 proved the driver's stdout capture
+keeps only a bounded tail, and inlining the breakdown pushed the JSON
+line past that buffer, so BENCH_r03.json recorded "parsed": null.
+The stdout line must stay small. Set SPARK_GRAFT_STAGES=0 to skip the
+second (event-logged) pass entirely.
 """
 
 from __future__ import annotations
@@ -144,8 +145,27 @@ def main() -> None:
         timings[key] = round(best, 4)
     spark.stop()
 
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    sys.stdout.flush()
+
+    if os.environ.get("SPARK_GRAFT_STAGES", "1") == "0":
+        return
+
     # ---- pass 2: event-logged session, breakdown queries only — the
-    # per-stage evidence (floor vs fixable), not the headline time ----
+    # per-stage evidence (floor vs fixable), not the headline time.
+    # Written to BENCH_STAGES.json (sidecar), never printed: the
+    # driver's stdout tail buffer is bounded (see module docstring). --
     event_dir = tempfile.mkdtemp(prefix="hmcs-bench-events-")
     spark = (
         configure(
@@ -185,19 +205,11 @@ def main() -> None:
         ]
     shutil.rmtree(event_dir, ignore_errors=True)
 
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "stage_breakdown": breakdown,
-                "sf": sf,
-            }
-        )
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_STAGES.json"
     )
+    with open(sidecar, "w", encoding="utf-8") as f:
+        json.dump({"sf": sf, "stage_breakdown": breakdown}, f, indent=1)
 
 
 if __name__ == "__main__":

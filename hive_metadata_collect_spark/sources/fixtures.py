@@ -13,6 +13,7 @@ from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampType
 
 TABLES = [
     "region",
@@ -97,11 +98,25 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects outright. Read nanos as raw long, then floor-truncate
-        # to a microsecond timestamp — identical to DuckDB's ns→µs
-        # conversion, so oracle timestamps hash-match.
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS) —
+        # which Spark's reader rejects unless read as raw long — and
+        # plain TIMESTAMP(MICROS). Enable the nanos-as-long escape
+        # hatch, then normalize on the OBSERVED dtype: long means the
+        # file was nanos (floor-truncate to µs, identical to DuckDB's
+        # ns→µs conversion so oracle timestamps hash-match); timestamp
+        # means the file is already µs and needs nothing.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        else:
+            # TIMESTAMP(MICROS) vintage reads as TIMESTAMP_NTZ; cast to
+            # TIMESTAMP so every downstream operator (watermarks,
+            # unix_micros, ...) sees the same type the nanos vintage
+            # produced. Session tz is pinned UTC (session.py) so the
+            # cast is wall-clock identical to DuckDB's naive reading.
+            df = df.withColumn("ts", F.col("ts").cast(TimestampType()))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

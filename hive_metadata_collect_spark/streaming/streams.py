@@ -30,12 +30,10 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-# Raw parquet schema: ts is TIMESTAMP(NANOS) which Spark reads as long
-# only under nanosAsLong (see sources/fixtures.py).
-_RAW_SCHEMA = StructType(
+# Raw parquet schema; ts dtype varies by fixture vintage (see
+# events_stream) so it is filled in per-call, not fixed here.
+_RAW_FIELDS_AFTER_TS = StructType(
     [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -46,15 +44,35 @@ _RAW_SCHEMA = StructType(
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture (one-file directory
-    glob); ts arrives as nanos-long and is floor-truncated to a µs
-    timestamp exactly like the batch source."""
+    glob). The fixture's ts column has shipped as both TIMESTAMP(NANOS)
+    (readable only as raw long under nanosAsLong, then floor-truncated
+    to µs exactly like the batch source) and plain TIMESTAMP(MICROS);
+    probe the footer with a batch read and build the stream schema to
+    match, so both vintages yield an identical µs `ts`."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = spark.read.parquet(f"{sf_dir}/events.parquet").schema[
+        "ts"
+    ].dataType
+    schema = StructType(
+        [StructField("event_id", LongType()), StructField("ts", ts_type)]
+        + list(_RAW_FIELDS_AFTER_TS.fields)
+    )
     raw = (
-        spark.readStream.schema(_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, LongType):
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    else:
+        # Watermarks demand TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_
+        # TYPE on NTZ); with the session timezone pinned to UTC
+        # (session.py) the cast is wall-clock-identical to the batch
+        # side's NTZ values.
+        raw = raw.withColumn("ts", F.col("ts").cast(TimestampType()))
+    return raw
 
 
 def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
