@@ -965,3 +965,110 @@ def cat_lineage_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("entity"), F.round("rank", 8).alias("pagerank")
     )
+
+
+def diff_frames(
+    prev: DataFrame, cur: DataFrame, key: str, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """Classify every key of two snapshot frames as insert / delete /
+    changed / unchanged — the full-outer-join change-capture core
+    shared by collector.snapshot_diff (parquet snapshot dirs) and the
+    cat_snapshot_diff operator (in-plan snapshots). Presence is
+    carried by explicit markers, never inferred from value-column
+    NULLness, so a legitimately-NULL value on both sides still
+    classifies correctly. Columns named in ``carry`` are emitted as
+    prev_<col> / cur_<col> alongside the verdict. At scale both
+    snapshots hash-partition on the key, so the join shuffles only
+    each snapshot once; with bucketed snapshot layouts it is
+    exchange-free."""
+    val_cols = [c for c in cur.columns if c != key]
+    p = prev.select(
+        F.col(key).alias("k"),
+        F.lit(True).alias("in_prev"),
+        *[F.col(c).alias(f"prev_{c}") for c in val_cols],
+    )
+    c = cur.select(
+        F.col(key).alias("k"),
+        F.lit(True).alias("in_cur"),
+        *[F.col(c).alias(f"cur_{c}") for c in val_cols],
+    )
+    changed = None
+    for col in val_cols:
+        neq = ~F.col(f"prev_{col}").eqNullSafe(F.col(f"cur_{col}"))
+        changed = neq if changed is None else (changed | neq)
+    joined = p.join(c, "k", "full_outer")
+    has_prev = F.col("in_prev").isNotNull()
+    has_cur = F.col("in_cur").isNotNull()
+    out = [
+        F.col("k").alias(key),
+        F.when(~has_prev, "insert")
+        .when(~has_cur, "delete")
+        .when(changed if changed is not None else F.lit(False), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+    ]
+    for col in carry:
+        out.append(F.col(f"prev_{col}"))
+        out.append(F.col(f"cur_{col}"))
+    return joined.select(*out)
+
+
+@register(
+    "cat_snapshot_diff",
+    survey_row=61,
+    oracle="""
+    WITH b AS (SELECT min(event_type) AS lo, max(event_type) AS hi
+               FROM events),
+    prev AS (
+        SELECT event_type, count(*)::BIGINT AS n
+        FROM events
+        WHERE (event_id % 3 <> 0 OR event_type >= 'p')
+          AND event_type <> (SELECT lo FROM b)
+        GROUP BY event_type
+    ),
+    cur AS (
+        SELECT event_type, count(*)::BIGINT AS n
+        FROM events
+        WHERE event_type <> (SELECT hi FROM b)
+        GROUP BY event_type
+    )
+    SELECT coalesce(p.event_type, c.event_type) AS event_type,
+           CASE WHEN p.event_type IS NULL THEN 'insert'
+                WHEN c.event_type IS NULL THEN 'delete'
+                WHEN p.n IS DISTINCT FROM c.n THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           p.n AS prev_n,
+           c.n AS cur_n
+    FROM prev p FULL OUTER JOIN cur c ON p.event_type = c.event_type
+    """,
+)
+def cat_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The collector's flagship incremental step as a declared,
+    oracle-gated query: diff two deterministic fixture-derived
+    inventory snapshots (per-event-type row counts) with the same
+    diff_frames core that collector.snapshot_diff runs on persisted
+    snapshot directories. The two snapshots are constructed so every
+    verdict branch is reachable: the lexicographically-first type is
+    absent from prev (→ insert), the last type is absent from cur
+    (→ delete), types < 'p' lose their %3 event_ids in prev
+    (→ changed), and types ≥ 'p' keep identical rowsets
+    (→ unchanged)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    bounds = ev.agg(
+        F.min("event_type").alias("lo"), F.max("event_type").alias("hi")
+    )
+    et = F.col("event_type")
+    prev = (
+        ev.filter((F.col("event_id") % 3 != 0) | (et >= "p"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(bounds), et != F.col("lo"))
+        .select("event_type", "n")
+    )
+    cur = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(bounds), et != F.col("hi"))
+        .select("event_type", "n")
+    )
+    return diff_frames(prev, cur, "event_type", carry=("n",))

@@ -22,7 +22,6 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from hive_metadata_collect_spark import registry
 
@@ -67,36 +66,8 @@ def snapshot_diff(
     full outer join on the artifact key → insert / delete / changed /
     unchanged per row — the incremental-collection step (same shape as
     cat_scd2_diff, applied to the collector's own outputs)."""
+    from hive_metadata_collect_spark.catalog.stats import diff_frames
+
     prev = spark.read.parquet(os.path.join(prev_dir, artifact))
     cur = spark.read.parquet(os.path.join(cur_dir, artifact))
-    val_cols = [c for c in cur.columns if c != key]
-    p = prev.select(
-        F.col(key).alias("k"),
-        F.lit(True).alias("in_prev"),
-        *[F.col(c).alias(f"prev_{c}") for c in val_cols],
-    )
-    c = cur.select(
-        F.col(key).alias("k"),
-        F.lit(True).alias("in_cur"),
-        *[F.col(c).alias(f"cur_{c}") for c in val_cols],
-    )
-    changed = None
-    for col in val_cols:
-        neq = ~(
-            F.col(f"prev_{col}").eqNullSafe(F.col(f"cur_{col}"))
-        )
-        changed = neq if changed is None else (changed | neq)
-    joined = p.join(c, "k", "full_outer")
-    # presence markers, not value-column NULLness: a key present on both
-    # sides whose first value column is legitimately NULL must not be
-    # misread as an insert/delete.
-    has_prev = F.col("in_prev").isNotNull()
-    has_cur = F.col("in_cur").isNotNull()
-    return joined.select(
-        F.col("k").alias(key),
-        F.when(~has_prev, "insert")
-        .when(~has_cur, "delete")
-        .when(changed if changed is not None else F.lit(False), "changed")
-        .otherwise("unchanged")
-        .alias("change_type"),
-    )
+    return diff_frames(prev, cur, key)

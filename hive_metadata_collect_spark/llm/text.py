@@ -381,3 +381,76 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("logp"), 6).alias("avg_logprob"),
         )
     )
+
+
+#: Chunking geometry: ~CHUNK_TOKENS-token chunks, CHUNK_OVERLAP-token
+#: overlap → stride CHUNK_TOKENS - CHUNK_OVERLAP.
+CHUNK_TOKENS = 50
+CHUNK_OVERLAP = 10
+_CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+@register(
+    "text_chunk_overlap",
+    survey_row=71,
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    c AS (SELECT doc_id, toks,
+                 CASE WHEN len(toks) <= {CHUNK_TOKENS} THEN 1
+                      ELSE CAST(ceil((len(toks) - {CHUNK_TOKENS})
+                                     / {_CHUNK_STRIDE}.0) AS INT) + 1
+                 END AS nc
+          FROM t)
+    SELECT doc_id,
+           ix::BIGINT AS chunk_ix,
+           array_to_string(
+               toks[ix * {_CHUNK_STRIDE} + 1 :
+                    ix * {_CHUNK_STRIDE} + {CHUNK_TOKENS}], ' '
+           ) AS chunk_text,
+           len(toks[ix * {_CHUNK_STRIDE} + 1 :
+                    ix * {_CHUNK_STRIDE} + {CHUNK_TOKENS}])::BIGINT
+               AS n_tokens
+    FROM c, unnest(range(nc)) AS u(ix)
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the step a training-data
+    pipeline runs before embedding/tokenizing: split each document
+    into ~CHUNK_TOKENS-token chunks with CHUNK_OVERLAP tokens of
+    overlap (stride 40). Pure Catalyst: split → sequence over the
+    chunk count → explode → slice/array_join; no Python UDF. Each
+    output row carries (doc_id, chunk_ix, chunk_text, n_tokens);
+    reassembling chunk 0 plus every later chunk minus its leading
+    overlap reproduces the token stream exactly (property-tested).
+    Scale: explode fan-out is ~n_tokens/stride per doc and the op is
+    embarrassingly parallel — no shuffle at all; the chunker inherits
+    the scan's partitioning."""
+    d = spread_small(spark, sf_dir, "documents", cols=["doc_id", "text"])
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    nc = (
+        F.when(n <= CHUNK_TOKENS, 1)
+        .otherwise(
+            F.ceil((n - CHUNK_TOKENS) / F.lit(float(_CHUNK_STRIDE))).cast(
+                "int"
+            )
+            + 1
+        )
+    )
+    base = d.select(
+        "doc_id", toks.alias("toks"), nc.alias("nc")
+    ).select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("ix"),
+    )
+    chunk = F.slice(
+        F.col("toks"), F.col("ix") * _CHUNK_STRIDE + 1, F.lit(CHUNK_TOKENS)
+    )
+    return base.select(
+        "doc_id",
+        F.col("ix").cast("long").alias("chunk_ix"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )

