@@ -1,0 +1,60 @@
+"""Re-measure the DuckDB oracle baseline for the 20 headline queries
+(median of 3, full fetch) on the CURRENT fixtures and machine.
+
+The headline oracle SQL comes straight from the registry (same SQL the
+driver's correctness gate runs), so the baseline always matches the
+operator semantics actually shipped. Usage:
+    python tools/baseline_duck.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import duckdb
+
+from bench import HEADLINE
+from hive_metadata_collect_spark import registry
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    con = duckdb.connect()
+    con.execute("SET timezone='UTC'")
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    ops = registry.load_all()
+    total = 0.0
+    print(f"# DuckDB {duckdb.__version__} @ {sf_dir}")
+    for key, op_name in HEADLINE.items():
+        sql = ops[op_name].oracle
+        if sql is None:
+            print(f"{key:<22} (no oracle)")
+            continue
+        con.execute(sql).fetchall()  # warm
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            rows = con.execute(sql).fetchall()
+            times.append(time.perf_counter() - t0)
+        med = statistics.median(times)
+        total += med
+        print(f"{key:<22} {med * 1000:8.1f} ms  rows={len(rows)}")
+    print(f"{'TOTAL':<22} {total * 1000:8.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
