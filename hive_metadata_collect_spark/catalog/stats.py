@@ -1072,3 +1072,42 @@ def cat_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n")
     )
     return diff_frames(prev, cur, "event_type", carry=("n",))
+
+
+@register(
+    "cat_partition_skew_report",
+    survey_row=63,
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n_rows
+        FROM events GROUP BY 1
+    ),
+    t AS (SELECT sum(n_rows) AS tot, avg(n_rows) AS av FROM d)
+    SELECT day, n_rows,
+           round(n_rows / tot, 6) AS share,
+           round(n_rows / av, 4) AS ratio_to_avg
+    FROM d, t
+    """,
+)
+def cat_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew detector: per-day row counts of the event table
+    with each day's share of total and ratio to the mean — the report
+    that tells an operator which date partitions will straggle (a
+    ratio_to_avg ≫ 1 partition is the task that runs 10× longer than
+    the median at 100 TB, the trigger for salting / AQE skew-join).
+    One partial-aggregated shuffle on day; the totals frame is one row
+    and broadcast into the join — no global window sort."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = daily.agg(
+        F.sum("n_rows").cast("double").alias("tot"),
+        F.avg("n_rows").alias("av"),
+    )
+    return daily.crossJoin(F.broadcast(totals)).select(
+        "day",
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("tot"), 6).alias("share"),
+        F.round(F.col("n_rows") / F.col("av"), 4).alias("ratio_to_avg"),
+    )

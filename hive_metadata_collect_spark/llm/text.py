@@ -454,3 +454,69 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_tokens"),
     )
+
+
+#: PII patterns in the Java-regex ∩ RE2 common dialect (no lookarounds,
+#: no backrefs) so Spark and DuckDB match identically.
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "text_pii_redact",
+    survey_row=71,
+    oracle=f"""
+    WITH synth AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id ||
+               '@example.com or ' ||
+               lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-555-' ||
+               lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_PII_EMAIL}'))::BIGINT
+               AS n_emails,
+           len(regexp_extract_all(text, '{_PII_PHONE}'))::BIGINT
+               AS n_phones,
+           length(regexp_replace(regexp_replace(text, '{_PII_EMAIL}',
+               '[EMAIL]', 'g'), '{_PII_PHONE}', '[PHONE]', 'g'))::BIGINT
+               AS redacted_len
+    FROM synth
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the compliance pass a training-data pipeline
+    runs before anything else: count and redact emails / phone
+    numbers per document. The fixture corpus carries no PII, so a
+    deterministic synthetic address + phone is appended per doc_id in
+    BOTH engines; the operator itself is regexp_extract_all +
+    regexp_replace, whole-stage codegen end to end (no Python).
+    Patterns stay inside the Java-regex ∩ RE2 common dialect so both
+    engines tokenize identically. Embarrassingly parallel at scale —
+    no shuffle, inherits scan partitioning."""
+    d = spread_small(spark, sf_dir, "documents", cols=["doc_id", "text"])
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or "),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(synth, _PII_EMAIL, "[EMAIL]"),
+        _PII_PHONE,
+        "[PHONE]",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(synth, F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(synth, F.lit(_PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )

@@ -27,6 +27,7 @@ _OP_MODULES = [
     "hive_metadata_collect_spark.operators.aggregates",
     "hive_metadata_collect_spark.operators.windows",
     "hive_metadata_collect_spark.operators.setops",
+    "hive_metadata_collect_spark.operators.composites",
     "hive_metadata_collect_spark.functions.scalar",
     "hive_metadata_collect_spark.streaming.batch_eq",
     "hive_metadata_collect_spark.catalog.stats",

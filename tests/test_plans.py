@@ -301,3 +301,20 @@ def test_prepared_frame_memoizes_and_matches(spark, sf_dir):
     assert sorted(map(tuple, a.collect())) == sorted(
         map(tuple, fresh.collect())
     )
+
+
+def test_tpch_composites_shape(spark, sf_dir):
+    """The TPC-H composites must compile to top-k heaps (no global
+    sort) and broadcast their dimension sides."""
+    for name in ("tpch_q3_shipping_priority", "tpch_q10_returned_items"):
+        plan = physical_plan(OPS[name].fn(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_pii_redact_stays_jvm_side(spark, sf_dir):
+    """regexp redaction must stay in codegen — no Python eval, no
+    hash exchange (embarrassingly parallel)."""
+    plan = physical_plan(OPS["text_pii_redact"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan
