@@ -576,3 +576,65 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("status_entropy"),
         F.sum("c").alias("n"),
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    survey_row=21,
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey)::BIGINT AS n_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via roaring-style bitmaps — the scale
+    path for exact COUNT(DISTINCT) over dense integer keys: stage 1
+    aggregates (group, bitmap_bucket) → 4 KB bitmap chunks
+    (map-side combinable, shuffles fixed-size bitmaps instead of
+    every distinct value); stage 2 ORs chunks per group and sums
+    bitmap_count. Unlike approx_count_distinct this is bit-exact, and
+    unlike Expand-based count(DISTINCT) it never widens rows — at
+    100 TB the shuffle carries |groups| × |key-range|/32768 bitmaps,
+    independent of row count. Oracle = plain COUNT(DISTINCT)."""
+    o = load_table(spark, sf_dir, "orders")
+    chunks = o.groupBy(
+        "o_orderpriority",
+        F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+    ).agg(
+        F.expr(
+            "bitmap_construct_agg(bitmap_bit_position(o_custkey))"
+        ).alias("bm")
+    )
+    return chunks.groupBy("o_orderpriority").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_customers")
+    )
+
+
+@register(
+    "agg_approx_topk",
+    survey_row=22,
+    oracle=None,  # approximate sketch — recall-tested engine-side
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the approx_top_k sketch (Spark 4 built-in):
+    top-10 most frequent part keys tracked with a 100-item sketch —
+    the frequent-items pattern whose state is O(items_tracked), not
+    O(distinct), so it survives any cardinality at 100 TB. Sketches
+    merge associatively across partitions (map-side combine). No SQL
+    oracle (sketch internals are engine-specific); the engine-side
+    test asserts recall against the exact top-k with tie tolerance."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.explode(
+                F.expr("approx_top_k(l_partkey % 97, 10, 100)")
+            ).alias("e")
+        )
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").cast("long").alias("est_count"),
+        )
+        .orderBy(F.desc("est_count"), "item")
+    )
