@@ -146,16 +146,19 @@ def win_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     count at every event — the sensor-rollup frame ROWS windows can't
     express (row offsets ≠ time offsets under irregular sampling).
     Spark's rangeBetween needs a numeric ordering column, so ts is
-    ordered as epoch seconds with a 3600-second trailing frame —
-    identical semantics to the oracle's INTERVAL frame. One shuffle on
+    ordered as epoch MICROseconds with a 3_600_000_000-µs trailing
+    frame — exactly equivalent to the oracle's INTERVAL 1 HOUR frame
+    on microsecond timestamps, including peer semantics (only
+    exact-ts ties are RANGE peers; epoch *seconds* would truncate and
+    merge same-second events into one peer group). One shuffle on
     user_id; the frame scan is a single sorted pass per partition."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("user_id") % 50 == 0
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
         "event_id",

@@ -301,3 +301,34 @@ def test_approx_percentiles_within_bound(spark, sf_dir):
     for k in exact:
         assert abs(exact[k][0] - approx[k][0]) <= 1.0, (k, exact[k], approx[k])
         assert abs(exact[k][1] - approx[k][1]) <= 1.0, (k, exact[k], approx[k])
+
+
+def test_approx_topk_recall_vs_exact(spark, sf_dir):
+    """approx_top_k's 10 heavy hitters must match the exact top-10 of
+    l_partkey % 97 with tie tolerance: every sketch item's exact count
+    must be >= the 10th-highest exact count, and every exact item
+    strictly above that threshold must appear in the sketch. With 97
+    distinct keys and a 100-slot sketch the counts are also exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    exact_rows = (
+        li.groupBy((F.col("l_partkey") % 97).alias("item"))
+        .count()
+        .orderBy(F.desc("count"), "item")
+        .collect()
+    )
+    exact_counts = {r["item"]: r["count"] for r in exact_rows}
+    threshold = exact_rows[9]["count"]
+    approx = OPS["agg_approx_topk"].fn(spark, sf_dir).collect()
+    assert len(approx) == 10
+    for r in approx:
+        assert exact_counts.get(r["item"], 0) >= threshold, (
+            r["item"],
+            r["est_count"],
+            threshold,
+        )
+    must_include = {i for i, c in exact_counts.items() if c > threshold}
+    sketch_items = {r["item"] for r in approx}
+    assert must_include <= sketch_items
+    # 97 keys < 100 sketch slots -> the sketch degrades to exact counts
+    for r in approx:
+        assert r["est_count"] == exact_counts[r["item"]]
