@@ -1111,3 +1111,99 @@ def cat_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_rows") / F.col("tot"), 6).alias("share"),
         F.round(F.col("n_rows") / F.col("av"), 4).alias("ratio_to_avg"),
     )
+
+
+@register(
+    "cat_lineage_sql",
+    survey_row=66,
+    oracle="""
+    WITH q AS (
+        SELECT event_id,
+               'INSERT INTO mart_' || event_type ||
+               ' SELECT * FROM raw_' || (user_id % 7) ||
+               CASE WHEN event_id % 3 >= 1
+                    THEN ' JOIN dim_' || (event_id % 5) || ' ON a.k = b.k'
+                    ELSE '' END ||
+               CASE WHEN event_id % 3 = 2
+                    THEN ' JOIN ' ||
+                         CASE WHEN event_id % 2 = 0
+                              THEN 'ref_' || (user_id % 3)
+                              ELSE 'raw_' || (user_id % 7) END ||
+                         ' ON b.k = c.k'
+                    ELSE '' END AS sql_text
+        FROM events
+    ),
+    e AS (
+        SELECT event_id,
+               regexp_extract(sql_text, 'INSERT INTO ([a-z0-9_]+)', 1)
+                   AS dst_table,
+               unnest(regexp_extract_all(sql_text,
+                   '(?:FROM|JOIN) ([a-z0-9_]+)', 1)) AS src_table
+        FROM q
+    )
+    SELECT dst_table, src_table,
+           count(DISTINCT event_id)::BIGINT AS n_queries,
+           count(*)::BIGINT AS n_refs
+    FROM e
+    GROUP BY dst_table, src_table
+    """,
+)
+def cat_lineage_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-level lineage parsed FROM SQL TEXT — the collector-class
+    derived artifact: a query log of `INSERT INTO dst SELECT ... FROM
+    src [JOIN src2 ...]` statements is parsed into (dst_table,
+    src_table) edges with per-edge query/reference counts, the edge
+    list the closure/pagerank lineage ops consume. The fixture stream
+    carries no SQL, so a deterministic statement is synthesized per
+    event in BOTH engines (the text_pii_redact pattern) — including
+    0/1/2-join shapes and an occasional self-referencing JOIN so
+    n_refs > n_queries is exercised; the operator itself is the
+    parser: regexp_extract for the INSERT target + regexp_extract_all
+    group-1 over the FROM/JOIN clauses (Java∩RE2 dialect), explode,
+    then one edge aggregation. Synthesis, parse and explode are all
+    narrow whole-stage-codegen stages that inherit the scan's
+    partitioning; the single shuffle is the final groupBy on the edge
+    key, carrying |edges| rows, not |queries| — at 100 TB of query
+    log the reduce side is bounded by the catalog's table-pair count.
+    Plan-asserted: no Exchange before the edge agg, no Python."""
+    ev = load_table(spark, sf_dir, "events")
+    join2_table = F.when(
+        F.col("event_id") % 2 == 0,
+        F.concat(F.lit("ref_"), (F.col("user_id") % 3).cast("string")),
+    ).otherwise(
+        F.concat(F.lit("raw_"), (F.col("user_id") % 7).cast("string"))
+    )
+    sql_text = F.concat(
+        F.lit("INSERT INTO mart_"),
+        F.col("event_type"),
+        F.lit(" SELECT * FROM raw_"),
+        (F.col("user_id") % 7).cast("string"),
+        F.when(
+            F.col("event_id") % 3 >= 1,
+            F.concat(
+                F.lit(" JOIN dim_"),
+                (F.col("event_id") % 5).cast("string"),
+                F.lit(" ON a.k = b.k"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("event_id") % 3 == 2,
+            F.concat(F.lit(" JOIN "), join2_table, F.lit(" ON b.k = c.k")),
+        ).otherwise(""),
+    )
+    q = ev.select("event_id", sql_text.alias("sql_text"))
+    edges = q.select(
+        "event_id",
+        F.regexp_extract("sql_text", r"INSERT INTO ([a-z0-9_]+)", 1).alias(
+            "dst_table"
+        ),
+        F.explode(
+            F.regexp_extract_all(
+                "sql_text", F.lit(r"(?:FROM|JOIN) ([a-z0-9_]+)"), 1
+            )
+        ).alias("src_table"),
+    )
+    return edges.groupBy("dst_table", "src_table").agg(
+        F.countDistinct("event_id").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_refs"),
+    )

@@ -318,3 +318,21 @@ def test_pii_redact_stays_jvm_side(spark, sf_dir):
     plan = physical_plan(OPS["text_pii_redact"].fn(spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_lineage_sql_parse_is_narrow_jvm_side(spark, sf_dir):
+    """SQL-text lineage: synthesis + regexp parse + explode must all
+    run narrow (no Exchange before the first partial edge agg), with
+    no Python nodes, and the scan must prune to the three columns the
+    statement synthesis needs."""
+    df = OPS["cat_lineage_sql"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate explode" in plan
+    # below the FIRST exchange: only scan/project/generate/partial-agg
+    below_first_exchange = plan.split("Exchange hashpartitioning")[-1]
+    assert "Generate" in below_first_exchange  # parse stage is pre-shuffle
+    assert "partial_count" in below_first_exchange
+    scan = scan_summary(df)
+    assert "event_id" in scan and "event_type" in scan and "user_id" in scan
+    assert "props" not in scan and "value" not in scan
