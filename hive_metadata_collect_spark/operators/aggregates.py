@@ -111,15 +111,44 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct", survey_row=22, oracle=None)
+@register(
+    "agg_approx_distinct",
+    survey_row=22,
+    oracle="""
+    SELECT count(DISTINCT l_partkey)::BIGINT AS exact_parts,
+           count(DISTINCT l_orderkey)::BIGINT AS exact_orders,
+           TRUE AS parts_within_5pct,
+           TRUE AS orders_within_5pct
+    FROM lineitem
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct (one shuffle; the 100 TB path for
-    high-cardinality keys). Rows-only driver check; engine-side pytest
-    asserts within ±5% of exact (tests/test_edge_cases.py)."""
+    high-cardinality keys). The sketch estimate itself is
+    engine-specific, so the DRIVER-hashable contract is the error
+    bound: the op emits the exact counts plus a boolean per key
+    asserting |approx − exact| / exact ≤ 5 %, and the oracle computes
+    the same row with the bools as literal TRUE — DuckDB verifies the
+    bound, not the sketch internals (round-4 verdict item 6; for four
+    rounds these rows were recorded err=no_oracle). The engine-side
+    pytest additionally asserts the numeric ±5 % band
+    (tests/test_edge_cases.py). The exact countDistincts ride the
+    same single shuffle as the sketches."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    raw = li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("ao"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) / F.col(e) <= 0.05
+    )
+    return raw.select(
+        "exact_parts",
+        "exact_orders",
+        within("ap", "exact_parts").alias("parts_within_5pct"),
+        within("ao", "exact_orders").alias("orders_within_5pct"),
     )
 
 
@@ -442,25 +471,64 @@ def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_hll_union", survey_row=22, oracle=None)
+@register(
+    "agg_hll_union",
+    survey_row=22,
+    oracle="""
+    SELECT l_returnflag AS key,
+           count(DISTINCT l_partkey)::BIGINT AS exact_distinct,
+           TRUE AS within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT '__global__' AS key,
+           count(DISTINCT l_partkey)::BIGINT AS exact_distinct,
+           TRUE AS within_5pct
+    FROM lineitem
+    """,
+)
 def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Datasketches, Spark 3.5+): per-flag
     sketches of l_partkey are built in one pass, then UNIONED into a
     global estimate without rescanning — the property that lets a
     100 TB pipeline maintain distinct counts per partition and roll
-    them up to any grain for free. Rows-only driver check; the ±5%
-    accuracy bound vs exact is asserted in tests/test_edge_cases.py."""
+    them up to any grain for free. Driver-hashable contract (round-4
+    verdict item 6): each row carries the exact distinct count plus a
+    boolean asserting the sketch estimate lands within ±5 % of it;
+    the oracle recomputes exact counts with the bool as literal TRUE,
+    so DuckDB verifies the BOUND while the sketch mechanics stay
+    engine-side (the union-then-estimate is still what's exercised —
+    a wrong merge would blow the bound). Global exact distinct is a
+    second one-column pass (it is NOT the sum of per-flag exacts;
+    flags share part keys)."""
     li = load_table(spark, sf_dir, "lineitem")
     per_flag = li.groupBy("l_returnflag").agg(
-        F.hll_sketch_agg("l_partkey").alias("sketch")
+        F.hll_sketch_agg("l_partkey").alias("sketch"),
+        F.countDistinct("l_partkey").alias("exact_distinct"),
+    )
+    ok = lambda est, ex: (  # noqa: E731
+        F.abs(est - F.col(ex)) / F.col(ex) <= 0.05
     )
     flag_counts = per_flag.select(
         F.col("l_returnflag").alias("key"),
-        F.hll_sketch_estimate("sketch").alias("approx_distinct"),
+        "exact_distinct",
+        ok(F.hll_sketch_estimate("sketch"), "exact_distinct").alias(
+            "within_5pct"
+        ),
     )
-    global_count = per_flag.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_distinct")
-    ).select(F.lit("__global__").alias("key"), "approx_distinct")
+    global_exact = li.agg(
+        F.countDistinct("l_partkey").alias("exact_distinct")
+    )
+    global_count = (
+        per_flag.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est")
+        )
+        .crossJoin(F.broadcast(global_exact))
+        .select(
+            F.lit("__global__").alias("key"),
+            "exact_distinct",
+            ok(F.col("est"), "exact_distinct").alias("within_5pct"),
+        )
+    )
     return flag_counts.unionAll(global_count)
 
 

