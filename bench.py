@@ -57,6 +57,7 @@ HEADLINE = {
     "q_lineage": "cat_lineage_closure",
     "q_percentiles": "agg_percentiles",
     "q_salted_join": "join_skew_salted",
+    "q_unsalted_join": "join_skew_unsalted",
     "q_funnel": "cat_funnel_conversion",
     "q_scd2": "cat_scd2_diff",
     "q_centroids": "sim_label_centroids",
@@ -68,6 +69,7 @@ HEADLINE = {
 BREAKDOWN = [
     "q_join_agg",
     "q_salted_join",
+    "q_unsalted_join",
     "q_lineage",
     "q_sessions",
     "q_funnel",

@@ -490,6 +490,47 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_skew_unsalted",
+    survey_row=8,
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_skew_unsalted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The honesty twin of `join_skew_salted` (round-4 verdict item
+    7): the SAME query written naively — no salt, no replication, no
+    hint — letting Catalyst/AQE pick the strategy and AQE's
+    skew-join splitter absorb any hot key at runtime. Benchmarked
+    beside the salted form (q_salted_join vs q_unsalted_join in
+    bench.py / BENCH_STAGES.json) so the salted demo's dim-replication
+    + double-shuffle overhead is visibly a pedagogical choice, not
+    the engine's best plan: manual salting only wins when skew is so
+    pathological that AQE's post-shuffle split (which still reads the
+    hot key's map output from one reducer's perspective) can't keep
+    partitions balanced. Results are provably identical — both
+    declare the same oracle, and tests/test_plans.py asserts
+    salted == unsalted row sets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
     "join_bucketed_colocated",
     survey_row=8,
     oracle="""

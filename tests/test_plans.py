@@ -120,21 +120,14 @@ def test_salted_join_result_matches_unsalted(spark, sf_dir):
     salted = {
         tuple(r) for r in OPS["join_skew_salted"].fn(spark, sf_dir).collect()
     }
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
     plain = {
         tuple(r)
-        for r in li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .groupBy("o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-        .collect()
+        for r in OPS["join_skew_unsalted"].fn(spark, sf_dir).collect()
     }
     assert salted == plain
+    # the twin must carry no salt machinery at all
+    plain_plan = physical_plan(OPS["join_skew_unsalted"].fn(spark, sf_dir))
+    assert "salt" not in plain_plan and "Generate explode" not in plain_plan
 
 
 def test_partitioned_layout_prunes_partitions(spark, sf_dir):
