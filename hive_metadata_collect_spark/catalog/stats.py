@@ -1213,3 +1213,119 @@ def cat_lineage_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_id").alias("n_queries"),
         F.count(F.lit(1)).cast("long").alias("n_refs"),
     )
+
+
+@register(
+    "cat_merge_upsert",
+    survey_row=61,
+    oracle="""
+    WITH b AS (SELECT min(event_type) AS lo, max(event_type) AS hi
+               FROM events),
+    prev AS (
+        SELECT event_type, count(*)::BIGINT AS n
+        FROM events
+        WHERE (event_id % 3 <> 0 OR event_type >= 'p')
+          AND event_type <> (SELECT lo FROM b)
+        GROUP BY event_type
+    ),
+    cur AS (
+        SELECT event_type, count(*)::BIGINT AS n
+        FROM events
+        WHERE event_type <> (SELECT hi FROM b)
+        GROUP BY event_type
+    )
+    SELECT coalesce(c.event_type, p.event_type) AS event_type,
+           coalesce(c.n, p.n)::BIGINT AS n,
+           CASE WHEN p.event_type IS NULL THEN 'insert'
+                WHEN c.event_type IS NULL THEN 'keep'
+                ELSE 'update' END AS action
+    FROM prev p FULL OUTER JOIN cur c ON p.event_type = c.event_type
+    """,
+)
+def cat_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics for the reporting store (round-4
+    verdict "what's missing" item 4: `cat_scd2_diff` /
+    `cat_snapshot_diff` compute the diff, but no operator APPLIED
+    it). Classic warehouse MERGE over the same two deterministic
+    inventory snapshots cat_snapshot_diff uses: source rows matched
+    in the target are UPDATEd to the source value, unmatched source
+    rows are INSERTed, and target rows absent from the source are
+    KEPT (upsert — not the full-sync overwrite, whose result would
+    trivially equal the source). The output is the post-MERGE target
+    with a per-row action audit column — distinguishable from both
+    inputs, which is what makes the semantics checkable. Relationally
+    this is one full-outer join on the merge key + a row-local
+    resolver — exactly the reduce Delta/Iceberg `MERGE INTO` runs
+    under the hood; at 100 TB both sides shuffle once on the key (or
+    zero times if the report store is bucketed on it, the
+    join_bucketed_colocated pattern)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    bounds = ev.agg(
+        F.min("event_type").alias("lo"), F.max("event_type").alias("hi")
+    )
+    et = F.col("event_type")
+    prev = (
+        ev.filter((F.col("event_id") % 3 != 0) | (et >= "p"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(bounds), et != F.col("lo"))
+        .select(
+            F.col("event_type").alias("p_key"), F.col("n").alias("p_n")
+        )
+    )
+    cur = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(bounds), et != F.col("hi"))
+        .select(
+            F.col("event_type").alias("c_key"), F.col("n").alias("c_n")
+        )
+    )
+    merged = prev.join(
+        cur, prev["p_key"] == cur["c_key"], "full_outer"
+    )
+    return merged.select(
+        F.coalesce("c_key", "p_key").alias("event_type"),
+        F.coalesce("c_n", "p_n").alias("n"),
+        F.when(F.col("p_key").isNull(), "insert")
+        .when(F.col("c_key").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )
+
+
+@register("cat_storage_size", survey_row=61, oracle=None)
+def cat_storage_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-size enrichment (round-4 verdict "what's missing" item
+    3): the collector pass that feeds `TABLE_PARAMS.totalSize` /
+    `numFiles` analogs by statting the warehouse filesystem rather
+    than trusting stale metastore params. Spark-native: the
+    `binaryFile` datasource lists and stats files through the Hadoop
+    FileSystem API with a distributed InMemoryFileIndex — selecting
+    only (path, length) prunes the content column, so no file BYTES
+    are ever read (plan-asserted in tests) — then one tiny groupBy on
+    the table name parsed from the path. At 100 TB the same plan
+    walks millions of files in parallel executors; this is the
+    HDFS-du enrichment path a metastore collector actually runs.
+    No SQL oracle: the oracle string is static but the file paths are
+    per-sf_dir runtime parameters, so correctness is engine-tested
+    instead (tests/test_edge_cases.py asserts byte-exact totals vs
+    os.stat and file counts vs the directory listing)."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+        .select("path", "length")
+    )
+    return (
+        files.groupBy(
+            F.regexp_extract("path", r"([a-z_]+)\.parquet$", 1).alias(
+                "table_name"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("length").alias("total_bytes"),
+        )
+        .orderBy("table_name")
+    )

@@ -343,3 +343,34 @@ def test_approx_topk_recall_vs_exact(spark, sf_dir):
     # 97 keys < 100 sketch slots -> the sketch degrades to exact counts
     for r in approx:
         assert r["est_count"] == exact_counts[r["item"]]
+
+
+def test_storage_size_matches_os_stat(spark, sf_dir):
+    """cat_storage_size totals must equal os.stat byte-for-byte and
+    n_files must match the directory listing (the engine-side oracle
+    for the path-parameterized op that static SQL can't express)."""
+    import glob as _glob
+    import os as _os
+
+    rows = {
+        r["table_name"]: r
+        for r in OPS["cat_storage_size"].fn(spark, sf_dir).collect()
+    }
+    expected: dict[str, list] = {}
+    for p in _glob.glob(_os.path.join(sf_dir, "*.parquet")):
+        t = _os.path.basename(p).removesuffix(".parquet")
+        expected.setdefault(t, []).append(_os.stat(p).st_size)
+    assert rows.keys() == expected.keys()
+    for t, sizes in expected.items():
+        assert rows[t]["n_files"] == len(sizes), t
+        assert rows[t]["total_bytes"] == sum(sizes), t
+
+
+def test_storage_size_never_reads_content(spark, sf_dir):
+    """The binaryFile scan must prune the content column — the plan's
+    ReadSchema carries only path/length metadata fields."""
+    from hive_metadata_collect_spark.plans.explain import physical_plan
+
+    plan = physical_plan(OPS["cat_storage_size"].fn(spark, sf_dir))
+    assert "content" not in plan
+    assert "length" in plan
