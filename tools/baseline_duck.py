@@ -32,9 +32,11 @@ def main() -> None:
         "region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings",
     ]:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # multi-file table (tools/make_sf10x.py)
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
     ops = registry.load_all()
     total = 0.0

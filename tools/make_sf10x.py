@@ -71,24 +71,33 @@ def main() -> None:
             f"COPY (SELECT * FROM {t}) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
         )
         print(f"{t}: copied as-is")
+    # Scaled tables are written as a DIRECTORY of k part files (one
+    # per key-shifted copy): a single merged file would give Spark one
+    # scan partition per table (file < maxPartitionBytes), which is
+    # unrepresentative of any real multi-file warehouse layout and
+    # serializes the scan stage. Spark reads the directory natively;
+    # tools/baseline_duck.py globs it.
     for t, refs in KEYED.items():
         cols = [r[0] for r in con.execute(f"DESCRIBE {t}").fetchall()]
-        exprs = []
-        for c in cols:
-            if c in refs:
-                exprs.append(f"{c} + i * {stride[refs[c]]} AS {c}")
-            else:
-                exprs.append(c)
-        sql = (
-            f"COPY (SELECT {', '.join(exprs)} FROM {t}, "
-            f"unnest(range({k})) AS u(i)) TO '{out}/{t}.parquet' "
-            f"(FORMAT PARQUET)"
-        )
-        con.execute(sql)
+        tdir = f"{out}/{t}.parquet"
+        os.makedirs(tdir, exist_ok=True)
+        for f in os.listdir(tdir):
+            os.remove(os.path.join(tdir, f))
+        for i in range(k):
+            exprs = []
+            for c in cols:
+                if c in refs:
+                    exprs.append(f"{c} + {i} * {stride[refs[c]]} AS {c}")
+                else:
+                    exprs.append(c)
+            con.execute(
+                f"COPY (SELECT {', '.join(exprs)} FROM {t}) TO "
+                f"'{tdir}/part-{i:02d}.parquet' (FORMAT PARQUET)"
+            )
         n = con.execute(
-            f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')"
+            f"SELECT count(*) FROM read_parquet('{tdir}/*.parquet')"
         ).fetchone()[0]
-        print(f"{t}: {n} rows ({k}x)")
+        print(f"{t}: {n} rows ({k}x, {k} files)")
 
 
 if __name__ == "__main__":
