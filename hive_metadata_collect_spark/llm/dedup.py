@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_metadata_collect_spark.registry import register
-from hive_metadata_collect_spark.sources.fixtures import load_table
+from hive_metadata_collect_spark.sources.fixtures import load_table, spread_small
 
 _JACCARD_TAU = 0.95
 _NGRAM_TAU = 0.8
@@ -831,4 +831,45 @@ def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.max_by("doc_id", winner).alias("keep_doc"),
+    )
+
+
+@register(
+    "pipeline_stratified_sample",
+    survey_row=67,
+    oracle="""
+    WITH bucketed AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS bucket
+        FROM documents)
+    SELECT doc_id, lang, bucket::BIGINT AS bucket
+    FROM bucketed
+    WHERE bucket < (CASE WHEN lang = 'en' THEN 20 ELSE 60 END)
+    """,
+)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling — the rebalancing pass a
+    training-data pipeline runs when one language (or source)
+    dominates the crawl: per-stratum sampling rates (en 20 %, every
+    other lang 60 %) applied via a content-hash bucket of the doc id,
+    so membership is a pure row function — identical across engines,
+    reruns, and repartitions, and a new document never evicts an old
+    one (unlike sample()/rand()). Embarrassingly parallel: a narrow
+    filter over the scan, no shuffle at all; at 100 TB the rate map
+    becomes a broadcast dim keyed by (lang, source) and the filter is
+    one broadcast-join lookup instead of a CASE."""
+    d = spread_small(
+        spark, sf_dir, "documents", cols=["doc_id", "lang", "n_chars"]
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", 20).otherwise(60)
+    return (
+        d.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < rate)
+        .select("doc_id", "lang", "bucket")
     )

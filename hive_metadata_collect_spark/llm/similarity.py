@@ -554,3 +554,78 @@ def sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _KNN_BATCH_K)
         .drop("rn")
     )
+
+
+@register(
+    "pipeline_decontaminate_embed",
+    survey_row=70,
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS bucket
+        FROM embeddings),
+    train AS (SELECT vec_id, embedding FROM bucketed WHERE bucket < 90),
+    eval AS (SELECT vec_id, embedding FROM bucketed WHERE bucket >= 90)
+    SELECT t.vec_id AS train_vec,
+           count(*)::BIGINT AS n_eval_hits,
+           round(max(
+               list_dot_product(t.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+               sqrt(list_dot_product(t.embedding::DOUBLE[], t.embedding::DOUBLE[])
+                    * list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+           ), 6) AS max_cosine
+    FROM train t JOIN eval e
+      ON list_dot_product(t.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+         sqrt(list_dot_product(t.embedding::DOUBLE[], t.embedding::DOUBLE[])
+              * list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+         >= {_COSINE_TAU}
+    GROUP BY t.vec_id
+    """,
+)
+def pipeline_decontaminate_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination — the semantic twin of
+    pipeline_decontaminate's n-gram overlap check: flag TRAINING
+    vectors whose cosine to any EVAL-split vector reaches τ (the
+    near-duplicate leak n-gram matching misses: paraphrases,
+    translations, re-encodings). Split assignment reuses the
+    deterministic md5 bucket contract (train <90, eval ≥90). Exact
+    cross-set scoring: norms computed once per side (narrow), then a
+    train×eval join evaluates only the cross dot product, aggregated
+    to (train_vec, n_eval_hits, max_cosine). The eval side is the
+    ~10 % split — bounded, broadcastable; at 100 TB the join becomes
+    the SRP-bucketed candidate join (sim_pairs_lsh's structure) with
+    this exact scorer as the re-rank, so the operator's contract is
+    the scale path's correctness oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    with_norm = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+        bucket.alias("bucket"),
+    )
+    train = with_norm.filter(F.col("bucket") < 90).select(
+        F.col("vec_id").alias("train_vec"),
+        F.col("embedding").alias("emb_t"),
+        F.col("norm").alias("norm_t"),
+    )
+    ev = with_norm.filter(F.col("bucket") >= 90).select(
+        F.col("embedding").alias("emb_e"), F.col("norm").alias("norm_e")
+    )
+    cos = _dot(F.col("emb_t"), F.col("emb_e")) / (
+        F.col("norm_t") * F.col("norm_e")
+    )
+    return (
+        train.crossJoin(F.broadcast(ev))
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= _COSINE_TAU)
+        .groupBy("train_vec")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_hits"),
+            F.round(F.max("cosine_raw"), 6).alias("max_cosine"),
+        )
+    )

@@ -520,3 +520,53 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_phones"),
         F.length(redacted).cast("long").alias("redacted_len"),
     )
+
+
+_PACK_CTX = 512  # context-window token budget for sequence packing
+
+
+@register(
+    "pipeline_pack_sequences",
+    survey_row=71,
+    oracle=f"""
+    SELECT lang, doc_id,
+           len(string_split(text, ' '))::BIGINT AS n_tokens,
+           (coalesce(sum(len(string_split(text, ' ')))
+                OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) // {_PACK_CTX})::BIGINT AS bin_id,
+           (coalesce(sum(len(string_split(text, ' ')))
+                OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) % {_PACK_CTX})::BIGINT AS bin_offset
+    FROM documents
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing planner — the concat-and-chunk step a
+    pretraining pipeline runs to fill fixed context windows: within
+    each language stream (deterministic doc_id order), documents are
+    laid head-to-tail and every _PACK_CTX tokens starts a new bin;
+    each doc gets its (bin_id, bin_offset) placement. Docs straddle
+    bin boundaries by design (concat-and-chunk, not first-fit — the
+    standard pretraining packing that wastes zero tokens). One
+    shuffle on lang; the placement is a running-sum window (the
+    1-preceding frame gives each doc its START offset). At 100 TB the
+    lang partition becomes (lang, shard) so no single stream
+    serializes — packing only needs to be deterministic per stream,
+    not global."""
+    d = spread_small(spark, sf_dir, "documents", cols=["doc_id", "lang", "text"])
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(n_tokens).over(w), F.lit(0))
+    return d.select(
+        "lang",
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.floor(start / _PACK_CTX).alias("bin_id"),
+        (start % _PACK_CTX).alias("bin_offset"),
+    )
