@@ -374,3 +374,42 @@ def test_storage_size_never_reads_content(spark, sf_dir):
     plan = physical_plan(OPS["cat_storage_size"].fn(spark, sf_dir))
     assert "content" not in plan
     assert "length" in plan
+
+
+def test_pack_sequences_is_contiguous(spark, sf_dir):
+    """Packing invariant: within each language stream, doc k+1's start
+    offset equals doc k's start + doc k's token count (zero waste,
+    zero overlap), and every bin_offset < the context budget."""
+    from hive_metadata_collect_spark.llm.text import _PACK_CTX
+
+    rows = OPS["pipeline_pack_sequences"].fn(spark, sf_dir).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert by_lang
+    for lang, docs in by_lang.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        start = 0
+        for r in docs:
+            assert r["bin_id"] == start // _PACK_CTX, (lang, r)
+            assert r["bin_offset"] == start % _PACK_CTX, (lang, r)
+            assert 0 <= r["bin_offset"] < _PACK_CTX
+            start += r["n_tokens"]
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    """Sampled stratum sizes must track the declared rates (md5
+    buckets are uniform-ish; allow a wide tolerance at fixture scale)
+    and sampling must be a subset of the corpus keyed deterministically."""
+    d = load_table(spark, sf_dir, "documents")
+    totals = {
+        r["lang"]: r["n"]
+        for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    sampled: dict[str, int] = {}
+    for r in OPS["pipeline_stratified_sample"].fn(spark, sf_dir).collect():
+        sampled[r["lang"]] = sampled.get(r["lang"], 0) + 1
+    for lang, n_total in totals.items():
+        rate = 0.20 if lang == "en" else 0.60
+        got = sampled.get(lang, 0) / n_total
+        assert abs(got - rate) < 0.15, (lang, got, rate)
