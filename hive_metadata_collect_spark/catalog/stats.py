@@ -1329,3 +1329,125 @@ def cat_storage_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("table_name")
     )
+
+
+@register(
+    "cat_lineage_sql_columns",
+    survey_row=66,
+    oracle="""
+    WITH q AS (
+        SELECT event_id,
+               'INSERT INTO mart_' || event_type ||
+               ' SELECT r.col_' || (user_id % 4) ||
+               CASE WHEN event_id % 3 >= 1
+                    THEN ', d.col_' || (4 + event_id % 3)
+                    ELSE '' END ||
+               ' FROM raw_' || (user_id % 7) || ' r' ||
+               CASE WHEN event_id % 3 >= 1
+                    THEN ' JOIN dim_' || (event_id % 5) ||
+                         ' d ON r.k = d.k'
+                    ELSE '' END AS sql_text
+        FROM events
+    ),
+    al AS (
+        SELECT event_id,
+               unnest(regexp_extract_all(sql_text,
+                   '(?:FROM|JOIN) ([a-z0-9_]+) ([a-z])', 1)) AS src_table,
+               unnest(regexp_extract_all(sql_text,
+                   '(?:FROM|JOIN) ([a-z0-9_]+) ([a-z])', 2)) AS al
+        FROM q
+    ),
+    cr AS (
+        SELECT event_id,
+               regexp_extract(sql_text, 'INSERT INTO ([a-z0-9_]+)', 1)
+                   AS dst_table,
+               unnest(regexp_extract_all(sql_text,
+                   '([a-z])[.](col_[0-9]+)', 1)) AS al,
+               unnest(regexp_extract_all(sql_text,
+                   '([a-z])[.](col_[0-9]+)', 2)) AS column_name
+        FROM q
+    )
+    SELECT cr.dst_table, al.src_table, cr.column_name,
+           count(DISTINCT cr.event_id)::BIGINT AS n_queries
+    FROM cr JOIN al
+      ON cr.event_id = al.event_id AND cr.al = al.al
+    GROUP BY cr.dst_table, al.src_table, cr.column_name
+    """,
+)
+def cat_lineage_sql_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-level lineage parsed from SQL text — one resolution
+    level deeper than cat_lineage_sql's table edges: qualified column
+    references (`r.col_3`) in the SELECT list are matched to their
+    source tables through the statement's own alias map (`FROM raw_N
+    r JOIN dim_M d`), yielding (dst_table, src_table, column) edges.
+    The resolver is fully relational: two regexp_extract_all passes
+    (group 1 / group 2 of the same pattern) zipped into
+    (alias, table) and (alias, column) pair streams, exploded, then
+    one equi-join on (query_id, alias) — no per-row Python, no SQL
+    parser library; the Java∩RE2 dialect keeps both engines
+    tokenizing identically. Scale: the alias map and column-ref
+    streams are both ~O(refs per query); the resolver join
+    partitions on query_id (synthetic statements here, the audit-log
+    query text in a live deployment), and the final edge agg carries
+    |dst × src × column|, catalog-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    sql_text = F.concat(
+        F.lit("INSERT INTO mart_"),
+        F.col("event_type"),
+        F.lit(" SELECT r.col_"),
+        (F.col("user_id") % 4).cast("string"),
+        F.when(
+            F.col("event_id") % 3 >= 1,
+            F.concat(
+                F.lit(", d.col_"), (4 + F.col("event_id") % 3).cast("string")
+            ),
+        ).otherwise(""),
+        F.lit(" FROM raw_"),
+        (F.col("user_id") % 7).cast("string"),
+        F.lit(" r"),
+        F.when(
+            F.col("event_id") % 3 >= 1,
+            F.concat(
+                F.lit(" JOIN dim_"),
+                (F.col("event_id") % 5).cast("string"),
+                F.lit(" d ON r.k = d.k"),
+            ),
+        ).otherwise(""),
+    )
+    q = ev.select("event_id", sql_text.alias("sql_text"))
+    alias_pat = r"(?:FROM|JOIN) ([a-z0-9_]+) ([a-z])"
+    col_pat = r"([a-z])[.](col_[0-9]+)"
+    aliases = q.select(
+        "event_id",
+        F.explode(
+            F.arrays_zip(
+                F.regexp_extract_all("sql_text", F.lit(alias_pat), 1).alias(
+                    "src_table"
+                ),
+                F.regexp_extract_all("sql_text", F.lit(alias_pat), 2).alias(
+                    "al"
+                ),
+            )
+        ).alias("z"),
+    ).select("event_id", F.col("z.src_table"), F.col("z.al"))
+    colrefs = q.select(
+        "event_id",
+        F.regexp_extract("sql_text", r"INSERT INTO ([a-z0-9_]+)", 1).alias(
+            "dst_table"
+        ),
+        F.explode(
+            F.arrays_zip(
+                F.regexp_extract_all("sql_text", F.lit(col_pat), 1).alias(
+                    "al"
+                ),
+                F.regexp_extract_all("sql_text", F.lit(col_pat), 2).alias(
+                    "column_name"
+                ),
+            )
+        ).alias("z"),
+    ).select("event_id", "dst_table", F.col("z.al"), F.col("z.column_name"))
+    return (
+        colrefs.join(aliases, ["event_id", "al"])
+        .groupBy("dst_table", "src_table", "column_name")
+        .agg(F.countDistinct("event_id").alias("n_queries"))
+    )

@@ -41,6 +41,7 @@ ARTIFACTS = {
     # the two collector-core artifacts the round-4 verdict flagged as
     # missing.
     "lineage_sql": "cat_lineage_sql",
+    "lineage_sql_columns": "cat_lineage_sql_columns",
     "storage_size": "cat_storage_size",
 }
 
