@@ -42,6 +42,11 @@ EVENT_OPS = [
     "fn_interval_arith",
     "fn_map_hof",
     "cat_lineage_pagerank",
+    # round 5
+    "cat_lineage_sql",
+    "cat_lineage_sql_columns",
+    "cat_merge_upsert",
+    "win_range_interval_frame",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
@@ -124,6 +129,9 @@ DOC_OPS = [
     "text_unigram_logprob",
     "fn_regexp_suite",
     "fn_url_suite",
+    # round 5
+    "pipeline_pack_sequences",
+    "pipeline_stratified_sample",
 ]
 
 _WORDS = ["alpha", "beta", "gamma", "delta", "x"]
