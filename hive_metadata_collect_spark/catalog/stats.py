@@ -1451,3 +1451,118 @@ def cat_lineage_sql_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dst_table", "src_table", "column_name")
         .agg(F.countDistinct("event_id").alias("n_queries"))
     )
+
+
+@register(
+    "cat_scd2_apply",
+    survey_row=61,
+    oracle="""
+    WITH incoming AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer WHERE c_custkey % 97 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000 AS c_custkey, c_acctbal
+        FROM customer WHERE c_custkey % 89 = 0
+    ),
+    diff AS (
+        SELECT coalesce(cur.c_custkey, inc.c_custkey) AS c_custkey,
+               CASE WHEN cur.c_custkey IS NULL THEN 'insert'
+                    WHEN inc.c_custkey IS NULL THEN 'delete'
+                    WHEN cur.c_acctbal <> inc.c_acctbal THEN 'update'
+                    ELSE 'unchanged' END AS change_type,
+               cur.c_acctbal AS old_bal,
+               inc.c_acctbal AS new_bal
+        FROM customer cur FULL OUTER JOIN incoming inc
+          ON cur.c_custkey = inc.c_custkey
+    )
+    SELECT c_custkey, old_bal AS c_acctbal,
+           DATE '2024-01-01' AS valid_from,
+           DATE '2024-06-01' AS valid_to, FALSE AS is_current
+    FROM diff WHERE change_type IN ('update', 'delete')
+    UNION ALL
+    SELECT c_custkey, old_bal, DATE '2024-01-01', NULL, TRUE
+    FROM diff WHERE change_type = 'unchanged'
+    UNION ALL
+    SELECT c_custkey, new_bal, DATE '2024-06-01', NULL, TRUE
+    FROM diff WHERE change_type IN ('update', 'insert')
+    """,
+)
+def cat_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE-2 APPLY — the maintenance step cat_scd2_diff is the
+    prelude to: the classified change set is turned into the new
+    slowly-changing-dimension state with validity intervals —
+    updates/deletes CLOSE the old version (valid_to = batch date,
+    is_current = false), updates/inserts OPEN a new current version,
+    unchanged keys keep their open row. One pass over the diff: each
+    row emits its 0–2 versions through a row-local array-of-structs
+    explode (no re-scan per branch, unlike the oracle's triple-UNION
+    shape — same rows, one join instead of three). With both
+    snapshots bucketed on the business key this is the shuffle-free
+    co-located merge every warehouse dimension load runs; batch/epoch
+    dates are deterministic literals so both engines emit identical
+    intervals."""
+    cur = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    k = F.col("c_custkey")
+    inc = (
+        cur.filter(k % 97 != 0)
+        .select(
+            "c_custkey",
+            F.when(k % 7 == 0, F.col("c_acctbal") + 100)
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+        )
+        .unionAll(
+            cur.filter(k % 89 == 0).select(
+                (k + 1000000).alias("c_custkey"), "c_acctbal"
+            )
+        )
+    )
+    cur_a, inc_a = cur.alias("cur"), inc.alias("inc")
+    ct = (
+        F.when(F.col("cur.c_custkey").isNull(), "insert")
+        .when(F.col("inc.c_custkey").isNull(), "delete")
+        .when(F.col("cur.c_acctbal") != F.col("inc.c_acctbal"), "update")
+        .otherwise("unchanged")
+    )
+    diff = cur_a.join(
+        inc_a, F.col("cur.c_custkey") == F.col("inc.c_custkey"), "full"
+    ).select(
+        F.coalesce(F.col("cur.c_custkey"), F.col("inc.c_custkey")).alias(
+            "c_custkey"
+        ),
+        ct.alias("change_type"),
+        F.col("cur.c_acctbal").alias("old_bal"),
+        F.col("inc.c_acctbal").alias("new_bal"),
+    )
+    d0 = F.lit("2024-01-01").cast("date")
+    d1 = F.lit("2024-06-01").cast("date")
+    dnull = F.lit(None).cast("date")
+    ver = lambda bal, vf, vt, cur_flag: F.struct(  # noqa: E731
+        F.col(bal).alias("c_acctbal"),
+        vf.alias("valid_from"),
+        vt.alias("valid_to"),
+        F.lit(cur_flag).alias("is_current"),
+    )
+    versions = F.array(
+        F.when(
+            F.col("change_type").isin("update", "delete"),
+            ver("old_bal", d0, d1, False),
+        ),
+        F.when(F.col("change_type") == "unchanged", ver("old_bal", d0, dnull, True)),
+        F.when(
+            F.col("change_type").isin("update", "insert"),
+            ver("new_bal", d1, dnull, True),
+        ),
+    )
+    return diff.select(
+        "c_custkey",
+        F.explode(F.filter(versions, lambda x: x.isNotNull())).alias("v"),
+    ).select(
+        "c_custkey",
+        F.col("v.c_acctbal"),
+        F.col("v.valid_from"),
+        F.col("v.valid_to"),
+        F.col("v.is_current"),
+    )
