@@ -557,24 +557,54 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_percentiles", survey_row=27, oracle=None)
+@register(
+    "agg_approx_percentiles",
+    survey_row=27,
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50_exact,
+           round(quantile_cont(l_quantity, 0.9), 4) AS p90_exact,
+           TRUE AS p50_within_1,
+           TRUE AS p90_within_1
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mergeable-sketch twin of agg_percentiles: per-group p50/p90
     via approx_percentile (KLL-style sketch, relative accuracy set by
     the third argument). Exact percentile fully sorts each group's
     values; the sketch is map-side combinable, so the shuffle carries
     one bounded sketch per group per task — the only formulation that
-    holds at 100 TB group sizes. Approximate → rows-only driver check;
-    the error bound vs the exact operator is asserted in
+    holds at 100 TB group sizes. Driver-hashable bound contract (the
+    agg_approx_distinct pattern): each group emits the exact
+    interpolated percentiles plus a bool asserting the sketch landed
+    within one quantity unit (l_quantity is integer-valued 1..50, so
+    one unit ≈ one quantile step at accuracy 10000); the oracle
+    recomputes the exact values with the bools as literal TRUE. The
+    numeric band is additionally asserted engine-side in
     tests/test_edge_cases.py."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    raw = li.groupBy("l_returnflag").agg(
         F.approx_percentile(F.col("l_quantity"), F.lit(0.5), F.lit(10000)).alias(
-            "p50_approx"
+            "ap50"
         ),
         F.approx_percentile(F.col("l_quantity"), F.lit(0.9), F.lit(10000)).alias(
-            "p90_approx"
+            "ap90"
         ),
+        F.round(F.percentile(F.col("l_quantity"), F.lit(0.5)), 4).alias(
+            "p50_exact"
+        ),
+        F.round(F.percentile(F.col("l_quantity"), F.lit(0.9)), 4).alias(
+            "p90_exact"
+        ),
+    )
+    within = lambda a, e: F.abs(F.col(a) - F.col(e)) <= 1.0  # noqa: E731
+    return raw.select(
+        "l_returnflag",
+        "p50_exact",
+        "p90_exact",
+        within("ap50", "p50_exact").alias("p50_within_1"),
+        within("ap90", "p90_exact").alias("p90_within_1"),
     )
 
 
@@ -683,16 +713,30 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_approx_topk",
     survey_row=22,
-    oracle=None,  # approximate sketch — recall-tested engine-side
+    oracle="""
+    SELECT (l_partkey % 97)::BIGINT AS item,
+           count(*)::BIGINT AS est_count
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY est_count DESC, item
+    LIMIT 10
+    """,
 )
 def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via the approx_top_k sketch (Spark 4 built-in):
     top-10 most frequent part keys tracked with a 100-item sketch —
     the frequent-items pattern whose state is O(items_tracked), not
     O(distinct), so it survives any cardinality at 100 TB. Sketches
-    merge associatively across partitions (map-side combine). No SQL
-    oracle (sketch internals are engine-specific); the engine-side
-    test asserts recall against the exact top-k with tie tolerance."""
+    merge associatively across partitions (map-side combine).
+    Driver-hashable contract: the key domain (l_partkey % 97, 97
+    values) fits inside the 100-slot sketch, the regime where the
+    frequent-items sketch provably degrades to EXACT counts — so the
+    oracle is the exact top-10 with the same (count desc, item)
+    total order, and a hash match certifies the sketch produced
+    exact counts (asserted engine-side too,
+    tests/test_edge_cases.py::test_approx_topk_recall_vs_exact,
+    which also exercises the tie-tolerant recall check that would
+    apply past the exact regime)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.select(

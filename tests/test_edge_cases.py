@@ -304,14 +304,15 @@ def test_approx_percentiles_within_bound(spark, sf_dir):
         r["l_returnflag"]: (r["p50"], r["p90"])
         for r in OPS["agg_percentiles"].fn(spark, sf_dir).collect()
     }
-    approx = {
-        r["l_returnflag"]: (r["p50_approx"], r["p90_approx"])
+    got = {
+        r["l_returnflag"]: r
         for r in OPS["agg_approx_percentiles"].fn(spark, sf_dir).collect()
     }
-    assert exact.keys() == approx.keys()
+    assert exact.keys() == got.keys()
     for k in exact:
-        assert abs(exact[k][0] - approx[k][0]) <= 1.0, (k, exact[k], approx[k])
-        assert abs(exact[k][1] - approx[k][1]) <= 1.0, (k, exact[k], approx[k])
+        assert got[k]["p50_exact"] == exact[k][0], (k, got[k], exact[k])
+        assert got[k]["p90_exact"] == exact[k][1], (k, got[k], exact[k])
+        assert got[k]["p50_within_1"] and got[k]["p90_within_1"], got[k]
 
 
 def test_approx_topk_recall_vs_exact(spark, sf_dir):
