@@ -203,23 +203,38 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_fingerprint", survey_row=67, oracle=None)
+@register(
+    "text_fingerprint",
+    survey_row=67,
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS full_fp,
+           md5(array_to_string((string_split(text, ' '))[1:8], ' '))
+               AS prefix_fp
+    FROM documents
+    """,
+)
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting via 64-bit content hashes (full text +
-    8-token rolling prefix) for cheap shard-local duplicate candidate
-    blocking. Spark's xxhash64 and DuckDB's hash differ as functions,
-    so the oracle is rows-only-equivalent in *shape*; equality of the
-    fingerprint SEMANTICS (same text ⇒ same hash, prefix collision ⇒
-    candidate) is what tests assert — here both engines hash their own
-    way and we compare determinism, not values. NOTE: this operator is
-    therefore registered rows-only."""
+    """Document fingerprinting via content digests (full text + an
+    8-token prefix block) for cheap shard-local duplicate candidate
+    blocking. The digest is md5 — bit-identical across engines, which
+    upgrades this from the rows-only check it carried for four rounds
+    to a hash-exact oracle (the round-4 form used xxhash64, whose
+    values no other engine reproduces). In production the knob is a
+    cheaper non-cryptographic 64-bit hash (xxhash64 — same plan
+    shape, ~3× cheaper per byte); the blocking SEMANTICS (equal text
+    ⇒ equal fingerprint, shared prefix ⇒ candidate pair) are digest-
+    agnostic. Narrow, shuffle-free, codegen end to end."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.xxhash64("text").alias("full_hash"),
-        F.xxhash64(F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ")).alias(
-            "prefix_hash"
-        ),
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("full_fp"),
+        F.md5(
+            F.encode(
+                F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " "),
+                "UTF-8",
+            )
+        ).alias("prefix_fp"),
     )
 
 
