@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import datetime
 import math
+import os
 from decimal import Decimal
 
 import duckdb
@@ -28,8 +29,11 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     con.execute("SET timezone='UTC'")
     for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(path):  # multi-file table (tools/make_sf10x.py)
+            path = os.path.join(path, "*.parquet")
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
     return con
 
