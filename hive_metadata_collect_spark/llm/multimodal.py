@@ -638,3 +638,113 @@ def mm_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", "width", "height", "n_frames", F.round("mean_y", 4).alias("mean_y")
     )
+
+
+@register(
+    "mm_image_phash",
+    survey_row=74,
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               unnest(generate_series(
+                   0, (1 + doc_id % 16) * (1 + (doc_id * 7) % 16) * 3 - 1)) AS k
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, k // 3 AS p,
+               sum((doc_id + k) % 256) AS gray_sum
+        FROM s GROUP BY doc_id, k // 3
+    ),
+    cell AS (
+        SELECT doc_id,
+               ((p % (1 + doc_id % 16)) * 8) // (1 + doc_id % 16) AS bx,
+               ((p // (1 + doc_id % 16)) * 8) // (1 + (doc_id * 7) % 16) AS by,
+               sum(gray_sum) AS cs
+        FROM px GROUP BY doc_id, bx, by
+    ),
+    tot AS (
+        SELECT doc_id, count(*) AS n_cells, sum(cs) AS total
+        FROM cell GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           t.n_cells::BIGINT AS n_cells,
+           sum(CASE WHEN c.cs * t.n_cells > t.total
+                         AND c.by * 8 + c.bx < 32
+                    THEN (1::BIGINT << (c.by * 8 + c.bx))
+                    ELSE 0 END)::BIGINT AS hash_lo,
+           sum(CASE WHEN c.cs * t.n_cells > t.total
+                         AND c.by * 8 + c.bx >= 32
+                    THEN (1::BIGINT << (c.by * 8 + c.bx - 32))
+                    ELSE 0 END)::BIGINT AS hash_hi
+    FROM cell c JOIN tot t ON c.doc_id = t.doc_id
+    GROUP BY c.doc_id, t.n_cells
+    """,
+)
+def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hash (aHash family) over REAL decoded bytes —
+    the multimodal×dedup intersection: each synthesized P6 PPM is
+    byte-parsed (header + raw RGB plane, the decode_ppm contract),
+    average-pooled onto an 8×8 grid, and thresholded against the
+    image's own cell mean into a 64-bit fingerprint (emitted as
+    lo/hi 32-bit halves to stay inside signed BIGINT). Near-duplicate
+    images then block on equal (or low-Hamming) hashes — the image
+    twin of text_fingerprint. Every comparison is INTEGER-exact by
+    construction (cell_sum · n_cells > total, never a float mean), so
+    the closed-form DuckDB re-derivation of the same pixels is
+    bit-identical — the mm_audio_rms proof shape: Spark decodes real
+    bytes, the oracle recomputes from the synthesis formula. Images
+    smaller than 8×8 populate only their reachable grid cells
+    (n_cells in the output makes that explicit). Decode + hash run in
+    one mapInPandas stage (Arrow-batched, no shuffle); the hash
+    groupBy downstream is |corpus|-bounded."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if payload[0:2] != b"P6":
+                    raise ValueError("not a P6 PPM")
+                fields: list[int] = []
+                pos = 2
+                while len(fields) < 3:
+                    while payload[pos : pos + 1].isspace():
+                        pos += 1
+                    start = pos
+                    while not payload[pos : pos + 1].isspace():
+                        pos += 1
+                    fields.append(int(payload[start:pos]))
+                pos += 1
+                w, h, _maxval = fields
+                pix = np.frombuffer(payload, np.uint8, offset=pos).astype(
+                    np.int64
+                )
+                gray = pix.reshape(-1, 3).sum(axis=1)
+                p = np.arange(w * h, dtype=np.int64)
+                idx = ((p // w) * 8 // h) * 8 + (p % w) * 8 // w
+                cells = np.zeros(64, np.int64)
+                np.add.at(cells, idx, gray)
+                present = np.zeros(64, bool)
+                present[idx] = True
+                n_cells = int(present.sum())
+                total = int(cells[present].sum())
+                bits = present & (cells * n_cells > total)
+                lo = int(sum(1 << i for i in range(32) if bits[i]))
+                hi = int(sum(1 << (i - 32) for i in range(32, 64) if bits[i]))
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_cells": n_cells,
+                        "hash_lo": lo,
+                        "hash_hi": hi,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    d = load_table(spark, sf_dir, "documents")
+    return _synth_ppm_payloads(d).mapInPandas(
+        batches,
+        schema="doc_id long, n_cells long, hash_lo long, hash_hi long",
+    )
