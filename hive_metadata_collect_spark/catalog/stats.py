@@ -1566,3 +1566,85 @@ def cat_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v.valid_to"),
         F.col("v.is_current"),
     )
+
+
+@register(
+    "cat_query_fingerprint",
+    survey_row=66,
+    oracle="""
+    WITH q AS (
+        SELECT event_id,
+               'INSERT INTO mart_' || event_type ||
+               ' SELECT * FROM raw_' || (user_id % 7) ||
+               CASE WHEN event_id % 3 >= 1
+                    THEN ' JOIN dim_' || (event_id % 5) || ' ON a.k = b.k'
+                    ELSE '' END ||
+               CASE WHEN event_id % 3 = 2
+                    THEN ' WHERE v > ' || (user_id % 100) ||
+                         ' AND tag = ''t' || (event_id % 9) || ''''
+                    ELSE '' END AS sql_text
+        FROM events
+    ),
+    tmpl AS (
+        SELECT event_id,
+               regexp_replace(
+                   regexp_replace(sql_text, '''[^'']*''', '?', 'g'),
+                   '[0-9]+', '?', 'g') AS template
+        FROM q
+    )
+    SELECT md5(template) AS template_fp,
+           min(template) AS template,
+           count(*)::BIGINT AS n_queries
+    FROM tmpl
+    GROUP BY md5(template)
+    """,
+)
+def cat_query_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-template fingerprinting — the workload-analysis pass a
+    collector runs on its audit log: strip literals (quoted strings
+    first, then numbers — order matters, or digits inside strings
+    survive) so the thousands of per-day query instances collapse
+    into their handful of templates, fingerprint each template (md5,
+    cross-engine identical), and count instances per template. The
+    synthesized statements carry numeric and string literals in
+    table names, predicates and tags, so normalization is genuinely
+    exercised (raw_3 → raw_?, tag = 't4' → tag = ?). Pure codegen
+    (two regexp_replace + md5) until the |templates|-bounded final
+    agg — at 100 TB of query log the reduce side is the template
+    count, typically a few thousand rows."""
+    ev = load_table(spark, sf_dir, "events")
+    sql_text = F.concat(
+        F.lit("INSERT INTO mart_"),
+        F.col("event_type"),
+        F.lit(" SELECT * FROM raw_"),
+        (F.col("user_id") % 7).cast("string"),
+        F.when(
+            F.col("event_id") % 3 >= 1,
+            F.concat(
+                F.lit(" JOIN dim_"),
+                (F.col("event_id") % 5).cast("string"),
+                F.lit(" ON a.k = b.k"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("event_id") % 3 == 2,
+            F.concat(
+                F.lit(" WHERE v > "),
+                (F.col("user_id") % 100).cast("string"),
+                F.lit(" AND tag = 't"),
+                (F.col("event_id") % 9).cast("string"),
+                F.lit("'"),
+            ),
+        ).otherwise(""),
+    )
+    template = F.regexp_replace(
+        F.regexp_replace(sql_text, r"'[^']*'", "?"), r"[0-9]+", "?"
+    )
+    return (
+        ev.select(template.alias("template"))
+        .groupBy(F.md5(F.encode("template", "UTF-8")).alias("template_fp"))
+        .agg(
+            F.min("template").alias("template"),
+            F.count(F.lit(1)).alias("n_queries"),
+        )
+    )

@@ -43,6 +43,7 @@ ARTIFACTS = {
     "lineage_sql": "cat_lineage_sql",
     "lineage_sql_columns": "cat_lineage_sql_columns",
     "storage_size": "cat_storage_size",
+    "query_templates": "cat_query_fingerprint",
 }
 
 
