@@ -343,3 +343,60 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.last(price_f, ignorenulls=True).over(w).alias("last_final_price"),
     )
+
+
+@register(
+    "win_distinct_running",
+    survey_row=32,
+    oracle="""
+    WITH flagged AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN row_number() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS first_seen
+        FROM events
+    )
+    SELECT event_id, user_id, ts,
+           sum(first_seen) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )::BIGINT AS n_distinct_types
+    FROM flagged
+    """,
+)
+def win_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — a frame neither Spark
+    nor DuckDB supports natively (`count(DISTINCT) OVER` is rejected
+    by both planners), expressed with the standard two-window
+    rewrite: flag each (user, event_type)'s FIRST occurrence with a
+    row_number window, then running-sum the flags over the user's
+    timeline. Both windows share the user_id shuffle (the second
+    window's partition key is a prefix of the first's), so the plan
+    is one exchange + one sort — the same cost as any per-user
+    window, where a naive distinct-set accumulator would carry
+    O(|types|) state per row. Ties are broken by (ts, event_id) in
+    both windows, so the running count is total-order deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias(
+            "first_seen"
+        ),
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum("first_seen").over(w_run).cast("long").alias("n_distinct_types"),
+    )
