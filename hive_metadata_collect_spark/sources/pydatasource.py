@@ -18,7 +18,12 @@ import datetime
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from hive_metadata_collect_spark.registry import register
 
@@ -45,6 +50,9 @@ class MetastoreSource(DataSource):
 
     def reader(self, schema) -> "MetastoreReader":
         return MetastoreReader()
+
+    def simpleStreamReader(self, schema) -> "MetastoreStreamReader":
+        return MetastoreStreamReader()
 
 
 class MetastoreReader(DataSourceReader):
@@ -108,3 +116,41 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_external"),
         F.max("create_time").alias("newest_table"),
     )
+
+
+class MetastoreStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the connector: the audit-log tail a collector
+    ingests incrementally. Offsets are plain dicts ({"tbl_id": n} —
+    the high-watermark pattern of any CDC/JDBC incremental pull);
+    each micro-batch serves the rows between two watermarks. Spark
+    checkpoints the offset, so restarts resume exactly where the
+    previous run stopped (exercised in tests/test_streaming.py)."""
+
+    def initialOffset(self) -> dict:
+        return {"tbl_id": 0}
+
+    def read(self, start: dict):
+        lo = start["tbl_id"]
+        hi = min(lo + _TBLS_PER_PART, _N_PARTS * _TBLS_PER_PART)
+        # the runner calls next() on this AND pickles it into its
+        # prefetch cache → must be an ITERATOR that pickles: a
+        # list-iterator is both (a generator pickles not at all, a
+        # bare list iterates not at all)
+        return iter(_rows_between(lo, hi)), {"tbl_id": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(_rows_between(start["tbl_id"], end["tbl_id"]))
+
+
+def _rows_between(lo: int, hi: int) -> list:
+    return [
+        (
+            tbl_id,
+            f"db_{tbl_id % 10}",
+            f"tbl_{tbl_id}",
+            f"owner_{tbl_id % 7}",
+            "MANAGED_TABLE" if tbl_id % 5 else "EXTERNAL_TABLE",
+            _EPOCH + datetime.timedelta(days=tbl_id),
+        )
+        for tbl_id in range(lo, hi)
+    ]

@@ -275,3 +275,31 @@ def test_checkpoint_recovery_no_duplicates(spark, sf_dir, checkpoint, tmp_path):
     }
     assert got == want, f"restart broke exactly-once: {got} != {want}"
     shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def test_python_datasource_stream_matches_batch(spark, checkpoint):
+    """The custom Python Data Source's streaming reader must deliver
+    exactly the batch reader's rows across availableNow micro-batches
+    (offset watermarks advance 25 rows per batch, 4 batches total)."""
+    from hive_metadata_collect_spark.sources.pydatasource import (
+        MetastoreSource,
+    )
+
+    spark.dataSource.register(MetastoreSource)
+    batch = {tuple(r) for r in spark.read.format("hmcs_metastore").load().collect()}
+    sdf = spark.readStream.format("hmcs_metastore").load()
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("hmcs_meta_stream")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    # the source is finite (offset stops advancing at tbl_id=100), so
+    # processAllAvailable drains exactly the four 25-row micro-batches
+    q.processAllAvailable()
+    q.stop()
+    streamed = {
+        tuple(r) for r in spark.sql("SELECT * FROM hmcs_meta_stream").collect()
+    }
+    assert streamed == batch
+    assert len(streamed) == 100
