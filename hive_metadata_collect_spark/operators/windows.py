@@ -400,3 +400,65 @@ def win_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.sum("first_seen").over(w_run).cast("long").alias("n_distinct_types"),
     )
+
+
+@register(
+    "win_gap_fill",
+    survey_row=32,
+    oracle="""
+    WITH span AS (
+        SELECT date_trunc('hour', min(ts)) AS lo,
+               date_trunc('hour', max(ts)) AS hi
+        FROM events
+    ),
+    hours AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        FROM span
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    observed AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT t.event_type, h.hour, coalesce(o.n, 0)::BIGINT AS n
+    FROM types t CROSS JOIN hours h
+    LEFT JOIN observed o
+      ON o.event_type = t.event_type AND o.hour = h.hour
+    """,
+)
+def win_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification (gap fill): hourly event counts per
+    type over the stream's full [min, max] hour span, with MISSING
+    hours materialized at zero — the step that makes downstream
+    moving averages / anomaly scores correct (a window over sparse
+    rows silently skips empty buckets). The dense spine is built
+    relationally: the 1-row global span aggregate → `sequence()` +
+    explode into the hour spine, cross-joined with the distinct type
+    dim (both broadcast — one is literally one row and the other
+    |types| rows), then a left join pulls observed counts in.
+    Shuffles: one for the observed-counts agg, one for the type dim;
+    the spine join is broadcast, so the fact is never re-shuffled.
+    At 100 TB the spine stays tiny (hours × types is calendar-sized)
+    regardless of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = span.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    observed = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        types.crossJoin(F.broadcast(hours))
+        .join(observed, ["event_type", "hour"], "left")
+        .select(
+            "event_type", "hour", F.coalesce("n", F.lit(0)).alias("n")
+        )
+    )
