@@ -329,3 +329,18 @@ def test_lineage_sql_parse_is_narrow_jvm_side(spark, sf_dir):
     scan = scan_summary(df)
     assert "event_id" in scan and "event_type" in scan and "user_id" in scan
     assert "props" not in scan and "value" not in scan
+
+
+def test_agg_pushdown_aggregates_below_join(spark, sf_dir):
+    """Eager aggregation: a HashAggregate keyed on l_orderkey must
+    exist (the pre-agg below the join), and the final agg keys on
+    o_orderpriority — i.e. the join consumes pre-aggregated rows,
+    not raw lineitem."""
+    plan = physical_plan(OPS["join_agg_pushdown"].fn(spark, sf_dir))
+    assert "HashAggregate(keys=[l_orderkey" in plan
+    assert "HashAggregate(keys=[o_orderpriority" in plan
+    # the pre-agg node appears deeper in the tree than the join node
+    join_pos = max(plan.find("SortMergeJoin"), plan.find("ShuffledHashJoin"),
+                   plan.find("BroadcastHashJoin"))
+    prea_pos = plan.find("HashAggregate(keys=[l_orderkey")
+    assert join_pos != -1 and prea_pos > join_pos
