@@ -47,6 +47,9 @@ EVENT_OPS = [
     "cat_lineage_sql_columns",
     "cat_merge_upsert",
     "win_range_interval_frame",
+    "cat_query_fingerprint",
+    "win_distinct_running",
+    "win_gap_fill",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
@@ -132,6 +135,8 @@ DOC_OPS = [
     # round 5
     "pipeline_pack_sequences",
     "pipeline_stratified_sample",
+    "text_fingerprint",
+    "mm_image_phash",
 ]
 
 _WORDS = ["alpha", "beta", "gamma", "delta", "x"]
