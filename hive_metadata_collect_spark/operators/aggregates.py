@@ -750,3 +750,53 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("est_count"), "item")
     )
+
+
+@register(
+    "agg_median_abs_deviation",
+    survey_row=27,
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           round(m.med, 4) AS median_qty,
+           round(quantile_cont(abs(l.l_quantity - m.med), 0.5), 4) AS mad_qty
+    FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+    GROUP BY l.l_returnflag, m.med
+    """,
+)
+def agg_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion: per-group MEDIAN ABSOLUTE DEVIATION —
+    median(|x − median(x)|), the outlier-resistant stddev the
+    statistical suite's moment aggregates can't provide (one wild
+    value moves stddev arbitrarily, moves MAD not at all). Median of
+    a transformed column needs the group median FIRST, so this is
+    the canonical two-pass-with-broadcast-back shape: pass 1
+    aggregates |groups| medians, the tiny result broadcasts back
+    onto the fact (no fact re-shuffle — the join is broadcast), and
+    pass 2 aggregates the absolute deviations. At 100 TB swap the
+    exact percentiles for approx_percentile sketches
+    (agg_approx_percentiles' contract) and the shape is unchanged."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile(F.col("l_quantity"), F.lit(0.5)).alias("med")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag", "med")
+        .agg(
+            F.round(
+                F.percentile(F.abs(F.col("l_quantity") - F.col("med")), F.lit(0.5)),
+                4,
+            ).alias("mad_qty")
+        )
+        .select(
+            "l_returnflag",
+            F.round("med", 4).alias("median_qty"),
+            "mad_qty",
+        )
+    )

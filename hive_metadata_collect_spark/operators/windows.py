@@ -462,3 +462,64 @@ def win_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "hour", F.coalesce("n", F.lit(0)).alias("n")
         )
     )
+
+
+@register(
+    "win_streak_longest",
+    survey_row=32,
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    grp AS (
+        SELECT user_id, day,
+               day - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY day) AS INT) AS anchor
+        FROM days
+    ),
+    runs AS (
+        SELECT user_id, count(*)::BIGINT AS run_len, min(day) AS run_start
+        FROM grp GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           max(run_len)::BIGINT AS longest_streak,
+           min(run_start) FILTER (WHERE run_len = (
+               SELECT max(r2.run_len) FROM runs r2
+               WHERE r2.user_id = runs.user_id)) AS streak_start
+    FROM runs
+    GROUP BY user_id
+    """,
+)
+def win_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the classic
+    gaps-and-islands DATE variant (distinct from session windows,
+    which group by time GAPS; streaks group by calendar adjacency):
+    distinct active days → `day − row_number` collapses each
+    consecutive run to a constant anchor → one agg per run → max run
+    per user, with the earliest start among tied maxima as a
+    deterministic tie-break. One shuffle on user_id feeds the
+    row_number sort AND both rollups (the run and user aggs key on
+    user_id prefixes, so Catalyst reuses the partitioning). The
+    oracle's correlated-subquery tie-break is expressed in Spark as
+    a max_by over an ordered struct — same rows, no second pass."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.select(
+        "user_id",
+        "day",
+        F.date_sub("day", F.row_number().over(w)).alias("anchor"),
+    )
+    runs = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("run_len"),
+        F.min("day").alias("run_start"),
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").alias("longest_streak"),
+        F.min_by(
+            "run_start",
+            F.struct((-F.col("run_len")).alias("neg"), F.col("run_start")),
+        ).alias("streak_start"),
+    )
