@@ -197,14 +197,18 @@ def main() -> None:
     sidecar = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_STAGES.json"
     )
+    # A stages-disabled run must leave the previous (still valid,
+    # headline-stamped) sidecar intact rather than destroy it and
+    # write nothing (ADVICE r5) — so the opt-out check comes BEFORE
+    # the stale-sidecar removal.
+    if os.environ.get("SPARK_GRAFT_STAGES", "1") == "0":
+        return
+
     # Never leave a stale sidecar beside a fresh headline (advice r4):
     # remove it up front; pass 2 rewrites it stamped with this run's
     # headline total so the two artifacts can be paired.
     if os.path.exists(sidecar):
         os.remove(sidecar)
-
-    if os.environ.get("SPARK_GRAFT_STAGES", "1") == "0":
-        return
 
     # ---- pass 2: event-logged session, breakdown queries only — the
     # per-stage evidence (floor vs fixable), not the headline time.

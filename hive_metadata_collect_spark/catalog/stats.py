@@ -1314,12 +1314,20 @@ def cat_storage_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
         .load(sf_dir)
         .select("path", "length")
     )
+    # Two warehouse layouts exist: single-file tables
+    # (`<dir>/lineitem.parquet`) and directory tables
+    # (`<dir>/lineitem.parquet/part-00.parquet`, the multi-file shape
+    # tools/make_sf10x.py writes). The table name is the LAST
+    # `<name>.parquet` path component whose stem is bare [a-z_] — for
+    # directory tables that is the directory (part files carry digits/
+    # hyphens and never match), for single files the file itself.
     return (
         files.groupBy(
-            F.regexp_extract("path", r"([a-z_]+)\.parquet$", 1).alias(
+            F.regexp_extract("path", r"/([a-z_]+)\.parquet(/|$)", 1).alias(
                 "table_name"
             )
         )

@@ -720,7 +720,10 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_row=8,
     oracle="""
     SELECT o_orderpriority,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                          (CAST(1 AS DECIMAL(5,4)) -
+                           CAST(l_discount AS DECIMAL(5,4)))), 2)
+                AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
@@ -732,9 +735,13 @@ def join_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     partially evaluated below the join, keyed on the join key
     (l_orderkey), collapsing the 4-rows-per-order fact to one row per
     key BEFORE the join probes orders; the final per-priority rollup
-    then sums pre-aggregated partials. Same oracle as the
-    salted/unsalted twins (provably identical results — SUM/COUNT
-    decompose over the orderkey partition), measured ~30 % faster
+    then sums pre-aggregated partials. Revenue is computed on exact
+    DECIMALs (ADVICE r5): the two-level sum reorders addition vs the
+    one-level salted/unsalted twins, so a double formulation could
+    flip the rounded last ULP at larger scale factors — decimal
+    addition is associative, making the eager-agg rewrite provably
+    hash-identical (SUM/COUNT decompose over the orderkey
+    partition). Measured ~30 % faster
     than the naive join-then-aggregate at sf0.1 AND sf1 (the join
     carries |orders| rows instead of |lineitem|). At 100 TB this is
     the difference between shuffling the fact table and shuffling
@@ -745,17 +752,18 @@ def join_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(5,4)")
+    )
     pre = li.groupBy("l_orderkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "rev"
-        ),
+        F.sum(rev).alias("rev"),
         F.count(F.lit(1)).alias("n"),
     )
     return (
         pre.join(orders, pre["l_orderkey"] == orders["o_orderkey"])
         .groupBy("o_orderpriority")
         .agg(
-            F.round(F.sum("rev"), 2).alias("revenue"),
+            F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
             F.sum("n").alias("n_items"),
         )
     )

@@ -360,11 +360,45 @@ def test_storage_size_matches_os_stat(spark, sf_dir):
     expected: dict[str, list] = {}
     for p in _glob.glob(_os.path.join(sf_dir, "*.parquet")):
         t = _os.path.basename(p).removesuffix(".parquet")
-        expected.setdefault(t, []).append(_os.stat(p).st_size)
+        if _os.path.isdir(p):
+            # make_sf10x.py directory layout: table.parquet/part-NN.parquet
+            for part in _glob.glob(_os.path.join(p, "*.parquet")):
+                expected.setdefault(t, []).append(_os.stat(part).st_size)
+        else:
+            expected.setdefault(t, []).append(_os.stat(p).st_size)
     assert rows.keys() == expected.keys()
     for t, sizes in expected.items():
         assert rows[t]["n_files"] == len(sizes), t
         assert rows[t]["total_bytes"] == sum(sizes), t
+
+
+def test_storage_size_multifile_dir_layout(spark, tmp_path):
+    """ADVICE r5 (medium): on the sf10x directory layout
+    (`lineitem.parquet/part-00.parquet`) every part file must roll up
+    under its TABLE directory's name — the old filename-only regex
+    collapsed all multi-file tables into an empty-string group."""
+    import os as _os
+
+    root = tmp_path / "wh"
+    for table, nparts in [("lineitem", 3), ("orders", 2)]:
+        d = root / f"{table}.parquet"
+        d.mkdir(parents=True)
+        for i in range(nparts):
+            (d / f"part-{i:02d}.parquet").write_bytes(b"x" * (100 + i))
+    # single-file table beside the directory tables
+    (root / "region.parquet").write_bytes(b"y" * 37)
+
+    rows = {
+        r["table_name"]: r
+        for r in OPS["cat_storage_size"].fn(spark, str(root)).collect()
+    }
+    assert rows.keys() == {"lineitem", "orders", "region"}
+    assert rows["lineitem"]["n_files"] == 3
+    assert rows["lineitem"]["total_bytes"] == 100 + 101 + 102
+    assert rows["orders"]["n_files"] == 2
+    assert rows["orders"]["total_bytes"] == 100 + 101
+    assert rows["region"]["n_files"] == 1
+    assert rows["region"]["total_bytes"] == 37
 
 
 def test_storage_size_never_reads_content(spark, sf_dir):

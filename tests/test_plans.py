@@ -322,10 +322,17 @@ def test_lineage_sql_parse_is_narrow_jvm_side(spark, sf_dir):
     plan = physical_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Generate explode" in plan
-    # below the FIRST exchange: only scan/project/generate/partial-agg
-    below_first_exchange = plan.split("Exchange hashpartitioning")[-1]
-    assert "Generate" in below_first_exchange  # parse stage is pre-shuffle
-    assert "partial_count" in below_first_exchange
+    # The narrow-parse claim is about the BOTTOM-MOST plan region: in
+    # the printed tree children follow parents, so the text after the
+    # LAST "Exchange hashpartitioning" occurrence is the leaf stage
+    # below every shuffle (countDistinct makes this a multi-exchange
+    # plan — ADVICE r5). Assert we really hold the leaf segment (it
+    # contains the scan), then that synthesis+parse+partial-agg all
+    # live there, i.e. before any exchange executes.
+    leaf_stage = plan.split("Exchange hashpartitioning")[-1]
+    assert "Scan parquet" in leaf_stage  # proves this is the leaf region
+    assert "Generate" in leaf_stage  # parse stage is pre-shuffle
+    assert "partial_count" in leaf_stage
     scan = scan_summary(df)
     assert "event_id" in scan and "event_type" in scan and "user_id" in scan
     assert "props" not in scan and "value" not in scan
