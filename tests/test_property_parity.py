@@ -50,6 +50,10 @@ EVENT_OPS = [
     "cat_query_fingerprint",
     "win_distinct_running",
     "win_gap_fill",
+    # round 6 — the generator's 0-3 day offsets on 3 users force
+    # tie-heavy day sets, single-day users, and equal-length runs
+    # (the streak tie-break's edge class, ADVICE/verdict r5 item 5)
+    "win_streak_longest",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
@@ -299,6 +303,11 @@ LINEITEM_OPS = [
     # boundary would be noise, not semantics.)
     "agg_mode_deterministic",
     "agg_entropy",
+    # round 6 — integer quantities make even-group medians land on
+    # x.0/x.5 (exact in double), so MAD's two interpolated percentiles
+    # are compared on semantics, not accumulation noise (verdict r5
+    # item 5: even-sized groups are the interpolation edge class)
+    "agg_median_abs_deviation",
 ]
 
 
