@@ -1125,8 +1125,22 @@ def cat_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
         SELECT event_id,
-               'INSERT INTO mart_' || event_type ||
-               ' SELECT * FROM raw_' || (user_id % 7) ||
+               CASE WHEN event_id % 4 = 1
+                    THEN 'WITH tmp_' || (user_id % 3) ||
+                         ' AS (SELECT * FROM staging_' || (event_id % 6) ||
+                         ') '
+                    ELSE '' END ||
+               CASE WHEN event_id % 4 = 0
+                    THEN 'INSERT OVERWRITE TABLE mart_'
+                    ELSE 'INSERT INTO mart_' END || event_type ||
+               CASE WHEN event_id % 4 = 1
+                    THEN ' SELECT * FROM tmp_' || (user_id % 3)
+                    WHEN event_id % 4 = 2
+                    THEN ' SELECT * FROM (SELECT * FROM inner_' ||
+                         (user_id % 5) || ') s'
+                    WHEN event_id % 4 = 3
+                    THEN ' SELECT * FROM `raw_' || (user_id % 7) || '`'
+                    ELSE ' SELECT * FROM raw_' || (user_id % 7) END ||
                CASE WHEN event_id % 3 >= 1
                     THEN ' JOIN dim_' || (event_id % 5) || ' ON a.k = b.k'
                     ELSE '' END ||
@@ -1141,16 +1155,20 @@ def cat_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     e AS (
         SELECT event_id,
-               regexp_extract(sql_text, 'INSERT INTO ([a-z0-9_]+)', 1)
+               regexp_extract(sql_text,
+                   'INSERT (?:INTO|OVERWRITE TABLE) `?([a-z0-9_]+)`?', 1)
                    AS dst_table,
+               regexp_extract_all(sql_text,
+                   '(?:WITH|,) ([a-z0-9_]+) AS \\(', 1) AS cte_aliases,
                unnest(regexp_extract_all(sql_text,
-                   '(?:FROM|JOIN) ([a-z0-9_]+)', 1)) AS src_table
+                   '(?:FROM|JOIN) `?([a-z0-9_]+)`?', 1)) AS src_table
         FROM q
     )
     SELECT dst_table, src_table,
            count(DISTINCT event_id)::BIGINT AS n_queries,
            count(*)::BIGINT AS n_refs
     FROM e
+    WHERE NOT list_contains(cte_aliases, src_table)
     GROUP BY dst_table, src_table
     """,
 )
@@ -1161,54 +1179,97 @@ def cat_lineage_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_table) edges with per-edge query/reference counts, the edge
     list the closure/pagerank lineage ops consume. The fixture stream
     carries no SQL, so a deterministic statement is synthesized per
-    event in BOTH engines (the text_pii_redact pattern) — including
-    0/1/2-join shapes and an occasional self-referencing JOIN so
-    n_refs > n_queries is exercised; the operator itself is the
-    parser: regexp_extract for the INSERT target + regexp_extract_all
-    group-1 over the FROM/JOIN clauses (Java∩RE2 dialect), explode,
-    then one edge aggregation. Synthesis, parse and explode are all
-    narrow whole-stage-codegen stages that inherit the scan's
-    partitioning; the single shuffle is the final groupBy on the edge
-    key, carrying |edges| rows, not |queries| — at 100 TB of query
-    log the reduce side is bounded by the catalog's table-pair count.
-    Plan-asserted: no Exchange before the edge agg, no Python."""
+    event in BOTH engines (the text_pii_redact pattern). The round-6
+    grammar (r5 verdict item 3) covers what real collector query logs
+    actually contain: `WITH x AS (...)` CTEs (the alias must NOT be
+    emitted as a source — but the table inside the CTE body must),
+    `INSERT OVERWRITE TABLE`, backtick-quoted identifiers, derived
+    tables `FROM (SELECT ...) s` (the subquery alias never matches
+    the FROM/JOIN-anchored pattern, the inner table does), plus the
+    original 0/1/2-join and self-referencing-JOIN shapes. The parser:
+    regexp_extract for the INSERT target, regexp_extract_all group-1
+    over FROM/JOIN clauses, a per-statement CTE-alias array, and an
+    `array_contains` anti-filter removing alias refs — all
+    Java∩RE2-dialect, all row-local. Synthesis, parse, explode and
+    the alias filter are narrow whole-stage-codegen stages that
+    inherit the scan's partitioning; the single shuffle is the final
+    groupBy on the edge key, carrying |edges| rows, not |queries| —
+    at 100 TB of query log the reduce side is bounded by the
+    catalog's table-pair count. Plan-asserted: no Exchange before
+    the edge agg, no Python."""
     ev = load_table(spark, sf_dir, "events")
+    u = F.col("user_id")
+    eid = F.col("event_id")
     join2_table = F.when(
-        F.col("event_id") % 2 == 0,
-        F.concat(F.lit("ref_"), (F.col("user_id") % 3).cast("string")),
-    ).otherwise(
-        F.concat(F.lit("raw_"), (F.col("user_id") % 7).cast("string"))
-    )
+        eid % 2 == 0,
+        F.concat(F.lit("ref_"), (u % 3).cast("string")),
+    ).otherwise(F.concat(F.lit("raw_"), (u % 7).cast("string")))
     sql_text = F.concat(
-        F.lit("INSERT INTO mart_"),
-        F.col("event_type"),
-        F.lit(" SELECT * FROM raw_"),
-        (F.col("user_id") % 7).cast("string"),
         F.when(
-            F.col("event_id") % 3 >= 1,
+            eid % 4 == 1,
+            F.concat(
+                F.lit("WITH tmp_"),
+                (u % 3).cast("string"),
+                F.lit(" AS (SELECT * FROM staging_"),
+                (eid % 6).cast("string"),
+                F.lit(") "),
+            ),
+        ).otherwise(""),
+        F.when(eid % 4 == 0, F.lit("INSERT OVERWRITE TABLE mart_")).otherwise(
+            F.lit("INSERT INTO mart_")
+        ),
+        F.col("event_type"),
+        F.when(
+            eid % 4 == 1,
+            F.concat(F.lit(" SELECT * FROM tmp_"), (u % 3).cast("string")),
+        )
+        .when(
+            eid % 4 == 2,
+            F.concat(
+                F.lit(" SELECT * FROM (SELECT * FROM inner_"),
+                (u % 5).cast("string"),
+                F.lit(") s"),
+            ),
+        )
+        .when(
+            eid % 4 == 3,
+            F.concat(
+                F.lit(" SELECT * FROM `raw_"),
+                (u % 7).cast("string"),
+                F.lit("`"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit(" SELECT * FROM raw_"), (u % 7).cast("string"))
+        ),
+        F.when(
+            eid % 3 >= 1,
             F.concat(
                 F.lit(" JOIN dim_"),
-                (F.col("event_id") % 5).cast("string"),
+                (eid % 5).cast("string"),
                 F.lit(" ON a.k = b.k"),
             ),
         ).otherwise(""),
         F.when(
-            F.col("event_id") % 3 == 2,
+            eid % 3 == 2,
             F.concat(F.lit(" JOIN "), join2_table, F.lit(" ON b.k = c.k")),
         ).otherwise(""),
     )
     q = ev.select("event_id", sql_text.alias("sql_text"))
     edges = q.select(
         "event_id",
-        F.regexp_extract("sql_text", r"INSERT INTO ([a-z0-9_]+)", 1).alias(
-            "dst_table"
-        ),
+        F.regexp_extract(
+            "sql_text", r"INSERT (?:INTO|OVERWRITE TABLE) `?([a-z0-9_]+)`?", 1
+        ).alias("dst_table"),
+        F.regexp_extract_all(
+            "sql_text", F.lit(r"(?:WITH|,) ([a-z0-9_]+) AS \("), 1
+        ).alias("cte_aliases"),
         F.explode(
             F.regexp_extract_all(
-                "sql_text", F.lit(r"(?:FROM|JOIN) ([a-z0-9_]+)"), 1
+                "sql_text", F.lit(r"(?:FROM|JOIN) `?([a-z0-9_]+)`?"), 1
             )
         ).alias("src_table"),
-    )
+    ).filter(~F.array_contains(F.col("cte_aliases"), F.col("src_table")))
     return edges.groupBy("dst_table", "src_table").agg(
         F.countDistinct("event_id").alias("n_queries"),
         F.count(F.lit(1)).cast("long").alias("n_refs"),
@@ -1345,12 +1406,26 @@ def cat_storage_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
         SELECT event_id,
-               'INSERT INTO mart_' || event_type ||
-               ' SELECT r.col_' || (user_id % 4) ||
+               CASE WHEN event_id % 4 = 1
+                    THEN 'WITH cte_' || (user_id % 3) ||
+                         ' AS (SELECT * FROM base_' || (event_id % 6) ||
+                         ') '
+                    ELSE '' END ||
+               CASE WHEN event_id % 4 = 0
+                    THEN 'INSERT OVERWRITE TABLE mart_'
+                    ELSE 'INSERT INTO mart_' END || event_type ||
+               ' SELECT ' ||
+               CASE WHEN event_id % 4 = 1 THEN 't' ELSE 'r' END ||
+               '.col_' || (user_id % 4) ||
                CASE WHEN event_id % 3 >= 1
                     THEN ', d.col_' || (4 + event_id % 3)
                     ELSE '' END ||
-               ' FROM raw_' || (user_id % 7) || ' r' ||
+               ' FROM ' ||
+               CASE WHEN event_id % 4 = 1
+                    THEN 'cte_' || (user_id % 3) || ' t'
+                    WHEN event_id % 4 = 3
+                    THEN '`raw_' || (user_id % 7) || '` r'
+                    ELSE 'raw_' || (user_id % 7) || ' r' END ||
                CASE WHEN event_id % 3 >= 1
                     THEN ' JOIN dim_' || (event_id % 5) ||
                          ' d ON r.k = d.k'
@@ -1360,14 +1435,26 @@ def cat_storage_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     al AS (
         SELECT event_id,
                unnest(regexp_extract_all(sql_text,
-                   '(?:FROM|JOIN) ([a-z0-9_]+) ([a-z])', 1)) AS src_table,
+                   '(?:FROM|JOIN) `?([a-z0-9_]+)`? ([a-z])', 1))
+                   AS src_table,
                unnest(regexp_extract_all(sql_text,
-                   '(?:FROM|JOIN) ([a-z0-9_]+) ([a-z])', 2)) AS al
+                   '(?:FROM|JOIN) `?([a-z0-9_]+)`? ([a-z])', 2)) AS al
+        FROM q
+    ),
+    ct AS (
+        SELECT event_id,
+               regexp_extract(sql_text,
+                   'WITH ([a-z0-9_]+) AS \\(SELECT [*] FROM ([a-z0-9_]+)\\)',
+                   1) AS cte_alias,
+               regexp_extract(sql_text,
+                   'WITH ([a-z0-9_]+) AS \\(SELECT [*] FROM ([a-z0-9_]+)\\)',
+                   2) AS cte_src
         FROM q
     ),
     cr AS (
         SELECT event_id,
-               regexp_extract(sql_text, 'INSERT INTO ([a-z0-9_]+)', 1)
+               regexp_extract(sql_text,
+                   'INSERT (?:INTO|OVERWRITE TABLE) ([a-z0-9_]+)', 1)
                    AS dst_table,
                unnest(regexp_extract_all(sql_text,
                    '([a-z])[.](col_[0-9]+)', 1)) AS al,
@@ -1375,11 +1462,16 @@ def cat_storage_size(spark: SparkSession, sf_dir: str) -> DataFrame:
                    '([a-z])[.](col_[0-9]+)', 2)) AS column_name
         FROM q
     )
-    SELECT cr.dst_table, al.src_table, cr.column_name,
+    SELECT cr.dst_table,
+           coalesce(ct.cte_src, al.src_table) AS src_table,
+           cr.column_name,
            count(DISTINCT cr.event_id)::BIGINT AS n_queries
-    FROM cr JOIN al
-      ON cr.event_id = al.event_id AND cr.al = al.al
-    GROUP BY cr.dst_table, al.src_table, cr.column_name
+    FROM cr
+    JOIN al ON cr.event_id = al.event_id AND cr.al = al.al
+    LEFT JOIN ct ON al.event_id = ct.event_id
+                AND al.src_table = ct.cte_alias
+    GROUP BY cr.dst_table, coalesce(ct.cte_src, al.src_table),
+             cr.column_name
     """,
 )
 def cat_lineage_sql_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1393,37 +1485,67 @@ def cat_lineage_sql_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     (alias, table) and (alias, column) pair streams, exploded, then
     one equi-join on (query_id, alias) — no per-row Python, no SQL
     parser library; the Java∩RE2 dialect keeps both engines
-    tokenizing identically. Scale: the alias map and column-ref
-    streams are both ~O(refs per query); the resolver join
-    partitions on query_id (synthetic statements here, the audit-log
-    query text in a live deployment), and the final edge agg carries
-    |dst × src × column|, catalog-bounded."""
+    tokenizing identically. Round-6 grammar (r5 verdict item 3):
+    `INSERT OVERWRITE TABLE`, backtick-quoted table names, and a CTE
+    shape — a column ref whose alias binds to a `WITH x AS (SELECT *
+    FROM base)` CTE resolves THROUGH the CTE to the underlying
+    table (one extra left join against the per-statement CTE map;
+    the CTE alias itself never appears as a source). Scale: the
+    alias map, CTE map and column-ref streams are all ~O(refs per
+    query); the resolver joins partition on query_id (synthetic
+    statements here, the audit-log query text in a live deployment),
+    and the final edge agg carries |dst × src × column|,
+    catalog-bounded."""
     ev = load_table(spark, sf_dir, "events")
+    u = F.col("user_id")
+    eid = F.col("event_id")
     sql_text = F.concat(
-        F.lit("INSERT INTO mart_"),
-        F.col("event_type"),
-        F.lit(" SELECT r.col_"),
-        (F.col("user_id") % 4).cast("string"),
         F.when(
-            F.col("event_id") % 3 >= 1,
+            eid % 4 == 1,
             F.concat(
-                F.lit(", d.col_"), (4 + F.col("event_id") % 3).cast("string")
+                F.lit("WITH cte_"),
+                (u % 3).cast("string"),
+                F.lit(" AS (SELECT * FROM base_"),
+                (eid % 6).cast("string"),
+                F.lit(") "),
             ),
         ).otherwise(""),
-        F.lit(" FROM raw_"),
-        (F.col("user_id") % 7).cast("string"),
-        F.lit(" r"),
+        F.when(eid % 4 == 0, F.lit("INSERT OVERWRITE TABLE mart_")).otherwise(
+            F.lit("INSERT INTO mart_")
+        ),
+        F.col("event_type"),
+        F.lit(" SELECT "),
+        F.when(eid % 4 == 1, F.lit("t")).otherwise(F.lit("r")),
+        F.lit(".col_"),
+        (u % 4).cast("string"),
         F.when(
-            F.col("event_id") % 3 >= 1,
+            eid % 3 >= 1,
+            F.concat(F.lit(", d.col_"), (4 + eid % 3).cast("string")),
+        ).otherwise(""),
+        F.lit(" FROM "),
+        F.when(
+            eid % 4 == 1,
+            F.concat(F.lit("cte_"), (u % 3).cast("string"), F.lit(" t")),
+        )
+        .when(
+            eid % 4 == 3,
+            F.concat(F.lit("`raw_"), (u % 7).cast("string"), F.lit("` r")),
+        )
+        .otherwise(
+            F.concat(F.lit("raw_"), (u % 7).cast("string"), F.lit(" r"))
+        ),
+        F.when(
+            eid % 3 >= 1,
             F.concat(
                 F.lit(" JOIN dim_"),
-                (F.col("event_id") % 5).cast("string"),
+                (eid % 5).cast("string"),
                 F.lit(" d ON r.k = d.k"),
             ),
         ).otherwise(""),
     )
     q = ev.select("event_id", sql_text.alias("sql_text"))
-    alias_pat = r"(?:FROM|JOIN) ([a-z0-9_]+) ([a-z])"
+    alias_pat = r"(?:FROM|JOIN) `?([a-z0-9_]+)`? ([a-z])"
+    cte_pat = r"WITH ([a-z0-9_]+) AS \(SELECT [*] FROM ([a-z0-9_]+)\)"
     col_pat = r"([a-z])[.](col_[0-9]+)"
     aliases = q.select(
         "event_id",
@@ -1438,11 +1560,16 @@ def cat_lineage_sql_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z"),
     ).select("event_id", F.col("z.src_table"), F.col("z.al"))
+    ctes = q.select(
+        "event_id",
+        F.regexp_extract("sql_text", cte_pat, 1).alias("cte_alias"),
+        F.regexp_extract("sql_text", cte_pat, 2).alias("cte_src"),
+    )
     colrefs = q.select(
         "event_id",
-        F.regexp_extract("sql_text", r"INSERT INTO ([a-z0-9_]+)", 1).alias(
-            "dst_table"
-        ),
+        F.regexp_extract(
+            "sql_text", r"INSERT (?:INTO|OVERWRITE TABLE) ([a-z0-9_]+)", 1
+        ).alias("dst_table"),
         F.explode(
             F.arrays_zip(
                 F.regexp_extract_all("sql_text", F.lit(col_pat), 1).alias(
@@ -1454,9 +1581,24 @@ def cat_lineage_sql_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z"),
     ).select("event_id", "dst_table", F.col("z.al"), F.col("z.column_name"))
+    resolved = colrefs.join(aliases, ["event_id", "al"]).join(
+        ctes.withColumnRenamed("event_id", "cte_event_id"),
+        (F.col("event_id") == F.col("cte_event_id"))
+        & (F.col("src_table") == F.col("cte_alias")),
+        "left",
+    )
     return (
-        colrefs.join(aliases, ["event_id", "al"])
-        .groupBy("dst_table", "src_table", "column_name")
+        resolved.select(
+            "event_id",
+            "dst_table",
+            F.coalesce("cte_src", "src_table").alias("src_table_resolved"),
+            "column_name",
+        )
+        .groupBy(
+            "dst_table",
+            F.col("src_table_resolved").alias("src_table"),
+            "column_name",
+        )
         .agg(F.countDistinct("event_id").alias("n_queries"))
     )
 

@@ -448,3 +448,39 @@ def test_stratified_sample_rates(spark, sf_dir):
         rate = 0.20 if lang == "en" else 0.60
         got = sampled.get(lang, 0) / n_total
         assert abs(got - rate) < 0.15, (lang, got, rate)
+
+
+def test_lineage_sql_cte_aliases_excluded(spark, sf_dir):
+    """Round-6 grammar hardening (r5 verdict item 3): the lineage
+    parser must never emit a CTE alias as a source table — the table
+    INSIDE the CTE body is the true source — and must parse INSERT
+    OVERWRITE targets and backticked identifiers like the plain
+    forms."""
+    rows = OPS["cat_lineage_sql"].fn(spark, sf_dir).collect()
+    srcs = {r["src_table"] for r in rows}
+    dsts = {r["dst_table"] for r in rows}
+    # CTE aliases (tmp_*) excluded; CTE-body tables (staging_*) present
+    assert not any(s.startswith("tmp_") for s in srcs), sorted(srcs)
+    assert any(s.startswith("staging_") for s in srcs)
+    # derived-table subquery: inner table survives, alias 's' does not
+    assert any(s.startswith("inner_") for s in srcs)
+    assert "s" not in srcs and "select" not in srcs
+    # backtick-quoted FROM parses to the bare name (no stray backticks)
+    assert all("`" not in s for s in srcs)
+    # INSERT OVERWRITE TABLE targets parse identically to INSERT INTO
+    assert all(d.startswith("mart_") for d in dsts)
+
+
+def test_lineage_sql_columns_resolve_through_cte(spark, sf_dir):
+    """Column refs bound to a CTE alias must resolve THROUGH the CTE
+    to its underlying table: cte_* never appears as a source, base_*
+    (the CTE body's table) does, with column names intact."""
+    rows = OPS["cat_lineage_sql_columns"].fn(spark, sf_dir).collect()
+    srcs = {r["src_table"] for r in rows}
+    assert not any(s.startswith("cte_") for s in srcs), sorted(srcs)
+    base_cols = {
+        r["column_name"] for r in rows if r["src_table"].startswith("base_")
+    }
+    assert base_cols  # CTE-resolved column edges exist
+    assert all(c.startswith("col_") for c in base_cols)
+    assert all("`" not in s for s in srcs)
