@@ -873,3 +873,86 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < rate)
         .select("doc_id", "lang", "bucket")
     )
+
+
+@register(
+    "dedup_paragraph",
+    survey_row=67,
+    oracle="""
+    WITH synth AS (
+        SELECT doc_id,
+               text || chr(10) || chr(10) ||
+               'boilerplate footer ' || (doc_id % 7) ||
+               CASE WHEN doc_id % 3 = 0
+                    THEN chr(10) || chr(10) ||
+                         'subscribe banner ' || (doc_id % 2)
+                    ELSE '' END AS txt
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id,
+               unnest(string_split(txt, chr(10) || chr(10))) AS para
+        FROM synth
+    ),
+    pc AS (
+        SELECT md5(para) AS ph, count(DISTINCT doc_id) AS nd
+        FROM p GROUP BY md5(para)
+    )
+    SELECT p.doc_id,
+           count(*)::BIGINT AS n_paras,
+           (count(*) FILTER (WHERE pc.nd > 1))::BIGINT AS n_dup_paras,
+           round((count(*) FILTER (WHERE pc.nd > 1))::DOUBLE / count(*), 4)
+               AS dup_frac
+    FROM p JOIN pc ON md5(p.para) = pc.ph
+    GROUP BY p.doc_id
+    """,
+)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAGRAPH-granularity dedup (r5 verdict item 8) — the
+    RefinedWeb/CCNet signal between doc-exact and shingle-near dedup:
+    boilerplate (footers, subscribe banners, cookie notices) repeats
+    across pages whose bodies differ, so dedup must run at the
+    paragraph level and each doc is scored by the fraction of its
+    paragraphs that also appear in OTHER documents. The fixture
+    corpus is single-paragraph, so multi-paragraph docs are
+    synthesized deterministically in BOTH engines (the lineage/PII
+    synthesis pattern): body + a footer shared by every 7th doc + a
+    banner on every 3rd — cross-doc duplicate paragraphs exist by
+    construction, and body paragraphs of fixture-level exact dups
+    count too. Plan: split on blank lines → posexplode →
+    paragraph-digest count (countDistinct doc, map-side combinable,
+    one shuffle on the 16-byte digest) → join back on digest → one
+    per-doc rollup. No all-pairs anywhere; at 100 TB both shuffles
+    key on digests/doc ids and the digest-count frame is exactly the
+    CCNet hash-count table."""
+    d = load_table(spark, sf_dir, "documents")
+    txt = F.concat(
+        F.col("text"),
+        F.lit("\n\nboilerplate footer "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("\n\nsubscribe banner "),
+                (F.col("doc_id") % 2).cast("string"),
+            ),
+        ).otherwise(""),
+    )
+    paras = d.select(
+        "doc_id",
+        F.explode(F.split(txt, "\n\n")).alias("para"),
+    ).withColumn("ph", F.md5(F.col("para").cast("binary")))
+    counts = paras.groupBy("ph").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        paras.join(counts, "ph")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.count_if(F.col("nd") > 1).alias("n_dup_paras"),
+            F.round(
+                F.count_if(F.col("nd") > 1) / F.count(F.lit(1)), 4
+            ).alias("dup_frac"),
+        )
+    )

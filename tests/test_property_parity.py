@@ -141,6 +141,8 @@ DOC_OPS = [
     "pipeline_stratified_sample",
     "text_fingerprint",
     "mm_image_phash",
+    # round 6
+    "dedup_paragraph",
 ]
 
 _WORDS = ["alpha", "beta", "gamma", "delta", "x"]
