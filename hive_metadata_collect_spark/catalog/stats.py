@@ -1798,3 +1798,135 @@ def cat_query_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_queries"),
         )
     )
+
+
+@register(
+    "cat_tx_log_snapshot",
+    survey_row=61,
+    oracle="""
+    WITH log AS (
+        SELECT event_id,
+               CASE WHEN event_id % 4 = 3
+                    THEN '{"v":' || (event_id % 3) ||
+                         ',"remove":{"path":"part-' || (event_id % 40) ||
+                         '"}}'
+                    ELSE '{"v":' || (event_id % 3) ||
+                         ',"add":{"path":"part-' || (event_id % 40) ||
+                         '","size":' || (event_id % 1000 + 100) ||
+                         ',"rows":' || (event_id % 90 + 10) || '}}'
+               END AS line
+        FROM events
+    ),
+    acts AS (
+        SELECT event_id,
+               CAST(json_extract(line, '$.v') AS INTEGER) AS v,
+               coalesce(json_extract_string(line, '$.add.path'),
+                        json_extract_string(line, '$.remove.path'))
+                   AS path,
+               CAST(json_extract(line, '$.add.size') AS BIGINT) AS fsize,
+               CAST(json_extract(line, '$.add.rows') AS BIGINT) AS frows,
+               json_extract_string(line, '$.add.path') IS NOT NULL
+                   AS is_add
+        FROM log
+    ),
+    winners AS (
+        SELECT s.snap, a.path, a.is_add, a.fsize, a.frows,
+               row_number() OVER (
+                   PARTITION BY s.snap, a.path
+                   ORDER BY a.v DESC,
+                            (CASE WHEN a.is_add THEN 0 ELSE 1 END) DESC,
+                            a.event_id DESC) AS rn
+        FROM acts a JOIN range(0, 3) s(snap) ON a.v <= s.snap
+    )
+    SELECT snap::BIGINT AS snapshot_version,
+           (count(*) FILTER (WHERE is_add))::BIGINT AS n_files,
+           coalesce(sum(fsize) FILTER (WHERE is_add), 0)::BIGINT
+               AS total_bytes,
+           coalesce(sum(frows) FILTER (WHERE is_add), 0)::BIGINT
+               AS total_rows
+    FROM winners
+    WHERE rn = 1
+    GROUP BY snap
+    """,
+)
+def cat_tx_log_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-format TRANSACTION-LOG snapshot resolve (r5 verdict item
+    6) — the Delta/Iceberg metadata read a 2026-era catalog collector
+    performs: a JSON action log (add-file actions carrying
+    size/row-count stats, remove-file tombstones, one version stamp
+    per action) is parsed and the LIVE file set plus table stats are
+    reconstructed at each snapshot version. delta-spark is not
+    installable here, so a deterministic log is synthesized per event
+    in BOTH engines and the operator is the resolve itself: JSON path
+    extraction (get_json_object ≡ json_extract, all codegen), a
+    3-snapshot range join (versions ≤ snapshot), and per-(snapshot,
+    path) last-writer-wins via one max_by over the (version,
+    is_remove, event_id) order struct — remove beats add at the same
+    version, later event wins among adds — then a per-snapshot
+    rollup of the surviving adds. Exactly the Delta snapshot
+    reconstruction semantics (log replay with tombstones). Scale:
+    the snapshot dim is broadcast (|versions| rows); the one real
+    shuffle keys on (snapshot, path) — file-count bounded, never
+    row-count bounded; stats come from the log, no data files are
+    read. At 100 TB this is how you answer "how big was the table at
+    version V" without touching a single parquet footer."""
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    line = F.when(
+        eid % 4 == 3,
+        F.concat(
+            F.lit('{"v":'),
+            (eid % 3).cast("string"),
+            F.lit(',"remove":{"path":"part-'),
+            (eid % 40).cast("string"),
+            F.lit('"}}'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('{"v":'),
+            (eid % 3).cast("string"),
+            F.lit(',"add":{"path":"part-'),
+            (eid % 40).cast("string"),
+            F.lit('","size":'),
+            (eid % 1000 + 100).cast("string"),
+            F.lit(',"rows":'),
+            (eid % 90 + 10).cast("string"),
+            F.lit("}}"),
+        )
+    )
+    log = ev.select("event_id", line.alias("line"))
+    acts = log.select(
+        "event_id",
+        F.get_json_object("line", "$.v").cast("int").alias("v"),
+        F.coalesce(
+            F.get_json_object("line", "$.add.path"),
+            F.get_json_object("line", "$.remove.path"),
+        ).alias("path"),
+        F.get_json_object("line", "$.add.size").cast("long").alias("fsize"),
+        F.get_json_object("line", "$.add.rows").cast("long").alias("frows"),
+        F.get_json_object("line", "$.add.path").isNotNull().alias("is_add"),
+    )
+    snaps = spark.range(0, 3).select(F.col("id").cast("int").alias("snap"))
+    winners = (
+        acts.join(F.broadcast(snaps), acts["v"] <= snaps["snap"])
+        .groupBy("snap", "path")
+        .agg(
+            F.max_by(
+                F.struct("is_add", "fsize", "frows"),
+                F.struct(
+                    F.col("v"),
+                    F.when(F.col("is_add"), 0).otherwise(1).alias("rm"),
+                    F.col("event_id"),
+                ),
+            ).alias("w")
+        )
+    )
+    return (
+        winners.filter(F.col("w.is_add"))
+        .groupBy(F.col("snap").cast("long").alias("snapshot_version"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("w.fsize").alias("total_bytes"),
+            F.sum("w.frows").alias("total_rows"),
+        )
+    )

@@ -54,6 +54,9 @@ EVENT_OPS = [
     # tie-heavy day sets, single-day users, and equal-length runs
     # (the streak tie-break's edge class, ADVICE/verdict r5 item 5)
     "win_streak_longest",
+    # tiny logs force empty snapshots, single-action paths, and
+    # same-version add/remove collisions (the tombstone tie-break)
+    "cat_tx_log_snapshot",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
