@@ -438,6 +438,64 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def min_label_components(pairs: DataFrame) -> DataFrame:
+    """Connected components over an undirected pair list (doc_a,
+    doc_b) by min-label propagation with pointer jumping; returns
+    (doc_id, canonical_id) for every node that appears in a pair.
+    Shared by dedup_components (Jaccard pair graph) and
+    mm_phash_neardup (image Hamming pair graph); see
+    dedup_components' docstring for the algorithm/scale notes."""
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).cache()
+
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(16):  # hard bound; fixpoint check exits far earlier
+        neigh_min = (
+            edges.join(labels, edges["doc_b"] == labels["doc_id"])
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("neigh_label"))
+        )
+        # localCheckpoint truncates the logical plan each iteration —
+        # without it the self-referencing lineage doubles per step and
+        # planning itself blows up (the standard iterative-DataFrame
+        # pitfall; same fix applies on a cluster via checkpoint()).
+        # The convergence flag rides along as a column computed in the
+        # same pass, so the fixpoint check is a filter over the
+        # just-materialized checkpoint — not a second join job.
+        # Pointer jump: each label is itself a doc_id; adopting the
+        # label's current label halves every path to the component
+        # minimum. Self-join on the (tiny, |clustered docs|-bounded)
+        # labels frame.
+        lab2 = labels.select(
+            F.col("doc_id").alias("label"), F.col("label").alias("jump_label")
+        )
+        new_label = F.least(
+            F.col("label"),
+            F.coalesce(F.col("neigh_label"), F.col("label")),
+            F.coalesce(F.col("jump_label"), F.col("label")),
+        )
+        new_labels = (
+            labels.join(neigh_min, labels["doc_id"] == neigh_min["doc_a"], "left")
+            .join(lab2, "label", "left")
+            .select(
+                "doc_id",
+                new_label.alias("label"),
+                (new_label != F.col("label")).alias("chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        converged = new_labels.filter(F.col("chg")).isEmpty()
+        labels = new_labels.select("doc_id", "label")
+        if converged:
+            break
+    return labels.select("doc_id", F.col("label").alias("canonical_id"))
+
+
 @register(
     "dedup_components",
     survey_row=68,
@@ -510,55 +568,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _jaccard_pairs(_word_items(spark, sf_dir), _JACCARD_TAU).select(
         "doc_a", "doc_b"
     )
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).cache()
-
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-    )
-    for _ in range(16):  # hard bound; fixpoint check exits far earlier
-        neigh_min = (
-            edges.join(labels, edges["doc_b"] == labels["doc_id"])
-            .groupBy("doc_a")
-            .agg(F.min("label").alias("neigh_label"))
-        )
-        # localCheckpoint truncates the logical plan each iteration —
-        # without it the self-referencing lineage doubles per step and
-        # planning itself blows up (the standard iterative-DataFrame
-        # pitfall; same fix applies on a cluster via checkpoint()).
-        # The convergence flag rides along as a column computed in the
-        # same pass, so the fixpoint check is a filter over the
-        # just-materialized checkpoint — not a second join job.
-        # Pointer jump: each label is itself a doc_id; adopting the
-        # label's current label halves every path to the component
-        # minimum. Self-join on the (tiny, |clustered docs|-bounded)
-        # labels frame.
-        lab2 = labels.select(
-            F.col("doc_id").alias("label"), F.col("label").alias("jump_label")
-        )
-        new_label = F.least(
-            F.col("label"),
-            F.coalesce(F.col("neigh_label"), F.col("label")),
-            F.coalesce(F.col("jump_label"), F.col("label")),
-        )
-        new_labels = (
-            labels.join(neigh_min, labels["doc_id"] == neigh_min["doc_a"], "left")
-            .join(lab2, "label", "left")
-            .select(
-                "doc_id",
-                new_label.alias("label"),
-                (new_label != F.col("label")).alias("chg"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        converged = new_labels.filter(F.col("chg")).isEmpty()
-        labels = new_labels.select("doc_id", "label")
-        if converged:
-            break
-    out = labels.select("doc_id", F.col("label").alias("canonical_id"))
+    out = min_label_components(pairs)
     # Guard the driver-side memo: only collect when the labeling is
     # small (|clustered docs| rows — at 100 TB this can be huge, and
     # then the distributed frame is returned uncached as before).
