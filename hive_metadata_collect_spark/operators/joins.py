@@ -501,25 +501,34 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_skew_unsalted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The honesty twin of `join_skew_salted` (round-4 verdict item
-    7): the SAME query written naively — no salt, no replication, no
-    hint — letting Catalyst/AQE pick the strategy and AQE's
-    skew-join splitter absorb any hot key at runtime. Benchmarked
-    beside the salted form (q_salted_join vs q_unsalted_join in
-    bench.py / BENCH_STAGES.json) so the salted demo's dim-replication
-    + double-shuffle overhead is visibly a pedagogical choice, not
-    the engine's best plan: manual salting only wins when skew is so
-    pathological that AQE's post-shuffle split (which still reads the
-    hot key's map output from one reducer's perspective) can't keep
-    partitions balanced. Results are provably identical — both
-    declare the same oracle, and tests/test_plans.py asserts
-    salted == unsalted row sets."""
+    """The unsalted twin of `join_skew_salted` (round-4 verdict item
+    7): the SAME query with no salt and no dim replication, so the
+    salted demo's replication + wider-key overhead is measured
+    against the best plain shuffled join. Round-6 change (r5 verdict
+    item 4): the plain form now carries the same `shuffle_hash` hint
+    as the salted demo — AQE's default pick here is sort-merge, and
+    the hinted shuffled-hash form measured 25–40 % faster
+    in-session at BOTH sf0.1 (0.56 → 0.37 s) and sf1 (1.04 → 0.81 s;
+    broadcast measured worse at 1.13 s, shuffle compression off
+    worse, 64 shuffle partitions worse — all recorded in SURVEY §12).
+    Hinting both twins also makes the pair a controlled experiment:
+    identical join algorithm, so q_salted_join − q_unsalted_join is
+    the cost of salting itself, not SMJ-vs-SHJ. Sort-merge remains
+    the right default at 100 TB when neither side's per-partition
+    hash table fits in memory — the hint encodes measured local-mode
+    knowledge, not a universal rule (the `preferSortMergeJoin=false`
+    session-wide variant stays a documented dead end, r5). Results
+    are provably identical — both declare the same oracle, and
+    tests/test_plans.py asserts salted == unsalted row sets."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
     return (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        li.join(
+            orders.hint("shuffle_hash"),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
         .groupBy("o_orderpriority")
         .agg(
             F.round(
