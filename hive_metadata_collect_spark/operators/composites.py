@@ -300,3 +300,766 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    survey_row=23,
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-aggregate forecast — no join at all.
+    All four predicates (date band, discount band, quantity cap) push
+    into the parquet scan as PushedFilters; the plan is a single
+    whole-stage-codegen span ending in a 1-row partial+final agg, the
+    cheapest possible shape at any scale (bytes read is the only
+    cost)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+        .alias("revenue")
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    survey_row=23,
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue from LOCAL fulfilment (customer and supplier
+    share a nation) per Asian nation — the classic 6-table star with a
+    non-key equality (c_nationkey = s_nationkey) riding on the
+    supplier join. nation⋈region pre-filters to the 5 Asian nations
+    and broadcasts; supplier is dim-sized and broadcasts; lineitem
+    shuffles once for the orders join (the only big⋈big edge), and
+    the 5-group agg is map-side combined."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asian_nations = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(
+            F.broadcast(asian_nations),
+            s.s_nationkey == asian_nations.n_nationkey,
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "tpch_q4_order_priority",
+    survey_row=23,
+    oracle="""
+    SELECT o_orderpriority, count(*)::BIGINT AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (fixture has no commitdate/receiptdate, so "late"
+    is shipped >30 days after order date): priority histogram of H1-1996
+    orders with at least one late line — the EXISTS compiles to a LEFT
+    SEMI join, so lineitem rows are never duplicated into the agg and
+    each order is counted exactly once. The date band pushes into the
+    orders scan; the semi join is the one shuffle."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (
+                li.l_shipdate
+                > o.o_orderdate + F.expr("INTERVAL 30 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    survey_row=23,
+    oracle="""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           year(l_shipdate)::INT AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_13')
+        OR (n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_12'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume between two nations by ship
+    year. The nation pair predicate is applied to the two BROADCAST
+    nation dims (each filtered to 2 rows before the join), so the
+    disjunction prunes suppliers and customers before lineitem ever
+    joins orders — the OR never becomes a join condition, which would
+    defeat hash-join planning."""
+    pair = ("NATION_12", "NATION_13")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*pair)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = s.join(F.broadcast(n1), s.s_nationkey == F.col("n1_key")).select(
+        "s_suppkey", "supp_nation"
+    )
+    cn = c.join(F.broadcast(n2), c.c_nationkey == F.col("n2_key")).select(
+        "c_custkey", "cust_nation"
+    )
+    return (
+        li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cn, o.o_custkey == cn.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    survey_row=23,
+    oracle="""
+    SELECT year(o_orderdate)::INT AS o_year,
+           round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4
+           ) AS mkt_share
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+    JOIN region r ON n1.n_regionkey = r.r_regionkey
+    JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+    WHERE r_name = 'AMERICA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND p_type = 'ECONOMY'
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of ECONOMY-part volume sold into
+    the AMERICA region, by order year — numerator and denominator in
+    ONE aggregation (conditional sum / total sum), never two scans.
+    All four dims (part filtered to one type, supplier+nation flag,
+    customer-nations-in-region) broadcast; lineitem⋈orders is the
+    single big shuffle."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    amer_keys = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("amer_nationkey")
+    )
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(amer_keys),
+        F.col("c_nationkey") == F.col("amer_nationkey"),
+    ).select("c_custkey")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.round(F.sum(target) / F.sum(vol), 4).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    survey_row=23,
+    oracle="""
+    SELECT n_name AS nation,
+           year(o_orderdate)::INT AS o_year,
+           round(sum(l_extendedprice::DECIMAL(12,2)
+                         * (1 - l_discount::DECIMAL(12,2))
+                     - 0.5 * p_retailprice::DECIMAL(12,2)
+                         * l_quantity::DECIMAL(12,2)), 2) AS sum_profit
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p_name LIKE '%rod%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (fixture has no partsupp, so unit cost is proxied
+    at half retail price): profit on '%rod%' parts per supplier nation
+    per order year. The LIKE filter prunes part BEFORE broadcast;
+    supplier⋈nation folds to a 10-row broadcast dim; lineitem⋈orders
+    is the one big shuffle and the agg is map-side combined on
+    (nation, year). The amount mixes a SUBTRACTION of two float
+    products — the one shape where round(sum,2) flips last-ULP
+    between engines — so the money math runs on DECIMAL(12,2) (exact,
+    associative) per the agg_decimal_money convention."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("rod")
+    ).select("p_partkey", "p_retailprice")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(12,2)")
+    amount = (
+        d("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - d("l_discount"))
+        - F.lit("0.5").cast("decimal(2,1)") * d("p_retailprice") * d("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    survey_row=23,
+    oracle="""
+    SELECT c_count, count(*)::BIGINT AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (fixture orders carry no comment column, so the
+    exclusion rides on o_orderpriority): order-count histogram over ALL
+    customers including zero-order ones — the left join with the
+    exclusion predicate IN the join condition (not WHERE, which would
+    turn it inner). Two aggregations: per-customer count (shuffle on
+    custkey) then the tiny histogram rollup."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "4-NOT SPECIFIED"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    survey_row=23,
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with maximum quarterly revenue — the
+    "view + scalar-max self-reference" pattern. The 1-row max agg is
+    broadcast back onto the per-supplier revenue (scalar-subquery
+    shape), avoiding a global window sort over all suppliers. Revenue
+    is rounded BEFORE the max compare on both engines so the equality
+    is on identical doubles."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(
+            F.broadcast(max_rev),
+            F.col("total_revenue") == F.col("max_revenue"),
+        )
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q16_supplier_part_diversity",
+    survey_row=23,
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_nationkey IN (0, 1)
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_part_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (fixture has no partsupp, so the part-supplier
+    relation is derived from lineitem; the supplier exclusion rides on
+    nationkey instead of the comment column): distinct supplier count
+    per (brand, type, size) bucket with an excluded-supplier NOT IN.
+    The NOT IN compiles to a LEFT ANTI join against the (tiny,
+    broadcast) excluded set — never a per-row subquery. part's three
+    predicates prune it before broadcast; the only shuffle is the
+    distinct agg."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    excluded = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey").isin(0, 1)
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(excluded),
+            li.l_suppkey == excluded.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    survey_row=23,
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND l_quantity < (
+          SELECT 0.5 * avg(l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (brand filter only; fixture has no container):
+    revenue that would be lost by dropping small-quantity orders for
+    one brand's parts. The correlated AVG subquery is decorrelated
+    into a per-part aggregate joined back — the per-part threshold dim
+    is |part|-sized and broadcast. Quantities are integral doubles, so
+    the avg is an exact division and the threshold compare is
+    deterministic on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#13"
+    ).select("p_partkey")
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (0.5 * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(thresholds),
+            F.col("l_partkey") == F.col("t_partkey"),
+        )
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "tpch_q19_discounted_revenue",
+    survey_row=23,
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (brand+size bands instead of brand+container):
+    revenue under three OR'd brand/size/quantity band combinations.
+    The join stays a plain equi hash join on partkey; the disjunction
+    is a post-join filter mixing columns from both sides — Catalyst
+    still pushes the derivable per-side residuals (brand/size union,
+    quantity 1-30 envelope) into the scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(band)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q20_volume_suppliers",
+    survey_row=23,
+    oracle="""
+    SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'blue%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey
+        HAVING avg(l_quantity) > 25.5
+    )
+    ORDER BY s_name
+    """,
+)
+def tpch_q20_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (fixture has no partsupp availqty, so the
+    "excess supply" signal is a per-supplier average shipped quantity
+    threshold on one part family): suppliers qualified by a HAVING
+    aggregate, consumed as a LEFT SEMI join. The IN-subquery never
+    materializes per-row; the part LIKE filter broadcasts; avg over
+    integral quantities is exact so the HAVING cut is deterministic."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("blue")
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    qualified = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.avg("l_quantity").alias("avg_qty"))
+        .filter(F.col("avg_qty") > 25.5)
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(
+            F.broadcast(qualified),
+            s.s_suppkey == qualified.l_suppkey,
+            "left_semi",
+        )
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    survey_row=23,
+    oracle="""
+    SELECT s_name, count(*)::BIGINT AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (fixture has no commitdate/receiptdate, so
+    "kept the order waiting" is shipped >60 days after order date):
+    late lines by the SOLE late supplier on a multi-supplier finished
+    order. The EXISTS / NOT-EXISTS pair is decorrelated into ONE
+    per-order aggregate — distinct suppliers and distinct LATE
+    suppliers counted in the same pass — then the late lines join back
+    and keep orders with (suppliers ≥ 2, late suppliers = 1). Two
+    shuffles on l_orderkey total (agg + join-back), vs the four a
+    naive double-correlated-subquery plan would run; supplier names
+    broadcast at the end."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lines = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = lines.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_suppliers"),
+    )
+    sole_late_orders = per_order.filter(
+        (F.col("n_suppliers") >= 2) & (F.col("n_late_suppliers") == 1)
+    ).select("po_orderkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        lines.filter(F.col("is_late"))
+        .join(
+            sole_late_orders,
+            F.col("l_orderkey") == F.col("po_orderkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    survey_row=23,
+    oracle="""
+    SELECT cntrycode, count(*)::BIGINT AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM (
+        SELECT c_nationkey % 10 AS cntrycode, c_acctbal
+        FROM customer c
+        WHERE c_nationkey % 10 IN (1, 2, 3, 4, 5)
+          AND c_acctbal > (
+              SELECT round(avg(c_acctbal), 2)
+              FROM customer
+              WHERE c_acctbal > 0.0
+                AND c_nationkey % 10 IN (1, 2, 3, 4, 5)
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+          )
+    ) custsale
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (fixture customers have no phone, so the country
+    code is nationkey mod 10): dormant-but-wealthy customers — above
+    the positive-balance average for the candidate codes, with NO
+    NO recent orders (none since 1999 — every fixture customer has
+    SOME order, so "no orders ever" would be vacuous). The scalar avg
+    is a 1-row broadcast (rounded to cents on both engines so the
+    threshold compare is ULP-stable); the NOT EXISTS is a LEFT ANTI
+    join on custkey against the date-pruned order keys.
+    Shuffles: the anti join plus the 5-group rollup."""
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "cntrycode", F.col("c_nationkey") % 10
+    )
+    candidates = c.filter(F.col("cntrycode").isin(1, 2, 3, 4, 5))
+    avg_bal = candidates.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal")
+    )
+    o_keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        candidates.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o_keys, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

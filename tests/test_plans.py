@@ -397,3 +397,63 @@ def test_phash_neardup_no_all_pairs(spark, sf_dir):
     plan = physical_plan(pairs)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q6_scan_only_plan(spark, sf_dir):
+    """TPC-H Q6 is the pure scan-filter-agg: every predicate must push
+    into the parquet scan and the plan must contain no join and no
+    wide Exchange (only the 1-row final-agg SinglePartition one)."""
+    df = OPS["tpch_q6_forecast_revenue"].fn(spark, sf_dir)
+    scan = scan_summary(df)
+    assert "PushedFilters" in scan
+    assert "l_shipdate" in scan and "l_discount" in scan and "l_quantity" in scan
+    plan = physical_plan(df)
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    """Q4's EXISTS must compile to a LeftSemi join (orders never
+    duplicated into the agg), not an inner join + distinct."""
+    plan = physical_plan(OPS["tpch_q4_order_priority"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "HashAggregate" in plan
+
+
+def test_q16_not_in_is_anti_join(spark, sf_dir):
+    """Q16's supplier NOT IN must compile to a broadcast LeftAnti join
+    — never a per-row subquery or a cartesian."""
+    plan = physical_plan(OPS["tpch_q16_supplier_part_diversity"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_decorrelation_shuffle_count(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS pair is decorrelated into one per-order
+    aggregate + a semi join-back: the plan must carry the late-lines
+    semi join and at most the two l_orderkey exchanges that design
+    costs (agg + join-back; the o_orderkey join side adds its own)."""
+    df = OPS["tpch_q21_waiting_suppliers"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(exchanges) <= 4, exchanges
+
+
+def test_new_composites_broadcast_dims_and_heap_sort(spark, sf_dir):
+    """The round-6 TPC-H batch: dimension sides broadcast; the two
+    LIMIT queries compile to TakeOrderedAndProject heaps."""
+    for name in (
+        "tpch_q5_local_supplier_volume",
+        "tpch_q8_market_share",
+        "tpch_q9_product_profit",
+    ):
+        plan = physical_plan(OPS[name].fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+    plan = physical_plan(OPS["tpch_q21_waiting_suppliers"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
