@@ -154,3 +154,168 @@ def _rows_between(lo: int, hi: int) -> list:
         )
         for tbl_id in range(lo, hi)
     ]
+
+
+# ---------------------------------------------------------------------------
+# Write side: the report SINK analog of the reader above. A collector's
+# live path UPSERTS rollups into a report store (JDBC table / ES index);
+# the two-phase task-stage → driver-commit protocol below is that
+# pattern on the Spark 4 Python Data Source writer API, testable
+# offline: tasks stage Arrow batches as parquet files, the driver
+# commit publishes them ATOMICALLY by appending a manifest generation —
+# readers only ever see manifest-listed files, so a failed job leaves
+# no torn output (abort deletes its stage files).
+# ---------------------------------------------------------------------------
+
+import json
+import os
+import uuid
+
+from pyspark.sql.datasource import (
+    DataSourceArrowWriter,
+    WriterCommitMessage,
+)
+from dataclasses import dataclass
+
+
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class ReportSink(DataSource):
+    """`format("hmcs_report_sink")` — manifest-committed upsert sink.
+
+    Each `save()` call publishes one manifest GENERATION; re-writing a
+    key in a later generation supersedes it (last-writer-wins), which
+    is exactly the ES/JDBC upsert contract. `mode("overwrite")` starts
+    the manifest over; `mode("append")` adds a generation.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "hmcs_report_sink"
+
+    def writer(self, schema, overwrite: bool) -> "ReportSinkWriter":
+        return ReportSinkWriter(self.options["path"], overwrite)
+
+
+class ReportSinkWriter(DataSourceArrowWriter):
+    def __init__(self, path: str, overwrite: bool):
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _StagedFile:
+        """Runs on the EXECUTOR, once per input partition: drain this
+        task's Arrow batches into one staged parquet file. Arrow-batch
+        transfer (DataSourceArrowWriter, not the Row-iterator base) is
+        the scale path — no per-row Python object churn."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.join(self.path, "stage"), exist_ok=True)
+        batches = [b for b in iterator]
+        staged = os.path.join(self.path, "stage", f"stage-{uuid.uuid4().hex}.parquet")
+        table = pa.Table.from_batches(batches)
+        pq.write_table(table, staged)
+        return _StagedFile(path=staged, rows=table.num_rows)
+
+    def _manifest(self) -> str:
+        return os.path.join(self.path, "_manifest.json")
+
+    def commit(self, messages) -> None:
+        """Runs on the DRIVER after every task succeeded: publish all
+        staged files as the next manifest generation. The manifest is
+        the single source of visibility — this append is the atomic
+        commit point."""
+        entries = []
+        if not self.overwrite and os.path.exists(self._manifest()):
+            with open(self._manifest()) as f:
+                entries = json.load(f)
+        gen = 1 + max((e["gen"] for e in entries), default=0)
+        for m in messages:
+            entries.append(
+                {"file": m.path, "gen": gen, "rows": m.rows}
+            )
+        tmp = self._manifest() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entries, f)
+        os.replace(tmp, self._manifest())  # atomic on POSIX
+
+    def abort(self, messages) -> None:
+        """Failed job: delete this attempt's staged files; the manifest
+        was never touched, so committed data is unaffected."""
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+def read_report_sink(spark: SparkSession, path: str) -> DataFrame:
+    """Read back ONLY manifest-committed files, tagging each row with
+    its generation. The manifest is bounded metadata (one entry per
+    committed task file), so the driver-side json read is justified;
+    the file→gen map joins back via input_file_name over a broadcast
+    (it is |files|-sized)."""
+    with open(os.path.join(path, "_manifest.json")) as f:
+        entries = json.load(f)
+    files = [e["file"] for e in entries]
+    gen_map = spark.createDataFrame(
+        [(os.path.basename(e["file"]), e["gen"]) for e in entries],
+        "file_base string, gen int",
+    )
+    df = spark.read.parquet(*files).withColumn(
+        "file_base",
+        F.element_at(F.split(F.input_file_name(), "/"), -1),
+    )
+    return df.join(F.broadcast(gen_map), "file_base").drop("file_base")
+
+
+@register(
+    "sink_python_datasink",
+    survey_row=75,
+    oracle="""
+    SELECT n_nationkey, n_name,
+           CASE WHEN n_nationkey < 10 THEN n_regionkey + 100
+                ELSE n_regionkey END AS final_val,
+           CASE WHEN n_nationkey < 10 THEN 2 ELSE 1 END::BIGINT AS n_gens
+    FROM nation
+    """,
+)
+def sink_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert roundtrip through the custom Python Data Source WRITER:
+    generation 1 writes the full nation dim, generation 2 upserts new
+    values for keys < 10; the read-back resolves last-writer-wins per
+    key with max_by over the manifest generation (one |keys|-group
+    aggregate, no window sort). Exercises stage→commit atomicity, the
+    append-generation upsert contract, and the Arrow write path; the
+    oracle states the expected post-upsert store relationally."""
+    import shutil
+
+    from hive_metadata_collect_spark.sources.fixtures import load_table
+
+    target = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        "report_sink_nation",
+    )
+    shutil.rmtree(target, ignore_errors=True)
+    spark.dataSource.register(ReportSink)
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", F.col("n_regionkey").alias("val")
+    )
+    n.write.format("hmcs_report_sink").mode("overwrite").option(
+        "path", target
+    ).save()
+    update = n.filter(F.col("n_nationkey") < 10).withColumn(
+        "val", F.col("val") + F.lit(100)
+    )
+    update.write.format("hmcs_report_sink").mode("append").option(
+        "path", target
+    ).save()
+    store = read_report_sink(spark, target)
+    return store.groupBy("n_nationkey").agg(
+        F.max_by("n_name", "gen").alias("n_name"),
+        F.max_by("val", "gen").alias("final_val"),
+        F.countDistinct("gen").alias("n_gens"),
+    )

@@ -303,3 +303,70 @@ def test_python_datasource_stream_matches_batch(spark, checkpoint):
     }
     assert streamed == batch
     assert len(streamed) == 100
+
+
+def test_report_sink_abort_leaves_committed_data_intact(spark, sf_dir, tmp_path):
+    """Two-phase commit: a FAILED save() must not corrupt the store —
+    the manifest still lists only generation 1, the failed attempt's
+    rows are invisible, and any staged orphans are gone from the
+    manifest's view."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType
+
+    from hive_metadata_collect_spark.sources.pydatasource import (
+        ReportSink,
+        read_report_sink,
+    )
+    from hive_metadata_collect_spark.sources.fixtures import load_table
+
+    spark.dataSource.register(ReportSink)
+    target = str(tmp_path / "report_sink")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n.write.format("hmcs_report_sink").mode("overwrite").option(
+        "path", target
+    ).save()
+
+    @F.udf(returnType=IntegerType())
+    def boom(x):
+        raise RuntimeError("mid-write failure")
+
+    try:
+        n.withColumn("n_nationkey", boom("n_nationkey")).write.format(
+            "hmcs_report_sink"
+        ).mode("append").option("path", target).save()
+        raise AssertionError("save() should have failed")
+    except Exception:
+        pass
+
+    with open(os.path.join(target, "_manifest.json")) as f:
+        entries = json.load(f)
+    assert {e["gen"] for e in entries} == {1}, entries
+    back = read_report_sink(spark, target)
+    assert back.count() == n.count()
+    assert back.agg(F.max("gen")).collect()[0][0] == 1
+
+
+def test_report_sink_overwrite_resets_generations(spark, sf_dir, tmp_path):
+    """mode("overwrite") starts the manifest over: a third write in
+    overwrite mode leaves a single-generation store."""
+    from pyspark.sql import functions as F
+
+    from hive_metadata_collect_spark.sources.pydatasource import (
+        ReportSink,
+        read_report_sink,
+    )
+    from hive_metadata_collect_spark.sources.fixtures import load_table
+
+    spark.dataSource.register(ReportSink)
+    target = str(tmp_path / "report_sink_ow")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    for mode in ("overwrite", "append", "overwrite"):
+        n.write.format("hmcs_report_sink").mode(mode).option(
+            "path", target
+        ).save()
+    back = read_report_sink(spark, target)
+    assert back.select("gen").distinct().collect() == [(1,)]
+    assert back.count() == n.count()
