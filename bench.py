@@ -62,6 +62,9 @@ HEADLINE = {
     "q_scd2": "cat_scd2_diff",
     "q_centroids": "sim_label_centroids",
     "q_bigrams": "text_bigram_topk",
+    "q_tpch_q6": "tpch_q6_forecast_revenue",
+    "q_tpch_q21": "tpch_q21_waiting_suppliers",
+    "q_repetition": "text_repetition_score",
 }
 
 #: Queries that get a per-stage breakdown in the output (the ones

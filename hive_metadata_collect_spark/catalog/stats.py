@@ -1930,3 +1930,82 @@ def cat_tx_log_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("w.frows").alias("total_rows"),
         )
     )
+
+
+@register(
+    "cat_time_travel_read",
+    survey_row=61,
+    oracle="""
+    WITH b AS (SELECT i AS bucket FROM range(20) t(i)),
+    acts AS (
+        SELECT bucket, bucket % 3 AS v, TRUE AS is_add, 0 AS ord FROM b
+        UNION ALL
+        SELECT bucket, 2 AS v, FALSE AS is_add, 1 AS ord
+        FROM b WHERE bucket % 4 = 1
+    ),
+    live AS (
+        SELECT snap, bucket FROM (
+            SELECT s.snap, a.bucket, a.is_add,
+                   row_number() OVER (
+                       PARTITION BY s.snap, a.bucket
+                       ORDER BY a.v DESC, a.ord DESC) AS rn
+            FROM acts a JOIN range(0, 3) s(snap) ON a.v <= s.snap
+        ) w
+        WHERE rn = 1 AND is_add
+    )
+    SELECT snap::BIGINT AS snapshot_version,
+           count(*)::BIGINT AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders o JOIN live l ON o.o_orderkey % 20 = l.bucket
+    GROUP BY snap
+    """,
+)
+def cat_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TRAVEL READ — the second half of the table-format story
+    (`cat_tx_log_snapshot` resolves metadata only; this op then READS
+    the table as-of each version): a 20-partition table's action log
+    (each partition added at version id%3; partitions id%4==1
+    tombstoned at version 2 — one same-version remove-beats-add tie
+    included) is replayed to the live partition set per snapshot, and
+    the data read is PRUNED to live partitions via a broadcast semi
+    structure before aggregating. Exactly how Delta/Iceberg `VERSION
+    AS OF` works: log replay → file list → pruned scan. Scale: the
+    resolve is |partitions|-sized and broadcast both into the range
+    join and onto the fact; the fact scans ONCE (all three snapshots
+    share the scan) and shuffles only the 3-group rollup — at 100 TB
+    the cost is the live-partition scan, never the log."""
+    b = spark.range(20).select(F.col("id").alias("bucket"))
+    adds = b.select(
+        "bucket",
+        (F.col("bucket") % 3).alias("v"),
+        F.lit(True).alias("is_add"),
+        F.lit(0).alias("ord"),
+    )
+    removes = b.filter(F.col("bucket") % 4 == 1).select(
+        "bucket",
+        F.lit(2).cast("long").alias("v"),
+        F.lit(False).alias("is_add"),
+        F.lit(1).alias("ord"),
+    )
+    acts = adds.unionByName(removes)
+    snaps = spark.range(0, 3).select(F.col("id").alias("snap"))
+    live = (
+        acts.join(F.broadcast(snaps), acts["v"] <= snaps["snap"])
+        .groupBy("snap", "bucket")
+        .agg(
+            F.max_by("is_add", F.struct("v", "ord")).alias("alive")
+        )
+        .filter(F.col("alive"))
+        .select("snap", "bucket")
+    )
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "bucket", F.col("o_orderkey") % 20
+    )
+    return (
+        o.join(F.broadcast(live), "bucket")
+        .groupBy(F.col("snap").cast("long").alias("snapshot_version"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

@@ -585,3 +585,193 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(start / _PACK_CTX).alias("bin_id"),
         (start % _PACK_CTX).alias("bin_offset"),
     )
+
+
+@register(
+    "text_repetition_score",
+    survey_row=72,
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    words AS (SELECT doc_id, unnest(w) AS word FROM d),
+    wc AS (SELECT doc_id, word, count(*) AS c FROM words GROUP BY 1, 2),
+    ws AS (
+        SELECT doc_id, sum(c) AS n_words, max(c) AS top_cnt
+        FROM wc GROUP BY 1
+    ),
+    idx AS (
+        SELECT doc_id, w, unnest(range(len(w) - 2)) AS i FROM d
+    ),
+    tri AS (
+        SELECT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS g
+        FROM idx
+    ),
+    tc AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+    ts AS (
+        SELECT doc_id, sum(c) AS n_tri,
+               sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_tri
+        FROM tc GROUP BY 1
+    )
+    SELECT ws.doc_id,
+           n_words::BIGINT AS n_words,
+           round(top_cnt / n_words, 4) AS top_word_frac,
+           round(dup_tri / n_tri, 4) AS dup_3gram_frac,
+           (top_cnt / n_words <= 0.2 AND dup_tri / n_tri <= 0.3) AS keep
+    FROM ws JOIN ts ON ws.doc_id = ts.doc_id
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style REPETITION quality filter: per-doc
+    top-word fraction and duplicate-3-gram fraction (the two signals
+    that catch boilerplate/spam pages), plus the keep verdict at the
+    published-style thresholds (top word ≤ 0.2, dup 3-grams ≤ 0.3).
+    Trigrams come from a JVM-side transform over the token array
+    (sequence + lambda — no Python, no UDF); both signals reduce via
+    (doc, gram) partial counts then a per-doc rollup, so the shuffle
+    carries gram COUNTS, never gram text duplicated per occurrence
+    beyond the explode. Fractions are ratios of small exact integers —
+    deterministic across engines. At 100 TB this is embarrassingly
+    parallel per doc; the only shuffle key is doc_id."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
+    )
+    words = d.select("doc_id", F.explode("w").alias("word"))
+    ws = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_words"), F.max("c").alias("top_cnt"))
+    )
+    tri = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 3),"
+                " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+            )
+        ).alias("g"),
+    )
+    ts = (
+        tri.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tri"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                "dup_tri"
+            ),
+        )
+    )
+    top_frac = F.col("top_cnt") / F.col("n_words")
+    dup_frac = F.col("dup_tri") / F.col("n_tri")
+    return ws.join(ts, "doc_id").select(
+        "doc_id",
+        "n_words",
+        F.round(top_frac, 4).alias("top_word_frac"),
+        F.round(dup_frac, 4).alias("dup_3gram_frac"),
+        ((top_frac <= 0.2) & (dup_frac <= 0.3)).alias("keep"),
+    )
+
+
+@register(
+    "pipeline_domain_mix",
+    survey_row=67,
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id,
+               CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 4
+                   AS domain
+        FROM documents
+    ),
+    wt AS (
+        SELECT i::INT AS domain, [4, 3, 2, 1][i + 1] AS weight
+        FROM range(4) t(i)
+    ),
+    avail AS (SELECT domain, count(*) AS n_avail FROM docs GROUP BY 1),
+    s AS (
+        SELECT min((n_avail * 10) // weight) AS scale
+        FROM avail JOIN wt USING (domain)
+    ),
+    quota AS (
+        SELECT domain, ((weight * scale) // 10)::BIGINT AS k
+        FROM wt, s
+    ),
+    ranked AS (
+        SELECT doc_id, domain,
+               row_number() OVER (
+                   PARTITION BY domain
+                   ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        FROM docs
+    ),
+    sel AS (
+        SELECT r.domain, count(*) AS n_selected
+        FROM ranked r JOIN quota q ON r.domain = q.domain AND r.rn <= q.k
+        GROUP BY 1
+    )
+    SELECT a.domain::INT AS domain,
+           a.n_avail::BIGINT AS n_available,
+           sel.n_selected::BIGINT AS n_selected,
+           round(sel.n_selected / sum(sel.n_selected) OVER (), 4)
+               AS achieved_share
+    FROM avail a JOIN sel ON a.domain = sel.domain
+    """,
+)
+def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data MIXTURE planner + sampler: hit target domain
+    proportions (4:3:2:1 here) from unequal availability. The largest
+    feasible corpus scale S satisfies weight_d/10 * S ≤ n_d for every
+    domain, so S = min((n_d*10) div w_d) and quota_d = (w_d*S) div 10
+    — ALL-INTEGER arithmetic (no float rounding can flip a quota
+    across engines). Selection is deterministic: per-domain md5-rank
+    take-quota, so re-runs and both engines pick identical documents.
+    Scale: the planner aggregates |domains| rows and broadcasts;
+    ranking is the top-k-per-group window (per-domain sort). At 100 TB
+    swap the exact rank for an md5-threshold cut (rank ≤ k ⇔ hash <
+    per-domain quantile) to avoid the global per-domain sort — the
+    planner math is unchanged."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            F.regexp_extract("source", r"src(\d+)", 1).cast("int") % 4
+        ).alias("domain"),
+    )
+    wt = spark.range(4).select(
+        F.col("id").cast("int").alias("domain"),
+        F.element_at(
+            F.array(F.lit(4), F.lit(3), F.lit(2), F.lit(1)),
+            F.col("id").cast("int") + 1,
+        ).alias("weight"),
+    )
+    avail = docs.groupBy("domain").agg(F.count(F.lit(1)).alias("n_avail"))
+    s = (
+        avail.join(F.broadcast(wt), "domain")
+        .agg(
+            F.min(F.expr("(n_avail * 10) div weight")).alias("scale")
+        )
+    )
+    quota = wt.join(F.broadcast(s)).select(
+        "domain", F.expr("(weight * scale) div 10").alias("k")
+    )
+    w = Window.partitionBy("domain").orderBy(
+        F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), "doc_id"
+    )
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    sel = (
+        ranked.join(F.broadcast(quota), "domain")
+        .filter(F.col("rn") <= F.col("k"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_selected"))
+    )
+    total = Window.partitionBy()
+    return (
+        avail.join(sel, "domain")
+        .select(
+            "domain",
+            F.col("n_avail").alias("n_available"),
+            "n_selected",
+            F.round(
+                F.col("n_selected") / F.sum("n_selected").over(total), 4
+            ).alias("achieved_share"),
+        )
+    )
