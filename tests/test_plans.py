@@ -430,18 +430,18 @@ def test_q16_not_in_is_anti_join(spark, sf_dir):
 
 
 def test_q21_decorrelation_shuffle_count(spark, sf_dir):
-    """Q21's EXISTS/NOT-EXISTS pair is decorrelated into one per-order
-    aggregate + a semi join-back: the plan must carry the late-lines
-    semi join and at most the two l_orderkey exchanges that design
-    costs (agg + join-back; the o_orderkey join side adds its own)."""
+    """Q21's EXISTS/NOT-EXISTS pair is decorrelated into a single-pass
+    aggregate cascade: no Expand (the countDistinct-pair trap), no
+    join-back to the raw lines, and at most three hash exchanges
+    (per-(order,supp) agg, per-order agg, final name rollup)."""
     df = OPS["tpch_q21_waiting_suppliers"].fn(spark, sf_dir)
     plan = physical_plan(df)
-    assert "LeftSemi" in plan
+    assert "Expand" not in plan
     assert "CartesianProduct" not in plan
     exchanges = [
         ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     ]
-    assert len(exchanges) <= 4, exchanges
+    assert len(exchanges) <= 3, exchanges
 
 
 def test_new_composites_broadcast_dims_and_heap_sort(spark, sf_dir):
