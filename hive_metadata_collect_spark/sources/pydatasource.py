@@ -173,6 +173,7 @@ import uuid
 
 from pyspark.sql.datasource import (
     DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     WriterCommitMessage,
 )
 from dataclasses import dataclass
@@ -318,4 +319,111 @@ def sink_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("n_name", "gen").alias("n_name"),
         F.max_by("val", "gen").alias("final_val"),
         F.countDistinct("gen").alias("n_gens"),
+    )
+
+
+class ReportSinkStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming writer for `hmcs_report_sink`: one manifest generation
+    per MICRO-BATCH, with gen = batchId + 1 so a replayed epoch
+    (restart after a commit-side crash) REPLACES its own generation
+    instead of appending a duplicate — the idempotent-commit half of
+    streaming exactly-once (the offset-log half lives in the
+    checkpoint). Inherits the Arrow stage-file write; only the commit
+    protocol differs from the batch writer."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    write = ReportSinkWriter.write  # same executor-side Arrow staging
+    _manifest = ReportSinkWriter._manifest
+
+    def commit(self, messages, batchId: int) -> None:
+        entries = []
+        if os.path.exists(self._manifest()):
+            with open(self._manifest()) as f:
+                entries = json.load(f)
+        gen = batchId + 1
+        # idempotent re-commit: drop any previous attempt of this epoch
+        entries = [e for e in entries if e["gen"] != gen]
+        for m in messages:
+            entries.append({"file": m.path, "gen": gen, "rows": m.rows})
+        tmp = self._manifest() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entries, f)
+        os.replace(tmp, self._manifest())
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+def _report_sink_stream_writer(self, schema, overwrite: bool):
+    return ReportSinkStreamWriter(self.options["path"])
+
+
+ReportSink.streamWriter = _report_sink_stream_writer
+
+
+@register(
+    "stream_sink_python_datasource",
+    survey_row=75,
+    oracle="""
+    WITH t AS (
+        SELECT i AS tbl_id,
+               'db_' || (i % 10) AS db_name,
+               CASE WHEN i % 5 = 0 THEN 'EXTERNAL_TABLE'
+                    ELSE 'MANAGED_TABLE' END AS tbl_type
+        FROM range(100) u(i)
+    )
+    SELECT db_name,
+           count(*)::BIGINT AS n_tables,
+           sum(CASE WHEN tbl_type = 'EXTERNAL_TABLE' THEN 1 ELSE 0 END)::BIGINT
+               AS n_external,
+           4::BIGINT AS n_generations
+    FROM t
+    GROUP BY db_name
+    """,
+)
+def stream_sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CONNECTOR PIPE: the custom Python Data Source's
+    STREAM reader feeds its STREAM writer — metastore change-feed →
+    micro-batches → manifest-committed report store, the full live
+    collector path with no fixture files on either end. The finite
+    source yields exactly four 25-row micro-batches, so the committed
+    store must hold four generations totaling 100 rows; the read-back
+    rollup per database is hash-checked against the relational
+    restatement (n_generations pinned at 4 proves per-epoch commit
+    granularity, not one bulk write). Scale: each micro-batch stages
+    Arrow batches in parallel tasks and commits once at the driver —
+    the same bounded-metadata manifest as the batch path."""
+    import shutil
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+    )
+    target = os.path.join(base, "report_sink_stream")
+    ckpt = os.path.join(base, "report_sink_stream_ckpt")
+    shutil.rmtree(target, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    spark.dataSource.register(MetastoreSource)
+    spark.dataSource.register(ReportSink)
+    q = (
+        spark.readStream.format("hmcs_metastore")
+        .load()
+        .writeStream.format("hmcs_report_sink")
+        .option("path", target)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    store = read_report_sink(spark, target)
+    return store.groupBy("db_name").agg(
+        F.count(F.lit(1)).alias("n_tables"),
+        F.sum(
+            F.when(F.col("tbl_type") == "EXTERNAL_TABLE", 1).otherwise(0)
+        ).alias("n_external"),
+        F.countDistinct("gen").alias("n_generations"),
     )

@@ -370,3 +370,29 @@ def test_report_sink_overwrite_resets_generations(spark, sf_dir, tmp_path):
     back = read_report_sink(spark, target)
     assert back.select("gen").distinct().collect() == [(1,)]
     assert back.count() == n.count()
+
+
+def test_report_sink_stream_epoch_recommit_is_idempotent(tmp_path):
+    """A replayed micro-batch (restart after commit-side crash) must
+    REPLACE its own generation, never duplicate it: committing epoch
+    batchId=1 twice leaves exactly one gen-2 entry set."""
+    import json
+    import os
+
+    from hive_metadata_collect_spark.sources.pydatasource import (
+        ReportSinkStreamWriter,
+        _StagedFile,
+    )
+
+    target = str(tmp_path / "stream_sink")
+    os.makedirs(target)
+    w = ReportSinkStreamWriter(target)
+    w.commit([_StagedFile(path="a.parquet", rows=5)], batchId=0)
+    w.commit([_StagedFile(path="b.parquet", rows=7)], batchId=1)
+    w.commit([_StagedFile(path="b2.parquet", rows=7)], batchId=1)  # replay
+    with open(os.path.join(target, "_manifest.json")) as f:
+        entries = json.load(f)
+    assert sorted((e["gen"], e["file"]) for e in entries) == [
+        (1, "a.parquet"),
+        (2, "b2.parquet"),
+    ]
