@@ -630,7 +630,9 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sequence + lambda — no Python, no UDF); both signals reduce via
     (doc, gram) partial counts then a per-doc rollup, so the shuffle
     carries gram COUNTS, never gram text duplicated per occurrence
-    beyond the explode. Fractions are ratios of small exact integers —
+    beyond the explode. Docs under 3 tokens emit no trigram row and
+    drop from the output (fraction undefined), identically on both
+    engines. Fractions are ratios of small exact integers —
     deterministic across engines. At 100 TB this is embarrassingly
     parallel per doc; the only shuffle key is doc_id."""
     d = load_table(spark, sf_dir, "documents").select(
@@ -646,9 +648,15 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = d.select(
         "doc_id",
         F.explode(
+            # guard: sequence(0, n) DESCENDS when n < 0, so a <3-token
+            # doc would fabricate grams from null-padded wraparound —
+            # emit an empty gram list instead (the doc then has no
+            # trigram row, same as the oracle's empty unnest(range))
             F.expr(
-                "transform(sequence(0, size(w) - 3),"
+                "CASE WHEN size(w) >= 3 THEN"
+                " transform(sequence(0, size(w) - 3),"
                 " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                " ELSE array() END"
             )
         ).alias("g"),
     )

@@ -146,6 +146,11 @@ DOC_OPS = [
     "mm_image_phash",
     # round 6
     "dedup_paragraph",
+    # 1-2-token docs hit the trigram guard (sequence(0,n<0) DESCENDS
+    # in Spark — the guarded CASE is what this fuzz exists to hold);
+    # varied sources hit empty domains in the mixture planner
+    "text_repetition_score",
+    "pipeline_domain_mix",
 ]
 
 _WORDS = ["alpha", "beta", "gamma", "delta", "x"]
@@ -162,7 +167,8 @@ def documents_tables(draw):
         words = draw(st.lists(st.sampled_from(_WORDS), min_size=1, max_size=12))
         text = " ".join(words)
         lang = draw(st.sampled_from(["en", "de"]))
-        rows.append((i, text, lang, "src0", len(text)))
+        source = f"src{draw(st.integers(min_value=0, max_value=5))}"
+        rows.append((i, text, lang, source, len(text)))
     return rows
 
 
