@@ -2009,3 +2009,53 @@ def cat_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+@register(
+    "cat_incremental_stats_merge",
+    survey_row=61,
+    oracle="""
+    WITH bucketed AS (
+        SELECT l_orderkey % 8 AS bucket,
+               count(*) AS n,
+               min(l_quantity) AS mn,
+               max(l_quantity) AS mx,
+               sum(l_extendedprice::DECIMAL(18,2)) AS s
+        FROM lineitem
+        GROUP BY 1
+    )
+    SELECT count(*)::BIGINT AS n_buckets,
+           sum(n)::BIGINT AS n_rows,
+           min(mn) AS min_qty,
+           max(mx) AS max_qty,
+           round(sum(s), 2) AS sum_price
+    FROM bucketed
+    """,
+)
+def cat_incremental_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL stats collection — the pattern that makes a catalog
+    collector viable at 100 TB: per-partition stat tuples (count, min,
+    max, DECIMAL sum) are computed independently, persisted, and
+    MERGED, so a new partition's arrival costs one partition's scan
+    plus an O(|partitions|) merge instead of a full-table recompute.
+    Every stat here is chosen mergeable (min of mins, max of maxes,
+    sum of counts, sum of exact DECIMAL sums — float sums would make
+    the merge order-sensitive); `tests/` additionally asserts the
+    merged result equals the direct single-pass aggregate, the
+    associativity property the whole scheme rests on. The two-level
+    agg shares one shuffle key prefix; level two reduces |buckets|
+    rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucketed = li.groupBy((F.col("l_orderkey") % 8).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_quantity").alias("mn"),
+        F.max("l_quantity").alias("mx"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s"),
+    )
+    return bucketed.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("n").alias("n_rows"),
+        F.min("mn").alias("min_qty"),
+        F.max("mx").alias("max_qty"),
+        F.round(F.sum("s"), 2).alias("sum_price"),
+    )

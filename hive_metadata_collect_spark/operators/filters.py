@@ -171,3 +171,49 @@ def sub_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       LIMIT 2)
         """
     )
+
+
+@register(
+    "sub_in_any_all",
+    survey_row=7,
+    oracle="""
+    SELECT p_partkey, p_name, round(p_retailprice, 2) AS p_retailprice
+    FROM part
+    WHERE p_retailprice > ALL (
+              SELECT p_retailprice FROM part WHERE p_brand = 'Brand#13'
+          )
+      AND p_size < ANY (
+              SELECT p_size FROM part WHERE p_brand = 'Brand#13'
+          )
+    ORDER BY p_partkey
+    """,
+)
+def sub_in_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified subquery comparisons — `> ALL` and `< ANY`, the SQL
+    surface Spark's DataFrame API has no literal operator for. Both
+    decorrelate to ONE scalar aggregate over the subquery: x > ALL S
+    ⇔ x > max(S) and x < ANY S ⇔ x < max(S) (S is non-empty and
+    null-free here; with possible NULLs the rewrite needs the
+    three-valued guard). The 1-row (max_price, max_size) frame is
+    broadcast — the subquery never re-evaluates per row, which is
+    also how a cost-based SQL engine planner executes the quantifier.
+    """
+    p = load_table(spark, sf_dir, "part")
+    brand = p.filter(F.col("p_brand") == "Brand#13")
+    bounds = brand.agg(
+        F.max("p_retailprice").alias("max_price"),
+        F.max("p_size").alias("max_size"),
+    )
+    return (
+        p.join(F.broadcast(bounds))
+        .filter(
+            (F.col("p_retailprice") > F.col("max_price"))
+            & (F.col("p_size") < F.col("max_size"))
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            F.round("p_retailprice", 2).alias("p_retailprice"),
+        )
+        .orderBy("p_partkey")
+    )

@@ -776,3 +776,105 @@ def join_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").alias("n_items"),
         )
     )
+
+
+@register(
+    "join_interval_overlap",
+    survey_row=17,
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), numbered AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    ), sessions AS (
+        SELECT user_id, min(ts) AS s_start, max(ts) AS s_end
+        FROM numbered GROUP BY user_id, session_id
+    ), windows AS (
+        SELECT * FROM (VALUES
+            (0, TIMESTAMP '2024-01-05 00:00:00', TIMESTAMP '2024-01-07 00:00:00'),
+            (1, TIMESTAMP '2024-01-10 12:00:00', TIMESTAMP '2024-01-10 18:00:00'),
+            (2, TIMESTAMP '2024-01-15 00:00:00', TIMESTAMP '2024-01-16 00:00:00'),
+            (3, TIMESTAMP '2024-01-25 06:00:00', TIMESTAMP '2024-01-26 06:00:00')
+        ) w(win_id, w_start, w_end)
+    )
+    SELECT win_id, count(*)::BIGINT AS n_sessions,
+           count(DISTINCT user_id)::BIGINT AS n_users
+    FROM sessions s
+    JOIN windows w ON s.s_start < w.w_end AND w.w_start < s.s_end
+    GROUP BY win_id
+    ORDER BY win_id
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP join — both sides are intervals (user activity
+    sessions × maintenance windows), the shape `join_range_interval`
+    (point-in-interval) can't express: overlap(s, w) ⇔ s.start <
+    w.end AND w.start < s.end (strict, so zero-length single-event
+    sessions only match when strictly inside). Sessions come from the
+    same 30-min gaps-and-islands used by the sessionization ops (one
+    user_id shuffle shared by the lag and the cumsum); the window dim
+    is tiny and BROADCAST, so the non-equi overlap predicate is a
+    broadcast nested-loop over |windows| rows per session — never a
+    cartesian between two big sides. At 100 TB with two LARGE interval
+    sets, the scale path is interval bucketing (split each interval
+    into fixed-width buckets, equi-join on bucket, dedup matches) —
+    the `join_range_bucketed` pattern one shelf over."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        # MICROsecond gap compare (unix_micros, not a seconds cast —
+        # truncation would split sessions the oracle's INTERVAL keeps)
+        F.sum(
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | (
+                    F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                    > 30 * 60 * 1_000_000
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    sessions = flagged.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    windows = spark.createDataFrame(
+        [
+            (0, "2024-01-05 00:00:00", "2024-01-07 00:00:00"),
+            (1, "2024-01-10 12:00:00", "2024-01-10 18:00:00"),
+            (2, "2024-01-15 00:00:00", "2024-01-16 00:00:00"),
+            (3, "2024-01-25 06:00:00", "2024-01-26 06:00:00"),
+        ],
+        "win_id int, w_start string, w_end string",
+    ).select(
+        "win_id",
+        F.col("w_start").cast("timestamp").alias("w_start"),
+        F.col("w_end").cast("timestamp").alias("w_end"),
+    )
+    return (
+        sessions.join(
+            F.broadcast(windows),
+            (F.col("s_start") < F.col("w_end"))
+            & (F.col("w_start") < F.col("s_end")),
+        )
+        .groupBy("win_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("win_id")
+    )

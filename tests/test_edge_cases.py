@@ -484,3 +484,30 @@ def test_lineage_sql_columns_resolve_through_cte(spark, sf_dir):
     assert base_cols  # CTE-resolved column edges exist
     assert all(c.startswith("col_") for c in base_cols)
     assert all("`" not in s for s in srcs)
+
+
+def test_incremental_stats_merge_equals_direct(spark, sf_dir):
+    """The associativity property the incremental collector rests on:
+    merging per-bucket stat tuples must reproduce the direct
+    single-pass aggregate exactly (DECIMAL sums make this true by
+    construction; float sums would not be)."""
+    from pyspark.sql import functions as F
+
+    from hive_metadata_collect_spark import registry
+    from hive_metadata_collect_spark.sources.fixtures import load_table
+
+    ops = registry.load_all()
+    merged = ops["cat_incremental_stats_merge"].fn(spark, sf_dir).collect()[0]
+    li = load_table(spark, sf_dir, "lineitem")
+    direct = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2
+        ).alias("sum_price"),
+    ).collect()[0]
+    assert merged["n_rows"] == direct["n_rows"]
+    assert merged["min_qty"] == direct["min_qty"]
+    assert merged["max_qty"] == direct["max_qty"]
+    assert merged["sum_price"] == direct["sum_price"]
