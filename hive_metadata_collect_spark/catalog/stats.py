@@ -2059,3 +2059,138 @@ def cat_incremental_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("mx").alias("max_qty"),
         F.round(F.sum("s"), 2).alias("sum_price"),
     )
+
+
+@register(
+    "cat_manifest_prune",
+    survey_row=61,
+    oracle="""
+    WITH stats AS (
+        SELECT date_diff('day', DATE '1995-01-01', o_orderdate) // 28
+                   AS file_id,
+               min(o_orderdate) AS mn,
+               max(o_orderdate) AS mx,
+               count(*) AS n
+        FROM orders
+        GROUP BY 1
+    ),
+    kept AS (
+        SELECT * FROM stats
+        WHERE mn < TIMESTAMP '1997-03-10' AND mx >= TIMESTAMP '1997-01-20'
+    )
+    SELECT (SELECT count(*) FROM stats)::BIGINT AS n_files,
+           (SELECT count(*) FROM kept)::BIGINT AS n_files_kept,
+           (SELECT sum(n) FROM kept)::BIGINT AS rows_scanned,
+           (SELECT count(*) FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-20'
+              AND o_orderdate < TIMESTAMP '1997-03-10')::BIGINT
+               AS rows_matched
+    """,
+)
+def cat_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX DATA SKIPPING — the manifest-stats pruning every
+    lakehouse read plans with: per-file min/max column stats (files ≡
+    28-day order-date clusters here, the layout a date-partitioned
+    ingest produces) are intersected with the query's date range, and
+    only intersecting files are scanned. The output quantifies the
+    skip: files kept vs total, rows scanned (kept-file row counts)
+    vs rows actually matched — the scanned/matched gap is the cost of
+    boundary files, the kept/total gap is the 100 TB win (a 7-week
+    predicate over 7 years of files reads ~3 of ~90 files). Stats
+    build is one |files|-group agg; the prune is a filter on that
+    |files|-row frame; the exact count reuses the pushed-down date
+    predicate. No data-file content is touched for the plan itself —
+    exactly Iceberg's manifest evaluation."""
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.groupBy(
+        F.floor(
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+            / 28
+        ).alias("file_id")
+    ).agg(
+        F.min("o_orderdate").alias("mn"),
+        F.max("o_orderdate").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    lo = F.lit("1997-01-20").cast("timestamp")
+    hi = F.lit("1997-03-10").cast("timestamp")
+    kept = stats.filter((F.col("mn") < hi) & (F.col("mx") >= lo))
+    totals = stats.agg(F.count(F.lit(1)).alias("n_files"))
+    kept_agg = kept.agg(
+        F.count(F.lit(1)).alias("n_files_kept"),
+        F.sum("n").alias("rows_scanned"),
+    )
+    matched = o.filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    ).agg(F.count(F.lit(1)).alias("rows_matched"))
+    return totals.join(F.broadcast(kept_agg)).join(F.broadcast(matched))
+
+
+@register(
+    "cat_compaction_plan",
+    survey_row=61,
+    oracle="""
+    WITH files AS (
+        SELECT 'part-' || i AS path,
+               ((i * 37) % 900 + 100)::BIGINT AS bytes,
+               i AS ord
+        FROM range(40) t(i)
+    ),
+    planned AS (
+        SELECT path, bytes, ord,
+               (sum(bytes) OVER (ORDER BY ord
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NOT NULL)::INT * 0
+               + coalesce(sum(bytes) OVER (ORDER BY ord
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   // 2000 AS grp
+        FROM files
+    )
+    SELECT grp::BIGINT AS group_id,
+           count(*)::BIGINT AS n_files,
+           sum(bytes)::BIGINT AS total_bytes,
+           min(ord)::BIGINT AS first_file,
+           max(ord)::BIGINT AS last_file
+    FROM planned
+    GROUP BY grp
+    ORDER BY grp
+    """,
+)
+def cat_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILE COMPACTION planner — the other half of lakehouse
+    maintenance (`cat_tx_log_snapshot` reads the log; this plans the
+    rewrite): bin the sorted file listing into ~2000-byte target
+    groups by EXCLUSIVE running-sum division — the deterministic
+    streaming variant real compactors run over a sorted listing
+    (greedy first-fit on arrival order), expressible as one window
+    cumsum + integer div, no iteration. All-integer math, so the
+    grouping is bit-identical across engines. Scale: the plan runs
+    over the |files| manifest, never file content; one sort-window
+    over a metadata-sized frame. A 100 TB table with 1M small files
+    plans in seconds; executing the plan is then an
+    embarrassingly-parallel per-group rewrite."""
+    files = spark.range(40).select(
+        F.concat(F.lit("part-"), F.col("id").cast("string")).alias("path"),
+        ((F.col("id") * 37) % 900 + 100).alias("bytes"),
+        F.col("id").alias("ord"),
+    )
+    w = (
+        Window.orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = (
+        files.withColumn(
+            "excl_sum", F.coalesce(F.sum("bytes").over(w), F.lit(0))
+        )
+        .withColumn("grp", F.expr("excl_sum div 2000"))
+    )
+    return (
+        planned.groupBy(F.col("grp").alias("group_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").alias("total_bytes"),
+            F.min("ord").alias("first_file"),
+            F.max("ord").alias("last_file"),
+        )
+        .orderBy("group_id")
+    )
