@@ -783,3 +783,70 @@ def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("achieved_share"),
         )
     )
+
+
+@register(
+    "text_ngram_novelty",
+    survey_row=72,
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    idx2 AS (
+        SELECT doc_id, w, unnest(range(len(w) - 2)) AS i FROM d
+    ),
+    tri AS (
+        SELECT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS g
+        FROM idx2
+    ),
+    first_seen AS (
+        SELECT g, min(doc_id) AS first_doc FROM tri GROUP BY g
+    )
+    SELECT t.doc_id,
+           count(*)::BIGINT AS n_grams,
+           sum(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)::BIGINT
+               AS n_novel,
+           round(sum(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+                 / count(*), 4) AS novelty
+    FROM tri t JOIN first_seen f ON t.g = f.g
+    GROUP BY t.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM NOVELTY vs the corpus-so-far: per doc, the fraction of
+    its 3-grams whose FIRST occurrence (by doc_id ingestion order) is
+    this doc — the incremental-crawl signal that separates fresh
+    content from recombined boilerplate (a doc of only already-seen
+    grams scores 0). Two shuffles: the gram inverted index (min doc_id
+    per gram — |vocab|-bounded, the same index the near-dup ops
+    build) joined back to the per-doc gram stream, then the doc
+    rollup. A gram occurring twice in its first doc counts novel on
+    each occurrence, identically in both engines. Sub-3-token docs
+    drop (no grams), same guard as `text_repetition_score`. At 100 TB
+    the index is the scale object: it's gram-keyed, bucketable, and
+    incrementally mergeable by min."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
+    )
+    tri = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) >= 3 THEN"
+                " transform(sequence(0, size(w) - 3),"
+                " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                " ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    first_seen = tri.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        tri.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).alias("n_novel"),
+            F.round(F.sum(novel) / F.count(F.lit(1)), 4).alias("novelty"),
+        )
+    )

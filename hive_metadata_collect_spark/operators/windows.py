@@ -523,3 +523,111 @@ def win_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct((-F.col("run_len")).alias("neg"), F.col("run_start")),
         ).alias("streak_start"),
     )
+
+
+@register(
+    "win_interval_union_coverage",
+    survey_row=33,
+    oracle="""
+    WITH spans AS (
+        SELECT user_id, event_type,
+               min(ts) AS s_start, max(ts) AS s_end
+        FROM events
+        GROUP BY user_id, event_type
+    ),
+    flagged AS (
+        SELECT user_id, event_type, s_start, s_end,
+               CASE WHEN s_start > coalesce(max(s_end) OVER (
+                        PARTITION BY user_id
+                        ORDER BY s_start, s_end, event_type
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        TIMESTAMP '1900-01-01')
+                    THEN 1 ELSE 0 END AS new_island
+        FROM spans
+    ),
+    islands AS (
+        SELECT user_id, s_start, s_end,
+               sum(new_island) OVER (
+                   PARTITION BY user_id
+                   ORDER BY s_start, s_end, event_type
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island_id
+        FROM flagged
+    )
+    SELECT user_id,
+           count(DISTINCT island_id)::BIGINT AS n_islands,
+           round(sum(dur) / 3600.0, 4) AS covered_hours
+    FROM (
+        SELECT user_id, island_id,
+               (epoch_us(max(s_end)) - epoch_us(min(s_start))) / 1000000.0
+                   AS dur
+        FROM islands
+        GROUP BY user_id, island_id
+    )
+    GROUP BY user_id
+    """,
+)
+def win_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL UNION length — merge overlapping intervals (per-user
+    per-event-type activity spans) and measure covered time: the
+    sweep-line islands pattern. An interval starts a new island iff
+    its start exceeds the RUNNING MAX of all prior ends (an exclusive
+    rows frame — `lag(end)` alone is wrong when an earlier interval
+    engulfs a later one); island id is the cumsum of those flags, and
+    coverage sums per-island extents. One user_id shuffle feeds the
+    span agg, both windows, and both rollups. Microsecond-exact
+    epoch math; BOTH windows share ONE total order (start, end, type)
+    — flagging under one tie order and accumulating under another
+    would let a tied engulfed interval land in either island. At 100 TB
+    this is the SLA/uptime/coverage query over any interval log —
+    the windows are metadata-free, no self-join, no explode to
+    per-second grain (the naive rewrite that's 10⁶× bigger)."""
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    prior_end = (
+        Window.partitionBy("user_id")
+        .orderBy("s_start", "s_end", "event_type")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = spans.select(
+        "user_id",
+        "event_type",
+        "s_start",
+        "s_end",
+        F.when(
+            F.col("s_start")
+            > F.coalesce(
+                F.max("s_end").over(prior_end),
+                F.lit("1900-01-01").cast("timestamp"),
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    cum = (
+        Window.partitionBy("user_id")
+        .orderBy("s_start", "s_end", "event_type")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "user_id",
+        "s_start",
+        "s_end",
+        F.sum("new_island").over(cum).alias("island_id"),
+    )
+    per_island = islands.groupBy("user_id", "island_id").agg(
+        (
+            (
+                F.unix_micros(F.max("s_end"))
+                - F.unix_micros(F.min("s_start"))
+            )
+            / 1_000_000.0
+        ).alias("dur")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.countDistinct("island_id").alias("n_islands"),
+        F.round(F.sum("dur") / 3600.0, 4).alias("covered_hours"),
+    )

@@ -57,6 +57,10 @@ EVENT_OPS = [
     # tiny logs force empty snapshots, single-action paths, and
     # same-version add/remove collisions (the tombstone tie-break)
     "cat_tx_log_snapshot",
+    # coarse 10-min timestamps force tied/engulfed/zero-length spans —
+    # the island tie-order edge the shared total order exists for
+    "win_interval_union_coverage",
+    "join_interval_overlap",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
@@ -151,6 +155,7 @@ DOC_OPS = [
     # varied sources hit empty domains in the mixture planner
     "text_repetition_score",
     "pipeline_domain_mix",
+    "text_ngram_novelty",
 ]
 
 _WORDS = ["alpha", "beta", "gamma", "delta", "x"]
