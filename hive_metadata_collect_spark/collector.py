@@ -44,6 +44,13 @@ ARTIFACTS = {
     "lineage_sql_columns": "cat_lineage_sql_columns",
     "storage_size": "cat_storage_size",
     "query_templates": "cat_query_fingerprint",
+    # round 6: the lakehouse-maintenance artifacts — table state per
+    # log version, data-skipping effectiveness, the compaction work
+    # list, and incrementally-mergeable table stats.
+    "tx_log_snapshots": "cat_tx_log_snapshot",
+    "manifest_prune_report": "cat_manifest_prune",
+    "compaction_plan": "cat_compaction_plan",
+    "incremental_stats": "cat_incremental_stats_merge",
 }
 
 

@@ -631,3 +631,44 @@ def win_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("island_id").alias("n_islands"),
         F.round(F.sum("dur") / 3600.0, 4).alias("covered_hours"),
     )
+
+
+@register(
+    "win_median_running",
+    survey_row=33,
+    oracle="""
+    SELECT event_id, user_id, ts,
+           round(median(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS running_median
+    FROM events
+    WHERE user_id % 50 = 0
+    """,
+)
+def win_median_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNNING EXACT MEDIAN per user — the robust-baseline monitor
+    (running mean is one outlier away from useless; running median is
+    not). Spark's exact `percentile` aggregate runs over the expanding
+    frame; even-count frames interpolate (a+b)/2 identically to the
+    oracle's median. The frame recompute is O(n) per row — fine on the
+    1-in-50-user monitor slice this targets; for ALL users at 100 TB
+    the right tool is the two-pass broadcast-back shape
+    (`agg_median_abs_deviation`) or a sketch (`agg_approx_percentiles`)
+    — this op exists for the exact-on-a-slice contract."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 50 == 0
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias(
+            "running_median"
+        ),
+    )
