@@ -800,3 +800,40 @@ def agg_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mad_qty",
         )
     )
+
+
+@register(
+    "agg_distinct_twolevel",
+    survey_row=21,
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey)::BIGINT AS n_parts,
+           count(*)::BIGINT AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKEW-PROOF EXACT DISTINCT — the two-level rewrite for a hot
+    group key: level 1 counts distinct within (key, value-hash bucket)
+    so a hot key's distinct work spreads over 16 reducers; level 2
+    sums the per-bucket distinct counts, which is EXACT because the
+    buckets partition the value space (hash(v) % 16 assigns each
+    distinct value to exactly one bucket — no value is double-counted
+    across buckets). The native countDistinct plans (key, value)
+    shuffles that put every hot-key row on one reducer; at 100 TB
+    with a 3-value group column that reducer IS the job's wall clock.
+    The count(*) channel rides level 1 as a plain sum. Same result,
+    same oracle, bounded per-reducer fan-in."""
+    li = load_table(spark, sf_dir, "lineitem")
+    level1 = li.groupBy(
+        "l_returnflag",
+        (F.xxhash64("l_partkey") % 16).alias("bucket"),
+    ).agg(
+        F.countDistinct("l_partkey").alias("nd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return level1.groupBy("l_returnflag").agg(
+        F.sum("nd").alias("n_parts"),
+        F.sum("n").alias("n_rows"),
+    )

@@ -878,3 +878,66 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("win_id")
     )
+
+
+@register(
+    "join_null_skew_split",
+    survey_row=16,
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 < 3 THEN NULL
+                    ELSE o_custkey END AS fk_custkey,
+               o_totalprice
+        FROM orders
+    )
+    SELECT coalesce(c.c_mktsegment, 'UNATTRIBUTED') AS segment,
+           count(*)::BIGINT AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM o LEFT JOIN customer c ON o.fk_custkey = c.c_custkey
+    GROUP BY segment
+    """,
+)
+def join_null_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-KEY SKEW SPLIT — the third skew pattern next to salting
+    and AQE: a fact with a heavily-NULL foreign key (30 % of orders
+    unattributed here) left-joins a dim. Naively every NULL-key row
+    hashes to ONE reducer partition (nulls never match, but they
+    still ride the shuffle together); the rewrite SPLITS the fact
+    first — NULL rows bypass the join entirely (their dim columns are
+    known NULL) and union back after. Join input shrinks 30 % and the
+    null hot partition disappears; the result is provably identical
+    to the plain left join, which is exactly what the oracle states.
+    With a broadcast dim the naive plan is fine (no shuffle) — the
+    split matters on the 100 TB big⋈big sort-merge path, so the demo
+    forces the shuffle path with a merge hint on the non-null leg."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 < 3, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("fk_custkey"),
+        "o_totalprice",
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    matched = (
+        o.filter(F.col("fk_custkey").isNotNull())
+        .join(c.hint("merge"), F.col("fk_custkey") == F.col("c_custkey"), "left")
+        .select("o_totalprice", "c_mktsegment")
+    )
+    nulls = o.filter(F.col("fk_custkey").isNull()).select(
+        "o_totalprice", F.lit(None).cast("string").alias("c_mktsegment")
+    )
+    return (
+        matched.unionByName(nulls)
+        .groupBy(
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNATTRIBUTED")).alias(
+                "segment"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

@@ -457,3 +457,12 @@ def test_new_composites_broadcast_dims_and_heap_sort(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
     plan = physical_plan(OPS["tpch_q21_waiting_suppliers"].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_null_skew_split_forces_merge_path_and_union(spark, sf_dir):
+    """The null-split demo must exercise the big⋈big shuffle path it
+    exists for (merge hint → SortMergeJoin, not broadcast) and carry
+    the null leg around the join via a Union."""
+    plan = physical_plan(OPS["join_null_skew_split"].fn(spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert "Union" in plan
