@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import re
+from typing import Iterator, Tuple
 
 import pandas as pd
 
@@ -279,3 +280,54 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", normalize("text").alias("norm_text"))
+
+
+@register(
+    "udf_pandas_iter_model",
+    survey_row=58,
+    oracle="""
+    SELECT doc_id,
+           round(
+               1.0 / (1.0 + exp(-(0.01 * n_chars - 0.5 * (doc_id % 7)))),
+               6
+           ) AS score
+    FROM documents
+    """,
+)
+def udf_pandas_iter_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATOR pandas UDF (`Iterator[Series] -> Iterator[Series]`) —
+    the BATCH-INFERENCE plumbing every LLM data pipeline runs: the
+    expensive one-time setup ("model load" — here a deterministic
+    logistic scorer standing in for a real checkpoint, which this
+    container cannot hold) happens ONCE PER PARTITION, before the
+    batch loop, then every Arrow batch is scored vectorized. A plain
+    pandas UDF re-enters Python per batch with no setup hook; a row
+    UDF would pay per row. At 100 TB this pattern is the difference
+    between loading a tokenizer/model 10⁹ times and |partitions|
+    times. The scorer is pure math, so the oracle restates it in SQL
+    and the gate is hash-exact."""
+    import math
+
+    @pandas_udf(DoubleType())
+    def score_batches(
+        batches: Iterator[Tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        # one-time per-partition setup: the "model"
+        weights = {"w_chars": 0.01, "w_bucket": -0.5}
+
+        def model(chars: pd.Series, bucket: pd.Series) -> pd.Series:
+            z = weights["w_chars"] * chars + weights["w_bucket"] * bucket
+            return (1.0 / (1.0 + (-z).map(math.exp))).round(6)
+
+        for chars, bucket in batches:
+            yield model(chars, bucket)
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "bucket", (F.col("doc_id") % 7).cast("double")
+    )
+    return d.select(
+        "doc_id",
+        score_batches(
+            F.col("n_chars").cast("double"), F.col("bucket")
+        ).alias("score"),
+    )
