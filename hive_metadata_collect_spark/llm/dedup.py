@@ -966,3 +966,84 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+@register(
+    "dedup_url_canonical",
+    survey_row=67,
+    oracle="""
+    WITH urls AS (
+        SELECT doc_id,
+               'HTTPS://WWW.' || source || '.example.com/Page/' ||
+               (doc_id % 25) ||
+               CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+               CASE WHEN doc_id % 2 = 0
+                    THEN '?utm_source=feed&id=' || (doc_id % 5)
+                    ELSE '' END AS raw_url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(lower(raw_url),
+                           '^https?://(www\\.)?', ''),
+                       '[?&]utm_[a-z]+=[^&]*', ''),
+                   '/+(\\?|$)', '\\1') AS canon_url
+        FROM urls
+    )
+    SELECT canon_url,
+           count(*)::BIGINT AS n_docs,
+           min(doc_id) AS keeper_doc
+    FROM canon
+    GROUP BY canon_url
+    HAVING count(*) > 1
+    ORDER BY canon_url
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-CANONICALIZATION dedup — the FIRST stage of every web-crawl
+    pipeline, before any content hashing: lowercase, strip scheme and
+    `www.`, strip `utm_*` tracking params, strip the trailing slash —
+    then group by canonical form and keep the lowest doc_id. The
+    fixture has no URL column, so raw URLs are synthesized
+    deterministically (scheme-case, www, trailing-slash and
+    utm-variants from doc_id arithmetic) in BOTH engines and the
+    operator is the canonicalization itself: three regexp_replace
+    passes, all codegen, then one canon-key shuffle. At 100 TB the
+    canon key is the crawl dedup key — this groupBy replaces a
+    content-hash pass over every recrawl of the same page."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".example.com/Page/"),
+        (F.col("doc_id") % 25).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&id="),
+                (F.col("doc_id") % 5).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(raw), r"^https?://(www\.)?", ""),
+            r"[?&]utm_[a-z]+=[^&]*",
+            "",
+        ),
+        r"/+(\?|$)",
+        r"$1",
+    )
+    return (
+        d.select("doc_id", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("canon_url")
+    )

@@ -850,3 +850,70 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(novel) / F.count(F.lit(1)), 4).alias("novelty"),
         )
     )
+
+
+@register(
+    "pipeline_quality_report",
+    survey_row=72,
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang, text,
+               len(string_split(lower(text), ' ')) AS n_words,
+               len(regexp_replace(lower(text), '[^a-z ]', '', 'g'))
+                   * 1.0 / greatest(len(text), 1) AS alpha_ratio
+        FROM documents
+    ),
+    staged AS (
+        SELECT lang,
+               (n_words < 12) AS drop1,
+               (n_words >= 12 AND alpha_ratio < 0.6) AS drop2
+        FROM d
+    )
+    SELECT lang,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN drop1 THEN 1 ELSE 0 END)::BIGINT
+               AS dropped_too_short,
+           sum(CASE WHEN drop2 THEN 1 ELSE 0 END)::BIGINT
+               AS dropped_low_alpha,
+           sum(CASE WHEN NOT drop1 AND NOT drop2 THEN 1 ELSE 0 END)::BIGINT
+               AS kept,
+           round(sum(CASE WHEN NOT drop1 AND NOT drop2 THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4) AS keep_rate
+    FROM staged
+    GROUP BY lang
+    """,
+)
+def pipeline_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-FUNNEL REPORT — the per-stage accounting a training-data
+    org tracks for every corpus release: docs dropped at stage 1
+    (too short), dropped at stage 2 AMONG STAGE-1 SURVIVORS (low
+    alphabetic ratio — the OCR-garbage signal), kept, and keep rate,
+    per language. Sequential semantics matter: a doc failing both
+    filters is charged to the FIRST stage only, so the stage columns
+    sum to n_docs and the funnel is auditable. Pure codegen flags
+    (split/regexp_replace), one |langs|-group shuffle. At 100 TB this
+    is the observability layer over `pipeline_clean_corpus` — same
+    predicates, aggregated instead of applied."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.split(F.lower(F.col("text")), " ")).alias("n_words"),
+        (
+            F.length(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", "")
+            )
+            * 1.0
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("alpha_ratio"),
+    )
+    drop1 = F.col("n_words") < 12
+    drop2 = (F.col("n_words") >= 12) & (F.col("alpha_ratio") < 0.6)
+    kept = ~drop1 & ~drop2
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(drop1.cast("int")).alias("dropped_too_short"),
+        F.sum(drop2.cast("int")).alias("dropped_low_alpha"),
+        F.sum(kept.cast("int")).alias("kept"),
+        F.round(
+            F.sum(kept.cast("int")) * 1.0 / F.count(F.lit(1)), 4
+        ).alias("keep_rate"),
+    )

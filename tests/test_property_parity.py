@@ -156,6 +156,8 @@ DOC_OPS = [
     "text_repetition_score",
     "pipeline_domain_mix",
     "text_ngram_novelty",
+    "pipeline_quality_report",
+    "dedup_url_canonical",
 ]
 
 _WORDS = ["alpha", "beta", "gamma", "delta", "x"]
