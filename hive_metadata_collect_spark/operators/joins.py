@@ -941,3 +941,76 @@ def join_null_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+@register(
+    "join_runtime_bloom_filter",
+    survey_row=16,
+    oracle="""
+    SELECT l_linestatus,
+           count(*)::BIGINT AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_linestatus
+    """,
+)
+def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNTIME BLOOM-FILTER join — Catalyst's injected semi-join
+    reduction: when a selective dim filter feeds a SHUFFLE join, the
+    optimizer builds a bloom filter over the dim's join keys and
+    pushes `might_contain` onto the FACT SCAN, so ~80 % of lineitem
+    rows (non-urgent orders) drop before the shuffle instead of
+    after the join. The default thresholds target cluster sizes
+    (10 GB application-side scans), so the demo lowers them and
+    disables broadcast for the statement — on a real 100 TB join
+    both sides exceed the defaults and the rewrite fires as-is. The
+    result is threshold-independent (bloom false positives only let
+    extra rows reach the exact join), which is what the plain-join
+    oracle states. Configs are restored after plan construction —
+    the returned frame's QueryExecution is forced (and thereby
+    cached) under the modified session first."""
+    cfgs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in cfgs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        li = load_table(spark, sf_dir, "lineitem")
+        out = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.round(
+                    F.sum(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ),
+                    2,
+                ).alias("revenue"),
+            )
+        )
+        # Force THIS frame's QueryExecution now (lazy vals cache per
+        # Dataset): analysis+optimization run under the bloom configs
+        # and stay cached after they're restored; .count() would spawn
+        # a separate plan and leave this one to re-optimize later.
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -466,3 +466,11 @@ def test_null_skew_split_forces_merge_path_and_union(spark, sf_dir):
     plan = physical_plan(OPS["join_null_skew_split"].fn(spark, sf_dir))
     assert "SortMergeJoin" in plan
     assert "Union" in plan
+
+
+def test_runtime_bloom_filter_reaches_fact_side(spark, sf_dir):
+    """The bloom demo must actually inject the runtime filter: the
+    optimized plan carries a might_contain probe on the fact side."""
+    df = OPS["join_runtime_bloom_filter"].fn(spark, sf_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in optimized, optimized[:2000]
