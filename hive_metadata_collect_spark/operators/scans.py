@@ -211,3 +211,54 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recursiveFileLookup", "true"
     ).parquet(base)
     return merged.select("o_orderkey", "o_totalprice", "o_orderstatus")
+
+
+@register(
+    "scan_dynamic_partition_pruning",
+    survey_row=1,
+    oracle="""
+    SELECT event_type, count(*)::BIGINT AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE day(ts) % 7 = 0
+    GROUP BY event_type
+    """,
+)
+def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the join-driven sibling of
+    `sink_partitioned_layout`'s static pruning: the partition
+    predicate isn't a literal, it arrives THROUGH a join with a
+    filtered dim (campaign days = every 7th of the month), so pruning
+    can only happen at runtime. Catalyst broadcasts the dim, wraps it
+    in a dynamicpruningexpression on the fact's PartitionFilters
+    (plan-asserted), and the scan lists only the ~4 matching day
+    directories of 30 — reusing the SAME broadcast for the join
+    itself. At 100 TB a date-partitioned fact joined to a filtered
+    date dim reads days, not years; without DPP it reads everything
+    and filters after the join."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    target = os.path.join(_SCRATCH, "events_by_date_dpp.parquet")
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(target)
+    back = spark.read.parquet(target)
+    dim = (
+        spark.range(1, 32)
+        .select(
+            F.to_date(
+                F.concat(
+                    F.lit("2024-01-"),
+                    F.lpad(F.col("id").cast("string"), 2, "0"),
+                )
+            ).alias("d")
+        )
+        .filter(F.dayofmonth("d") % 7 == 0)
+    )
+    return (
+        back.join(F.broadcast(dim), back.event_date == dim.d)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

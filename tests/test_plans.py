@@ -474,3 +474,12 @@ def test_runtime_bloom_filter_reaches_fact_side(spark, sf_dir):
     df = OPS["join_runtime_bloom_filter"].fn(spark, sf_dir)
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert "might_contain" in optimized, optimized[:2000]
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """The DPP demo's fact scan must carry a dynamicpruningexpression
+    in its PartitionFilters — the predicate arrives via the join, not
+    as a literal."""
+    df = OPS["scan_dynamic_partition_pruning"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan[:2000]
