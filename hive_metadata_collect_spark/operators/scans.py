@@ -262,3 +262,63 @@ def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@register(
+    "scan_corrupt_records",
+    survey_row=1,
+    oracle="""
+    SELECT event_type, count(*)::BIGINT AS n
+    FROM events
+    WHERE event_id % 13 <> 0
+    GROUP BY event_type
+    UNION ALL
+    SELECT '_CORRUPT' AS event_type, count(*)::BIGINT AS n
+    FROM events
+    WHERE event_id % 13 = 0
+    """,
+)
+def scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE corrupt-record ingestion — the robustness contract a
+    log collector lives by: a JSONL feed where ~8 % of lines are
+    truncated garbage (synthesized deterministically: every 13th
+    event) must not fail the job OR silently drop data. The read uses
+    an EXPLICIT schema + PERMISSIVE mode with a corrupt-record
+    column: good lines parse, bad lines land whole in `_corrupt` for
+    quarantine, and the output accounts for every input line (the
+    oracle restates both populations from the source table). At
+    100 TB, FAILFAST is how a petabyte job dies at hour 9 on one bad
+    line; DROPMALFORMED is how data vanishes unaudited — PERMISSIVE +
+    quarantine count is the production setting."""
+    ev = load_table(spark, sf_dir, "events")
+    line = F.when(
+        F.col("event_id") % 13 == 0,
+        F.concat(F.lit('{"event_id":'), F.col("event_id").cast("string"),
+                 F.lit(',"event_type":"tru')),  # truncated mid-string
+    ).otherwise(
+        F.to_json(F.struct("event_id", "event_type"))
+    )
+    target = os.path.join(_SCRATCH, "corrupt_feed.jsonl")
+    ev.select(line.alias("value")).write.mode("overwrite").text(target)
+    feed = (
+        spark.read.schema(
+            "event_id long, event_type string, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(target)
+        # Spark disallows a query referencing ONLY the corrupt column
+        # (the parser would need a second pass); cache materializes
+        # the parse once, which is also what a quarantine pipeline
+        # wants (parse once, split good/bad from the same pass).
+        .cache()
+    )
+    good = (
+        feed.filter(F.col("_corrupt").isNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bad = feed.filter(F.col("_corrupt").isNotNull()).agg(
+        F.lit("_CORRUPT").alias("event_type"), F.count(F.lit(1)).alias("n")
+    )
+    return good.unionByName(bad)
