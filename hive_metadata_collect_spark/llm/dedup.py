@@ -1047,3 +1047,62 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .orderBy("canon_url")
     )
+
+
+@register(
+    "pipeline_epoch_shuffle",
+    survey_row=67,
+    oracle="""
+    WITH sharded AS (
+        SELECT doc_id, n_chars,
+               CAST(('0x' || substr(md5('epoch7:' || doc_id), 1, 8))
+                    AS BIGINT) % 16 AS shard
+        FROM documents
+    )
+    SELECT shard,
+           count(*)::BIGINT AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           min(doc_id) AS first_doc
+    FROM sharded
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH SHUFFLE — the deterministic global reshuffle a training
+    run performs per epoch: every doc is assigned to one of 16 output
+    shards by a SEEDED content-independent hash (seed "epoch7" —
+    change the seed, get an independent permutation; rerun the same
+    seed, get byte-identical shards, which is what makes training
+    resumable). The shard histogram (counts balanced to ~1/16,
+    per-shard size stats) is the job's sanity artifact. One narrow
+    projection + one |shards|-group agg; the actual data movement at
+    100 TB is a single hash-partitioned write with NO sort — the
+    md5 rank IS the order, no global orderBy needed."""
+    d = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("epoch7:"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 16
+    )
+    return (
+        d.select("doc_id", "n_chars", shard.alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("shard")
+    )

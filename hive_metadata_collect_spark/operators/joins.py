@@ -1014,3 +1014,82 @@ def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@register(
+    "join_temporal_dim",
+    survey_row=17,
+    oracle="""
+    WITH dim AS (
+        SELECT o_custkey, o_orderpriority AS cur_priority,
+               o_orderdate AS valid_from,
+               coalesce(lead(o_orderdate) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey),
+                   TIMESTAMP '2999-01-01') AS valid_to
+        FROM orders
+    ),
+    fact AS (
+        SELECT o.o_custkey AS f_custkey, l.l_shipdate,
+               l.l_extendedprice, l.l_discount
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT cur_priority,
+           count(*)::BIGINT AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM fact f
+    JOIN dim d ON f.f_custkey = d.o_custkey
+              AND f.l_shipdate >= d.valid_from
+              AND f.l_shipdate < d.valid_to
+    GROUP BY cur_priority
+    """,
+)
+def join_temporal_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL DIMENSION join — fact rows joined to the dim version
+    VALID AT the fact's timestamp (the SCD2 read path, as distinct
+    from `cat_scd2_apply` which builds the versions): each customer's
+    order history becomes a validity-interval timeline
+    (valid_from = this order's date, valid_to = next order's date via
+    lead — half-open, so interval edges never double-match), and every
+    shipped line joins the priority that WAS current on its ship
+    date. The join is equality-on-customer PLUS interval containment
+    — Spark executes the equi part as the hash join key and the
+    range as a post-join filter, so it never degenerates to a
+    cartesian (plan shape shared with join_range_interval). At 100 TB
+    the dim timeline is |entity-versions|-sized — orders of magnitude
+    under the fact — and broadcast-eligible per AQE stats; if both
+    sides are huge, bucket by entity THEN time (join_range_bucketed's
+    pattern)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dim = o.select(
+        F.col("o_custkey").alias("d_custkey"),
+        F.col("o_orderpriority").alias("cur_priority"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.coalesce(
+            F.lead("o_orderdate").over(w),
+            F.lit("2999-01-01").cast("timestamp"),
+        ).alias("valid_to"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    fact = li.join(
+        o.select("o_orderkey", F.col("o_custkey").alias("f_custkey")),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    return (
+        fact.join(
+            dim,
+            (F.col("f_custkey") == F.col("d_custkey"))
+            & (F.col("l_shipdate") >= F.col("valid_from"))
+            & (F.col("l_shipdate") < F.col("valid_to")),
+        )
+        .groupBy("cur_priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
