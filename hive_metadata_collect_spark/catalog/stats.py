@@ -2194,3 +2194,77 @@ def cat_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_id")
     )
+
+
+@register(
+    "cat_table_ddl_generate",
+    survey_row=62,
+    oracle="""
+    WITH cols AS (
+        SELECT table_name, column_name,
+               CASE data_type
+                   WHEN 'BIGINT' THEN 'bigint'
+                   WHEN 'INTEGER' THEN 'int'
+                   WHEN 'VARCHAR' THEN 'string'
+                   WHEN 'DOUBLE' THEN 'double'
+                   WHEN 'TIMESTAMP' THEN 'timestamp'
+                   WHEN 'FLOAT[]' THEN 'array<float>'
+                   ELSE lower(data_type) END AS type_name,
+               ordinal_position AS ordinal
+        FROM information_schema.columns
+        WHERE table_name IN ('region','nation','customer','supplier',
+                             'part','orders','lineitem','events',
+                             'documents','embeddings')
+    )
+    SELECT table_name,
+           'CREATE TABLE ' || table_name || ' (' ||
+           string_agg(column_name || ' ' || type_name, ', '
+                      ORDER BY ordinal) ||
+           ') STORED AS PARQUET' AS ddl,
+           count(*)::BIGINT AS n_columns
+    FROM cols
+    GROUP BY table_name
+    ORDER BY table_name
+    """,
+)
+def cat_table_ddl_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL EXPORT — the collector feature that round-trips the catalog
+    back into executable form: every table's parquet-footer schema
+    becomes a `CREATE TABLE ... STORED AS PARQUET` statement with
+    columns in ORDINAL order (collect structs → array_sort on the
+    ordinal → transform to "name type" → concat_ws — the
+    deterministic ordered-string-agg idiom, since Spark's collect
+    order is never trusted). The oracle rebuilds the identical DDL
+    from DuckDB's information_schema, so the two engines must agree
+    on every column name, type spelling, and position — a full
+    schema-fidelity check disguised as an export feature. Metadata-
+    sized end to end."""
+    inv = cat_schema_inventory(spark, sf_dir)
+    return (
+        inv.groupBy("table_name")
+        .agg(
+            F.concat(
+                F.lit("CREATE TABLE "),
+                F.col("table_name"),
+                F.lit(" ("),
+                F.concat_ws(
+                    ", ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    "ordinal", "column_name", "type_name"
+                                )
+                            )
+                        ),
+                        lambda s: F.concat_ws(
+                            " ", s["column_name"], s["type_name"]
+                        ),
+                    ),
+                ),
+                F.lit(") STORED AS PARQUET"),
+            ).alias("ddl"),
+            F.count(F.lit(1)).alias("n_columns"),
+        )
+        .orderBy("table_name")
+    )

@@ -51,6 +51,7 @@ ARTIFACTS = {
     "manifest_prune_report": "cat_manifest_prune",
     "compaction_plan": "cat_compaction_plan",
     "incremental_stats": "cat_incremental_stats_merge",
+    "table_ddl": "cat_table_ddl_generate",
 }
 
 
