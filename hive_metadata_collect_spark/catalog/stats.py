@@ -2268,3 +2268,64 @@ def cat_table_ddl_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("table_name")
     )
+
+
+@register(
+    "cat_growth_curve",
+    survey_row=64,
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               count(DISTINCT user_id) AS dau
+        FROM events GROUP BY 1
+    ),
+    first_seen AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY 1
+    ),
+    new_users AS (
+        SELECT first_day AS day, count(*) AS n_new
+        FROM first_seen GROUP BY 1
+    )
+    SELECT d.day, d.dau::BIGINT AS dau,
+           coalesce(n.n_new, 0)::BIGINT AS new_users,
+           sum(coalesce(n.n_new, 0)) OVER (
+               ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )::BIGINT AS cumulative_users
+    FROM daily d LEFT JOIN new_users n ON d.day = n.day
+    ORDER BY d.day
+    """,
+)
+def cat_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROWTH CURVE — DAU, new users, and cumulative distinct users
+    per day, the activation dashboard every audit-log owner builds.
+    The naive cumulative-distinct (count DISTINCT over an expanding
+    window) rescans all history per day; the scalable identity is
+    cumulative_users(d) = Σ new_users(d') for d' ≤ d, where a user is
+    NEW on their min-activity day — two user-keyed aggregates plus a
+    |days|-row window, instead of |days| distinct scans. The DAU leg
+    shares the same single pass over events. At 100 TB the first-seen
+    frame is the only user-cardinality state, and it's the mergeable
+    min that incremental collection keeps warm."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id"), F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    new_users = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.join(new_users, "day", "left")
+        .select(
+            "day",
+            "dau",
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("new_users"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
+            .over(w)
+            .alias("cumulative_users"),
+        )
+        .orderBy("day")
+    )

@@ -1093,3 +1093,61 @@ def join_temporal_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@register(
+    "join_asof_forward",
+    survey_row=18,
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT min(m.ts) FROM events m
+            WHERE m.user_id = e.user_id
+              AND m.event_type = 'view'
+              AND m.ts >= e.ts) AS next_view_ts
+    FROM events e
+    WHERE e.event_type = 'error'
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — `join_asof`'s time-reversed twin: each
+    error matched to the EARLIEST same-or-later 'view' of the same
+    user (time-to-recovery analysis: "when did the user next see a
+    working page?"). Same no-join idiom, mirrored: one union'd sort
+    per user, then the first upcoming view taken with
+    first(ignoreNulls) over the currentRow→FOLLOWING frame. The tie
+    order mirrors too: a simultaneous view must sort AFTER the error
+    to land INSIDE its forward frame (the backward twin puts views
+    BEFORE clicks for the same reason — the hypothesis fuzzer caught
+    the unmirrored order returning NULL on ts ties). Unmatched errors
+    keep NULL — the correlated-min oracle's empty subquery. One
+    shuffle, one sort, zero joins at any scale."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("error", "view")
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "view", F.col("ts")).alias("view_ts"),
+        # mirrored tie-break: equal-ts views sort AFTER errors so the
+        # ASOF >= semantics include the simultaneous view in the
+        # error's forward frame
+        F.when(F.col("event_type") == "view", F.lit(1)).otherwise(
+            F.lit(0)
+        ).alias("type_order"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").asc(), F.col("type_order").asc(), F.col("event_id").asc()
+        )
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        tagged.withColumn(
+            "next_view_ts", F.first("view_ts", ignorenulls=True).over(w)
+        )
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts", "next_view_ts")
+    )

@@ -61,6 +61,10 @@ EVENT_OPS = [
     # the island tie-order edge the shared total order exists for
     "win_interval_union_coverage",
     "join_interval_overlap",
+    # ts-tie simultaneous view/error rows exercise the >= ASOF edge
+    # in the FORWARD direction; single-day users hit day-one curves
+    "join_asof_forward",
+    "cat_growth_curve",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
@@ -81,7 +85,7 @@ def events_tables(draw):
             draw(st.integers(min_value=0, max_value=3)) * 86_400_000_000
             + draw(st.integers(min_value=0, max_value=18)) * 600_000_000
         )
-        etype = draw(st.sampled_from(["click", "view", "buy", "purchase"]))
+        etype = draw(st.sampled_from(["click", "view", "buy", "purchase", "error"]))
         value = float(draw(st.integers(min_value=-5, max_value=5)))
         rows.append((i, _BASE_US + off_us, user, etype, value, json.dumps({"k": i % 3})))
     return rows
