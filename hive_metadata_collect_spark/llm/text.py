@@ -917,3 +917,108 @@ def pipeline_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(kept.cast("int")) * 1.0 / F.count(F.lit(1)), 4
         ).alias("keep_rate"),
     )
+
+
+@register(
+    "text_corpus_divergence",
+    survey_row=72,
+    oracle="""
+    WITH words AS (
+        SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents
+    ),
+    dist AS (
+        SELECT lang, word,
+               count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY lang)
+                   AS p
+        FROM words GROUP BY lang, word
+    ),
+    en AS (SELECT word, p AS q FROM dist WHERE lang = 'en'),
+    en_expanded AS (
+        SELECT l.lang, en.word, en.q
+        FROM (SELECT DISTINCT lang FROM dist WHERE lang <> 'en') l, en
+    ),
+    joined AS (
+        SELECT coalesce(d.lang, e.lang) AS lang,
+               coalesce(d.p, 0.0) AS p,
+               coalesce(e.q, 0.0) AS q
+        FROM (SELECT * FROM dist WHERE lang <> 'en') d
+        FULL OUTER JOIN en_expanded e
+          ON d.lang = e.lang AND d.word = e.word
+    )
+    SELECT lang,
+           round(sum(
+               CASE WHEN p > 0 THEN 0.5 * p * ln(2.0 * p / (p + q))
+                    ELSE 0 END
+               + CASE WHEN q > 0 THEN 0.5 * q * ln(2.0 * q / (p + q))
+                      ELSE 0 END), 4) AS js_divergence,
+           sum(CASE WHEN p > 0 AND q > 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_shared_words
+    FROM joined
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS DRIFT metric: Jensen-Shannon divergence between each
+    language's unigram distribution and English — the statistic a
+    data org tracks across crawl snapshots to catch distribution
+    shift (same math, different axis: here the axis is language, in
+    production it's snapshot date). Full-outer join of each lang's
+    distribution against the (broadcastable, |vocab|-sized) English
+    one, expanded per comparison language so each pair sees the
+    complete English support; one-sided words contribute their
+    half-KL term with the other side at zero, via explicit guards —
+    identical term-by-term in both engines, rounded after the sum.
+    Caveat stated per house rules: per-lang full-outer arms can't
+    broadcast the probe side, so the shuffle is |vocab × langs| —
+    still vocabulary-bounded, never corpus-bounded."""
+    words = load_table(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    )
+    wl = Window.partitionBy("lang")
+    dist = (
+        words.groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "lang", "word", (F.col("c") * 1.0 / F.sum("c").over(wl)).alias("p")
+        )
+    )
+    en = dist.filter(F.col("lang") == "en").select(
+        F.col("word").alias("en_word"), F.col("p").alias("q")
+    )
+    other = dist.filter(F.col("lang") != "en")
+    # expand the en distribution once per comparison language so each
+    # (lang, en) pair sees ALL en-only words — a single global
+    # full-outer would drop their q-mass for every lang where some
+    # OTHER lang matched the word, biasing the divergence low
+    langs = other.select("lang").distinct().select(
+        F.col("lang").alias("e_lang")
+    )
+    en_expanded = F.broadcast(langs).crossJoin(en)
+    joined = other.join(
+        en_expanded,
+        (other.lang == en_expanded.e_lang)
+        & (other.word == en_expanded.en_word),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("lang"), F.col("e_lang")).alias("lang"),
+        F.coalesce(F.col("p"), F.lit(0.0)).alias("p"),
+        F.coalesce(F.col("q"), F.lit(0.0)).alias("q"),
+    )
+    term = F.when(
+        F.col("p") > 0,
+        0.5 * F.col("p") * F.log(2.0 * F.col("p") / (F.col("p") + F.col("q"))),
+    ).otherwise(0.0) + F.when(
+        F.col("q") > 0,
+        0.5 * F.col("q") * F.log(2.0 * F.col("q") / (F.col("p") + F.col("q"))),
+    ).otherwise(0.0)
+    shared = F.when((F.col("p") > 0) & (F.col("q") > 0), 1).otherwise(0)
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.round(F.sum(term), 4).alias("js_divergence"),
+            F.sum(shared).alias("n_shared_words"),
+        )
+        .orderBy("lang")
+    )

@@ -162,6 +162,9 @@ DOC_OPS = [
     "text_ngram_novelty",
     "pipeline_quality_report",
     "dedup_url_canonical",
+    # single-lang tables force empty comparison sets; tiny vocab
+    # forces full-overlap (JS -> 0) and en-only-word arms
+    "text_corpus_divergence",
 ]
 
 _WORDS = ["alpha", "beta", "gamma", "delta", "x"]
