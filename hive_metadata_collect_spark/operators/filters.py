@@ -217,3 +217,57 @@ def sub_in_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@register(
+    "sub_not_in_null_trap",
+    survey_row=7,
+    oracle="""
+    WITH excl AS (
+        SELECT c_custkey FROM customer WHERE c_nationkey < 5
+        UNION ALL SELECT NULL
+    )
+    SELECT 'not_in_with_null' AS variant, count(*)::BIGINT AS n_orders
+    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM excl)
+    UNION ALL
+    SELECT 'not_exists' AS variant, count(*)::BIGINT AS n_orders
+    FROM orders o WHERE NOT EXISTS (
+        SELECT 1 FROM excl e WHERE e.c_custkey = o.o_custkey
+    )
+    """,
+)
+def sub_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE three-valued-logic trap, stated as an operator: `NOT IN`
+    against a subquery containing one NULL returns ZERO rows (x <>
+    NULL is UNKNOWN, so no row ever satisfies the predicate), while
+    the `NOT EXISTS` formulation of the "same" exclusion returns the
+    real complement — the single most common silent-wrong-answer bug
+    in migrated SQL. Spark compiles the NOT IN to a NULL-AWARE anti
+    join (broadcast-only by design: the null check needs the whole
+    build side per task — which is WHY big-side NOT IN is a scale
+    trap too) and the NOT EXISTS to a plain left anti. Declared
+    through spark.sql so both planner paths are exercised verbatim;
+    both engines implement the ANSI semantics and must agree on the
+    0 / full-count pair."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "hmcs_nit_orders"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "hmcs_nit_customer"
+    )
+    return spark.sql(
+        """
+        WITH excl AS (
+            SELECT c_custkey FROM hmcs_nit_customer WHERE c_nationkey < 5
+            UNION ALL SELECT NULL
+        )
+        SELECT 'not_in_with_null' AS variant, count(*) AS n_orders
+        FROM hmcs_nit_orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM excl)
+        UNION ALL
+        SELECT 'not_exists' AS variant, count(*) AS n_orders
+        FROM hmcs_nit_orders o WHERE NOT EXISTS (
+            SELECT 1 FROM excl e WHERE e.c_custkey = o.o_custkey
+        )
+        """
+    )

@@ -313,3 +313,57 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_timestamp("c_ts") - F.unix_timestamp("v_ts")).alias("gap_s"),
         )
     )
+
+
+@register(
+    "stream_sliding_topk",
+    survey_row=52,
+    oracle="""
+    WITH windowed AS (
+        SELECT time_bucket(INTERVAL '15 minutes', ts)
+                   - k.k * INTERVAL '15 minutes' AS window_start,
+               event_type,
+               count(*) AS n
+        FROM events
+        CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT window_start, event_type, n,
+               row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n DESC, event_type) AS rk
+        FROM windowed
+    )
+    SELECT window_start, event_type, n::BIGINT AS n, rk::INT AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRENDING-NOW over sliding windows: top-3 event types per 1-hour
+    window sliding every 15 minutes — the sliding fan-out (each event
+    lands in 4 overlapping windows) COMPOSED with per-window ranking
+    (deterministic tie-break on type name). In the streaming twin the
+    rank runs in the foreachBatch sink over the windowed aggregate
+    (rank is not an incremental streaming op); the batch form here IS
+    that sink query, which is why it hash-checks. Shuffles: the
+    (window, type) agg, then the |windows|-bounded rank — the fan-out
+    multiplies rows by windows/slide (4×), the known cost of sliding
+    semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    windowed = (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n"
+        )
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        windowed.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+    )
