@@ -894,3 +894,113 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return min_label_components(pairs)
+
+
+@register(
+    "mm_audio_silence_segments",
+    survey_row=74,
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, 64 + doc_id % 128 AS n FROM documents
+    ),
+    s AS (SELECT doc_id, n, unnest(range(n)) AS i FROM d),
+    samp AS (
+        SELECT doc_id, i // 16 AS f,
+               abs((doc_id * 31 + 7 * i) % 65536 - 32768) AS a
+        FROM s WHERE i < (n // 16) * 16
+    ),
+    flagged AS (
+        SELECT doc_id, f, (avg(a) < 16384) AS quiet
+        FROM samp GROUP BY 1, 2
+    ),
+    islands AS (
+        SELECT doc_id,
+               f - row_number() OVER (
+                   PARTITION BY doc_id ORDER BY f) AS anchor
+        FROM flagged WHERE quiet
+    ),
+    runs AS (
+        SELECT doc_id, anchor, count(*) AS run_len
+        FROM islands GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n_frames,
+               sum(CASE WHEN quiet THEN 1 ELSE 0 END) AS n_quiet
+        FROM flagged GROUP BY 1
+    ),
+    seg AS (
+        SELECT doc_id, count(*) AS n_segments,
+               max(run_len) AS longest_run
+        FROM runs GROUP BY 1
+    )
+    SELECT a.doc_id, a.n_frames::BIGINT AS n_frames,
+           a.n_quiet::BIGINT AS n_quiet_frames,
+           coalesce(g.n_segments, 0)::BIGINT AS n_segments,
+           coalesce(g.longest_run, 0)::BIGINT AS longest_run
+    FROM agg a LEFT JOIN seg g ON a.doc_id = g.doc_id
+    """,
+)
+def mm_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SILENCE SEGMENTATION over REAL decoded audio — the
+    speech-pipeline pre-step (VAD's dumb cousin) that decides which
+    byte ranges are worth sending to an ASR model: walk the RIFF
+    chunks to the PCM frames (same container math as decode_wav),
+    window into 16-sample frames, flag frames whose mean |amplitude|
+    is under half-scale, and reduce the flag sequence to
+    (n_segments, longest_run) per clip with one vectorized NumPy
+    pass — per-clip DSP belongs INSIDE the Arrow stage (a clip fits
+    a task; the cluster parallelizes across clips, not within one).
+    The waveform is closed-form in (doc_id, i), so the oracle
+    re-derives frame energies and silence runs relationally —
+    gaps-and-islands in SQL against NumPy run-length math, exact
+    integer-arithmetic agreement. Frame mean uses a sum of ints
+    over a power-of-two divisor: exact in double on both engines."""
+    import struct
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                pos, data = 12, None
+                while pos + 8 <= len(payload):
+                    cid = payload[pos : pos + 4]
+                    (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+                    if cid == b"data":
+                        data = payload[pos + 8 : pos + 8 + size]
+                    pos += 8 + size + (size & 1)
+                samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                n_frames = samples.size // 16
+                frames = np.abs(samples[: n_frames * 16]).reshape(n_frames, 16)
+                quiet = frames.mean(axis=1) < 16384.0
+                # run-length encode the quiet flags
+                if quiet.any():
+                    edges = np.diff(np.concatenate(([0], quiet.view(np.int8), [0])))
+                    starts = np.flatnonzero(edges == 1)
+                    ends = np.flatnonzero(edges == -1)
+                    n_segments = int(starts.size)
+                    longest = int((ends - starts).max())
+                else:
+                    n_segments, longest = 0, 0
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_frames": n_frames,
+                        "n_quiet_frames": int(quiet.sum()),
+                        "n_segments": n_segments,
+                        "longest_run": longest,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    d = load_table(spark, sf_dir, "documents")
+    payloads = _synth_wav_payloads(d)
+    return payloads.mapInPandas(
+        batches,
+        schema=(
+            "doc_id long, n_frames long, n_quiet_frames long,"
+            " n_segments long, longest_run long"
+        ),
+    )
