@@ -1004,3 +1004,102 @@ def mm_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             " n_segments long, longest_run long"
         ),
     )
+
+
+@register(
+    "mm_video_scene_cuts",
+    survey_row=74,
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               2 + 2 * (doc_id % 8)        AS w,
+               2 + 2 * ((doc_id * 3) % 8)  AS h,
+               1 + doc_id % 4              AS nf
+        FROM documents
+    ),
+    fk AS (
+        SELECT doc_id, w, h, unnest(range(nf)) AS f FROM dims
+    ),
+    px AS (
+        SELECT doc_id, f, unnest(range(w * h)) AS k FROM fk
+    ),
+    luma AS (
+        SELECT doc_id, f,
+               avg((doc_id + 17 * f + k) % 256) AS mean_y
+        FROM px GROUP BY 1, 2
+    ),
+    deltas AS (
+        SELECT doc_id, f, mean_y,
+               abs(mean_y - lag(mean_y) OVER (
+                   PARTITION BY doc_id ORDER BY f)) AS d
+        FROM luma
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_frames,
+           round(min(CASE WHEN f = 0 THEN mean_y END), 4) AS first_mean_y,
+           sum(CASE WHEN d > 8.0 THEN 1 ELSE 0 END)::BIGINT AS n_cuts
+    FROM deltas
+    GROUP BY doc_id
+    """,
+)
+def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCENE-CUT detection over REAL decoded video — the
+    keyframe-sampling pre-step of a video training pipeline (cut
+    boundaries are where you sample frames from): parse the YUV4MPEG2
+    stream (header + FRAME-delimited 4:2:0 planes, same container
+    walk as decode_y4m), take each frame's mean LUMA, and count
+    inter-frame jumps above threshold. Per-clip frame math runs
+    vectorized inside the Arrow stage (the clip is the parallel
+    unit); the closed-form Y-plane lets the oracle recompute every
+    frame mean relationally — both engines reach bit-identical
+    doubles because the mean is an exact integer sum over an
+    identical count. The threshold compare therefore cannot flip
+    cross-engine."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                nl = payload.index(b"\n")
+                header = payload[:nl].decode()
+                w = h = None
+                for tok in header.split():
+                    if tok.startswith("W"):
+                        w = int(tok[1:])
+                    elif tok.startswith("H"):
+                        h = int(tok[1:])
+                ysize, csize = w * h, (w // 2) * (h // 2) * 2
+                means, pos = [], nl + 1
+                while pos < len(payload):
+                    assert payload[pos : pos + 6] == b"FRAME\n"
+                    pos += 6
+                    y = np.frombuffer(
+                        payload[pos : pos + ysize], dtype=np.uint8
+                    ).astype(np.int64)
+                    means.append(y.mean())
+                    pos += ysize + csize
+                means = np.array(means)
+                cuts = int((np.abs(np.diff(means)) > 8.0).sum())
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_frames": len(means),
+                        "first_mean_y": float(means[0]),
+                        "n_cuts": cuts,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    d = load_table(spark, sf_dir, "documents")
+    payloads = _synth_y4m_payloads(d)
+    feats = payloads.mapInPandas(
+        batches,
+        schema=(
+            "doc_id long, n_frames long, first_mean_y double, n_cuts long"
+        ),
+    )
+    # round JVM-side (HALF_UP) — Python's round() is banker's and
+    # could diverge from the oracle's round() at exact half-way marks
+    return feats.withColumn("first_mean_y", F.round("first_mean_y", 4))
