@@ -629,3 +629,77 @@ def pipeline_decontaminate_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("cosine_raw"), 6).alias("max_cosine"),
         )
     )
+
+
+@register("pipeline_decontaminate_embed_lsh", survey_row=69, oracle=None)
+def pipeline_decontaminate_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB DECONTAMINATION path `pipeline_decontaminate_embed`
+    declares: SRP-bucketed candidate generation between the train and
+    eval splits, exact-cosine re-rank on survivors only. Both sides
+    hash once with the SAME random planes (one NumPy matmul per Arrow
+    batch); the candidate join is (table, bucket)-keyed and carries
+    24-byte id rows, never embeddings; embeddings join back only for
+    the candidate pairs and the exact τ filter decides — so every
+    flagged (train, eval) hit is REAL (precision 1 by construction:
+    approx ⊆ exact), and misses are only pairs no table banded
+    together (recall vs the exact twin asserted engine-side in
+    tests/test_edge_cases.py). Output matches the exact twin's shape
+    (train_vec, n_eval_hits, max_cosine) over the candidate subset —
+    rows-only driver check, the exact twin IS the correctness oracle.
+    """
+    rng = np.random.default_rng(42)
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(_query_vector(spark, sf_dir))
+    planes = rng.standard_normal((_SRP_TABLES * _SRP_BITS, dim))
+    buckets = _srp_bucket_udf(planes)
+    split_bucket = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+        split_bucket.alias("split"),
+        F.posexplode(buckets("embedding")).alias("table", "bucket"),
+    )
+    train_h = base.filter(F.col("split") < 90).select(
+        F.col("vec_id").alias("train_vec"), "table", "bucket"
+    )
+    eval_h = base.filter(F.col("split") >= 90).select(
+        F.col("vec_id").alias("eval_vec"), "table", "bucket"
+    )
+    cand = (
+        train_h.join(eval_h, ["table", "bucket"])
+        .select("train_vec", "eval_vec")
+        .distinct()
+        .observe(
+            "decontaminate_lsh",
+            F.count(F.lit(1)).alias("decontaminate_candidates"),
+        )
+    )
+    et = emb.select(
+        F.col("vec_id").alias("train_vec"),
+        F.col("embedding").alias("emb_t"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm_t"),
+    )
+    ee = emb.select(
+        F.col("vec_id").alias("eval_vec"),
+        F.col("embedding").alias("emb_e"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm_e"),
+    )
+    cos = _dot(F.col("emb_t"), F.col("emb_e")) / (
+        F.col("norm_t") * F.col("norm_e")
+    )
+    return (
+        cand.join(et, "train_vec")
+        .join(ee, "eval_vec")
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= _COSINE_TAU)
+        .groupBy("train_vec")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_hits"),
+            F.round(F.max("cosine_raw"), 6).alias("max_cosine"),
+        )
+    )

@@ -511,3 +511,29 @@ def test_incremental_stats_merge_equals_direct(spark, sf_dir):
     assert merged["min_qty"] == direct["min_qty"]
     assert merged["max_qty"] == direct["max_qty"]
     assert merged["sum_price"] == direct["sum_price"]
+
+
+def test_decontaminate_lsh_recall_and_precision_vs_exact(spark, sf_dir):
+    """The SRP-bucketed decontamination path vs its exact twin:
+    every flagged train vector must be truly contaminated (precision
+    1 — the exact re-rank guarantees it) and the flagged set must
+    recover most of the exact twin's flags (banding recall)."""
+    from hive_metadata_collect_spark import registry
+
+    ops = registry.load_all()
+    exact = {
+        r["train_vec"]: r["max_cosine"]
+        for r in ops["pipeline_decontaminate_embed"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r["train_vec"]: r["max_cosine"]
+        for r in ops["pipeline_decontaminate_embed_lsh"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(approx) <= set(exact), "false contamination flags"
+    if exact:
+        recall = len(set(approx) & set(exact)) / len(exact)
+        assert recall >= 0.6, f"recall {recall}"
+    for k, v in approx.items():
+        assert v <= exact[k] + 1e-9  # candidate max can't exceed exact max
