@@ -2329,3 +2329,57 @@ def cat_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "cat_user_paths_topk",
+    survey_row=64,
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS t2,
+               lead(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || ' > ' || t2 || ' > ' || t3 AS path,
+           count(*)::BIGINT AS n_occurrences,
+           count(DISTINCT user_id)::BIGINT AS n_users
+    FROM seq
+    WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    GROUP BY path
+    ORDER BY n_occurrences DESC, path
+    LIMIT 15
+    """,
+)
+def cat_user_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE MINING, the product-analytics staple: the 15 most
+    common 3-step navigation paths (sliding trigrams over each user's
+    ordered event stream via two leads — windows, not self-joins; the
+    3-way self-join formulation shuffles the stream three times and
+    explodes on ties). One user_id sort feeds both leads; the path
+    rollup is |type³|-bounded (125 here) so the top-k is a broadcast-
+    scale sort. Total order (ts, event_id) makes tied timestamps
+    deterministic. At 100 TB the only heavy stage is the per-user
+    sort — the same shuffle every sessionization op here shares."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(" > ", "event_type", "t2", "t3").alias("path"),
+            "user_id",
+        )
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_occurrences"), "path")
+        .limit(15)
+    )

@@ -1022,3 +1022,49 @@ def text_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_code_detect",
+    survey_row=72,
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id, lang, greatest(len(text), 1) AS n,
+               len(text) - len(regexp_replace(text, '[{};()=<>\\[\\]]', '', 'g'))
+                   AS n_symbols,
+               len(text) - len(replace(text, ' ', '')) AS n_spaces
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           round(n_symbols * 1.0 / n, 4) AS symbol_ratio,
+           (n_symbols * 1.0 / n > 0.02 AND n_spaces * 1.0 / n < 0.25)
+               AS looks_like_code
+    FROM feats
+    """,
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODE-vs-PROSE router — pretraining corpora route code and
+    natural language down different cleaning pipelines, and the
+    router is exactly this kind of symbol-density heuristic
+    (brace/bracket/operator ratio up, space ratio down ⇒ code).
+    Counting is subtraction-after-strip (len − len(strip)) so both
+    engines count with their OWN regex engine yet agree exactly —
+    counting via regexp_extract_all lengths would hinge on engine
+    match semantics. Integer-ratio features, deterministic verdicts;
+    embarrassingly parallel, no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.greatest(F.length("text"), F.lit(1))
+    n_symbols = F.length("text") - F.length(
+        F.regexp_replace("text", r"[{};()=<>\[\]]", "")
+    )
+    n_spaces = F.length("text") - F.length(
+        F.regexp_replace("text", " ", "")
+    )
+    sym_ratio = n_symbols * 1.0 / n
+    space_ratio = n_spaces * 1.0 / n
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(sym_ratio, 4).alias("symbol_ratio"),
+        ((sym_ratio > 0.02) & (space_ratio < 0.25)).alias("looks_like_code"),
+    )

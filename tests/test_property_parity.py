@@ -65,6 +65,9 @@ EVENT_OPS = [
     # in the FORWARD direction; single-day users hit day-one curves
     "join_asof_forward",
     "cat_growth_curve",
+    # tied timestamps + 1-2-event users hit the lead-chain NULLs and
+    # the LIMIT tie-break
+    "cat_user_paths_topk",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
@@ -165,6 +168,7 @@ DOC_OPS = [
     # single-lang tables force empty comparison sets; tiny vocab
     # forces full-overlap (JS -> 0) and en-only-word arms
     "text_corpus_divergence",
+    "text_code_detect",
 ]
 
 _WORDS = ["alpha", "beta", "gamma", "delta", "x"]
