@@ -837,3 +837,64 @@ def agg_distinct_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nd").alias("n_parts"),
         F.sum("n").alias("n_rows"),
     )
+
+
+@register(
+    "agg_audience_overlap",
+    survey_row=21,
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT sum(a)::BIGINT AS n_click,
+           sum(b)::BIGINT AS n_purchase,
+           sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_overlap,
+           sum(CASE WHEN a = 1 OR b = 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_union,
+           round(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) * 1.0
+                 / nullif(sum(CASE WHEN a = 1 OR b = 1 THEN 1 ELSE 0 END), 0),
+                 4) AS jaccard
+    FROM per_user
+    """,
+)
+def agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIENCE OVERLAP — the segment-intersection question every
+    analytics org asks (clickers ∩ purchasers, plus Jaccard): ONE
+    pass builds per-user membership flags (max-of-CASE — the
+    boolean-rollup idiom), a second |users|-keyed reduce sums every
+    set statistic at once. No multi-countDistinct (that plans an
+    Expand, N× data through the shuffle) and no inclusion-exclusion
+    estimate — the flags give intersection and union EXACTLY in the
+    same aggregate (union 0 ⇒ NULL Jaccard via try_divide/nullif —
+    the fuzzer's both-segments-empty edge). At 100 TB the per-user
+    frame is the only big
+    shuffle, shared by all five outputs; for hundreds of segments the
+    same shape vectorizes as a bitmask column instead of N flag
+    columns."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("a"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("b"),
+    )
+    both = F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0)
+    either = F.when((F.col("a") == 1) | (F.col("b") == 1), 1).otherwise(0)
+    return per_user.agg(
+        F.sum("a").alias("n_click"),
+        F.sum("b").alias("n_purchase"),
+        F.sum(both).alias("n_overlap"),
+        F.sum(either).alias("n_union"),
+        # 0/0 guard (both segments empty): NULL on both engines —
+        # ANSI Spark raises on the bare division (fuzzer-caught)
+        F.round(
+            F.try_divide(F.sum(both) * 1.0, F.sum(either)), 4
+        ).alias("jaccard"),
+    )

@@ -68,6 +68,9 @@ EVENT_OPS = [
     # tied timestamps + 1-2-event users hit the lead-chain NULLs and
     # the LIMIT tie-break
     "cat_user_paths_topk",
+    # a table with neither segment present forces the 0/0 Jaccard
+    # edge (caught: ANSI division raised where the oracle NaN'd)
+    "agg_audience_overlap",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
