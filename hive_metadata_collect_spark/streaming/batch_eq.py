@@ -367,3 +367,70 @@ def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         windowed.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= 3)
     )
+
+
+@register(
+    "stream_threshold_alerts",
+    survey_row=56,
+    oracle="""
+    WITH buckets AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '15 minutes', ts) AS bucket,
+               count(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, bucket, n,
+               avg(n) OVER (PARTITION BY event_type) AS mean_n,
+               lag(n) OVER (PARTITION BY event_type ORDER BY bucket)
+                   AS prev_n
+        FROM buckets
+    )
+    SELECT event_type, bucket, n::BIGINT AS n,
+           round(mean_n, 4) AS mean_n
+    FROM stats
+    WHERE n > 1.5 * mean_n
+      AND (prev_n IS NULL OR prev_n <= 1.5 * mean_n)
+    ORDER BY event_type, bucket
+    """,
+)
+def stream_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RISING-EDGE alerting — the anti-alert-fatigue contract: fire
+    when a metric CROSSES its threshold, not on every breaching
+    bucket (`cat_anomaly_zscore` flags all outliers; a pager needs
+    the transition). Per-type 15-minute rates, threshold 1.5× the
+    type's mean rate, alert iff this bucket breaches AND the previous
+    one didn't (lag over the bucket order; a leading NULL counts as
+    below — first-bucket breaches do page). The threshold compare is
+    identical-double on both engines (mean = exact int sum / count).
+    Streaming twin: the bucket counts are the tumbling aggregate and
+    the edge detector runs stateful per key (flatMapGroupsWithState
+    keeping one previous-bucket value); the batch form is the same
+    dataflow with lag standing in for the state cell. Shuffles: the
+    bucket agg and the |type|-partition window."""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        "event_type",
+        F.window("ts", "15 minutes")["start"].alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("bucket")
+    stats = buckets.select(
+        "event_type",
+        "bucket",
+        "n",
+        F.avg("n").over(wt).alias("mean_n"),
+        F.lag("n").over(wo).alias("prev_n"),
+    )
+    breach = F.col("n") > 1.5 * F.col("mean_n")
+    prev_ok = F.col("prev_n").isNull() | (
+        F.col("prev_n") <= 1.5 * F.col("mean_n")
+    )
+    return (
+        stats.filter(breach & prev_ok)
+        .select(
+            "event_type", "bucket", "n", F.round("mean_n", 4).alias("mean_n")
+        )
+        .orderBy("event_type", "bucket")
+    )

@@ -71,6 +71,9 @@ EVENT_OPS = [
     # a table with neither segment present forces the 0/0 Jaccard
     # edge (caught: ANSI division raised where the oracle NaN'd)
     "agg_audience_overlap",
+    # single-bucket types exercise the leading-NULL edge; tiny tables
+    # make every bucket a first-bucket
+    "stream_threshold_alerts",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
