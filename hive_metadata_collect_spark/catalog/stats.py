@@ -2383,3 +2383,85 @@ def cat_user_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "path")
         .limit(15)
     )
+
+
+@register(
+    "cat_cooccurrence_pairs",
+    survey_row=64,
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    numbered AS (
+        SELECT user_id, ts, event_id,
+               sum(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    ),
+    baskets AS (
+        SELECT DISTINCT n.user_id, n.session_id, e.event_type
+        FROM numbered n JOIN events e ON n.event_id = e.event_id
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*)::BIGINT AS support
+    FROM baskets a
+    JOIN baskets b ON a.user_id = b.user_id
+                  AND a.session_id = b.session_id
+                  AND a.event_type < b.event_type
+    GROUP BY type_a, type_b
+    ORDER BY support DESC, type_a, type_b
+    """,
+)
+def cat_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET co-occurrence: which event types happen together
+    in the same session (the "frequently bought together" shape,
+    basket = 30-min session). Sessionize once, dedup to DISTINCT
+    (basket, type) membership — the critical step: pair support must
+    count BASKETS, not event-pair multiplicity, and dedup BEFORE the
+    self-join also bounds it at |baskets|·|types| rows — then
+    self-join within basket with type_a < type_b (each unordered pair
+    once). With ≤5 types the per-basket fan-out is ≤C(5,2)=10, so the
+    join output stays |baskets|-bounded at any corpus size; the
+    |types²| support rollup is broadcast-scale. This is collaborative
+    filtering's data layer on pure Catalyst."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sessioned = ev.select(
+        "user_id",
+        "event_type",
+        F.sum(
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | (
+                    F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                    > 30 * 60 * 1_000_000
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    baskets = sessioned.select(
+        "user_id", "session_id", "event_type"
+    ).distinct()
+    a = baskets.select(
+        "user_id", "session_id", F.col("event_type").alias("type_a")
+    )
+    b = baskets.select(
+        "user_id", "session_id", F.col("event_type").alias("type_b")
+    )
+    return (
+        a.join(b, ["user_id", "session_id"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), "type_a", "type_b")
+    )

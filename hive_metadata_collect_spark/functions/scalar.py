@@ -751,3 +751,75 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.schema_of_variant(v).startswith("OBJECT"), F.lit(False)
         ).alias("is_obj"),
     )
+
+
+@register(
+    "fn_try_cast_messy",
+    survey_row=46,
+    oracle="""
+    WITH messy AS (
+        SELECT event_id,
+               CASE event_id % 4
+                   WHEN 0 THEN CAST(event_id AS VARCHAR)
+                   WHEN 1 THEN '  ' || event_id || '  '
+                   WHEN 2 THEN 'n/a'
+                   ELSE event_id || 'x'
+               END AS num_s,
+               CASE event_id % 3
+                   WHEN 0 THEN '2024-01-' ||
+                        lpad(CAST(1 + event_id % 28 AS VARCHAR), 2, '0')
+                   WHEN 1 THEN '2024-13-01'
+                   ELSE 'not a date'
+               END AS date_s
+        FROM events
+    )
+    SELECT count(*)::BIGINT AS n_rows,
+           count(TRY_CAST(num_s AS BIGINT))::BIGINT AS n_num_ok,
+           count(TRY_CAST(trim(num_s) AS BIGINT))::BIGINT AS n_num_trim_ok,
+           count(TRY_CAST(date_s AS DATE))::BIGINT AS n_date_ok,
+           max(TRY_CAST(date_s AS DATE)) AS max_date
+    FROM messy
+    """,
+)
+def fn_try_cast_messy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_CAST over deliberately messy strings — the third leg of the
+    robustness family (PERMISSIVE handles corrupt CONTAINERS,
+    try_arith handles overflow, this handles dirty VALUES): numeric
+    strings with padding / unit suffixes / sentinel text, dates with
+    out-of-range months. try_cast maps every failure to NULL instead
+    of an ANSI exception, count(expr) then tallies survivors — the
+    parse-success-rate profile a collector reports per column before
+    committing a type. Both engines agree bare-whitespace numerics
+    fail and trimmed ones pass; '2024-13-01' must fail the DATE cast
+    on both. Pure codegen, one 1-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    num_s = (
+        F.when(eid % 4 == 0, eid.cast("string"))
+        .when(eid % 4 == 1, F.concat(F.lit("  "), eid.cast("string"), F.lit("  ")))
+        .when(eid % 4 == 2, F.lit("n/a"))
+        .otherwise(F.concat(eid.cast("string"), F.lit("x")))
+    )
+    date_s = (
+        F.when(
+            eid % 3 == 0,
+            F.concat(
+                F.lit("2024-01-"),
+                F.lpad((1 + eid % 28).cast("string"), 2, "0"),
+            ),
+        )
+        .when(eid % 3 == 1, F.lit("2024-13-01"))
+        .otherwise(F.lit("not a date"))
+    )
+    messy = ev.select(num_s.alias("num_s"), date_s.alias("date_s"))
+    return messy.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.try_to_number(F.col("num_s"), F.lit("999999999"))).alias(
+            "n_num_ok"
+        ),
+        F.count(
+            F.try_to_number(F.trim(F.col("num_s")), F.lit("999999999"))
+        ).alias("n_num_trim_ok"),
+        F.count(F.col("date_s").try_cast("date")).alias("n_date_ok"),
+        F.max(F.col("date_s").try_cast("date")).alias("max_date"),
+    )

@@ -74,6 +74,10 @@ EVENT_OPS = [
     # single-bucket types exercise the leading-NULL edge; tiny tables
     # make every bucket a first-bucket
     "stream_threshold_alerts",
+    # tied timestamps within a session exercise the distinct-basket
+    # dedup (pair support counts baskets, not event multiplicity)
+    "cat_cooccurrence_pairs",
+    "fn_try_cast_messy",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
