@@ -1068,3 +1068,72 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sym_ratio, 4).alias("symbol_ratio"),
         ((sym_ratio > 0.02) & (space_ratio < 0.25)).alias("looks_like_code"),
     )
+
+
+@register(
+    "pipeline_dataset_card",
+    survey_row=72,
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lang, n_chars,
+               len(string_split(lower(text), ' ')) AS n_words,
+               md5(text) AS digest,
+               len(regexp_replace(lower(text), '[^a-z ]', '', 'g')) * 1.0
+                   / greatest(len(text), 1) AS alpha_ratio
+        FROM documents
+    ),
+    dupes AS (SELECT digest, count(*) AS c FROM base GROUP BY 1)
+    SELECT lang,
+           count(*)::BIGINT AS n_docs,
+           sum(b.n_words)::BIGINT AS total_tokens,
+           round(avg(b.n_chars), 4) AS avg_chars,
+           sum(CASE WHEN d.c > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+           round(sum(CASE WHEN b.n_words >= 12 AND b.alpha_ratio >= 0.6
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+               AS keep_rate
+    FROM base b JOIN dupes d ON b.digest = d.digest
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET CARD — the per-language datasheet a corpus release
+    ships with, composed in one frame: volume (docs, whitespace
+    tokens, mean length), exact-duplicate exposure (docs whose
+    content digest repeats ANYWHERE in the corpus — the digest join
+    is corpus-wide even though the rollup is per-lang, so
+    cross-language copies count), and the quality keep rate at the
+    funnel's thresholds. One pass computes every per-doc signal; the
+    |digests|-row dup side joins back by digest; one |langs|-group
+    rollup. This is the reporting layer over the dedup + quality
+    family — every number in it is independently queryable through
+    those operators, which keeps the card auditable."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.split(F.lower(F.col("text")), " ")).alias("n_words"),
+        F.md5(F.encode("text", "UTF-8")).alias("digest"),
+        (
+            F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", ""))
+            * 1.0
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("alpha_ratio"),
+    )
+    dupes = base.groupBy("digest").agg(F.count(F.lit(1)).alias("c"))
+    keep = (F.col("n_words") >= 12) & (F.col("alpha_ratio") >= 0.6)
+    return (
+        base.join(dupes, "digest")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_dup_docs"),
+            F.round(
+                F.sum(keep.cast("int")) * 1.0 / F.count(F.lit(1)), 4
+            ).alias("keep_rate"),
+        )
+        .orderBy("lang")
+    )

@@ -179,6 +179,9 @@ DOC_OPS = [
     # forces full-overlap (JS -> 0) and en-only-word arms
     "text_corpus_divergence",
     "text_code_detect",
+    # forced exact dups in the tiny-vocab generator exercise the
+    # corpus-wide digest join under per-lang rollup
+    "pipeline_dataset_card",
 ]
 
 _WORDS = ["alpha", "beta", "gamma", "delta", "x"]
