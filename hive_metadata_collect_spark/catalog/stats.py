@@ -2465,3 +2465,58 @@ def cat_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .orderBy(F.desc("support"), "type_a", "type_b")
     )
+
+
+@register(
+    "cat_parquet_footer_stats",
+    survey_row=61,
+    oracle=" UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, count(*) AS n_rows_footer FROM {t}"
+        for t in TABLES
+    ),
+)
+def cat_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOOTER-ONLY row counts — the collector's cheapest statistic:
+    every parquet footer carries its row count, so table cardinality
+    costs one metadata read per file, zero data pages. File paths are
+    listed driver-side (bounded: one entry per data file) and the
+    footer reads fan out through mapInPandas — at a million files
+    that's the same partition-parallel metadata sweep, never a
+    driver loop over footers. The oracle states the invariant that
+    makes this trustworthy: footer sums MUST equal count(*) — a
+    mismatch means a corrupt footer or a miscounting reader.
+    tests/test_edge_cases.py additionally cross-checks row-group
+    counts against DuckDB's parquet_metadata() on the same files
+    (two independent footer parsers agreeing)."""
+    import glob as _glob
+    import os
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    paths = []
+    for t in TABLES:
+        base = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(base):
+            for pth in sorted(_glob.glob(os.path.join(base, "*.parquet"))):
+                paths.append((t, pth))
+        else:
+            paths.append((t, base))
+    files = spark.createDataFrame(paths, "table_name string, path string")
+
+    def read_footers(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in it:
+            rows = []
+            for tname, pth in zip(pdf["table_name"], pdf["path"]):
+                md = pq.ParquetFile(pth).metadata
+                rows.append({"table_name": tname, "n": md.num_rows})
+            yield pd.DataFrame(rows)
+
+    footer = files.repartition(8).mapInPandas(
+        read_footers, schema="table_name string, n long"
+    )
+    return footer.groupBy("table_name").agg(
+        F.sum("n").alias("n_rows_footer")
+    )

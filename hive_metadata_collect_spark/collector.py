@@ -52,6 +52,7 @@ ARTIFACTS = {
     "compaction_plan": "cat_compaction_plan",
     "incremental_stats": "cat_incremental_stats_merge",
     "table_ddl": "cat_table_ddl_generate",
+    "footer_stats": "cat_parquet_footer_stats",
 }
 
 

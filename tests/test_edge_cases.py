@@ -537,3 +537,23 @@ def test_decontaminate_lsh_recall_and_precision_vs_exact(spark, sf_dir):
         assert recall >= 0.6, f"recall {recall}"
     for k, v in approx.items():
         assert v <= exact[k] + 1e-9  # candidate max can't exceed exact max
+
+
+def test_parquet_footer_stats_match_duckdb_metadata(spark, sf_dir, duck):
+    """Two independent footer parsers must agree: pyarrow's row-group
+    count and row count vs DuckDB's parquet_metadata() on the same
+    file."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/lineitem.parquet"
+    md = pq.ParquetFile(path).metadata
+    # parquet_metadata() is one row per (row_group, column) — dedupe
+    # to row groups before summing
+    n_groups, n_rows = duck.execute(
+        f"""SELECT count(*), sum(row_group_num_rows) FROM (
+                SELECT DISTINCT row_group_id, row_group_num_rows
+                FROM parquet_metadata('{path}'))
+            """
+    ).fetchone()
+    assert md.num_row_groups == n_groups
+    assert md.num_rows == n_rows
