@@ -2520,3 +2520,71 @@ def cat_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return footer.groupBy("table_name").agg(
         F.sum("n").alias("n_rows_footer")
     )
+
+
+@register(
+    "cat_period_over_period",
+    survey_row=64,
+    oracle="""
+    WITH weekly AS (
+        SELECT event_type,
+               date_diff('day', TIMESTAMP '2024-01-01', ts) // 7 AS week,
+               count(*) AS n,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    ),
+    paired AS (
+        SELECT event_type, week, n, total_value,
+               lag(n) OVER (PARTITION BY event_type ORDER BY week)
+                   AS prev_n
+        FROM weekly
+    )
+    SELECT event_type, week::BIGINT AS week, n::BIGINT AS n,
+           prev_n::BIGINT AS prev_n,
+           (n - prev_n)::BIGINT AS delta,
+           round((n - prev_n) * 100.0 / prev_n, 2) AS pct_change
+    FROM paired
+    WHERE prev_n IS NOT NULL
+    ORDER BY abs(n - prev_n) DESC, event_type, week
+    LIMIT 10
+    """,
+)
+def cat_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERIOD-OVER-PERIOD movers — the week-over-week delta board
+    every usage dashboard leads with: weekly counts per type, each
+    week paired with its predecessor via lag (NOT a self-join on
+    week-1 — the window reuses the aggregate's shuffle and can't
+    fan out on duplicate weeks), top-10 absolute movers. First weeks
+    drop (no predecessor) rather than fabricating a zero baseline —
+    a type's first week isn't a "change". Division is safe: prev_n
+    comes from count(*), never zero. The |type×weeks| frame after
+    the first agg is metadata-sized at any corpus scale."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date")) / 7
+        ).alias("week"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    paired = weekly.withColumn("prev_n", F.lag("n").over(w)).filter(
+        F.col("prev_n").isNotNull()
+    )
+    return (
+        paired.select(
+            "event_type",
+            "week",
+            "n",
+            "prev_n",
+            (F.col("n") - F.col("prev_n")).alias("delta"),
+            F.round(
+                (F.col("n") - F.col("prev_n")) * 100.0 / F.col("prev_n"), 2
+            ).alias("pct_change"),
+        )
+        .orderBy(F.abs(F.col("delta")).desc(), "event_type", "week")
+        .limit(10)
+    )

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hive_metadata_collect_spark.registry import register
 from hive_metadata_collect_spark.sources.fixtures import load_table
@@ -897,4 +898,76 @@ def agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.try_divide(F.sum(both) * 1.0, F.sum(either)), 4
         ).alias("jaccard"),
+    )
+
+
+@register(
+    "agg_gini_concentration",
+    survey_row=27,
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_mktsegment, o.o_custkey,
+               sum(o.o_totalprice) AS spend
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT c_mktsegment, spend,
+               row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY spend, o_custkey) AS i,
+               count(*) OVER (PARTITION BY c_mktsegment) AS n,
+               sum(spend) OVER (PARTITION BY c_mktsegment) AS total
+        FROM per_cust
+    )
+    SELECT c_mktsegment,
+           max(n)::BIGINT AS n_customers,
+           round(2.0 * sum(i * spend) / (max(n) * max(total))
+                 - (max(n) + 1.0) / max(n), 4) AS gini
+    FROM ranked
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVENUE CONCENTRATION — the Gini coefficient per market
+    segment ("do 20 % of customers drive 80 % of revenue, and is it
+    worse in BUILDING?"): the rank-sum identity G = 2·Σ(i·xᵢ)/(n·Σx)
+    − (n+1)/n over spend sorted ascending per segment, which needs
+    ONE sort window instead of the naive all-pairs |xᵢ−xⱼ| double
+    sum (quadratic — the definitional formula is the scale trap
+    here). Rank ties broken by custkey for a total order; spends are
+    positive so the denominator can't vanish. One custkey shuffle
+    for the spend rollup, one segment sort for the rank — both
+    |customers|-bounded."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    per_cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+    )
+    ws = Window.partitionBy("c_mktsegment").orderBy("spend", "o_custkey")
+    wp = Window.partitionBy("c_mktsegment")
+    ranked = per_cust.select(
+        "c_mktsegment",
+        "spend",
+        F.row_number().over(ws).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("spend").over(wp).alias("total"),
+    )
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.max("n").alias("n_customers"),
+            F.round(
+                2.0 * F.sum(F.col("i") * F.col("spend"))
+                / (F.max("n") * F.max("total"))
+                - (F.max("n") + 1.0) / F.max("n"),
+                4,
+            ).alias("gini"),
+        )
+        .orderBy("c_mktsegment")
     )

@@ -78,6 +78,9 @@ EVENT_OPS = [
     # dedup (pair support counts baskets, not event multiplicity)
     "cat_cooccurrence_pairs",
     "fn_try_cast_messy",
+    # 0-3-day spans give 1-week tables (all rows drop: no
+    # predecessor) and single-bucket edge weeks
+    "cat_period_over_period",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
