@@ -2588,3 +2588,94 @@ def cat_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("delta")).desc(), "event_type", "week")
         .limit(10)
     )
+
+
+@register(
+    "cat_referential_integrity",
+    survey_row=61,
+    oracle="""
+    SELECT 'lineitem_orphan_orderkey' AS check_name,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+               AS n_violations
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))::BIGINT
+    UNION ALL
+    SELECT 'supplier_orphan_nationkey',
+           (SELECT count(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = s.s_nationkey))::BIGINT
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty',
+           (SELECT count(*) FROM lineitem
+            WHERE l_quantity <= 0)::BIGINT
+    UNION ALL
+    SELECT 'orders_null_orderdate',
+           (SELECT count(*) FROM orders
+            WHERE o_orderdate IS NULL)::BIGINT
+    """,
+)
+def cat_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-CONTRACT AUDIT — the dbt-tests report a collector runs
+    nightly: foreign-key orphan counts (each NOT EXISTS compiled as a
+    LEFT ANTI join against the parent's KEY COLUMN only, so the probe
+    side ships one column) plus domain checks (non-positive
+    quantities, null order dates). All checks SHOULD be zero on the
+    fixtures — the operator's value is that the zeros are COMPUTED,
+    not assumed, and the same frame alerts the moment an ingest
+    breaks a key. Each anti join shuffles only its child's key; the
+    union of 1-row counts is free. At 100 TB run the orphan checks
+    incrementally on new partitions only — the check composes with
+    the tx-log incremental machinery."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+
+    def count1(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_violations"),
+        )
+
+    checks = [
+        count1(
+            "lineitem_orphan_orderkey",
+            li.join(
+                o.select("o_orderkey"),
+                li.l_orderkey == F.col("o_orderkey"),
+                "left_anti",
+            ),
+        ),
+        count1(
+            "orders_orphan_custkey",
+            o.join(
+                c.select("c_custkey"),
+                o.o_custkey == F.col("c_custkey"),
+                "left_anti",
+            ),
+        ),
+        count1(
+            "supplier_orphan_nationkey",
+            s.join(
+                F.broadcast(n.select("n_nationkey")),
+                s.s_nationkey == F.col("n_nationkey"),
+                "left_anti",
+            ),
+        ),
+        count1(
+            "lineitem_nonpositive_qty", li.filter(F.col("l_quantity") <= 0)
+        ),
+        count1(
+            "orders_null_orderdate", o.filter(F.col("o_orderdate").isNull())
+        ),
+    ]
+    out = checks[0]
+    for df in checks[1:]:
+        out = out.unionByName(df)
+    return out

@@ -53,6 +53,7 @@ ARTIFACTS = {
     "incremental_stats": "cat_incremental_stats_merge",
     "table_ddl": "cat_table_ddl_generate",
     "footer_stats": "cat_parquet_footer_stats",
+    "integrity_report": "cat_referential_integrity",
 }
 
 

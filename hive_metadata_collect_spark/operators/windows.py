@@ -672,3 +672,49 @@ def win_median_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             "running_median"
         ),
     )
+
+
+@register(
+    "win_vwap_running",
+    survey_row=32,
+    oracle="""
+    SELECT l_partkey, l_shipdate, l_linenumber,
+           round(sum(l_extendedprice * l_quantity) OVER w
+                 / sum(l_quantity) OVER w, 4) AS vwap
+    FROM lineitem
+    WHERE l_partkey % 40 = 0
+    WINDOW w AS (PARTITION BY l_partkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_vwap_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNNING VWAP (volume-weighted average price) per part over its
+    shipment history — the weighted-running-ratio shape (finance's
+    VWAP, a data platform's weighted rolling cost): TWO running sums
+    over ONE shared frame, divided — never a running avg of per-row
+    ratios, which weights every row equally and is simply the wrong
+    number. Both sums share the same window sort, so the plan carries
+    one exchange + one sort for both. Total order includes
+    (l_orderkey, l_linenumber) so same-day shipments accumulate
+    identically on both engines; quantities are positive so the
+    denominator never vanishes. Monitor slice (1-in-40 parts), same
+    contract as the other exact-on-a-slice windows."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 40 == 0
+    )
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return li.select(
+        "l_partkey",
+        "l_shipdate",
+        "l_linenumber",
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity")).over(w)
+            / F.sum("l_quantity").over(w),
+            4,
+        ).alias("vwap"),
+    )
