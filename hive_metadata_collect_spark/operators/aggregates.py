@@ -971,3 +971,66 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "agg_bitwise",
+    survey_row=27,
+    oracle="""
+    SELECT event_type,
+           bit_and(event_id) AS id_and,
+           bit_or(event_id)  AS id_or,
+           bit_xor(event_id) AS id_xor
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR aggregates per group — the flag-mask
+    reductions audit pipelines use for permission masks and feature
+    flags. All three are commutative/associative, so Spark runs them
+    as partial (map-side) + final aggregation: one shuffle carrying
+    one 3-long row per (partition, group)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bit_and("event_id").alias("id_and"),
+        F.bit_or("event_id").alias("id_or"),
+        F.bit_xor("event_id").alias("id_xor"),
+    )
+
+
+@register(
+    "agg_higher_moments",
+    survey_row=27,
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag, avg(l_quantity) AS mu, count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    ), c AS (
+        SELECT l.l_returnflag,
+               sum(pow(l.l_quantity - m.mu, 2)) / m.n AS m2,
+               sum(pow(l.l_quantity - m.mu, 3)) / m.n AS m3,
+               sum(pow(l.l_quantity - m.mu, 4)) / m.n AS m4
+        FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+        GROUP BY l.l_returnflag, m.n
+    )
+    SELECT l_returnflag,
+           round(m3 / pow(m2, 1.5), 5) AS skew,
+           round(m4 / pow(m2, 2) - 3, 5) AS kurt
+    FROM c
+    """,
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness (g1) and excess kurtosis (g2) per group —
+    distribution-shape profiling for the column-stats collector.
+    Spark's `skewness`/`kurtosis` are single-pass streaming moment
+    aggregates (partial + final; one shuffle). DuckDB's built-ins
+    apply sample bias correction, a DIFFERENT estimator, so the
+    oracle recomputes the population moments explicitly (two-pass
+    mean-centered) — the parity check is across two algorithms as
+    well as two engines; rounding at 1e-5 absorbs the summation-order
+    ULP."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.skewness("l_quantity"), 5).alias("skew"),
+        F.round(F.kurtosis("l_quantity"), 5).alias("kurt"),
+    )

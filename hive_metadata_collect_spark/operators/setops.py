@@ -188,3 +188,88 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     b = o.filter(F.col("o_totalprice") > 200000).select("o_custkey")
     return a.exceptAll(b)
+
+
+@register(
+    "sort_skyline_2d",
+    survey_row=36,
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    """,
+)
+def sort_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not strictly dominated on
+    (price low, size high). The naive formulation is an all-pairs
+    NOT EXISTS (the oracle — quadratic); the distributed form used
+    here is linear: reduce to one max-size row per distinct price
+    (hash agg), compute the running best size over STRICTLY cheaper
+    prices on that bounded aggregate (window over |distinct prices|
+    rows), then broadcast the per-price frontier back onto the fact.
+    A row survives iff it carries its price group's max size AND
+    beats every cheaper group's best. At 100 TB the window input is
+    the distinct-price aggregate (bounded, e.g. cents-grid), never
+    the fact table, and the join-back is a broadcast."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    per_price = p.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("best_here")
+    )
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = per_price.withColumn("best_cheaper", F.max("best_here").over(w))
+    return (
+        p.join(F.broadcast(frontier), "p_retailprice")
+        .filter(
+            (F.col("p_size") == F.col("best_here"))
+            & (
+                F.col("best_cheaper").isNull()
+                | (F.col("p_size") > F.col("best_cheaper"))
+            )
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+@register(
+    "set_union_by_name",
+    survey_row=38,
+    oracle="""
+    SELECT o_orderkey AS rec_key, o_totalprice AS amount,
+           o_orderpriority AS priority
+    FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL BY NAME
+    SELECT c_custkey AS rec_key, c_acctbal AS amount,
+           c_mktsegment AS segment
+    FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two feeds whose schemas drifted apart
+    (each has a column the other lacks) unioned BY NAME, missing
+    columns null-filled — `unionByName(allowMissingColumns=True)`,
+    the call a long-lived ingest pipeline makes when v2 of a feed
+    adds a field. Positional unionAll would mis-bind columns here.
+    No shuffle: union is plan-level concatenation."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderkey").alias("rec_key"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    b = c.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("rec_key"),
+        F.col("c_acctbal").alias("amount"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return a.unionByName(b, allowMissingColumns=True)

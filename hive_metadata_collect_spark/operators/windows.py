@@ -718,3 +718,59 @@ def win_vwap_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("vwap"),
     )
+
+
+@register(
+    "win_rolling_zscore",
+    survey_row=33,
+    oracle="""
+    WITH r AS (
+        SELECT user_id, event_id, value,
+               avg(value) OVER w AS mu,
+               stddev_samp(value) OVER w AS sigma,
+               count(*) OVER w AS n_win
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           round((value - mu) / sigma, 4) AS zscore
+    FROM r
+    WHERE n_win >= 5 AND sigma > 1e-12
+      AND abs((value - mu) / sigma) > 2.0
+    """,
+)
+def win_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key rolling anomaly detection: z-score of each event's
+    value against its user's trailing 10-event window (mean +
+    sample stddev over a ROWS frame), flagging |z| > 2 once the
+    window has warmed up (>= 5 rows). This is the streaming-friendly
+    per-entity variant of the global daily z-score op: one shuffle
+    on user_id, all three frame aggregates share the single sorted
+    window pass. Ordering (ts, event_id) is a per-user unique key,
+    so the frame contents — and therefore the flagged set — are
+    engine-deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp(
+        "value"
+    ).over(w)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("n_win"),
+            F.stddev_samp("value").over(w).alias("sigma"),
+            z.alias("z"),
+        )
+        .filter(
+            (F.col("n_win") >= 5)
+            & (F.col("sigma") > 1e-12)
+            & (F.abs(F.col("z")) > 2.0)
+        )
+        .select("user_id", "event_id", F.round("z", 4).alias("zscore"))
+    )
