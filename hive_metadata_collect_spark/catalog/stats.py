@@ -2679,3 +2679,180 @@ def cat_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in checks[1:]:
         out = out.unionByName(df)
     return out
+
+
+_FK_CANDIDATES = [
+    # (child_table, child_col, parent_table, parent_col) — true FKs
+    # plus two negative controls the inference must reject.
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("part", "p_size", "region", "r_regionkey"),
+    ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+]
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for ct, cc, pt, pc in _FK_CANDIDATES:
+        parts.append(f"""
+    SELECT '{ct}' AS child_table, '{cc}' AS child_column,
+           '{pt}' AS parent_table, '{pc}' AS parent_column,
+           s.n_child_distinct, s.n_matched,
+           round(s.n_matched / s.n_child_distinct, 4) AS containment,
+           p.parent_is_unique,
+           (s.n_matched = s.n_child_distinct AND p.parent_is_unique)
+               AS is_inferred_fk
+    FROM (SELECT count(DISTINCT c.{cc}) AS n_child_distinct,
+                 count(DISTINCT CASE WHEN par.{pc} IS NOT NULL
+                                     THEN c.{cc} END) AS n_matched
+          FROM {ct} c
+          LEFT JOIN (SELECT DISTINCT {pc} FROM {pt}) par
+            ON c.{cc} = par.{pc}) s,
+         (SELECT count(DISTINCT {pc}) = count(*) AS parent_is_unique
+          FROM {pt}) p""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("cat_fk_inference", survey_row=62, oracle=_fk_oracle())
+def cat_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key discovery by VALUE CONTAINMENT — the schema-
+    matching pass a metadata collector runs when constraints were
+    never declared (Hive metastores rarely carry FKs): for each
+    candidate column pair, the fraction of distinct child values
+    present in the parent column, plus whether the parent side is
+    unique. `containment = 1.0 AND parent unique` ⇒ inferred FK;
+    the candidate list seeds two negative controls (a measure
+    column and a reversed true FK, rejected for non-containment
+    and non-uniqueness respectively) so the inference is shown to
+    DISCRIMINATE, not just confirm.
+
+    Scale: each pair reduces to distinct-value sets before any join
+    (the join carries |distinct child values| rows, never the fact
+    table), and all nine 1-row verdicts union into one job. At
+    100 TB candidate pruning comes first (name/type affinity over
+    the schema inventory), then this containment pass over the
+    survivors."""
+    out = None
+    for ct, cc, pt, pc in _FK_CANDIDATES:
+        child = load_table(spark, sf_dir, ct)
+        parent = load_table(spark, sf_dir, pt)
+        pvals = parent.select(F.col(pc).alias("v")).distinct()
+        stats = (
+            child.select(F.col(cc).alias("v"))
+            .distinct()
+            .join(pvals.withColumn("hit", F.lit(1)), "v", "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_child_distinct"),
+                F.count("hit").alias("n_matched"),
+            )
+        )
+        uniq = parent.agg(
+            (F.countDistinct(pc) == F.count(F.lit(1))).alias(
+                "parent_is_unique"
+            )
+        )
+        row = (
+            stats.crossJoin(uniq)
+            .select(
+                F.lit(ct).alias("child_table"),
+                F.lit(cc).alias("child_column"),
+                F.lit(pt).alias("parent_table"),
+                F.lit(pc).alias("parent_column"),
+                "n_child_distinct",
+                "n_matched",
+                F.round(
+                    F.col("n_matched") / F.col("n_child_distinct"), 4
+                ).alias("containment"),
+                "parent_is_unique",
+                (
+                    (F.col("n_matched") == F.col("n_child_distinct"))
+                    & F.col("parent_is_unique")
+                ).alias("is_inferred_fk"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+@register(
+    "cat_lineage_cycles",
+    survey_row=66,
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT prev_type AS src, event_type AS dst FROM (
+            SELECT event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events)
+        WHERE prev_type IS NOT NULL AND prev_type <> event_type
+    ), walk AS (
+        SELECT src, dst, 1 AS hops FROM edges
+        UNION ALL
+        SELECT w.src, e.dst, w.hops + 1
+        FROM walk w JOIN edges e ON w.dst = e.src
+        WHERE w.hops < 8
+    )
+    SELECT src AS node, min(hops) AS min_cycle_len
+    FROM walk WHERE src = dst GROUP BY src
+    """,
+)
+def cat_lineage_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cycle detection over the lineage graph — the validity check a
+    collector runs before trusting lineage for impact analysis (a
+    cycle means a table is upstream of itself: a mis-parsed edge or a
+    genuine self-refreshing pipeline). Emits each node on a cycle
+    with its girth (shortest closed-walk length — any closed walk
+    through v contains a cycle through v of no greater length, so
+    min-walk IS min-cycle).
+
+    Same min-plus DOUBLING as cat_lineage_closure: walks ≤ 2, ≤ 4,
+    ≤ 8 hops in log₂ rounds of broadcast self-joins over the min-hop-
+    deduped pair set (≤ |V|² rows regardless of corpus size); 8 ≥ |V|
+    covers every simple cycle. The oracle recomputes by hop-at-a-time
+    recursive CTE — different algorithm, same fixpoint."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        F.lag("event_type").over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+    )
+    reach = (
+        trans.filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+        .withColumn("hops", F.lit(1))
+        .cache()
+    )
+    for _ in range(3):  # 1 → 2 → 4 → 8 hops
+        squared = (
+            reach.join(
+                F.broadcast(
+                    reach.select(
+                        F.col("src").alias("m"),
+                        F.col("dst").alias("dst2"),
+                        F.col("hops").alias("hops2"),
+                    )
+                ),
+                F.col("dst") == F.col("m"),
+            )
+            .select(
+                "src",
+                F.col("dst2").alias("dst"),
+                (F.col("hops") + F.col("hops2")).alias("hops"),
+            )
+        )
+        reach = (
+            reach.unionAll(squared)
+            .groupBy("src", "dst")
+            .agg(F.min("hops").alias("hops"))
+            .cache()
+        )
+    return (
+        reach.filter(F.col("src") == F.col("dst"))
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.min("hops").alias("min_cycle_len"))
+    )

@@ -557,3 +557,34 @@ def test_parquet_footer_stats_match_duckdb_metadata(spark, sf_dir, duck):
     ).fetchone()
     assert md.num_row_groups == n_groups
     assert md.num_rows == n_rows
+
+
+def test_fk_inference_discriminates(spark, sf_dir):
+    """The containment pass must REJECT the two seeded negative
+    controls (measure column: containment << 1; reversed FK:
+    parent side non-unique) while inferring every true FK."""
+    from hive_metadata_collect_spark.catalog.stats import cat_fk_inference
+
+    rows = {
+        (r.child_table, r.child_column): r
+        for r in cat_fk_inference(spark, sf_dir).collect()
+    }
+    assert not rows[("part", "p_size")].is_inferred_fk
+    assert rows[("part", "p_size")].containment < 0.5
+    assert not rows[("orders", "o_orderkey")].is_inferred_fk
+    assert not rows[("orders", "o_orderkey")].parent_is_unique
+    true_fks = [k for k in rows if k not in
+                {("part", "p_size"), ("orders", "o_orderkey")}]
+    assert all(rows[k].is_inferred_fk for k in true_fks)
+
+
+def test_lineage_cycles_girth_bounds(spark, sf_dir):
+    """Every reported girth must be a feasible cycle length: at least
+    2 (self-loops are filtered out of the edge synth) and at most
+    |V| (a shortest cycle is simple)."""
+    from hive_metadata_collect_spark.catalog.stats import cat_lineage_cycles
+
+    rows = cat_lineage_cycles(spark, sf_dir).collect()
+    assert rows, "fixture transition graph is known cyclic"
+    for r in rows:
+        assert 2 <= r.min_cycle_len <= 5
