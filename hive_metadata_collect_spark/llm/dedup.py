@@ -1106,3 +1106,87 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "dedup_containment",
+    survey_row=68,
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    gs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(w) - 2),
+                   i -> array_to_string(w[i:i+2], ' '))) AS grams
+        FROM t
+    ),
+    gf AS (SELECT doc_id, grams, len(grams) AS ng FROM gs WHERE len(grams) > 0),
+    p AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               len(list_intersect(a.grams, b.grams)) AS ni,
+               a.ng AS na, b.ng AS nb
+        FROM gf a JOIN gf b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.grams, b.grams)) > 0
+    )
+    SELECT da AS doc_sub, db AS doc_super,
+           round(ni::DOUBLE / na, 6) AS containment
+    FROM p WHERE ni::DOUBLE / na >= {_NGRAM_TAU}
+    UNION ALL
+    SELECT db AS doc_sub, da AS doc_super,
+           round(ni::DOUBLE / nb, 6) AS containment
+    FROM p WHERE ni::DOUBLE / nb >= {_NGRAM_TAU}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: 3-gram-shingle containment
+    |A∩B| / |A| ≥ τ — doc A substantially inside doc B. Jaccard
+    misses the quote-expansion / boilerplate-wrapper case (a small
+    doc embedded in a much larger one scores low symmetric overlap
+    but containment 1.0); dedup policy keeps the superset doc.
+
+    Same inverted-index pair generation as the Jaccard twin, but the
+    size-band prune CANNOT apply (small-inside-large is exactly the
+    signal), so the scale lever is dropping ultra-high-DF shingles
+    before the join — noted, not needed at fixture DF. One
+    intersection count serves both directions."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(w) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 2),
+                lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    items = d.select("doc_id", grams.alias("grams")).select(
+        "doc_id",
+        F.size("grams").alias("set_size"),
+        F.explode("grams").alias("item"),
+    )
+    a = items.select(
+        F.col("doc_id").alias("da"), "item", F.col("set_size").alias("na")
+    )
+    b = items.select(
+        F.col("doc_id").alias("db"), "item", F.col("set_size").alias("nb")
+    )
+    inter = (
+        a.join(b, (a["item"] == b["item"]) & (F.col("da") < F.col("db")))
+        .groupBy("da", "db", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    fwd = inter.filter(
+        F.col("ni") / F.col("na") >= _NGRAM_TAU
+    ).select(
+        F.col("da").alias("doc_sub"),
+        F.col("db").alias("doc_super"),
+        F.round(F.col("ni") / F.col("na"), 6).alias("containment"),
+    )
+    rev = inter.filter(
+        F.col("ni") / F.col("nb") >= _NGRAM_TAU
+    ).select(
+        F.col("db").alias("doc_sub"),
+        F.col("da").alias("doc_super"),
+        F.round(F.col("ni") / F.col("nb"), 6).alias("containment"),
+    )
+    return fwd.unionAll(rev)

@@ -703,3 +703,88 @@ def pipeline_decontaminate_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFr
             F.round(F.max("cosine_raw"), 6).alias("max_cosine"),
         )
     )
+
+
+@register(
+    "sim_quantize_int8",
+    survey_row=69,
+    oracle="""
+    WITH s AS (
+        SELECT vec_id,
+               embedding,
+               CAST(list_max(list_transform(embedding, x -> abs(x)))
+                    AS DOUBLE) / 127.0 AS scale
+        FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(floor(scale * 1e9 + 0.5) AS BIGINT) AS scale_nano,
+           list_sum(list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5)
+                         AS BIGINT))) AS sum_q,
+           list_sum(list_transform(embedding,
+               x -> abs(CAST(floor(CAST(x AS DOUBLE) / scale + 0.5)
+                             AS BIGINT)))) AS sum_abs_q,
+           CAST(floor(
+               list_sum(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)
+                            - floor(CAST(x AS DOUBLE) / scale + 0.5)
+                              * scale)))
+               / len(embedding) * 1e9 + 0.5) AS BIGINT) AS err_nano
+    FROM s WHERE scale > 0
+    """,
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the 4× memory cut
+    that makes a 100 TB embedding store fit its serving tier:
+    scale = max|x|/127, q = round-half-up(x/scale), plus the
+    reconstruction-error audit column a quantization rollout is
+    gated on. Emits exact integer checksums (sum of quantized
+    values / magnitudes) and the mean absolute error.
+
+    Every emitted number is an INTEGER: quantized-value checksums
+    are integral by construction, and scale / mean-abs-error are
+    fixed-pointed to nano units through an explicit
+    floor(x·1e9 + 0.5) chain — `round()` half-ties and float32
+    display noise diverge between engines, IEEE double ops do not.
+    All arithmetic is forced to double (the column is float32, and
+    an engine that folds in float32 carries visible noise); fold
+    order is the array order on both sides, so the double sums
+    agree bit-for-bit before fixed-pointing. Narrow per-row map,
+    no shuffle, whole-stage codegen."""
+    e = load_table(spark, sf_dir, "embeddings")
+    scale = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x))
+    ).cast("double") / F.lit(127.0)
+    s = e.select("vec_id", "embedding", scale.alias("scale")).filter(
+        F.col("scale") > 0
+    )
+    q = lambda x: F.floor(
+        x.cast("double") / F.col("scale") + F.lit(0.5)
+    ).cast("long")
+    nano = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("long")
+    return s.select(
+        "vec_id",
+        nano(F.col("scale")).alias("scale_nano"),
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + q(x),
+        ).alias("sum_q"),
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.abs(q(x)),
+        ).alias("sum_abs_q"),
+        nano(
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda acc, x: acc
+                + F.abs(
+                    x.cast("double")
+                    - q(x).cast("double") * F.col("scale")
+                ),
+            )
+            / F.size("embedding")
+        ).alias("err_nano"),
+    )

@@ -1137,3 +1137,50 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_bpe_pair_counts",
+    survey_row=71,
+    oracle="""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    p AS (
+        SELECT unnest(list_transform(range(1, length(w)),
+                   i -> substring(w, CAST(i AS INT), 2))) AS pair
+        FROM w WHERE length(w) >= 2
+    )
+    SELECT pair, count(*) AS n_pair
+    FROM p GROUP BY pair
+    ORDER BY n_pair DESC, pair ASC LIMIT 30
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction, step one: corpus-wide adjacent
+    symbol-pair frequencies at the character level (the statistic the
+    first BPE merge maximizes — iterating merge-and-recount yields
+    the tokenizer's merge table). Top-30 pairs under a total order
+    (count desc, pair asc) so the cut is deterministic.
+
+    Scale: explode produces one row per character position, but the
+    groupBy key space is |alphabet|² — partial aggregation collapses
+    the stream map-side, the shuffle carries only the pair
+    vocabulary, and top-30 is TakeOrderedAndProject. The sub-2-char
+    word guard matters: Spark's sequence(1, n) DESCENDS for n < 1."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .orderBy(F.col("n_pair").desc(), F.col("pair").asc())
+        .limit(30)
+    )
