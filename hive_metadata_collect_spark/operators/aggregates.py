@@ -1034,3 +1034,62 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.skewness("l_quantity"), 5).alias("skew"),
         F.round(F.kurtosis("l_quantity"), 5).alias("kurt"),
     )
+
+
+@register(
+    "agg_weighted_median",
+    survey_row=27,
+    oracle="""
+    WITH g AS (
+        SELECT l_returnflag, l_quantity,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS w
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+    ), r AS (
+        SELECT l_returnflag, l_quantity, w,
+               sum(w) OVER (PARTITION BY l_returnflag
+                            ORDER BY l_quantity
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS running,
+               sum(w) OVER (PARTITION BY l_returnflag) AS total
+        FROM g
+    )
+    SELECT l_returnflag, min(l_quantity) AS weighted_median
+    FROM r WHERE running * 2 >= total
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median: the quantity at which HALF THE REVENUE sits
+    below — percentile_approx and median() both weight rows equally,
+    so neither engine has this built in. Classic crossing-point
+    formulation: collapse to per-(group, value) weight sums first
+    (hash agg — the fact table never reaches a window), then one
+    window pass over the |group × distinct value| aggregate finds
+    the first value whose running weight crosses half the total.
+
+    Weights are summed as DECIMAL in both engines: the crossing
+    compare is `running*2 >= total`, and near-exact-half ties must
+    not flip on float summation order. At 100 TB the windowed frame
+    is |groups × distinct values| rows — for continuous measures,
+    pre-bucket values (the same move the histogram op makes)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("w")
+    )
+    wr = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    r = g.select(
+        "l_returnflag",
+        "l_quantity",
+        F.sum("w").over(wr).alias("running"),
+        F.sum("w").over(wt).alias("total"),
+    )
+    return (
+        r.filter(F.col("running") * 2 >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_quantity").alias("weighted_median"))
+    )

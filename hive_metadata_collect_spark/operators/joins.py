@@ -1151,3 +1151,85 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "error")
         .select("event_id", "user_id", "ts", "next_view_ts")
     )
+
+
+@register(
+    "join_spatial_nearest",
+    survey_row=16,
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey,
+               ((c_custkey * 7919) % 18000) / 100.0 - 90.0  AS lat,
+               ((c_custkey * 104729) % 36000) / 100.0 - 180.0 AS lon
+        FROM customer
+    ), sites AS (
+        SELECT n_nationkey AS site_id,
+               ((n_nationkey * 7919) % 18000) / 100.0 - 90.0  AS lat,
+               ((n_nationkey * 104729) % 36000) / 100.0 - 180.0 AS lon
+        FROM nation
+    ), d AS (
+        SELECT p.c_custkey, s.site_id,
+               (p.lat - s.lat) * (p.lat - s.lat)
+               + (p.lon - s.lon) * (p.lon - s.lon) AS d2
+        FROM pts p CROSS JOIN sites s
+    ), r AS (
+        SELECT c_custkey, site_id, d2,
+               row_number() OVER (PARTITION BY c_custkey
+                                  ORDER BY d2, site_id) AS rn
+        FROM d
+    )
+    SELECT c_custkey, site_id AS nearest_site,
+           CAST(floor(d2 * 1e6 + 0.5) AS BIGINT) AS d2_micro
+    FROM r WHERE rn = 1
+    """,
+)
+def join_spatial_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial nearest-neighbor join: every point (customers, with
+    deterministic integer-derived lat/lon — the fixture has no geo
+    column) assigned to its closest site (nations as a 25-row site
+    dim). Small-site case: broadcast the dim, evaluate all
+    |points|×|sites| distances map-side, argmin via a lexicographic
+    struct MIN — one narrow codegen stage, NO shuffle of the point
+    set and no window sort (the oracle's row_number formulation is
+    the slow twin). Ties break on site_id through the same struct.
+
+    Distance is squared euclidean built from integer-derived values:
+    +, −, ×, / are IEEE-exact so both engines agree bit-for-bit —
+    haversine would hit libm (sin/cos differ across runtimes) and is
+    deliberately avoided for the gate. Big-big scaling: grid-cell
+    bucketing (geohash prefix join on cell + 8 neighbors) replaces
+    the broadcast — noted, not needed at a 25-site dim."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    pts = c.select(
+        "c_custkey",
+        (((F.col("c_custkey") * 7919) % 18000) / 100.0 - 90.0).alias("lat"),
+        (((F.col("c_custkey") * 104729) % 36000) / 100.0 - 180.0).alias(
+            "lon"
+        ),
+    )
+    sites = n.select(
+        F.col("n_nationkey").alias("site_id"),
+        (((F.col("n_nationkey") * 7919) % 18000) / 100.0 - 90.0).alias(
+            "s_lat"
+        ),
+        (((F.col("n_nationkey") * 104729) % 36000) / 100.0 - 180.0).alias(
+            "s_lon"
+        ),
+    )
+    d2 = (F.col("lat") - F.col("s_lat")) * (
+        F.col("lat") - F.col("s_lat")
+    ) + (F.col("lon") - F.col("s_lon")) * (F.col("lon") - F.col("s_lon"))
+    return (
+        pts.join(F.broadcast(sites))
+        .select("c_custkey", "site_id", d2.alias("d2"))
+        .groupBy("c_custkey")
+        .agg(F.min(F.struct("d2", "site_id")).alias("best"))
+        .select(
+            "c_custkey",
+            F.col("best.site_id").alias("nearest_site"),
+            F.floor(F.col("best.d2") * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("d2_micro"),
+        )
+    )

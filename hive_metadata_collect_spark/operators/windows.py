@@ -774,3 +774,59 @@ def win_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "event_id", F.round("z", 4).alias("zscore"))
     )
+
+
+@register(
+    "win_ewma_smoothed",
+    survey_row=33,
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id,
+               array_agg(value) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vals
+        FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(floor(list_reduce(vals,
+               (acc, x) -> acc * CAST(0.8 AS DOUBLE)
+                           + x * CAST(0.2 AS DOUBLE)) * 1e9 + 0.5)
+               AS BIGINT) AS ewma_nano
+    FROM v
+    """,
+)
+def win_ewma_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (α = 0.2) over each user's trailing 10 events — the
+    smoothing every monitoring dashboard runs, and an operator
+    NEITHER engine has natively: EWMA's recurrence isn't a window
+    aggregate. Expressed as collect-frame + higher-order fold:
+    `collect_list` over the ROWS frame (frame order = sort order,
+    deterministic via the (ts, event_id) unique key), then
+    `F.aggregate` seeded with the OLDEST element folds
+    acc·(1−α) + x·α left-to-right — identical order to DuckDB's
+    seed-with-first `list_reduce`, so the doubles agree bit-for-bit
+    and the result fixed-points to nano units with no rounding
+    hazard. The bounded frame is what keeps this scalable: state is
+    ≤ 10 doubles per row, never the user's full history."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    vals = F.collect_list("value").over(w)
+    ewma = F.aggregate(
+        F.slice(F.col("vals"), 2, F.size("vals") - 1),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: acc * F.lit(0.8) + x * F.lit(0.2),
+    )
+    return (
+        ev.select("user_id", "event_id", vals.alias("vals"))
+        .select(
+            "user_id",
+            "event_id",
+            F.floor(ewma * F.lit(1e9) + F.lit(0.5))
+            .cast("long")
+            .alias("ewma_nano"),
+        )
+    )

@@ -434,3 +434,61 @@ def stream_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+@register(
+    "stream_cdc_apply",
+    survey_row=56,
+    oracle="""
+    WITH ch AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN event_type = 'signup' THEN 'I'
+                    WHEN event_type = 'error'  THEN 'D'
+                    ELSE 'U' END AS op
+        FROM events
+    ), r AS (
+        SELECT user_id, op, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_changes
+        FROM ch
+    )
+    SELECT user_id, round(value, 4) AS last_value, n_changes
+    FROM r WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture APPLY: an I/U/D change feed (synthesized
+    from the audit stream: signup=insert, error=delete tombstone,
+    rest=update) reduced to current state — last writer per key wins,
+    a trailing delete removes the key entirely. The replication
+    target every CDC pipeline ultimately maintains.
+
+    Batch form: one max_by per key ordered by the (ts, event_id)
+    version vector — a single hash aggregation, no window sort. The
+    streaming twin is foreachBatch-MERGE per micro-batch (the
+    sink-side idempotent upsert of stream_sink_python_datasource),
+    with the same last-writer-wins reduce applied WITHIN each batch
+    first — correctness does not depend on batch boundaries because
+    max_by over (ts, event_id) is associative across batches."""
+    ev = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+    )
+    last = (
+        ev.select("user_id", "ts", "event_id", "value", op.alias("op"))
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("op", "value"), F.struct("ts", "event_id")
+            ).alias("last"),
+            F.count(F.lit(1)).alias("n_changes"),
+        )
+    )
+    return last.filter(F.col("last.op") != "D").select(
+        "user_id",
+        F.round("last.value", 4).alias("last_value"),
+        "n_changes",
+    )
