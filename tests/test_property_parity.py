@@ -81,6 +81,19 @@ EVENT_OPS = [
     # 0-3-day spans give 1-week tables (all rows drop: no
     # predecessor) and single-bucket edge weeks
     "cat_period_over_period",
+    # round 6 continued — tied timestamps vary frame CONTENTS only
+    # through the event_id tie-break; the seed-with-first fold must
+    # agree on 1-row frames and full 10-row frames alike
+    "win_ewma_smoothed",
+    # tombstone-last vs update-last per key on tied versions; 1-change
+    # keys; all-delete tables (empty result)
+    "stream_cdc_apply",
+    # tiny transition graphs: acyclic (empty result), self-ping-pong
+    # 2-cycles, and girth > 2 cases under the doubling closure
+    "cat_lineage_cycles",
+    # bit_and/or/xor on non-negative ids — exact integers, degenerate
+    # single-row groups
+    "agg_bitwise",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
@@ -185,6 +198,12 @@ DOC_OPS = [
     # forced exact dups in the tiny-vocab generator exercise the
     # corpus-wide digest join under per-lang rollup
     "pipeline_dataset_card",
+    # round 6 continued — tiny vocab forces containment 1.0 (doc
+    # inside doc) and the tau boundary on exact integer intersections
+    "dedup_containment",
+    # 1-char words hit the length-2 guard; tie-heavy counts exercise
+    # the (count desc, pair asc) deterministic top-30 cut
+    "text_bpe_pair_counts",
 ]
 
 _WORDS = ["alpha", "beta", "gamma", "delta", "x"]
@@ -353,6 +372,18 @@ LINEITEM_OPS = [
     # are compared on semantics, not accumulation noise (verdict r5
     # item 5: even-sized groups are the interpolation edge class)
     "agg_median_abs_deviation",
+    # round 6 — DECIMAL weight sums make the running*2 >= total
+    # crossing exact; tiny tables hit single-value groups and
+    # exact-half boundaries
+    "agg_weighted_median",
+    # (agg_higher_moments stays out for the same reason as
+    # agg_regr_linear: Spark's streaming moments vs the oracle's
+    # two-pass form differ in the last ulp, and degenerate
+    # single-value groups make skew/kurt 0/0 — a round() boundary
+    # there is accumulation noise, not semantics. win_rolling_zscore
+    # stays out likewise: the |z| > 2 membership filter can flip on
+    # stddev accumulator ulps when a tiny group lands exactly on the
+    # threshold.)
 ]
 
 
@@ -563,3 +594,45 @@ def test_chunk_overlap_reassembles_token_stream(n_tokens, seed, spark):
             .collect()
         )
     assert [r["chunk_text"].split(" ") for r in out] == chunks
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)),
+        min_size=1, max_size=25,
+    )
+)
+def test_skyline_matches_bruteforce(spark, pts):
+    """sort_skyline_2d vs the quadratic dominance definition in plain
+    Python — duplicate (price, size) points are the edge class: they
+    don't dominate each other, so BOTH stay on the frontier."""
+    from hive_metadata_collect_spark.operators.setops import sort_skyline_2d
+
+    tmp = tempfile.mkdtemp(prefix="hmcs_sky_")
+    try:
+        table = pa.table(
+            {
+                "p_partkey": pa.array(range(len(pts)), pa.int64()),
+                "p_retailprice": pa.array(
+                    [float(p) for p, _ in pts], pa.float64()
+                ),
+                "p_size": pa.array([s for _, s in pts], pa.int64()),
+            }
+        )
+        pq.write_table(table, os.path.join(tmp, "part.parquet"))
+        got = {
+            r.p_partkey for r in sort_skyline_2d(spark, tmp).collect()
+        }
+        want = {
+            k
+            for k, (p, s) in enumerate(pts)
+            if not any(
+                (p2 <= p and s2 >= s and (p2 < p or s2 > s))
+                for p2, s2 in pts
+            )
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
