@@ -1196,9 +1196,11 @@ def join_spatial_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Distance is squared euclidean built from integer-derived values:
     +, −, ×, / are IEEE-exact so both engines agree bit-for-bit —
     haversine would hit libm (sin/cos differ across runtimes) and is
-    deliberately avoided for the gate. Big-big scaling: grid-cell
-    bucketing (geohash prefix join on cell + 8 neighbors) replaces
-    the broadcast — noted, not needed at a 25-site dim."""
+    deliberately avoided for the gate. The naive form (fan-out join
+    then re-group) would shuffle the full point set back together;
+    this form never shuffles points at all. Big-big scaling:
+    grid-cell bucketing (geohash prefix join on cell + 8 neighbors)
+    replaces the broadcast — noted, not needed at a 25-site dim."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     pts = c.select(
@@ -1208,7 +1210,12 @@ def join_spatial_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lon"
         ),
     )
-    sites = n.select(
+    # The whole site dim collapses to ONE array row, broadcast once;
+    # argmin is then a per-point array fold — map-only, no fan-out
+    # rows, no re-aggregation exchange. collect_list order is
+    # nondeterministic but irrelevant: array_sort orders the struct
+    # lexicographically by (d2, site_id), which IS the tie-break.
+    sites_arr = n.select(
         F.col("n_nationkey").alias("site_id"),
         (((F.col("n_nationkey") * 7919) % 18000) / 100.0 - 90.0).alias(
             "s_lat"
@@ -1216,15 +1223,29 @@ def join_spatial_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (((F.col("n_nationkey") * 104729) % 36000) / 100.0 - 180.0).alias(
             "s_lon"
         ),
+    ).agg(
+        F.collect_list(F.struct("site_id", "s_lat", "s_lon")).alias("sites")
     )
-    d2 = (F.col("lat") - F.col("s_lat")) * (
-        F.col("lat") - F.col("s_lat")
-    ) + (F.col("lon") - F.col("s_lon")) * (F.col("lon") - F.col("s_lon"))
+    best = F.element_at(
+        F.array_sort(
+            F.transform(
+                "sites",
+                lambda s: F.struct(
+                    (
+                        (F.col("lat") - s["s_lat"])
+                        * (F.col("lat") - s["s_lat"])
+                        + (F.col("lon") - s["s_lon"])
+                        * (F.col("lon") - s["s_lon"])
+                    ).alias("d2"),
+                    s["site_id"].alias("site_id"),
+                ),
+            )
+        ),
+        1,
+    )
     return (
-        pts.join(F.broadcast(sites))
-        .select("c_custkey", "site_id", d2.alias("d2"))
-        .groupBy("c_custkey")
-        .agg(F.min(F.struct("d2", "site_id")).alias("best"))
+        pts.join(F.broadcast(sites_arr))
+        .withColumn("best", best)
         .select(
             "c_custkey",
             F.col("best.site_id").alias("nearest_site"),

@@ -483,3 +483,13 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
     df = OPS["scan_dynamic_partition_pruning"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan, plan[:2000]
+
+
+def test_spatial_nearest_never_shuffles_points(spark, sf_dir):
+    """The argmin-over-broadcast-array form exists so the point set
+    stays map-side: no hash-partitioning exchange anywhere (the only
+    exchanges are the 1-row site array's broadcast/single-partition
+    collapse), and no re-aggregation of points."""
+    plan = physical_plan(OPS["join_spatial_nearest"].fn(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+    assert "HashAggregate(keys=[c_custkey" not in plan
