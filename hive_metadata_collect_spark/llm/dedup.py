@@ -1190,3 +1190,59 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ni") / F.col("nb"), 6).alias("containment"),
     )
     return fwd.unionAll(rev)
+
+
+@register(
+    "pipeline_incremental_dedup",
+    survey_row=67,
+    oracle="""
+    WITH corpus AS (
+        SELECT md5(text) AS digest FROM documents
+        WHERE doc_id % 2 = 0 GROUP BY 1
+    ), batch AS (
+        SELECT doc_id, lang, md5(text) AS digest FROM documents
+        WHERE doc_id % 2 = 1
+    ), in_batch_first AS (
+        SELECT doc_id, lang, digest,
+               row_number() OVER (PARTITION BY digest
+                                  ORDER BY doc_id) AS rn
+        FROM batch
+    )
+    SELECT b.doc_id, b.lang
+    FROM in_batch_first b
+    LEFT JOIN corpus c ON b.digest = c.digest
+    WHERE b.rn = 1 AND c.digest IS NULL
+    """,
+)
+def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ingest dedup — the shape a rolling crawl actually
+    runs nightly (full-corpus re-dedup at 100 TB is the anti-pattern):
+    the new batch (odd doc_ids stand in for tonight's crawl) is
+    deduped WITHIN itself (first doc_id per digest wins) and then
+    anti-joined against the standing corpus digest index (even
+    doc_ids stand in for the already-ingested store). Admitted docs
+    are exactly those whose content digest is new to both.
+
+    Two digest-keyed hash operations, both shuffling digests only —
+    never text. At scale the corpus side is a bucketed digest-only
+    index table (bytes per doc, not the corpus itself), the batch
+    side is one night's partition, and admitted digests append to the
+    index — the join stays bucket-local run over run."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+    )
+    batch = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", F.md5("text").alias("digest")
+    )
+    # first-per-digest as a hash AGG (min_by), not a window — no sort,
+    # and partial aggregation collapses duplicates map-side
+    first_in_batch = batch.groupBy("digest").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("lang", "doc_id").alias("lang"),
+    )
+    return first_in_batch.join(corpus, "digest", "left_anti").select(
+        "doc_id", "lang"
+    )

@@ -1093,3 +1093,76 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.min("l_quantity").alias("weighted_median"))
     )
+
+
+@register(
+    "agg_kmv_sketch",
+    survey_row=22,
+    oracle="""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hv
+        FROM events
+    ), r AS (
+        SELECT event_type, hv,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY hv) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n_exact
+        FROM h
+    )
+    SELECT event_type,
+           max(n_exact) AS n_exact,
+           max(hv) AS kth_hash,
+           CASE WHEN max(n_exact) < 32 THEN max(n_exact)
+                ELSE CAST(floor(31.0 * 1152921504606846976.0
+                                / max(hv) + 0.5) AS BIGINT)
+           END AS kmv_estimate
+    FROM r WHERE rn <= 32
+    GROUP BY event_type
+    """,
+)
+def agg_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch, k = 32, DERIVED not
+    approximated: the k smallest 60-bit hashes of each group's
+    distinct users, the estimator (k−1)·2⁶⁰ / h₍ₖ₎, and the exact
+    count beside it so the error is visible. KMV is the sketch
+    family behind theta sketches — unlike HLL registers, the k-hash
+    state supports set INTERSECTION estimates, which is why audience
+    systems carry it.
+
+    The 60-bit hash is the md5 prefix, computable identically in
+    both engines (conv/CAST-hex — xxhash64 exists only Spark-side),
+    so every output column is deterministic and the gate is
+    hash-exact, k-th-value ties and all. Groups smaller than k
+    short-circuit to the exact count (the estimator is undefined
+    below k). Scale shape: distinct-hash reduce, then a k-row-
+    per-group rank — the production form replaces the rank with a
+    mergeable k-smallest partial aggregate, same state KMV unions
+    need; the |distinct|-row shuffle here is already the sketch
+    input, never the event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    h = ev.select("event_type", hv.alias("hv")).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    wt = Window.partitionBy("event_type")
+    r = h.select(
+        "event_type",
+        "hv",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n_exact"),
+    ).filter(F.col("rn") <= 32)
+    return r.groupBy("event_type").agg(
+        F.max("n_exact").alias("n_exact"),
+        F.max("hv").alias("kth_hash"),
+        F.when(F.max("n_exact") < 32, F.max("n_exact"))
+        .otherwise(
+            F.floor(
+                F.lit(31.0) * F.lit(1152921504606846976.0) / F.max("hv")
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .alias("kmv_estimate"),
+    )

@@ -1254,3 +1254,89 @@ def join_spatial_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("d2_micro"),
         )
     )
+
+
+@register(
+    "join_spatial_radius",
+    survey_row=17,
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey,
+               ((c_custkey * 7919) % 18000) / 100.0 - 90.0  AS lat,
+               ((c_custkey * 104729) % 36000) / 100.0 - 180.0 AS lon
+        FROM customer
+    ), sites AS (
+        SELECT s_suppkey,
+               ((s_suppkey * 7919) % 18000) / 100.0 - 90.0  AS lat,
+               ((s_suppkey * 104729) % 36000) / 100.0 - 180.0 AS lon
+        FROM supplier
+    )
+    SELECT p.c_custkey, s.s_suppkey,
+           CAST(floor(((p.lat - s.lat) * (p.lat - s.lat)
+                       + (p.lon - s.lon) * (p.lon - s.lon))
+                      * 1e6 + 0.5) AS BIGINT) AS d2_micro
+    FROM pts p, sites s
+    WHERE (p.lat - s.lat) * (p.lat - s.lat)
+          + (p.lon - s.lon) * (p.lon - s.lon) <= 25.0
+    """,
+)
+def join_spatial_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial RADIUS join (both sides big, the case the broadcast
+    nearest-neighbor twin can't cover): all (customer, supplier)
+    point pairs within distance r = 5. Grid-cell bucketing at cell
+    size = r: each left point replicates to its 3×3 cell
+    neighborhood (a bounded 9× map-side explode), the join is a
+    plain EQUI hash join on the cell key, and the exact d² ≤ r²
+    predicate runs post-join. A pair in range differs by ≤ 1 cell
+    per axis, so it is found in exactly one neighbor offset —
+    no dedup pass needed; a pair further than one cell apart can
+    never be in range — no misses. The oracle is the quadratic
+    cross-filter; this plan never materializes it (plan-asserted:
+    no CartesianProduct / NestedLoop). Skewed cells (urban-density
+    hotspots) fall back to the same salting machinery as any skewed
+    equi join."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    r = F.lit(5.0)
+
+    def geo(df, key):
+        return df.select(
+            F.col(key),
+            (((F.col(key) * 7919) % 18000) / 100.0 - 90.0).alias("lat"),
+            (((F.col(key) * 104729) % 36000) / 100.0 - 180.0).alias("lon"),
+        )
+
+    pts = geo(c, "c_custkey").select(
+        "*",
+        F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("dx"),
+    ).select(
+        "*",
+        F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("dy"),
+    ).select(
+        "c_custkey",
+        "lat",
+        "lon",
+        (F.floor(F.col("lat") / r) + F.col("dx")).alias("cx"),
+        (F.floor(F.col("lon") / r) + F.col("dy")).alias("cy"),
+    )
+    sites = geo(s, "s_suppkey").select(
+        "s_suppkey",
+        F.col("lat").alias("s_lat"),
+        F.col("lon").alias("s_lon"),
+        F.floor(F.col("lat") / r).alias("cx"),
+        F.floor(F.col("lon") / r).alias("cy"),
+    )
+    d2 = (F.col("lat") - F.col("s_lat")) * (
+        F.col("lat") - F.col("s_lat")
+    ) + (F.col("lon") - F.col("s_lon")) * (F.col("lon") - F.col("s_lon"))
+    return (
+        pts.join(sites, ["cx", "cy"])
+        .filter(d2 <= r * r)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.floor(d2 * F.lit(1e6) + F.lit(0.5)).cast("long").alias(
+                "d2_micro"
+            ),
+        )
+    )

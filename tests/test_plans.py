@@ -493,3 +493,11 @@ def test_spatial_nearest_never_shuffles_points(spark, sf_dir):
     plan = physical_plan(OPS["join_spatial_nearest"].fn(spark, sf_dir))
     assert "Exchange hashpartitioning" not in plan
     assert "HashAggregate(keys=[c_custkey" not in plan
+
+
+def test_spatial_radius_is_equi_join_on_cells(spark, sf_dir):
+    """Grid bucketing must plan as a plain equi hash join on the cell
+    key — never a cross/nested-loop over the point sets."""
+    plan = physical_plan(OPS["join_spatial_radius"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
