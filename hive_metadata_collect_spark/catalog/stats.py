@@ -2856,3 +2856,53 @@ def cat_lineage_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("src").alias("node"))
         .agg(F.min("hops").alias("min_cycle_len"))
     )
+
+
+@register(
+    "cat_partition_retention_plan",
+    survey_row=63,
+    oracle="""
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               count(*) AS n_rows,
+               sum(length(props)) AS payload_bytes
+        FROM events GROUP BY 1
+    ), wm AS (SELECT max(day) AS max_day FROM d)
+    SELECT d.day, d.n_rows, d.payload_bytes,
+           CASE WHEN d.day < wm.max_day - INTERVAL 20 DAY
+                THEN 'drop' ELSE 'keep' END AS action
+    FROM d, wm
+    """,
+)
+def cat_partition_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention/TTL planner — the nightly job that turns a
+    retention policy ("keep 20 days") into a concrete DROP PARTITION
+    list with the reclaim accounting (rows + payload bytes per
+    partition) attached. The watermark is DERIVED from the data
+    (max ingested day), not wall clock, so the plan is reproducible
+    and the gate deterministic; real deployments swap in
+    current_date at the same spot.
+
+    One |days|-group aggregate over the partition column + a
+    broadcast scalar watermark — the per-day stats frame is metadata-
+    sized at any scale, and in a partitioned layout the same numbers
+    come from partition listing alone (cat_partition_listing), no
+    data scan at all."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("props")).alias("payload_bytes"),
+    )
+    wm = d.agg(F.max("day").alias("max_day"))
+    return d.crossJoin(F.broadcast(wm)).select(
+        "day",
+        "n_rows",
+        "payload_bytes",
+        F.when(
+            F.col("day") < F.date_sub(F.col("max_day"), 20), "drop"
+        )
+        .otherwise("keep")
+        .alias("action"),
+    )

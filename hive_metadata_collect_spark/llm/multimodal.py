@@ -1103,3 +1103,66 @@ def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round JVM-side (HALF_UP) — Python's round() is banker's and
     # could diverge from the oracle's round() at exact half-way marks
     return feats.withColumn("first_mean_y", F.round("first_mean_y", 4))
+
+
+@register(
+    "mm_image_channel_stats",
+    survey_row=74,
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               unnest(generate_series(
+                   0, (1 + doc_id % 16) * (1 + (doc_id * 7) % 16) * 3 - 1)) AS k
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(k % 3 AS BIGINT) AS channel,
+           sum((doc_id + k) % 256) AS sum_px,
+           min((doc_id + k) % 256) AS min_px,
+           max((doc_id + k) % 256) AS max_px
+    FROM s
+    GROUP BY doc_id, k % 3
+    """,
+)
+def mm_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-CHANNEL statistics over REAL decoded P6 pixel planes —
+    the normalization-constant pass (mean/range per R, G, B) every
+    image-training pipeline computes before standardizing inputs.
+    The decode stage reshapes the raw plane to (h·w, 3) and reduces
+    each column with integer sum/min/max — every emitted number is
+    an exact integer, so the closed-form oracle (the synth formula
+    re-aggregated channel-wise in SQL) matches bit-for-bit with no
+    rounding contract at all. Arrow-batched mapInPandas; per-image
+    work is embarrassingly parallel, stats are 3 rows per image."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                # reuse the registered parser for header/plane offsets
+                feats = DECODERS["image"](payload)
+                w, h = feats["width"], feats["height"]
+                plane = np.frombuffer(
+                    payload, dtype=np.uint8, offset=len(payload) - w * h * 3
+                ).reshape(-1, 3).astype(np.int64)
+                for ch in range(3):
+                    col = plane[:, ch]
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "channel": ch,
+                            "sum_px": int(col.sum()),
+                            "min_px": int(col.min()),
+                            "max_px": int(col.max()),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    d = load_table(spark, sf_dir, "documents")
+    payloads = _synth_ppm_payloads(d)
+    return payloads.mapInPandas(
+        batches,
+        schema="doc_id long, channel long, sum_px long, min_px long, max_px long",
+    )

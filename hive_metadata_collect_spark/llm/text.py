@@ -1184,3 +1184,72 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_pair").desc(), F.col("pair").asc())
         .limit(30)
     )
+
+
+@register(
+    "text_hashed_features",
+    survey_row=73,
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ), b AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(word), 1, 4) AS BIGINT) % 256
+                   AS bucket,
+               count(*) AS cnt
+        FROM w GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           count(*) AS n_buckets,
+           sum(cnt * cnt) AS sq_norm,
+           md5(string_agg(bucket || ':' || cnt, ',' ORDER BY bucket))
+               AS vec_digest
+    FROM b GROUP BY doc_id
+    """,
+)
+def text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (the fixed-width bag-of-words a
+    linear quality classifier trains on): every word maps to one of
+    256 buckets via an engine-identical md5-prefix hash — no
+    vocabulary pass, no dictionary to ship, the property that makes
+    feature hashing THE at-scale featurizer. Emits per-doc sparse-
+    vector invariants: nonzero-bucket count, squared L2 norm (exact
+    integers), and an md5 digest of the canonical `bucket:count`
+    serialization — so the gate pins the ENTIRE vector, not a
+    summary.
+
+    The canonical serialization uses the ordered-string-agg idiom
+    (collect structs → array_sort → transform → concat_ws):
+    collect_list order is never trusted. One (doc, bucket) hash agg
+    + one per-doc agg; the 16-bit hash prefix fits a BIGINT cast on
+    both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("word"), 1, 4), 16, 10).cast("long") % 256
+    )
+    b = words.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return b.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sq_norm"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("bucket", "cnt"))
+                    ),
+                    lambda s: F.concat_ws(
+                        ":",
+                        s["bucket"].cast("string"),
+                        s["cnt"].cast("string"),
+                    ),
+                ),
+            )
+        ).alias("vec_digest"),
+    )

@@ -1166,3 +1166,119 @@ def agg_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("kmv_estimate"),
     )
+
+
+@register(
+    "agg_kmv_intersection",
+    survey_row=22,
+    oracle="""
+    WITH h AS (
+        SELECT DISTINCT
+               CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS seg,
+               user_id,
+               CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hv
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), r AS (
+        SELECT seg, hv,
+               row_number() OVER (PARTITION BY seg ORDER BY hv) AS rn
+        FROM (SELECT DISTINCT seg, hv FROM h) t
+    ), sk AS (SELECT seg, hv FROM r WHERE rn <= 32),
+    theta AS (
+        SELECT least(max(hv) FILTER (seg = 'a'),
+                     max(hv) FILTER (seg = 'b')) AS theta_hash
+        FROM sk
+    ), common AS (
+        SELECT count(*) AS n_common
+        FROM sk a JOIN sk b ON a.hv = b.hv
+                  AND a.seg = 'a' AND b.seg = 'b',
+             theta t
+        WHERE a.hv < t.theta_hash
+    ), exact AS (
+        SELECT count(*) AS exact_intersection FROM (
+            SELECT user_id FROM h GROUP BY user_id
+            HAVING count(DISTINCT seg) = 2)
+    )
+    SELECT t.theta_hash, c.n_common,
+           CAST(floor(c.n_common * 1152921504606846976.0
+                      / t.theta_hash + 0.5) AS BIGINT) AS est_intersection,
+           e.exact_intersection
+    FROM theta t, common c, exact e
+    """,
+)
+def agg_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-INTERSECTION estimation from KMV/theta sketches — the
+    operation HLL registers cannot do and the reason audience-overlap
+    systems carry theta sketches: clickers ∩ purchasers estimated
+    from two 32-hash sketches alone, never the raw sets. θ = the
+    smaller sketch threshold; hashes below θ present in BOTH sketches
+    are a uniform sample of the intersection at rate θ/2⁶⁰, so
+    |common| / θ estimates the true overlap. The exact intersection
+    (the one-reduce boolean-rollup the exact twin uses) rides along
+    so the error is visible in the gated output.
+
+    Same engine-identical md5-prefix hash as agg_kmv_sketch, so
+    sketch contents, θ, and the estimate are all deterministic —
+    an approximation ALGORITHM under an exact parity gate. At scale
+    the two sketches are 32-row frames (broadcast-joined); the only
+    big-data pass is the distinct-(seg, user) reduce feeding them."""
+    ev = load_table(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    h = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.when(F.col("event_type") == "click", "a")
+            .otherwise("b")
+            .alias("seg"),
+            "user_id",
+        )
+        .distinct()
+        .select("seg", "user_id", hv.alias("hv"))
+    )
+    w = Window.partitionBy("seg").orderBy("hv")
+    sk = (
+        h.select("seg", "hv")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 32)
+        .drop("rn")
+    )
+    theta = sk.groupBy().agg(
+        F.least(
+            F.max(F.when(F.col("seg") == "a", F.col("hv"))),
+            F.max(F.when(F.col("seg") == "b", F.col("hv"))),
+        ).alias("theta_hash")
+    )
+    a = sk.filter(F.col("seg") == "a").select(F.col("hv").alias("hv"))
+    b = sk.filter(F.col("seg") == "b").select(F.col("hv").alias("hv_b"))
+    common = (
+        a.join(F.broadcast(b), F.col("hv") == F.col("hv_b"))
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("hv") < F.col("theta_hash"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    exact = (
+        h.groupBy("user_id")
+        .agg(F.countDistinct("seg").alias("nseg"))
+        .filter(F.col("nseg") == 2)
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return (
+        theta.crossJoin(common)
+        .crossJoin(exact)
+        .select(
+            "theta_hash",
+            "n_common",
+            F.floor(
+                F.col("n_common")
+                * F.lit(1152921504606846976.0)
+                / F.col("theta_hash")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("est_intersection"),
+            "exact_intersection",
+        )
+    )
