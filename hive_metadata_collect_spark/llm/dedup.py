@@ -1246,3 +1246,55 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first_in_batch.join(corpus, "digest", "left_anti").select(
         "doc_id", "lang"
     )
+
+
+@register(
+    "dedup_prefix",
+    survey_row=67,
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, lang,
+               md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+                   AS prefix_digest,
+               len(string_split(text, ' ')) AS n_words
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 8
+    ), g AS (
+        SELECT prefix_digest, count(*) AS n_docs,
+               min(doc_id) AS keep_doc, max(n_words) AS longest_doc_words
+        FROM p GROUP BY prefix_digest
+        HAVING count(*) > 1
+    )
+    SELECT prefix_digest, n_docs, keep_doc, longest_doc_words FROM g
+    """,
+)
+def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFIX dedup: docs sharing their first 8 words — the crawl
+    truncation/re-crawl artifact class (same page fetched twice, one
+    copy cut short) that exact-hash dedup misses because the tails
+    differ and shingle-Jaccard under-scores because one side is
+    short. Groups by a digest of the word prefix; emits group size,
+    the kept doc (lowest id), and the longest member (the policy is
+    keep-the-longest — the truncated copies are the junk).
+
+    One digest hash-agg, exactly the dedup_exact shape — prefix
+    digests shuffle, never text. Sub-8-word docs are excluded (their
+    'prefix' is the whole doc — that's exact dedup's job)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    p = d.filter(F.size(words) >= 8).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(words, 1, 8))).alias(
+            "prefix_digest"
+        ),
+        F.size(words).alias("n_words"),
+    )
+    return (
+        p.groupBy("prefix_digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc"),
+            F.max("n_words").alias("longest_doc_words"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -1340,3 +1340,80 @@ def join_spatial_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "join_asof_tolerance",
+    survey_row=18,
+    oracle="""
+    WITH tagged AS (
+        SELECT event_id, user_id, ts, event_type,
+               CASE WHEN event_type = 'view' THEN ts END AS view_ts,
+               CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS type_order
+        FROM events WHERE event_type IN ('click', 'view')
+    ), carried AS (
+        SELECT event_id, user_id, ts, event_type,
+               last_value(view_ts IGNORE NULLS) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, type_order, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS prior_view_ts
+        FROM tagged
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN prior_view_ts >= ts - INTERVAL 30 MINUTE
+                THEN prior_view_ts END AS matched_view_ts,
+           (prior_view_ts IS NOT NULL
+            AND prior_view_ts < ts - INTERVAL 30 MINUTE) AS stale
+    FROM carried WHERE event_type = 'click'
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE: a click only matches its latest
+    prior view if that view is ≤ 30 minutes stale — the sensor/trade
+    semantics (`merge_asof(tolerance=...)`) where an old quote must
+    NOT silently price a new trade. Out-of-tolerance matches are
+    surfaced as `stale = true` with a NULL match rather than
+    dropped, so the miss accounting is part of the result.
+
+    Completes the as-of family (backward #18, forward, tolerance):
+    same no-join union-sort idiom — one user_id shuffle + one sort,
+    the tolerance check is a free post-window filter, and the plan
+    is identical to the unbounded twin's (the bound costs nothing
+    at any scale)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "view", F.col("ts")).alias("view_ts"),
+        F.when(F.col("event_type") == "view", F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("type_order"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").asc(), F.col("type_order").asc(), F.col("event_id").asc()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_tol = F.col("prior_view_ts") >= F.col("ts") - F.expr(
+        "INTERVAL 30 MINUTES"
+    )
+    return (
+        tagged.withColumn(
+            "prior_view_ts", F.last("view_ts", ignorenulls=True).over(w)
+        )
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(in_tol, F.col("prior_view_ts")).alias("matched_view_ts"),
+            (F.col("prior_view_ts").isNotNull() & ~in_tol).alias("stale"),
+        )
+    )

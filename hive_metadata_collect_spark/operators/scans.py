@@ -322,3 +322,64 @@ def scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("_CORRUPT").alias("event_type"), F.count(F.lit(1)).alias("n")
     )
     return good.unionByName(bad)
+
+
+@register(
+    "scan_agg_pushdown_footer",
+    survey_row=3,
+    oracle="""
+    SELECT count(*) AS n_rows,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty,
+           min(l_orderkey) AS min_key,
+           max(l_orderkey) AS max_key
+    FROM lineitem
+    """,
+)
+def scan_agg_pushdown_footer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AGGREGATE pushdown to parquet FOOTERS: COUNT/MIN/MAX answered
+    from row-group statistics without decoding a single data page —
+    the metadata-only fast path a stats collector should always take
+    for its table-level min/max/count sweep (cat_parquet_footer_stats
+    reads the same numbers through pyarrow; this is the engine-native
+    route). Requires the DSv2 parquet reader, so the demo pins
+    `parquet.aggregatePushdown` + removes parquet from the V1
+    fallback list for THIS frame's plan construction (forced, then
+    configs restored — the bloom-demo discipline); the plan carries
+    `PushedAggregation` on the scan (plan-asserted). Pushdown is
+    all-or-nothing per query and timestamp min/max is ineligible
+    (probed: one timestamp agg empties PushedAggregation), so the
+    sweep sticks to numeric/integral columns — the collector runs
+    the timestamp freshness probe as its own query instead. At
+    100 TB this is the difference between touching ~KB of footers
+    per file and re-scanning every page of every column."""
+    cfgs = {
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.sources.useV1SourceList": "",
+    }
+    saved = {}
+    for k, v in cfgs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        # fresh read: load_table's cached relation was resolved under
+        # the V1 reader and would bypass the DSv2 pushdown path
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        out = li.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.min("l_orderkey").alias("min_key"),
+            F.max("l_orderkey").alias("max_key"),
+        )
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -501,3 +501,12 @@ def test_spatial_radius_is_equi_join_on_cells(spark, sf_dir):
     plan = physical_plan(OPS["join_spatial_radius"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_footer_agg_pushdown_fires(spark, sf_dir):
+    """The DSv2 scan must answer the stats sweep from footers: the
+    plan's PushedAggregation carries all five aggregates (pushdown is
+    all-or-nothing — an empty list means a full data scan)."""
+    df = OPS["scan_agg_pushdown_footer"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "PushedAggregation: [COUNT(*), MIN(l_quantity), MAX(l_quantity), MIN(l_orderkey), MAX(l_orderkey)]" in plan, plan[:1500]
