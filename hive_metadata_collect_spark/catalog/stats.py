@@ -2906,3 +2906,237 @@ def cat_partition_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep")
         .alias("action"),
     )
+
+
+@register(
+    "cat_vacuum_plan",
+    survey_row=61,
+    oracle="""
+    WITH acts AS (
+        SELECT event_id,
+               event_id % 3 AS v,
+               'part-' || (event_id % 37) AS path,
+               event_id % 4 <> 3 AS is_add,
+               CASE WHEN event_id % 4 <> 3
+                    THEN event_id % 1000 + 100 END AS fsize
+        FROM events
+    ),
+    winners AS (
+        SELECT s.snap, a.path, a.is_add,
+               row_number() OVER (
+                   PARTITION BY s.snap, a.path
+                   ORDER BY a.v DESC, a.event_id DESC) AS rn
+        FROM acts a JOIN range(1, 3) s(snap) ON a.v <= s.snap
+    ),
+    liveness AS (
+        SELECT path, bool_or(is_add) AS live_any
+        FROM winners WHERE rn = 1 GROUP BY path
+    ),
+    reclaim AS (
+        SELECT path,
+               max_by(fsize, v * 10000000 + event_id)
+                   FILTER (WHERE is_add) AS reclaim_bytes,
+               max(v) FILTER (WHERE NOT is_add) AS last_remove_v
+        FROM acts GROUP BY path
+    )
+    SELECT l.path,
+           r.reclaim_bytes::BIGINT AS reclaim_bytes,
+           r.last_remove_v::BIGINT AS last_remove_v
+    FROM liveness l JOIN reclaim r ON l.path = r.path
+    WHERE NOT l.live_any
+    """,
+)
+def cat_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM planner — the garbage-collection pass that completes
+    the table-format suite (`cat_tx_log_snapshot` resolves snapshots,
+    `cat_time_travel_read` reads one, this op decides which data
+    files are safe to physically delete): with a retention policy of
+    "keep snapshots 1..2", a file is reclaimable iff NO retained
+    snapshot resolves it as live — i.e. at every retained version the
+    last-writer-wins replay lands on a remove tombstone. Reclaimed
+    bytes are the size of the file's final add action (the bytes on
+    disk); the last remove version documents when it died.
+
+    Same deterministic action log as the snapshot ops (synthesized
+    per event in BOTH engines; path domain co-prime with the
+    version/tombstone moduli so adds and removes genuinely interleave
+    per path). Plan shape: broadcast |retained-snapshots| range join,
+    one (snap, path) shuffle for the winner resolve (file-count
+    bounded), a |paths| liveness rollup, and a second |paths|-sized
+    agg for the reclaim accounting — no data files are ever opened.
+    At 100 TB the vacuum decision reads only the log, exactly like
+    Delta's VACUUM dry run."""
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    acts = ev.select(
+        "event_id",
+        (eid % 3).alias("v"),
+        F.concat(F.lit("part-"), (eid % 37).cast("string")).alias("path"),
+        (eid % 4 != 3).alias("is_add"),
+        F.when(eid % 4 != 3, eid % 1000 + 100).alias("fsize"),
+    )
+    snaps = spark.range(1, 3).select(F.col("id").cast("int").alias("snap"))
+    winners = (
+        acts.join(F.broadcast(snaps), acts["v"] <= snaps["snap"])
+        .groupBy("snap", "path")
+        .agg(
+            F.max_by(
+                F.col("is_add"), F.struct(F.col("v"), F.col("event_id"))
+            ).alias("live")
+        )
+    )
+    liveness = winners.groupBy("path").agg(F.max("live").alias("live_any"))
+    reclaim = acts.groupBy("path").agg(
+        F.expr(
+            "max_by(fsize, v * 10000000 + event_id) FILTER (WHERE is_add)"
+        ).alias("reclaim_bytes"),
+        F.max(F.when(~F.col("is_add"), F.col("v")))
+        .cast("long")
+        .alias("last_remove_v"),
+    )
+    return (
+        liveness.filter(~F.col("live_any"))
+        .join(reclaim, "path")
+        .select("path", "reclaim_bytes", "last_remove_v")
+    )
+
+
+@register(
+    "cat_lineage_topo_levels",
+    survey_row=66,
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT 't' || (event_id % 13) AS src,
+               't' || ((event_id % 13) * 2 + 1 + user_id % 2) AS dst
+        FROM events
+    ),
+    nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    walk AS (
+        SELECT n.node, 0 AS lvl
+        FROM nodes n
+        WHERE n.node NOT IN (SELECT dst FROM edges)
+        UNION ALL
+        SELECT e.dst, w.lvl + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT node AS table_name, max(lvl)::BIGINT AS refresh_wave
+    FROM walk GROUP BY node
+    """,
+)
+def cat_lineage_topo_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topological REFRESH WAVES over the lineage DAG — the scheduling
+    artifact a collector derives from lineage: tables in wave 0 have
+    no upstream dependencies and can refresh immediately; wave k must
+    wait for wave k-1. Wave = LONGEST upstream path (not shortest —
+    a table refreshes only after its slowest dependency chain), i.e.
+    the critical-path level used by every DAG scheduler.
+
+    Edges are synthesized acyclic by construction (src node id →
+    2·id+1+δ, a strictly increasing binary-tree shape, depth ≤ 5 on
+    the 13-node src domain), so the longest-path fixpoint exists.
+    The engine iterates max-propagation from the root frontier —
+    5 driver-side rounds of broadcast joins over the DISTINCT edge
+    set, which is |tables|²-bounded metadata (≤ a few hundred rows at
+    any corpus scale; the only corpus-sized step is the initial
+    DISTINCT, one shuffle of pre-deduped map output). The oracle
+    recomputes by recursive CTE walk-from-roots — different
+    algorithm, same fixpoint."""
+    ev = load_table(spark, sf_dir, "events")
+    nid = F.col("event_id") % 13
+    edges = (
+        ev.select(
+            F.concat(F.lit("t"), nid.cast("string")).alias("src"),
+            F.concat(
+                F.lit("t"), (nid * 2 + 1 + F.col("user_id") % 2).cast("string")
+            ).alias("dst"),
+        )
+        .distinct()
+        .cache()
+    )
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select("dst")
+    ).distinct()
+    roots = nodes.join(
+        edges.select(F.col("dst").alias("node")).distinct(), "node", "left_anti"
+    )
+    levels = roots.withColumn("lvl", F.lit(0))
+    for _ in range(5):  # depth bound of the synthesized DAG
+        stepped = (
+            levels.join(F.broadcast(edges), levels["node"] == edges["src"])
+            .select(F.col("dst").alias("node"), (F.col("lvl") + 1).alias("lvl"))
+        )
+        levels = (
+            levels.unionAll(stepped)
+            .groupBy("node")
+            .agg(F.max("lvl").alias("lvl"))
+            .localCheckpoint(eager=False)
+        )
+    return levels.select(
+        F.col("node").alias("table_name"),
+        F.col("lvl").cast("long").alias("refresh_wave"),
+    )
+
+
+@register(
+    "cat_chi_square_assoc",
+    survey_row=64,
+    oracle="""
+    WITH cells AS (
+        SELECT event_type, user_id % 4 AS cohort,
+               count(*)::DOUBLE AS o
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT c.*,
+               sum(o) OVER (PARTITION BY event_type) AS row_tot,
+               sum(o) OVER (PARTITION BY cohort) AS col_tot,
+               sum(o) OVER () AS n
+        FROM cells c
+    )
+    SELECT event_type,
+           round(sum((o - row_tot * col_tot / n)
+                     * (o - row_tot * col_tot / n)
+                     / (row_tot * col_tot / n)), 6) AS chi2_contrib,
+           count(*)::BIGINT AS n_cells
+    FROM tot GROUP BY event_type
+    """,
+)
+def cat_chi_square_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square association between two categorical workload
+    dimensions (event type × user cohort) — the statistical test a
+    collector runs to answer "is table access independent of team?"
+    before flagging ownership drift. Emits each event type's
+    contribution to the chi² statistic (sum of (O−E)²/E over its
+    cohort cells) plus the cell count, so the global statistic and
+    degrees of freedom are one further sum away.
+
+    One |types|×|cohorts| contingency aggregate (the only
+    corpus-sized shuffle, with map-side partial counts), then the
+    marginals via windows over the cell frame — which is metadata-
+    sized (|types|·|cohorts| rows) at any scale, so the window sorts
+    are free. Float math is sum-of-rounded-cells: each cell's
+    contribution is a pure function of exact integer counts, and the
+    final round(…,6) keeps the hash stable cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.col("user_id") % 4).alias("cohort")
+    ).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("cohort")
+    w_all = Window.partitionBy()
+    tot = cells.select(
+        "event_type",
+        "o",
+        F.sum("o").over(w_row).alias("row_tot"),
+        F.sum("o").over(w_col).alias("col_tot"),
+        F.sum("o").over(w_all).alias("n"),
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    return tot.groupBy("event_type").agg(
+        F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6).alias(
+            "chi2_contrib"
+        ),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
