@@ -823,3 +823,78 @@ def fn_try_cast_messy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.col("date_s").try_cast("date")).alias("n_date_ok"),
         F.max(F.col("date_s").try_cast("date")).alias("max_date"),
     )
+
+
+@register(
+    "fn_ip_suite",
+    survey_row=42,
+    oracle="""
+    WITH ip AS (
+        SELECT event_id,
+               (user_id * 7) % 256  AS o1,
+               (event_id * 13) % 256 AS o2,
+               (user_id + event_id) % 256 AS o3,
+               event_id % 256 AS o4
+        FROM events
+    )
+    SELECT event_id,
+           o1 || '.' || o2 || '.' || o3 || '.' || o4 AS ip,
+           o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS ip_num,
+           o1 || '.' || o2 || '.' || o3 || '.0/24' AS cidr24,
+           (o1 = 10) OR (o1 = 172 AND o2 BETWEEN 16 AND 31)
+               OR (o1 = 192 AND o2 = 168) AS is_private,
+           CASE WHEN o1 = 10 THEN (o1 * 16777216)
+                ELSE (o1 * 16777216 + o2 * 65536) END
+               = ((o1 * 16777216 + o2 * 65536 + o3 * 256 + o4)
+                  // CASE WHEN o1 = 10 THEN 16777216 ELSE 65536 END)
+                 * CASE WHEN o1 = 10 THEN 16777216 ELSE 65536 END
+               AS in_site_block
+    FROM ip
+    """,
+)
+def fn_ip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 address arithmetic — the audit-log enrichment a collector
+    applies to client addresses: octet assembly/formatting, the
+    32-bit numeric form (the sortable/joinable representation),
+    CIDR /24 bucket string (the subnet rollup key), RFC-1918
+    private-range classification (10/8, 172.16/12, 192.168/16), and
+    a mask-aligned membership test computed with integer arithmetic
+    (address AND netmask == network, expressed as truncating
+    division so both engines stay in exact integers — no bitwise
+    dialect divergence).
+
+    Addresses are synthesized deterministically per event in BOTH
+    engines (the fixture carries no IP column). Everything is narrow
+    codegen — zero shuffles, zero UDFs; at 100 TB this is a map-only
+    enrichment that fuses into whatever scan precedes it."""
+    ev = load_table(spark, sf_dir, "events")
+    o1 = (F.col("user_id") * 7) % 256
+    o2 = (F.col("event_id") * 13) % 256
+    o3 = (F.col("user_id") + F.col("event_id")) % 256
+    o4 = F.col("event_id") % 256
+    ip_num = o1 * 16777216 + o2 * 65536 + o3 * 256 + o4
+    site_block = F.when(o1 == 10, F.lit(16777216)).otherwise(F.lit(65536))
+    network = F.when(o1 == 10, o1 * 16777216).otherwise(
+        o1 * 16777216 + o2 * 65536
+    )
+    dot = F.lit(".")
+    return ev.select(
+        "event_id",
+        F.concat(
+            o1.cast("string"), dot, o2.cast("string"), dot,
+            o3.cast("string"), dot, o4.cast("string"),
+        ).alias("ip"),
+        ip_num.alias("ip_num"),
+        F.concat(
+            o1.cast("string"), dot, o2.cast("string"), dot,
+            o3.cast("string"), F.lit(".0/24"),
+        ).alias("cidr24"),
+        (
+            (o1 == 10)
+            | ((o1 == 172) & o2.between(16, 31))
+            | ((o1 == 192) & (o2 == 168))
+        ).alias("is_private"),
+        (network == F.floor(ip_num / site_block) * site_block).alias(
+            "in_site_block"
+        ),
+    )

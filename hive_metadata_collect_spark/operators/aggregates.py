@@ -1282,3 +1282,113 @@ def agg_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_intersection",
         )
     )
+
+
+@register(
+    "agg_countmin_heavy",
+    survey_row=22,
+    oracle="""
+    WITH keyed AS (
+        SELECT user_id,
+               CAST('0x' || substring(
+                   md5('cms0:' || CAST(user_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 64 AS s0,
+               CAST('0x' || substring(
+                   md5('cms1:' || CAST(user_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 64 AS s1,
+               CAST('0x' || substring(
+                   md5('cms2:' || CAST(user_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 64 AS s2
+        FROM events
+    ),
+    c0 AS (SELECT s0 AS slot, count(*) AS c FROM keyed GROUP BY s0),
+    c1 AS (SELECT s1 AS slot, count(*) AS c FROM keyed GROUP BY s1),
+    c2 AS (SELECT s2 AS slot, count(*) AS c FROM keyed GROUP BY s2),
+    truth AS (
+        SELECT user_id, min(s0) AS s0, min(s1) AS s1, min(s2) AS s2,
+               count(*) AS true_count
+        FROM keyed GROUP BY user_id
+    )
+    SELECT t.user_id,
+           t.true_count,
+           least(c0.c, c1.c, c2.c) AS cms_estimate,
+           least(c0.c, c1.c, c2.c) - t.true_count AS overestimate
+    FROM truth t
+    JOIN c0 ON c0.slot = t.s0
+    JOIN c1 ON c1.slot = t.s1
+    JOIN c2 ON c2.slot = t.s2
+    WHERE t.true_count >= 20
+    """,
+)
+def agg_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH heavy-hitter estimation, built natively so
+    the sketch itself is the oracle-gated artifact (the approx-topk /
+    HLL / KMV / theta ops cover the other sketch families): depth-3 ×
+    width-64 counter array with md5-derived row hashes (cross-engine
+    identical, like every digest op here), point estimate = min over
+    the three counters, reported beside the exact count so the
+    one-sided CMS error (estimate ≥ truth, always) is visible per
+    heavy key.
+
+    Scale story: the sketch build is three width-64 partial-count
+    aggregates — each a map-side combine into AT MOST 64 reduce rows
+    regardless of corpus size, i.e. the mergeable-summary shape that
+    lets 1000 executors sketch 100 TB and union counters on the
+    driver. The truth side (exact per-key counts) exists only to
+    gate the estimate and restricts to heavy keys (≥20) so the
+    output stays small. The three counter joins broadcast (≤64 rows
+    each)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def slot(i: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"cms{i}:"), F.col("user_id").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 64
+        )
+
+    keyed = ev.select(
+        "user_id",
+        slot(0).alias("s0"),
+        slot(1).alias("s1"),
+        slot(2).alias("s2"),
+    )
+    counters = [
+        keyed.groupBy(F.col(f"s{i}").alias("slot")).agg(
+            F.count(F.lit(1)).alias(f"c{i}")
+        )
+        for i in range(3)
+    ]
+    truth = keyed.groupBy("user_id").agg(
+        F.min("s0").alias("s0"),
+        F.min("s1").alias("s1"),
+        F.min("s2").alias("s2"),
+        F.count(F.lit(1)).alias("true_count"),
+    )
+    est = (
+        truth.filter(F.col("true_count") >= 20)
+        .join(F.broadcast(counters[0]), F.col("s0") == F.col("slot"))
+        .drop("slot")
+        .join(F.broadcast(counters[1]), F.col("s1") == F.col("slot"))
+        .drop("slot")
+        .join(F.broadcast(counters[2]), F.col("s2") == F.col("slot"))
+        .drop("slot")
+    )
+    cms = F.least("c0", "c1", "c2")
+    return est.select(
+        "user_id",
+        "true_count",
+        cms.alias("cms_estimate"),
+        (cms - F.col("true_count")).alias("overestimate"),
+    )

@@ -830,3 +830,90 @@ def win_ewma_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ewma_nano"),
         )
     )
+
+
+@register(
+    "win_cusum_alarm",
+    survey_row=33,
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS grp,
+               CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+               CAST(floor(round(sum(o_totalprice), 2) * 100 + 0.5)
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    drift AS (
+        SELECT grp, day, cents,
+               CAST(floor(avg(cents) OVER (PARTITION BY grp)) AS BIGINT)
+                   AS mu
+        FROM daily
+    ),
+    pref AS (
+        SELECT grp, day, cents,
+               sum(cents - mu - 50000) OVER (
+                   PARTITION BY grp ORDER BY day) AS p
+        FROM drift
+    ),
+    cusum AS (
+        SELECT grp, day, p,
+               p - least(0, min(p) OVER (
+                   PARTITION BY grp ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                   AS s
+        FROM pref
+    )
+    SELECT grp, day, s::BIGINT AS cusum_cents,
+           s > 10000000 AS alarm
+    FROM cusum
+    """,
+)
+def win_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over a per-group daily series —
+    the drift monitor a collector attaches to table-growth or
+    query-volume metrics. The textbook recurrence S_i = max(0,
+    S_{i-1} + (x_i - mu - k)) is NOT a plain window aggregate (each
+    term depends on the previous clamp), but it has a closed window
+    form: with prefix sums P_i of the drift-adjusted series,
+    S_i = P_i - min(0, min_{j<=i} P_j). Two running windows (sum +
+    min) over one partition sort replace the sequential scan — the
+    trick that makes CUSUM distributable at all.
+
+    Scale: the daily rollup is the only corpus-sized shuffle; the
+    window frame runs over |group|x|days| metadata-sized rows. The
+    reference mean mu is the per-group average (derived, so the gate
+    is deterministic); slack k and alarm threshold h are fixed
+    policy constants. Numerics: the series is converted to INTEGER
+    CENTS immediately after the daily rollup and mu is floored to a
+    whole cent, so every window term is exact int64 arithmetic —
+    the first float form of this op flipped a .xx5 rounding boundary
+    run-to-run because avg() accumulation order is nondeterministic
+    under partial aggregation; integers make the gate (and the
+    monitor itself) order-independent. The cents cast is an explicit
+    floor(x*100 + 0.5) because double-to-int64 CAST rounds in DuckDB
+    but truncates in Spark."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        F.floor(F.round(F.sum("o_totalprice"), 2) * 100 + 0.5)
+        .cast("long")
+        .alias("cents")
+    )
+    w_grp = Window.partitionBy("grp")
+    w_run = Window.partitionBy("grp").orderBy("day")
+    w_min = w_run.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    drift = daily.withColumn(
+        "mu", F.floor(F.avg("cents").over(w_grp)).cast("long")
+    )
+    pref = drift.withColumn(
+        "p", F.sum(F.col("cents") - F.col("mu") - 50000).over(w_run)
+    )
+    s = F.col("p") - F.least(F.lit(0), F.min("p").over(w_min))
+    return pref.select(
+        "grp",
+        "day",
+        s.cast("long").alias("cusum_cents"),
+        (s > 10000000).alias("alarm"),
+    )
