@@ -1298,3 +1298,56 @@ def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@register(
+    "pipeline_quality_resample",
+    survey_row=67,
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, lang, n_chars,
+               least(greatest(n_chars / 2000.0, 0.05), 0.95) AS keep_p,
+               CAST(('0x' || substr(md5('qrs:' || CAST(doc_id AS VARCHAR)),
+                                    1, 8)) AS BIGINT) AS u32
+        FROM documents)
+    SELECT doc_id, lang, round(keep_p, 6) AS keep_p
+    FROM w
+    WHERE u32 < keep_p * 4294967296.0
+    """,
+)
+def pipeline_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED resampling — the soft alternative to a hard
+    quality cutoff (CCNet/FineWeb keep documents with probability
+    proportional to a quality weight, preserving some low-quality
+    mass instead of biasing the corpus at the boundary): each doc's
+    keep probability is a clamped function of its quality proxy, and
+    the keep decision is u < p with u a 32-bit md5-derived uniform —
+    deterministic, append-stable (a doc's fate never changes when
+    the corpus grows), and reproducible across engines, unlike
+    rand()-based sampling.
+
+    The comparison is exact: u is an integer compared against
+    p·2³², and p itself is one IEEE division + clamp computed
+    identically on both sides — no accumulated float. Map-only
+    (zero shuffles) at any scale; the 100 TB form is this exact
+    predicate pushed into the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep_p = F.least(
+        F.greatest(F.col("n_chars") / 2000.0, F.lit(0.05)), F.lit(0.95)
+    )
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("qrs:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.select(
+            "doc_id", "lang", keep_p.alias("keep_p"), u32.alias("u32")
+        )
+        .filter(F.col("u32") < F.col("keep_p") * 4294967296.0)
+        .select("doc_id", "lang", F.round("keep_p", 6).alias("keep_p"))
+    )

@@ -788,3 +788,47 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size("embedding")
         ).alias("err_nano"),
     )
+
+
+@register(
+    "sim_mips_maxdot",
+    survey_row=69,
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 1)
+    SELECT vec_id, label,
+           round(list_dot_product(embedding::DOUBLE[], qe), 6) AS dot
+    FROM embeddings, q
+    WHERE vec_id <> 1
+    ORDER BY dot DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def sim_mips_maxdot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-INNER-PRODUCT search (MIPS) top-10 — the retrieval
+    objective recommenders and reranker score tables actually use
+    (cosine's unit-norm assumption drops the magnitude signal; a
+    long-normed item SHOULD outrank a better-aligned short one).
+    Brute-force exact form: one matvec per Arrow batch against the
+    broadcast query vector, TakeOrderedAndProject global top-k — the
+    corpus never shuffles.
+
+    Scale path, documented for the ANN twins: MIPS reduces to cosine
+    by norm augmentation (append sqrt(M² − ‖x‖²) to each item, 0 to
+    the query; Shrivastava & Li's asymmetric LSH), after which
+    sim_pairs_lsh / sim_topk_ivf machinery applies unchanged — so no
+    separate MIPS index is implemented, by design. float64
+    accumulation mirrors the oracle's DOUBLE[] list_dot_product."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = np.asarray(_query_vector(spark, sf_dir, 1), dtype=np.float64)
+
+    @F.pandas_udf(DoubleType())
+    def dot(col: pd.Series) -> pd.Series:
+        E = np.vstack(col.to_numpy()).astype(np.float64)
+        return pd.Series(E @ q)
+
+    return (
+        emb.filter(F.col("vec_id") != 1)
+        .select("vec_id", "label", F.round(dot("embedding"), 6).alias("dot"))
+        .orderBy(F.col("dot").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )

@@ -383,3 +383,91 @@ def scan_agg_pushdown_footer(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@register(
+    "sink_cluster_zorder",
+    survey_row=4,
+    oracle="""
+    WITH dims AS (
+        SELECT o_orderkey,
+               o_custkey % 256 AS x,
+               date_diff('day', DATE '1995-01-01',
+                         CAST(o_orderdate AS DATE)) % 256 AS y
+        FROM orders
+    ),
+    z AS (
+        SELECT o_orderkey, x, y,
+               ( ((x // 1) % 2) * 1 + ((y // 1) % 2) * 2
+               + ((x // 2) % 2) * 4 + ((y // 2) % 2) * 8
+               + ((x // 4) % 2) * 16 + ((y // 4) % 2) * 32
+               + ((x // 8) % 2) * 64 + ((y // 8) % 2) * 128
+               + ((x // 16) % 2) * 256 + ((y // 16) % 2) * 512
+               + ((x // 32) % 2) * 1024 + ((y // 32) % 2) * 2048
+               + ((x // 64) % 2) * 4096 + ((y // 64) % 2) * 8192
+               + ((x // 128) % 2) * 16384 + ((y // 128) % 2) * 32768
+               ) AS zval
+        FROM dims
+    ),
+    bucketed AS (
+        SELECT x, y, zval,
+               ntile(16) OVER (ORDER BY zval, o_orderkey) AS bucket
+        FROM z
+    )
+    SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n_rows,
+           min(x)::BIGINT AS x_min, max(x)::BIGINT AS x_max,
+           min(y)::BIGINT AS y_min, max(y)::BIGINT AS y_max,
+           ((max(x) - min(x) + 1) * (max(y) - min(y) + 1))::BIGINT
+               AS bbox_area
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def sink_cluster_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustered write planner — the multi-dimensional
+    layout step behind Delta OPTIMIZE ZORDER BY / Iceberg sort
+    orders: interleave the bits of two clustering dimensions
+    (customer bucket × day bucket, 8 bits each) into one Morton key,
+    range-split the keyspace into 16 target files, and report each
+    file's per-dimension min/max bounding box — the stats
+    `cat_manifest_prune` then skips on. Z-ordering's point: a
+    2-D-selective predicate prunes on BOTH dims (small bbox_area per
+    file), where a 1-D sort gives tight bounds on one dim and
+    useless ones on the other.
+
+    The bit interleave is pure integer floor-div/mod arithmetic
+    (identical semantics in both engines — no bitwise dialect
+    drift). The declared query assigns buckets via ntile over the
+    z-ordered frame so the gate is deterministic; the production
+    write is `df.repartitionByRange(16, zval).sortWithinPartitions(
+    zval).write` — same keyspace split, but distributed via sampled
+    range boundaries instead of one global window sort. At 100 TB
+    the planner's shuffle is the one range exchange any clustered
+    write pays; the bbox report itself is a 16-row agg."""
+    o = load_table(spark, sf_dir, "orders")
+    x = F.col("o_custkey") % 256
+    y = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01")) % 256
+    zval = reduce(
+        lambda acc, i: acc
+        + (F.floor(F.col("x") / (1 << i)) % 2) * (1 << (2 * i))
+        + (F.floor(F.col("y") / (1 << i)) % 2) * (1 << (2 * i + 1)),
+        range(8),
+        F.lit(0),
+    )
+    from pyspark.sql import Window
+
+    dims = o.select("o_orderkey", x.alias("x"), y.alias("y"))
+    z = dims.withColumn("zval", zval)
+    bucketed = z.withColumn(
+        "bucket",
+        F.ntile(16).over(Window.orderBy("zval", "o_orderkey")),
+    )
+    return bucketed.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("x").cast("long").alias("x_min"),
+        F.max("x").cast("long").alias("x_max"),
+        F.min("y").cast("long").alias("y_min"),
+        F.max("y").cast("long").alias("y_max"),
+        (
+            (F.max("x") - F.min("x") + 1) * (F.max("y") - F.min("y") + 1)
+        ).cast("long").alias("bbox_area"),
+    )

@@ -492,3 +492,62 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("last.value", 4).alias("last_value"),
         "n_changes",
     )
+
+
+@register(
+    "stream_stream_left_outer",
+    survey_row=52,
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           c.event_id AS click_id,
+           c.event_id IS NULL AS timed_out
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND c.ts > v.ts
+     AND c.ts <= v.ts + INTERVAL 10 MINUTE
+    """,
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream join, batch-equivalent — the
+    abandoned-view feed: every view paired with the clicks that
+    followed it within 10 minutes, and views with NO click emitted
+    once anyway with a timed_out marker. This is the outer-join
+    variant streaming engines only gained after watermarks existed:
+    the null row for a view can be emitted only when the click-side
+    watermark passes view.ts + 10min, proving no match can still
+    arrive — the streaming twin runs the same predicate with
+    watermarks on both sides, and the state bound is identical to
+    the inner form (buffered views evict at the same watermark).
+
+    Batch form: the time-bounded predicate keeps the LEFT join one
+    shuffle per side on user_id with a range residual. The
+    timed-out rows are exactly the null-extended rows — no second
+    anti-join pass, the outer join IS the timeout detector."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        v.join(
+            c,
+            (v["user_id"] == c["c_user"])
+            & (c["c_ts"] > v["v_ts"])
+            & (c["c_ts"] <= v["v_ts"] + F.expr("INTERVAL 10 MINUTE")),
+            "left_outer",
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "click_id",
+            F.col("click_id").isNull().alias("timed_out"),
+        )
+    )
