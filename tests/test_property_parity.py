@@ -94,6 +94,27 @@ EVENT_OPS = [
     # bit_and/or/xor on non-negative ids — exact integers, degenerate
     # single-row groups
     "agg_bitwise",
+    # round 6 continued (session 3) — tiny logs force all-tombstone
+    # paths, single-action paths, and paths live in one retained
+    # snapshot but not the other (the liveness disjunction)
+    "cat_vacuum_plan",
+    # 1-40 events give sparse DAGs: isolated roots, missing middle
+    # waves, and the 5-round fixpoint reached early (must be stable
+    # under extra no-op iterations)
+    "cat_lineage_topo_levels",
+    # single-type/single-cohort tables degenerate the contingency
+    # table (chi2 = 0 exactly; expected == observed)
+    "cat_chi_square_assoc",
+    # pure per-row arithmetic; the fuzz holds the octet/classify
+    # math on tiny ids (0.0.0.x addresses, o1 boundary classes)
+    "fn_ip_suite",
+    # tiny tables: every key below the heavy threshold → empty
+    # result on BOTH sides; equal-slot collisions on 1-3 users
+    "agg_countmin_heavy",
+    # same-ts view/click pairs exercise the strict > lower bound;
+    # the 10-min-quantized offsets land EXACTLY on the <= boundary;
+    # no-click users hold the timed_out null extension
+    "stream_stream_left_outer",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
@@ -183,6 +204,10 @@ DOC_OPS = [
     "mm_image_phash",
     # round 6
     "dedup_paragraph",
+    # round 6 continued (session 3) — deterministic md5 keep
+    # decision: tiny docs clamp keep_p to the 0.05 floor, huge
+    # n_chars to the 0.95 ceiling; parity holds the u<p boundary
+    "pipeline_quality_resample",
     # 1-2-token docs hit the trigram guard (sequence(0,n<0) DESCENDS
     # in Spark — the guarded CASE is what this fuzz exists to hold);
     # varied sources hit empty domains in the mixture planner
@@ -284,6 +309,13 @@ ORDER_OPS = [
     "cat_key_uniqueness",
     "set_except_all",
     "win_ignore_nulls",
+    # round 6 continued (session 3) — 1-row groups (cusum = max(0,
+    # x-mu-k) directly), all-equal prices (mu == x, pure drain), and
+    # coarse dates forcing tied days under the prefix-sum identity
+    "win_cusum_alarm",
+    # few distinct (custkey, day) dims: many buckets share one
+    # z-cell; 1-row tables make every bucket bbox 1x1
+    "sink_cluster_zorder",
 ]
 
 
