@@ -3140,3 +3140,431 @@ def cat_chi_square_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_cells"),
     )
+
+
+@register(
+    "cat_bloom_skip_index",
+    survey_row=63,
+    oracle="""
+    WITH rows_ AS (
+        SELECT user_id % 8 AS part,
+               'e' || (event_id % 500) AS entity
+        FROM events
+    ),
+    slotted AS (
+        SELECT part, entity,
+               CAST(('0x' || substr(md5('b0:' || entity), 1, 8)) AS BIGINT)
+                   % 60 AS s0,
+               CAST(('0x' || substr(md5('b1:' || entity), 1, 8)) AS BIGINT)
+                   % 60 AS s1
+        FROM rows_
+    ),
+    blooms AS (
+        SELECT part,
+               bit_or((1::BIGINT << s0) | (1::BIGINT << s1)) AS bitmap
+        FROM slotted GROUP BY part
+    ),
+    probes AS (
+        SELECT 'e' || (i * 97) AS probe,
+               CAST(('0x' || substr(md5('b0:' || ('e' || (i * 97))), 1, 8))
+                    AS BIGINT) % 60 AS p0,
+               CAST(('0x' || substr(md5('b1:' || ('e' || (i * 97))), 1, 8))
+                    AS BIGINT) % 60 AS p1
+        FROM range(10) t(i)
+    ),
+    scanned AS (
+        SELECT p.probe, b.part
+        FROM probes p JOIN blooms b
+          ON (b.bitmap & (1::BIGINT << p.p0)) <> 0
+         AND (b.bitmap & (1::BIGINT << p.p1)) <> 0
+    ),
+    actual AS (
+        SELECT DISTINCT entity AS probe, part FROM rows_
+    )
+    SELECT s.probe,
+           count(*)::BIGINT AS n_scanned,
+           count(a.part)::BIGINT AS n_actual,
+           (count(*) - count(a.part))::BIGINT AS n_false_pos
+    FROM scanned s
+    LEFT JOIN actual a ON a.probe = s.probe AND a.part = s.part
+    GROUP BY s.probe
+    """,
+)
+def cat_bloom_skip_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER skip index — the per-partition membership summary
+    a collector maintains so point lookups skip partitions without
+    opening them (the blob-valued cousin of `cat_manifest_prune`'s
+    min/max skipping; Parquet bloom filters and Delta's bloom index
+    are this exact structure): one 60-bit bitmap per partition, two
+    md5-derived hash slots per value, probe = both bits set. Emits,
+    per probe key, partitions scanned (bloom says maybe) vs
+    partitions actually containing it — the false-positive overhead
+    is the quantity you size the filter by (here deliberately tiny,
+    60 bits for ~hundreds of distinct values, so FPs are visible
+    and the accounting provable).
+
+    Build = one bit_or aggregate into |partitions| rows — the
+    mergeable-summary shape again (executors OR local bitmaps;
+    a 100 TB table's whole index is |partitions|×8 bytes). Probes
+    and blooms are both metadata-sized, so the probe join
+    broadcasts; the only corpus-sized step is the map-side slot
+    computation feeding the bit_or."""
+    ev = load_table(spark, sf_dir, "events")
+    rows_ = ev.select(
+        (F.col("user_id") % 8).alias("part"),
+        F.concat(F.lit("e"), (F.col("event_id") % 500).cast("string")).alias(
+            "entity"
+        ),
+    )
+
+    def slot(prefix: str, col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(prefix), col)), 1, 8), 16, 10
+            ).cast("long")
+            % 60
+        )
+
+    slotted = rows_.select(
+        "part",
+        "entity",
+        slot("b0:", F.col("entity")).alias("s0"),
+        slot("b1:", F.col("entity")).alias("s1"),
+    )
+    blooms = slotted.groupBy("part").agg(
+        F.expr("bit_or(shiftleft(1L, s0) | shiftleft(1L, s1))").alias("bitmap")
+    )
+    probes = spark.range(10).select(
+        F.concat(F.lit("e"), (F.col("id") * 97).cast("string")).alias("probe")
+    )
+    probes = probes.select(
+        "probe",
+        slot("b0:", F.col("probe")).alias("p0"),
+        slot("b1:", F.col("probe")).alias("p1"),
+    )
+    scanned = blooms.join(
+        F.broadcast(probes),
+        (
+            F.expr("bitmap & shiftleft(1L, p0)") != 0
+        )
+        & (F.expr("bitmap & shiftleft(1L, p1)") != 0),
+    ).select("probe", "part")
+    actual = rows_.distinct().withColumnRenamed("entity", "probe")
+    return (
+        scanned.join(F.broadcast(actual.withColumn("hit", F.lit(1))),
+                     ["probe", "part"], "left_outer")
+        .groupBy("probe")
+        .agg(
+            F.count(F.lit(1)).alias("n_scanned"),
+            F.count("hit").alias("n_actual"),
+            (F.count(F.lit(1)) - F.count("hit")).alias("n_false_pos"),
+        )
+    )
+
+
+@register(
+    "cat_funnel_strict",
+    survey_row=64,
+    oracle="""
+    WITH a AS (
+        SELECT user_id, min(ts) AS t_a FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    b AS (
+        SELECT e.user_id, min(e.ts) AS t_b
+        FROM events e JOIN a ON a.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > a.t_a
+        GROUP BY e.user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_c
+        FROM events e JOIN b ON b.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > b.t_b
+        GROUP BY e.user_id
+    )
+    SELECT a.user_id, a.t_a, b.t_b, c.t_c,
+           (CASE WHEN c.t_c IS NOT NULL THEN 3
+                 WHEN b.t_b IS NOT NULL THEN 2
+                 ELSE 1 END)::BIGINT AS reached_stage
+    FROM a
+    LEFT JOIN b ON b.user_id = a.user_id
+    LEFT JOIN c ON c.user_id = a.user_id
+    """,
+)
+def cat_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT-ORDER funnel (view → click → purchase, each stage
+    strictly after the previous) — the sequential state machine
+    `cat_funnel_conversion`'s unordered min-ts funnel cannot express
+    (there, a click before your first view still counts). The
+    distributed form: one groupBy collects each user's (ts, type)
+    events, sort_array orders them, and F.aggregate folds the state
+    machine over the array JVM-side — the general pattern for ANY
+    per-key sequential automaton (regex-style sessionization,
+    attribution rules) without a Python UDF and without K self-joins.
+
+    One shuffle (user_id), fold runs inside codegen'd higher-order
+    functions; per-user arrays are session-sized. The oracle
+    decorrelates the same semantics into three chained min-aggregates
+    (stage k = min ts strictly after stage k-1) — different
+    algorithm, same fixpoint, which is what makes the fold
+    trustworthy. Engines agree because the fold consumes events in
+    (ts, event_id) order and stage entry uses strict ts inequality
+    exactly like the oracle's e.ts > prev."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_type = dict(ev.dtypes)["ts"]  # ntz vs ltz depends on session conf
+    folded = (
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            "user_id",
+            F.aggregate(
+                "evs",
+                F.struct(
+                    F.lit(None).cast(ts_type).alias("t_a"),
+                    F.lit(None).cast(ts_type).alias("t_b"),
+                    F.lit(None).cast(ts_type).alias("t_c"),
+                ),
+                lambda st, e: F.struct(
+                    F.when(
+                        st["t_a"].isNull() & (e["event_type"] == "view"),
+                        e["ts"],
+                    )
+                    .otherwise(st["t_a"])
+                    .alias("t_a"),
+                    F.when(
+                        st["t_b"].isNull()
+                        & st["t_a"].isNotNull()
+                        & (e["event_type"] == "click")
+                        & (e["ts"] > st["t_a"]),
+                        e["ts"],
+                    )
+                    .otherwise(st["t_b"])
+                    .alias("t_b"),
+                    F.when(
+                        st["t_c"].isNull()
+                        & st["t_b"].isNotNull()
+                        & (e["event_type"] == "purchase")
+                        & (e["ts"] > st["t_b"]),
+                        e["ts"],
+                    )
+                    .otherwise(st["t_c"])
+                    .alias("t_c"),
+                ),
+            ).alias("st"),
+        )
+    )
+    return folded.filter(F.col("st.t_a").isNotNull()).select(
+        "user_id",
+        F.col("st.t_a").alias("t_a"),
+        F.col("st.t_b").alias("t_b"),
+        F.col("st.t_c").alias("t_c"),
+        F.when(F.col("st.t_c").isNotNull(), 3)
+        .when(F.col("st.t_b").isNotNull(), 2)
+        .otherwise(1)
+        .cast("long")
+        .alias("reached_stage"),
+    )
+
+
+@register(
+    "cat_effective_acl",
+    survey_row=62,
+    oracle="""
+    WITH db_grants AS (
+        SELECT DISTINCT 'u' || (user_id % 5) AS principal,
+               event_type AS db,
+               CASE WHEN user_id % 7 = 0 THEN 'deny' ELSE 'allow' END
+                   AS action
+        FROM events
+    ),
+    tbl_grants AS (
+        SELECT DISTINCT 'u' || (user_id % 5) AS principal,
+               event_type AS db,
+               't' || (event_id % 7) AS tbl,
+               CASE WHEN event_id % 5 = 0 THEN 'deny' ELSE 'allow' END
+                   AS action
+        FROM events WHERE event_id % 3 = 0
+    ),
+    db_eff AS (
+        SELECT principal, db, max(action) AS db_action
+        FROM db_grants GROUP BY principal, db
+    ),
+    tbl_eff AS (
+        SELECT principal, db, tbl, max(action) AS tbl_action
+        FROM tbl_grants GROUP BY principal, db, tbl
+    ),
+    universe AS (
+        SELECT DISTINCT d.principal, d.db, t.tbl
+        FROM db_eff d
+        CROSS JOIN (SELECT DISTINCT tbl FROM tbl_grants) t
+    )
+    SELECT u.principal, u.db, u.tbl,
+           coalesce(te.tbl_action, de.db_action, 'none') AS effective
+    FROM universe u
+    LEFT JOIN tbl_eff te ON te.principal = u.principal
+         AND te.db = u.db AND te.tbl = u.tbl
+    LEFT JOIN db_eff de ON de.principal = u.principal AND de.db = u.db
+    """,
+)
+def cat_effective_acl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-permission resolution — the authorization half of a
+    metastore (Hive's DB_PRIVS/TBL_PRIVS tables): database-level
+    grants inherit down to every table, table-level grants override
+    them, and when one principal holds conflicting grants at the
+    same level DENY beats ALLOW (resolved as max() over the action
+    domain, where 'deny' > 'allow' — the standard most-restrictive
+    rule). Output: the flattened (principal, db, table) → effective
+    matrix an authz audit exports.
+
+    Grants are synthesized deterministically from the audit stream
+    in both engines. Everything after the two DISTINCT grant
+    extractions operates on metadata-sized frames (|principals| ×
+    |dbs| × |tables|), so both resolution joins broadcast; the
+    coalesce chain IS the inheritance semantics, in one pass."""
+    ev = load_table(spark, sf_dir, "events")
+    principal = F.concat(F.lit("u"), (F.col("user_id") % 5).cast("string"))
+    db_grants = ev.select(
+        principal.alias("principal"),
+        F.col("event_type").alias("db"),
+        F.when(F.col("user_id") % 7 == 0, "deny")
+        .otherwise("allow")
+        .alias("action"),
+    ).distinct()
+    tbl_grants = (
+        ev.filter(F.col("event_id") % 3 == 0)
+        .select(
+            principal.alias("principal"),
+            F.col("event_type").alias("db"),
+            F.concat(F.lit("t"), (F.col("event_id") % 7).cast("string")).alias(
+                "tbl"
+            ),
+            F.when(F.col("event_id") % 5 == 0, "deny")
+            .otherwise("allow")
+            .alias("action"),
+        )
+        .distinct()
+    )
+    db_eff = db_grants.groupBy("principal", "db").agg(
+        F.max("action").alias("db_action")
+    )
+    tbl_eff = tbl_grants.groupBy("principal", "db", "tbl").agg(
+        F.max("action").alias("tbl_action")
+    )
+    universe = db_eff.select("principal", "db").crossJoin(
+        F.broadcast(tbl_grants.select("tbl").distinct())
+    )
+    return (
+        universe.join(F.broadcast(tbl_eff), ["principal", "db", "tbl"], "left_outer")
+        .join(F.broadcast(db_eff), ["principal", "db"], "left_outer")
+        .select(
+            "principal",
+            "db",
+            "tbl",
+            F.coalesce("tbl_action", "db_action", F.lit("none")).alias(
+                "effective"
+            ),
+        )
+    )
+
+
+@register(
+    "cat_schema_compat",
+    survey_row=62,
+    oracle="""
+    WITH v1 AS (
+        SELECT 'c' || i AS col,
+               CASE WHEN i % 3 = 0 THEN 'int'
+                    WHEN i % 3 = 1 THEN 'bigint'
+                    ELSE 'string' END AS dtype
+        FROM range(10) t(i)
+    ),
+    v2 AS (
+        SELECT 'c' || i AS col,
+               CASE WHEN i = 2 THEN 'bigint'
+                    WHEN i = 7 THEN 'int'
+                    WHEN i % 3 = 0 THEN 'int'
+                    WHEN i % 3 = 1 THEN 'bigint'
+                    ELSE 'string' END AS dtype
+        FROM range(10) t(i) WHERE i <> 3
+        UNION ALL SELECT 'c10', 'double'
+    )
+    SELECT coalesce(v1.col, v2.col) AS col,
+           v1.dtype AS v1_type, v2.dtype AS v2_type,
+           CASE
+             WHEN v1.col IS NULL THEN 'added'
+             WHEN v2.col IS NULL THEN 'dropped_breaking'
+             WHEN v1.dtype = v2.dtype THEN 'unchanged'
+             WHEN v1.dtype = 'int' AND v2.dtype = 'bigint'
+                  THEN 'widened_compatible'
+             WHEN v1.dtype = 'bigint' AND v2.dtype = 'int'
+                  THEN 'narrowed_breaking'
+             ELSE 'type_change_breaking'
+           END AS verdict
+    FROM v1 FULL OUTER JOIN v2 ON v1.col = v2.col
+    """,
+)
+def cat_schema_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution COMPATIBILITY check — the gate a collector
+    runs between two schema versions before letting a producer
+    deploy (Avro/Protobuf registry semantics, applied to table
+    schemas): per column, classify the v1→v2 change as unchanged,
+    added (readers tolerate), widened int→bigint (compatible
+    promotion), dropped / narrowed / type-changed (breaking). The
+    implementation is the schema-diff reduce itself: full-outer join
+    of the two column sets + a rule table — the shape
+    `cat_snapshot_diff` applies to data, applied to metadata.
+
+    Schema rows are synthesized from the same deterministic spec in
+    both engines (10 columns, one widen, one narrow, one drop, one
+    add). Metadata-sized end to end; on a real metastore the inputs
+    are two COLUMNS_V2 snapshots and the same join resolves at
+    |columns| scale."""
+    r = spark.range(10)
+    dtype = (
+        F.when(F.col("id") % 3 == 0, "int")
+        .when(F.col("id") % 3 == 1, "bigint")
+        .otherwise("string")
+    )
+    v1 = r.select(
+        F.concat(F.lit("c"), F.col("id").cast("string")).alias("col"),
+        dtype.alias("v1_type"),
+    )
+    v2 = (
+        r.filter(F.col("id") != 3)
+        .select(
+            F.concat(F.lit("c"), F.col("id").cast("string")).alias("col"),
+            F.when(F.col("id") == 2, "bigint")
+            .when(F.col("id") == 7, "int")
+            .otherwise(dtype)
+            .alias("v2_type"),
+        )
+        .unionAll(
+            spark.range(1).select(
+                F.lit("c10").alias("col"), F.lit("double").alias("v2_type")
+            )
+        )
+    )
+    j = v1.join(v2, "col", "full_outer")
+    return j.select(
+        "col",
+        "v1_type",
+        "v2_type",
+        F.when(F.col("v1_type").isNull(), "added")
+        .when(F.col("v2_type").isNull(), "dropped_breaking")
+        .when(F.col("v1_type") == F.col("v2_type"), "unchanged")
+        .when(
+            (F.col("v1_type") == "int") & (F.col("v2_type") == "bigint"),
+            "widened_compatible",
+        )
+        .when(
+            (F.col("v1_type") == "bigint") & (F.col("v2_type") == "int"),
+            "narrowed_breaking",
+        )
+        .otherwise("type_change_breaking")
+        .alias("verdict"),
+    )

@@ -551,3 +551,72 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("click_id").isNull().alias("timed_out"),
         )
     )
+
+
+@register(
+    "stream_late_drop_accounting",
+    survey_row=55,
+    oracle="""
+    WITH arr AS (
+        SELECT event_type, ts,
+               max(ts) OVER (
+                   ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   - INTERVAL 10 MINUTE AS wm
+        FROM events
+    )
+    SELECT event_type,
+           count(*) FILTER (WHERE ts < wm)::BIGINT AS n_dropped,
+           count(*) FILTER (WHERE wm IS NULL OR ts >= wm)::BIGINT
+               AS n_kept,
+           coalesce(max(CASE WHEN ts < wm
+                    THEN date_diff('second', ts, wm) END), 0)::BIGINT
+               AS max_lateness_s
+    FROM arr GROUP BY event_type
+    """,
+)
+def stream_late_drop_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark DROP accounting — the observability metric every
+    production streaming job carries next to `stream_watermark_late`
+    (which computes the surviving aggregate; this op quantifies what
+    the watermark cost): replaying the stream in arrival order
+    (event_id), the watermark before each row is max(event time so
+    far) − 10 min, and a row is dropped iff its event time is
+    already behind that watermark. Emits per-type dropped/kept
+    counts and the worst lateness — the number you tune the delay
+    against.
+
+    The arrival replay is one running-max window over arrival order
+    (the batch-eq mirror of the engine's internal watermark
+    register); in the live form these counts come free from the
+    StreamingQueryProgress numDroppedRows metric, and this op is the
+    deterministic oracle for them. The window is global-ordered by
+    design — arrival order IS a single logical sequence; at scale
+    the same accounting shards by source partition (watermark = min
+    across shards), which is one groupBy away."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = ev.select(
+        "event_type",
+        "ts",
+        (F.max("ts").over(w) - F.expr("INTERVAL 10 MINUTE")).alias("wm"),
+    )
+    dropped = F.col("ts") < F.col("wm")
+    return arr.groupBy("event_type").agg(
+        F.count(F.when(dropped, 1)).alias("n_dropped"),
+        F.count(F.when(F.col("wm").isNull() | (F.col("ts") >= F.col("wm")), 1)).alias(
+            "n_kept"
+        ),
+        F.coalesce(
+            F.max(
+                F.when(
+                    dropped,
+                    F.unix_timestamp("wm") - F.unix_timestamp("ts"),
+                )
+            ),
+            F.lit(0),
+        ).alias("max_lateness_s"),
+    )
