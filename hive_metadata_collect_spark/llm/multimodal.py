@@ -1166,3 +1166,90 @@ def mm_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         batches,
         schema="doc_id long, channel long, sum_px long, min_px long, max_px long",
     )
+
+
+@register(
+    "mm_image_aspect_bucket",
+    survey_row=74,
+    oracle=f"""
+    WITH dec AS ({_SQL_FAKE_DECODE}),
+    ar AS (
+        SELECT doc_id, width, height,
+               (width * 1000) // height AS ar_x1000
+        FROM dec
+    )
+    SELECT doc_id, width::BIGINT AS width, height::BIGINT AS height,
+           ar_x1000::BIGINT AS ar_x1000,
+           CASE WHEN ar_x1000 < 700 THEN 'portrait_tall'
+                WHEN ar_x1000 < 900 THEN 'portrait'
+                WHEN ar_x1000 < 1112 THEN 'square'
+                WHEN ar_x1000 < 1429 THEN 'landscape'
+                ELSE 'wide' END AS bucket,
+           CASE WHEN ar_x1000 < 700 THEN 704
+                WHEN ar_x1000 < 900 THEN 832
+                WHEN ar_x1000 < 1112 THEN 1024
+                WHEN ar_x1000 < 1429 THEN 1216
+                ELSE 1408 END::BIGINT AS target_w,
+           CASE WHEN ar_x1000 < 700 THEN 1408
+                WHEN ar_x1000 < 900 THEN 1216
+                WHEN ar_x1000 < 1112 THEN 1024
+                WHEN ar_x1000 < 1429 THEN 832
+                ELSE 704 END::BIGINT AS target_h
+    FROM ar
+    """,
+)
+def mm_image_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASPECT-RATIO bucketing — the batching planner image-generation
+    training pipelines (SDXL-style) run so every batch holds
+    same-shaped tensors: decode each image's dimensions, classify
+    its aspect ratio into one of five fixed buckets, and emit the
+    bucket's target resolution (equal-area targets, taller buckets
+    swap W/H). Downstream, the shuffle key for batch assembly is the
+    bucket — this op produces that key plus the resize target.
+
+    The classifier is ALL-INTEGER (ar×1000 by floor division, range
+    CASE) — the first instinct, nearest-bucket-by-|log ar| argmin,
+    is a libm-dependent float compare that can tie-break differently
+    per engine; integer range boundaries make the bucket decision
+    bit-stable everywhere. Decode runs through the same Arrow
+    mapInPandas stage as every mm_* op (deterministic fake decode,
+    oracle recomputes from md5) — map-only after it, zero
+    shuffles."""
+    decoded = decode_features(_fake_payloads(spark, sf_dir), decoder=fake_decode)
+    ar = decoded.select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.floor(F.col("width") * 1000 / F.col("height")).alias("ar_x1000"),
+    )
+    a = F.col("ar_x1000")
+    bucket = (
+        F.when(a < 700, "portrait_tall")
+        .when(a < 900, "portrait")
+        .when(a < 1112, "square")
+        .when(a < 1429, "landscape")
+        .otherwise("wide")
+    )
+    tw = (
+        F.when(a < 700, 704)
+        .when(a < 900, 832)
+        .when(a < 1112, 1024)
+        .when(a < 1429, 1216)
+        .otherwise(1408)
+    )
+    th = (
+        F.when(a < 700, 1408)
+        .when(a < 900, 1216)
+        .when(a < 1112, 1024)
+        .when(a < 1429, 832)
+        .otherwise(704)
+    )
+    return ar.select(
+        "doc_id",
+        "width",
+        "height",
+        "ar_x1000",
+        bucket.alias("bucket"),
+        tw.cast("long").alias("target_w"),
+        th.cast("long").alias("target_h"),
+    )

@@ -1253,3 +1253,68 @@ def text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("vec_digest"),
     )
+
+
+@register(
+    "text_vocab_coverage",
+    survey_row=71,
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents
+    ),
+    vocab AS (
+        SELECT word FROM (
+            SELECT word, count(*) AS n FROM words GROUP BY word
+            ORDER BY n DESC, word ASC LIMIT 50
+        )
+    )
+    SELECT w.doc_id,
+           count(*)::BIGINT AS n_tokens,
+           count(*) FILTER (WHERE v.word IS NULL)::BIGINT AS n_oov,
+           round(count(*) FILTER (WHERE v.word IS NULL)
+                 * 1.0 / count(*), 6) AS oov_rate
+    FROM words w LEFT JOIN vocab v ON v.word = w.word
+    GROUP BY w.doc_id
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY coverage / OOV-rate per document — the tokenizer-
+    fit diagnostic a training-data pipeline runs before committing a
+    vocab (high OOV in a language slice means the tokenizer
+    fragments it into bytes, inflating sequence length and cost):
+    build the top-50 corpus vocabulary (count desc, word asc — the
+    deterministic tie-break), then score every document's token
+    stream against it.
+
+    Two-phase shape: the vocab is a corpus-wide top-k (one word
+    hash-agg + TakeOrdered — at 100 TB the vocab build is the same
+    map-side-combine wordcount as text_wordcount, and the resulting
+    50-row vocab BROADCASTS to the scoring join, so the per-doc pass
+    never shuffles the exploded token stream by word; it re-groups
+    by doc_id, which the explode preserves partition-locally."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(50)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "word", "left_outer")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+            F.round(
+                F.count(F.when(F.col("in_vocab").isNull(), 1))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

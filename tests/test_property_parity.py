@@ -115,6 +115,20 @@ EVENT_OPS = [
     # the 10-min-quantized offsets land EXACTLY on the <= boundary;
     # no-click users hold the timed_out null extension
     "stream_stream_left_outer",
+    # tiny streams: first-row NULL watermark (kept by definition),
+    # all-in-order tables (0 dropped), and exact-boundary lateness
+    # from the 10-min-quantized offsets
+    "stream_late_drop_accounting",
+    # missing stages (view-less users excluded entirely), same-ts
+    # stage pairs blocked by the strict > rule, out-of-order
+    # click-before-view sequences the unordered funnel would count
+    "cat_funnel_strict",
+    # conflicting grants for one principal at one level (deny wins),
+    # tables with no db-level fallback, principals with no grants
+    "cat_effective_acl",
+    # 1-3 distinct entities: bitmap with 2-6 bits set, probes that
+    # miss every partition, false positives on colliding slots
+    "cat_bloom_skip_index",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
@@ -208,6 +222,11 @@ DOC_OPS = [
     # decision: tiny docs clamp keep_p to the 0.05 floor, huge
     # n_chars to the 0.95 ceiling; parity holds the u<p boundary
     "pipeline_quality_resample",
+    # short docs (1-5 words): vocab == corpus (OOV = 0 exactly),
+    # all-unique words (vocab boundary ties resolved by word asc)
+    "text_vocab_coverage",
+    # md5-derived dims spanning every AR class boundary
+    "mm_image_aspect_bucket",
     # 1-2-token docs hit the trigram guard (sequence(0,n<0) DESCENDS
     # in Spark — the guarded CASE is what this fuzz exists to hold);
     # varied sources hit empty domains in the mixture planner
