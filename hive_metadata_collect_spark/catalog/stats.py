@@ -3568,3 +3568,189 @@ def cat_schema_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("type_change_breaking")
         .alias("verdict"),
     )
+
+
+@register(
+    "cat_pii_column_scan",
+    survey_row=62,
+    oracle="""
+    WITH scans AS (
+        SELECT 'customer' AS table_name, 'c_name' AS column_name,
+               CASE WHEN c_custkey % 10 = 0
+                    THEN c_name || ' user' || c_custkey || '@example.com'
+                    ELSE c_name END AS val
+        FROM customer
+        UNION ALL
+        SELECT 'customer', 'c_mktsegment', c_mktsegment FROM customer
+        UNION ALL
+        SELECT 'documents', 'text',
+               CASE WHEN doc_id % 5 = 0
+                    THEN text || ' call ' ||
+                         lpad((doc_id % 1000)::VARCHAR, 3, '0') ||
+                         '-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                    ELSE text END
+        FROM documents
+        UNION ALL
+        SELECT 'events', 'props', props FROM events
+    )
+    SELECT table_name, column_name,
+           count(*)::BIGINT AS n_rows,
+           count(*) FILTER (WHERE regexp_matches(val,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))::BIGINT
+               AS n_email,
+           count(*) FILTER (WHERE regexp_matches(val,
+               '[0-9]{3}-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phone,
+           (count(*) FILTER (WHERE regexp_matches(val,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')
+                OR regexp_matches(val, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+            * 100 > count(*)) AS pii_flag
+    FROM scans GROUP BY table_name, column_name
+    """,
+)
+def cat_pii_column_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level PII DETECTION — the governance scan a catalog
+    runs to auto-classify columns before granting access (the
+    column-profile cousin of `text_pii_redact`, which scrubs one
+    known column; this op DISCOVERS which (table, column) pairs leak):
+    every registered string column is value-scanned against the
+    email/phone patterns and flagged when more than 1 % of rows hit.
+    PII is deterministically seeded into a known fraction of two
+    columns in BOTH engines (the fixtures carry none), so the
+    detector provably discriminates: two seeded columns flag, two
+    clean control columns must NOT.
+
+    Patterns stay inside the Java-regex ∩ RE2 common dialect (same
+    constants as text_pii_redact, text.py:476). Each column scan is
+    map-only regexp counting with a |columns|-row reduce; at 100 TB
+    the scan piggybacks the per-table pass (one regexp per column in
+    the same projection) and the 1 %-threshold decision is the same
+    four-counter rollup."""
+    cust = load_table(spark, sf_dir, "customer")
+    docs = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+    name_col = F.when(
+        F.col("c_custkey") % 10 == 0,
+        F.concat(
+            F.col("c_name"),
+            F.lit(" user"),
+            F.col("c_custkey").cast("string"),
+            F.lit("@example.com"),
+        ),
+    ).otherwise(F.col("c_name"))
+    text_col = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" call "),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    scans = (
+        cust.select(
+            F.lit("customer").alias("table_name"),
+            F.lit("c_name").alias("column_name"),
+            name_col.alias("val"),
+        )
+        .unionAll(
+            cust.select(
+                F.lit("customer"), F.lit("c_mktsegment"), F.col("c_mktsegment")
+            )
+        )
+        .unionAll(
+            docs.select(F.lit("documents"), F.lit("text"), text_col)
+        )
+        .unionAll(ev.select(F.lit("events"), F.lit("props"), F.col("props")))
+    )
+    email = F.col("val").rlike(r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}")
+    phone = F.col("val").rlike(r"[0-9]{3}-[0-9]{3}-[0-9]{4}")
+    return scans.groupBy("table_name", "column_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(email, 1)).alias("n_email"),
+        F.count(F.when(phone, 1)).alias("n_phone"),
+        (F.count(F.when(email | phone, 1)) * 100 > F.count(F.lit(1))).alias(
+            "pii_flag"
+        ),
+    )
+
+
+@register(
+    "cat_query_cost_showback",
+    survey_row=64,
+    oracle="""
+    WITH sizes AS (
+        SELECT DISTINCT event_type,
+               (length(event_type) * 1000
+                + CAST(('0x' || substr(md5(event_type), 1, 4)) AS BIGINT))
+                   * 1048576 AS tbl_bytes
+        FROM events
+    ),
+    cost AS (
+        SELECT e.user_id,
+               count(*) AS n_queries,
+               sum(s.tbl_bytes) AS bytes_scanned
+        FROM events e JOIN sizes s ON s.event_type = e.event_type
+        GROUP BY e.user_id
+    )
+    SELECT user_id, n_queries::BIGINT AS n_queries,
+           bytes_scanned::BIGINT AS bytes_scanned,
+           round(bytes_scanned * 1.0 /
+                 sum(bytes_scanned) OVER (), 6) AS cost_share,
+           dense_rank() OVER (
+               ORDER BY bytes_scanned DESC, user_id ASC)::BIGINT
+               AS cost_rank
+    FROM cost
+    """,
+)
+def cat_query_cost_showback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-cost SHOWBACK — the FinOps artifact a collector joins
+    out of its two core inputs (audit log × table inventory): charge
+    each query the size of the table it scanned, roll up per principal,
+    and emit bytes-scanned, share of total, and cost rank — the
+    monthly "who is paying for this warehouse" report. Table sizes
+    are the md5-derived deterministic stand-in for
+    `cat_storage_size`'s real numbers (both engines synthesize the
+    same dim).
+
+    The size dim is |tables|-rows → broadcast onto the log (the
+    fact never shuffles for the join); one user_id rollup; the
+    share/rank windows run over the |users|-sized result. The same
+    plan at 100 TB: audit logs join a broadcast inventory, cost
+    attribution is one agg."""
+    ev = load_table(spark, sf_dir, "events")
+    sizes = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            (
+                (
+                    F.length("event_type") * 1000
+                    + F.conv(F.substring(F.md5("event_type"), 1, 4), 16, 10).cast(
+                        "long"
+                    )
+                )
+                * 1048576
+            ).alias("tbl_bytes"),
+        )
+    )
+    cost = (
+        ev.join(F.broadcast(sizes), "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum("tbl_bytes").alias("bytes_scanned"),
+        )
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.col("bytes_scanned").desc(), F.col("user_id").asc())
+    return cost.select(
+        "user_id",
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.col("bytes_scanned").cast("long").alias("bytes_scanned"),
+        F.round(
+            F.col("bytes_scanned") / F.sum("bytes_scanned").over(w_all), 6
+        ).alias("cost_share"),
+        F.dense_rank().over(w_rank).cast("long").alias("cost_rank"),
+    )

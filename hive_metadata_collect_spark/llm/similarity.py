@@ -832,3 +832,87 @@ def sim_mips_maxdot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dot").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+@register(
+    "sim_rank_fusion",
+    survey_row=69,
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 2),
+    scored AS (
+        SELECT vec_id, label,
+               list_dot_product(embedding::DOUBLE[], qe) AS dot,
+               list_dot_product(embedding::DOUBLE[], qe) /
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
+                      * list_dot_product(qe, qe)) AS cosine
+        FROM embeddings, q
+        WHERE vec_id <> 2
+    ),
+    ranked AS (
+        SELECT vec_id, label,
+               row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS r_cos,
+               row_number() OVER (ORDER BY dot DESC, vec_id ASC) AS r_dot
+        FROM scored
+    )
+    SELECT vec_id, label, r_cos::BIGINT AS r_cos, r_dot::BIGINT AS r_dot,
+           round(1.0 / (60 + r_cos) + 1.0 / (60 + r_dot), 6) AS rrf
+    FROM ranked
+    ORDER BY rrf DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def sim_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECIPROCAL-RANK FUSION of two retrieval rankings (cosine and
+    raw inner product against the same query) — the standard
+    zero-tuning way to combine retrievers (BM25+dense, multi-index
+    ANN): score = Σ 1/(k + rank_i), k = 60. Fusing on RANKS rather
+    than scores sidesteps scale mismatch between metrics entirely —
+    which is also why the gate is robust: ranks are integers with
+    the (metric desc, vec_id) tie-break, and the only float in the
+    output is 1/(60+r), a single IEEE division both engines compute
+    bit-identically.
+
+    Both metrics come from ONE matvec pass (dot reused for cosine's
+    numerator); the rankings are global windows over the candidate
+    frame — fine at fixture scale, and the documented scale form
+    ranks only each retriever's top-N (two TakeOrderedAndProject
+    feeds, N ≈ 1000) before fusing, since RRF past rank ~k adds
+    negligible mass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = np.asarray(_query_vector(spark, sf_dir, 2), dtype=np.float64)
+    qq = float(q @ q)
+
+    @F.pandas_udf("dot double, cosine double")
+    def scores(col: pd.Series) -> pd.DataFrame:
+        E = np.vstack(col.to_numpy()).astype(np.float64)
+        dot = E @ q
+        cos = dot / np.sqrt(np.einsum("ij,ij->i", E, E) * qq)
+        return pd.DataFrame({"dot": dot, "cosine": cos})
+
+    scored = (
+        emb.filter(F.col("vec_id") != 2)
+        .select("vec_id", "label", scores("embedding").alias("s"))
+        .select("vec_id", "label", F.col("s.dot").alias("dot"), F.col("s.cosine").alias("cosine"))
+    )
+    from pyspark.sql import Window
+
+    ranked = scored.select(
+        "vec_id",
+        "label",
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()))
+        .cast("long")
+        .alias("r_cos"),
+        F.row_number()
+        .over(Window.orderBy(F.col("dot").desc(), F.col("vec_id").asc()))
+        .cast("long")
+        .alias("r_dot"),
+    )
+    rrf = F.round(
+        1.0 / (F.col("r_cos") + 60) + 1.0 / (F.col("r_dot") + 60), 6
+    )
+    return (
+        ranked.select("vec_id", "label", "r_cos", "r_dot", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )

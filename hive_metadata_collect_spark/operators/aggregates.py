@@ -1392,3 +1392,67 @@ def agg_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms.alias("cms_estimate"),
         (cms - F.col("true_count")).alias("overestimate"),
     )
+
+
+@register(
+    "agg_latency_histogram",
+    survey_row=27,
+    oracle="""
+    WITH lat AS (
+        SELECT event_type,
+               (event_id * 7) % 1000 + 1 AS ms
+        FROM events
+    ),
+    b AS (
+        SELECT event_type,
+               length(bin(ms)) - 1 AS bucket_p2,
+               count(*) AS n
+        FROM lat GROUP BY 1, 2
+    )
+    SELECT event_type,
+           bucket_p2::BIGINT AS bucket_p2,
+           (1::BIGINT << bucket_p2) AS bucket_lo_ms,
+           n::BIGINT AS n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY event_type), 6)
+               AS share,
+           sum(n) OVER (
+               PARTITION BY event_type ORDER BY bucket_p2)::BIGINT
+               AS cum_n
+    FROM b
+    """,
+)
+def agg_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG₂-bucketed latency histogram — the monitoring shape for
+    long-tailed latencies (HDR-histogram / Prometheus exponential
+    buckets): power-of-two buckets give constant relative error,
+    unlike equi-width (`cat_column_histogram`), and the bucket
+    counts are exactly mergeable across shards — the property that
+    lets 1000 executors histogram independently and the buckets
+    just add. Emits, per event type: bucket floor, count, share,
+    and cumulative count (the quantile-lookup side).
+
+    floor(log2) is computed as length(bin(v)) − 1 — pure integer/
+    string, identical in both engines; the float log2() at exact
+    powers of two is a last-ULP coin-flip libm may call either way.
+    One corpus-sized group-agg with map-side combine into
+    |types|×~10 bucket rows; the windows run over that metadata-
+    sized frame."""
+    ev = load_table(spark, sf_dir, "events")
+    lat = ev.select(
+        "event_type",
+        ((F.col("event_id") * 7) % 1000 + 1).alias("ms"),
+    )
+    b = lat.groupBy(
+        "event_type",
+        (F.length(F.bin("ms")) - 1).alias("bucket_p2"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_type = Window.partitionBy("event_type")
+    w_cum = Window.partitionBy("event_type").orderBy("bucket_p2")
+    return b.select(
+        "event_type",
+        F.col("bucket_p2").cast("long").alias("bucket_p2"),
+        F.expr("shiftleft(1L, cast(bucket_p2 as int))").alias("bucket_lo_ms"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(w_type), 6).alias("share"),
+        F.sum("n").over(w_cum).cast("long").alias("cum_n"),
+    )

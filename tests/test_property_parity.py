@@ -129,6 +129,12 @@ EVENT_OPS = [
     # 1-3 distinct entities: bitmap with 2-6 bits set, probes that
     # miss every partition, false positives on colliding slots
     "cat_bloom_skip_index",
+    # tiny latencies keep all mass in 2-3 buckets; single-event
+    # types make share == 1.0 exactly
+    "agg_latency_histogram",
+    # 1-3 users: total == each user's bytes (share 1.0), dense_rank
+    # ties on identical query mixes
+    "cat_query_cost_showback",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
