@@ -82,12 +82,17 @@ def decode_wav(payload: bytes) -> dict:
     (bits,) = struct.unpack("<H", fmt[14:16])
     if audio_format != 1 or bits != 16:
         raise ValueError(f"only PCM16 supported, got fmt={audio_format} bits={bits}")
-    samples = np.frombuffer(data, dtype="<i2").astype(np.float64)
+    raw = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    samples = raw.astype(np.float64)
     rms = float(np.sqrt(np.mean(samples**2))) if samples.size else 0.0
     return {
         "sample_rate": int(sample_rate),
         "n_samples": samples.size // n_channels,
         "rms": rms,
+        # integer-exact quality stats (mm_audio_quality_audit)
+        "peak": int(np.abs(raw).max()) if raw.size else 0,
+        "n_clipped": int((np.abs(raw) >= 32767).sum()),
+        "sum_samples": int(raw.sum()),
     }
 
 
@@ -1252,4 +1257,63 @@ def mm_image_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket.alias("bucket"),
         tw.cast("long").alias("target_w"),
         th.cast("long").alias("target_h"),
+    )
+
+
+@register(
+    "mm_audio_quality_audit",
+    survey_row=74,
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               ((doc_id * 31 + unnest(generate_series(0,
+                    64 + doc_id % 128 - 1)) * 7) % 65536) - 32768 AS v
+        FROM documents
+    )
+    SELECT doc_id,
+           max(abs(v))::BIGINT AS peak,
+           count(*) FILTER (WHERE abs(v) >= 32767)::BIGINT AS n_clipped,
+           round(sum(v) * 1.0 / count(*), 4) AS dc_offset
+    FROM s GROUP BY doc_id
+    """,
+)
+def mm_audio_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio QUALITY audit over the real WAV decode path — the
+    ingest-time filter an audio-training pipeline runs before
+    anything touches a model: peak level (is there headroom?),
+    clipped-sample count (|s| at full scale — distorted takes get
+    dropped), and DC offset (a nonzero mean marks broken capture
+    chains). Same REAL RIFF/WAVE PCM16 containers and chunk-walking
+    parser as `mm_audio_rms` — the parser now also returns
+    integer-exact (peak, n_clipped, sum) so the audit adds no second
+    decode pass; the closed-form waveform lets DuckDB re-derive every
+    stat from arithmetic alone, so header math, byte order, and the
+    clipping comparison are all hash-gated.
+
+    All three stats are integers or a single IEEE division
+    (sum/n), so no accumulation-order risk. Arrow batch decode →
+    per-doc reduce; embarrassingly parallel at scale, like every
+    mm_* decode stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = DECODERS["audio"]
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                feats = dec(bytes(payload))
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "peak": feats["peak"],
+                        "n_clipped": feats["n_clipped"],
+                        "dc_offset": round(
+                            feats["sum_samples"] / max(feats["n_samples"], 1), 4
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    d = load_table(spark, sf_dir, "documents")
+    return _synth_wav_payloads(d).mapInPandas(
+        batches, schema="doc_id long, peak long, n_clipped long, dc_offset double"
     )

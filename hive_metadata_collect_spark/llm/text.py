@@ -1318,3 +1318,66 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+@register(
+    "text_lang_id_eval",
+    survey_row=72,
+    oracle="""
+    WITH pred AS (
+        SELECT lang,
+               CASE
+                 WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                 WHEN regexp_matches(text, '[ßäöü]') THEN 'de'
+                 WHEN regexp_matches(text, '[áíóúñ]') THEN 'es'
+                 WHEN regexp_matches(text, '[àâçèéêë]') THEN 'fr'
+                 ELSE 'en'
+               END AS lang_pred
+        FROM documents
+    ),
+    cells AS (
+        SELECT lang, lang_pred, count(*) AS n
+        FROM pred GROUP BY 1, 2
+    )
+    SELECT lang, lang_pred, n::BIGINT AS n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY lang), 6) AS recall,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY lang_pred), 6)
+               AS precision
+    FROM cells
+    """,
+)
+def text_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID EVALUATION — the confusion matrix + per-cell
+    precision/recall for the `text_lang_id` classifier against the
+    fixture's ground-truth labels. This is the classifier-eval shape
+    every model-quality loop runs distributed (predict → contingency
+    → marginals): diagonal cells carry recall (share of the true
+    class predicted right) and precision (share of the prediction
+    that was right); off-diagonal cells name the confusions worth
+    fixing (e.g. fr → en when no diacritic appears).
+
+    One corpus-sized contingency agg (map-side partials) into
+    |langs|² cells; both marginals are windows over that metadata-
+    sized frame. Each ratio is one IEEE division of exact integer
+    counts, round(…,6) hash-stable."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    pred = (
+        F.when(t.rlike("[一-鿿]"), "zh")
+        .when(t.rlike("[ßäöü]"), "de")
+        .when(t.rlike("[áíóúñ]"), "es")
+        .when(t.rlike("[àâçèéêë]"), "fr")
+        .otherwise("en")
+    )
+    cells = d.select("lang", pred.alias("lang_pred")).groupBy(
+        "lang", "lang_pred"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_true = Window.partitionBy("lang")
+    w_pred = Window.partitionBy("lang_pred")
+    return cells.select(
+        "lang",
+        "lang_pred",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(w_true), 6).alias("recall"),
+        F.round(F.col("n") / F.sum("n").over(w_pred), 6).alias("precision"),
+    )

@@ -1456,3 +1456,103 @@ def agg_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") / F.sum("n").over(w_type), 6).alias("share"),
         F.sum("n").over(w_cum).cast("long").alias("cum_n"),
     )
+
+
+@register(
+    "agg_regression_normal_eq",
+    survey_row=27,
+    oracle="""
+    WITH d AS (
+        SELECT (event_id * 3) % 100 AS y,
+               user_id % 50 AS x1,
+               event_id % 20 AS x2
+        FROM events
+    ),
+    s AS (
+        SELECT count(*)::BIGINT AS n,
+               sum(x1)::BIGINT AS sx1, sum(x2)::BIGINT AS sx2,
+               sum(y)::BIGINT AS sy,
+               sum(x1 * x1)::BIGINT AS sx1x1,
+               sum(x2 * x2)::BIGINT AS sx2x2,
+               sum(x1 * x2)::BIGINT AS sx1x2,
+               sum(x1 * y)::BIGINT AS sx1y,
+               sum(x2 * y)::BIGINT AS sx2y
+        FROM d
+    ),
+    c AS (
+        SELECT n,
+               (n * sx1x1 - sx1 * sx1)::DOUBLE AS a11,
+               (n * sx1x2 - sx1 * sx2)::DOUBLE AS a12,
+               (n * sx2x2 - sx2 * sx2)::DOUBLE AS a22,
+               (n * sx1y - sx1 * sy)::DOUBLE AS b1,
+               (n * sx2y - sx2 * sy)::DOUBLE AS b2,
+               sx1, sx2, sy
+        FROM s
+    )
+    SELECT n,
+           round((b1 * a22 - b2 * a12)
+                 / nullif(a11 * a22 - a12 * a12, 0), 6) AS beta1,
+           round((b2 * a11 - b1 * a12)
+                 / nullif(a11 * a22 - a12 * a12, 0), 6) AS beta2,
+           round((sy - (b1 * a22 - b2 * a12)
+                        / nullif(a11 * a22 - a12 * a12, 0) * sx1
+                     - (b2 * a11 - b1 * a12)
+                        / nullif(a11 * a22 - a12 * a12, 0) * sx2) / n, 6)
+               AS intercept
+    FROM c
+    """,
+)
+def agg_regression_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-FEATURE linear regression by normal equations — the
+    "distributed ML as aggregation" pattern (`agg_regr_linear` is the
+    one-feature built-in; real feature sets need the Gram matrix):
+    one pass accumulates the 9 sufficient statistics (n, Σx, Σxx,
+    Σxy), the 2×2 centered system solves in closed form (Cramer),
+    and only the solve touches floats. Because the features are
+    integers here, every sufficient statistic is an EXACT int64 sum
+    — accumulation order cannot move the result, and the solve is a
+    fixed sequence of IEEE double ops on those exact integers —
+    deterministic on both engines (a float-feature version would be
+    ULP-flaky in the SUMS; here floats only enter after the reduce).
+
+    This is precisely how MLlib's linear models train at 100 TB:
+    map-side partial Gram matrices, one reduce, driver-side solve of
+    a d×d system — the data never moves, the statistics do."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        ((F.col("event_id") * 3) % 100).alias("y"),
+        (F.col("user_id") % 50).alias("x1"),
+        (F.col("event_id") % 20).alias("x2"),
+    )
+    s = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx1x1"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sx2x2"),
+        F.sum(F.col("x1") * F.col("x2")).alias("sx1x2"),
+        F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("sx2y"),
+    )
+    n, sx1, sx2, sy = F.col("n"), F.col("sx1"), F.col("sx2"), F.col("sy")
+    # centered terms fit int64 at any fixture SF; the CRAMER products
+    # of two ~1e15 terms do not — both engines solve in double (the
+    # oracle casts ::DOUBLE at the same spot; DuckDB would otherwise
+    # auto-promote to int128, which int64 Spark cannot mirror)
+    a11 = (n * F.col("sx1x1") - sx1 * sx1).cast("double")
+    a12 = (n * F.col("sx1x2") - sx1 * sx2).cast("double")
+    a22 = (n * F.col("sx2x2") - sx2 * sx2).cast("double")
+    b1 = (n * F.col("sx1y") - sx1 * sy).cast("double")
+    b2 = (n * F.col("sx2y") - sx2 * sy).cast("double")
+    # nullif guards the singular system (constant features, 1-row
+    # inputs): betas are NULL on both engines, not a divide error
+    det = F.nullif(a11 * a22 - a12 * a12, F.lit(0.0))
+    beta1 = (b1 * a22 - b2 * a12) / det
+    beta2 = (b2 * a11 - b1 * a12) / det
+    return s.select(
+        n.alias("n"),
+        F.round(beta1, 6).alias("beta1"),
+        F.round(beta2, 6).alias("beta2"),
+        F.round((sy - beta1 * sx1 - beta2 * sx2) / n, 6).alias("intercept"),
+    )

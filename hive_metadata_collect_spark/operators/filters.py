@@ -271,3 +271,49 @@ def sub_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "sub_count_bug",
+    survey_row=12,
+    oracle="""
+    SELECT c.c_custkey,
+           (SELECT count(*) FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > 200000) AS n_big,
+           (SELECT count(*) FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > 200000) = 0 AS has_none
+    FROM customer c
+    """,
+)
+def sub_count_bug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COUNT-decorrelation trap stated as an operator (the
+    set-ops cousin of `sub_not_in_null_trap`): a correlated scalar
+    COUNT(*) must return 0 — not NULL, not a dropped row — for
+    customers with no qualifying orders. The naive decorrelation
+    (inner join + group) silently loses exactly those customers;
+    the correct rewrite is LEFT OUTER join + count of the non-null
+    side, which is what Catalyst's scalar-subquery decorrelation
+    produces. Declared through spark.sql so the planner's own
+    rewrite runs verbatim and the zero-filled rows are hash-gated
+    against the oracle's semantic (DuckDB evaluates the subquery as
+    specified).
+
+    Scale: decorrelates to one aggregate of orders on custkey +
+    one LEFT join — both key-partitioned, no per-row subquery
+    execution anywhere."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("scb_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("scb_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey,
+               (SELECT count(*) FROM scb_orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 200000) AS n_big,
+               (SELECT count(*) FROM scb_orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 200000) = 0 AS has_none
+        FROM scb_customer c
+        """
+    )

@@ -135,6 +135,9 @@ EVENT_OPS = [
     # 1-3 users: total == each user's bytes (share 1.0), dense_rank
     # ties on identical query mixes
     "cat_query_cost_showback",
+    # single-row tables make the Gram matrix singular (det = 0 →
+    # NULL betas on BOTH sides); constant features likewise
+    "agg_regression_normal_eq",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
@@ -231,6 +234,9 @@ DOC_OPS = [
     # short docs (1-5 words): vocab == corpus (OOV = 0 exactly),
     # all-unique words (vocab boundary ties resolved by word asc)
     "text_vocab_coverage",
+    # per-lang prediction cells with 1 doc: precision == recall == 1
+    # or pure confusion rows; absent langs must not emit zero rows
+    "text_lang_id_eval",
     # md5-derived dims spanning every AR class boundary
     "mm_image_aspect_bucket",
     # 1-2-token docs hit the trigram guard (sequence(0,n<0) DESCENDS
