@@ -3754,3 +3754,55 @@ def cat_query_cost_showback(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cost_share"),
         F.dense_rank().over(w_rank).cast("long").alias("cost_rank"),
     )
+
+
+@register(
+    "cat_orphan_files",
+    survey_row=61,
+    oracle="""
+    WITH listing AS (
+        SELECT 'part-' || i AS path,
+               (i * 131) % 5000 + 64 AS fsize
+        FROM range(50) t(i)
+    ),
+    referenced AS (
+        SELECT DISTINCT 'part-' || (event_id % 37) AS path
+        FROM events
+    )
+    SELECT l.path, l.fsize::BIGINT AS fsize
+    FROM listing l
+    LEFT JOIN referenced r ON r.path = l.path
+    WHERE r.path IS NULL
+    """,
+)
+def cat_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORPHAN-file detection — the inverse of `cat_vacuum_plan`
+    (vacuum deletes files the log says are dead; this op finds files
+    the log never knew about: crashed-writer leftovers, aborted
+    compactions, manual copies — what Delta's VACUUM full-listing
+    phase actually reconciles): storage listing ANTI-JOIN the
+    transaction log's referenced-path set, emitting each orphan with
+    its reclaimable size. The listing (50 paths, deterministic
+    sizes) extends past the log's 37-path domain, so exactly the
+    13-path tail is orphaned — the assertion is structural, not
+    incidental.
+
+    Both inputs are file-count-bounded metadata: the referenced set
+    is one DISTINCT over log paths; the anti-join broadcasts it. At
+    100 TB the expensive half is the object-store LIST, not this
+    plan — which is why the reconcile must be metadata-only, and
+    is."""
+    ev = load_table(spark, sf_dir, "events")
+    listing = spark.range(50).select(
+        F.concat(F.lit("part-"), F.col("id").cast("string")).alias("path"),
+        ((F.col("id") * 131) % 5000 + 64).alias("fsize"),
+    )
+    referenced = ev.select(
+        F.concat(F.lit("part-"), (F.col("event_id") % 37).cast("string")).alias(
+            "path"
+        )
+    ).distinct()
+    return (
+        listing.join(F.broadcast(referenced), "path", "left_anti")
+        .select("path", F.col("fsize").cast("long").alias("fsize"))
+    )

@@ -917,3 +917,144 @@ def win_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.cast("long").alias("cusum_cents"),
         (s > 10000000).alias("alarm"),
     )
+
+
+@register(
+    "win_max_drawdown",
+    survey_row=33,
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS grp,
+               CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+               CAST(floor(round(sum(o_totalprice), 2) * 100 + 0.5)
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    lev AS (
+        SELECT grp, day,
+               sum(cents) OVER (PARTITION BY grp ORDER BY day) AS level
+        FROM daily
+    ),
+    cum AS (
+        SELECT grp, day, level,
+               max(level) OVER (PARTITION BY grp ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS peak
+        FROM lev
+    )
+    SELECT grp,
+           max(peak - level)::BIGINT AS max_drawdown_cents,
+           max_by(day, (peak - level) * 100000
+                       + date_diff('day', DATE '1970-01-01', day))
+               AS trough_day
+    FROM cum GROUP BY grp
+    """,
+)
+def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum DRAWDOWN per group — peak-to-trough decline of a
+    cumulative series (for a collector: how far below its high-water
+    mark a table's row count or a team's quota consumption has
+    fallen; the finance formulation is identical). Another
+    sequential-looking statistic with an exact window form:
+    drawdown_i = running_max(level)_i − level_i, and the answer is
+    one max over that — same family as `win_cusum_alarm`'s
+    prefix-identity, here with the running max OVER a running sum
+    (windows compose).
+
+    Ties on the deepest drawdown resolve to the LATEST trough day
+    (max_by over the (drawdown, day) pair — the most recent time the
+    series was this far underwater); the tie rule is identical in
+    both engines, so the gate pins it.
+    Integer cents everywhere (same explicit floor(+0.5) cast as
+    CUSUM); the daily rollup is the only corpus-sized shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        F.floor(F.round(F.sum("o_totalprice"), 2) * 100 + 0.5)
+        .cast("long")
+        .alias("cents")
+    )
+    w_run = Window.partitionBy("grp").orderBy("day")
+    w_peak = w_run.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = daily.select(
+        "grp",
+        "day",
+        F.sum("cents").over(w_run).alias("level"),
+    ).select(
+        "grp",
+        "day",
+        "level",
+        F.max("level").over(w_peak).alias("peak"),
+    )
+    dd = F.col("peak") - F.col("level")
+    # scalar composite order key: DuckDB's max_by has no struct-key
+    # overload; day-number < 1e5 keeps the composite inside int64
+    return cum.groupBy("grp").agg(
+        F.max(dd).cast("long").alias("max_drawdown_cents"),
+        F.max_by(
+            "day", dd * 100000 + F.datediff("day", F.lit("1970-01-01"))
+        ).alias("trough_day"),
+    )
+
+
+@register(
+    "win_time_weighted_avg",
+    survey_row=33,
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts,
+               CAST(floor(round(value, 1) * 10 + 0.5) AS BIGINT) AS v10,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    spans AS (
+        SELECT user_id, v10,
+               date_diff('second', ts, nxt) AS dur_s
+        FROM seq WHERE nxt IS NOT NULL
+    )
+    SELECT user_id,
+           sum(dur_s)::BIGINT AS total_s,
+           round(sum(v10 * dur_s) / (10.0 * nullif(sum(dur_s), 0)), 6)
+               AS twap
+    FROM spans GROUP BY user_id
+    """,
+)
+def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED average per key — the correct aggregate for
+    irregularly-sampled gauges (a table's size sampled at random
+    collection times, a sensor, a position): each observation is
+    weighted by how long it was current (until the next event), so a
+    burst of samples in one minute doesn't dominate a quiet day.
+    The plain avg() answers a different (usually wrong) question.
+
+    Weights come from lead(ts) per key — one window over the user
+    partition; the value is decimalized to tenths as EXACT integers
+    (floor(+0.5), the CUSUM cast rule), so sum(v·dur) is an
+    order-independent int64 sum and the only float is the final
+    division. Users with a single event have no current-span and
+    drop (sum over empty), matching both engines; zero-duration
+    ties contribute nothing by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        F.floor(F.round("value", 1) * 10 + 0.5).cast("long").alias("v10"),
+        F.lead("ts").over(w).alias("nxt"),
+    )
+    spans = seq.filter(F.col("nxt").isNotNull()).select(
+        "user_id",
+        "v10",
+        (F.unix_timestamp("nxt") - F.unix_timestamp("ts")).alias("dur_s"),
+    )
+    return spans.groupBy("user_id").agg(
+        F.sum("dur_s").cast("long").alias("total_s"),
+        F.round(
+            F.sum(F.col("v10") * F.col("dur_s"))
+            / (10.0 * F.nullif(F.sum("dur_s"), F.lit(0))),
+            6,
+        ).alias("twap"),
+    )

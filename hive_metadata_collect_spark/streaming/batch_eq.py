@@ -620,3 +620,108 @@ def stream_late_drop_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("max_lateness_s"),
     )
+
+
+@register(
+    "stream_token_bucket",
+    survey_row=56,
+    oracle="""
+    WITH RECURSIVE seq AS (
+        SELECT user_id, CAST(epoch(ts) AS BIGINT) AS ep,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    step AS (
+        SELECT user_id, rn, ep,
+               TRUE AS allowed,
+               4::BIGINT AS tokens_after
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT q.user_id, q.rn, q.ep,
+               least(5, s.tokens_after + (q.ep - s.ep) // 600) >= 1
+                   AS allowed,
+               least(5, s.tokens_after + (q.ep - s.ep) // 600)
+                 - CASE WHEN least(5, s.tokens_after
+                                      + (q.ep - s.ep) // 600) >= 1
+                        THEN 1 ELSE 0 END AS tokens_after
+        FROM step s JOIN seq q
+          ON q.user_id = s.user_id AND q.rn = s.rn + 1
+    )
+    SELECT user_id,
+           count(*) FILTER (WHERE allowed)::BIGINT AS n_allowed,
+           count(*) FILTER (WHERE NOT allowed)::BIGINT AS n_denied,
+           max_by(tokens_after, rn)::BIGINT AS tokens_end
+    FROM step GROUP BY user_id
+    """,
+)
+def stream_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUCKET rate limiting replayed per key (cap 5, cost 1,
+    refill 1 token / 10 min of event-time gap, integer refill per
+    gap) — the admission-control state machine API gateways and
+    ingestion quotas run. Unlike `win_cusum_alarm`'s recurrence,
+    the two-sided clamp (bucket can neither exceed cap nor go
+    negative) has NO prefix-sum closed form — this is the honest
+    case where per-key sequential state is irreducible, and the
+    distributed answer is the same one `cat_funnel_strict` uses:
+    one shuffle on the key, sort_array + F.aggregate folding the
+    automaton inside codegen — sequential per key, parallel across
+    keys, which is exactly the streaming engine's own state layout
+    (the live twin would be transformWithState keyed on user).
+
+    The oracle replays the identical automaton by recursive-CTE
+    single-stepping (rn → rn+1 per user) — maximally different
+    execution, same fixpoint. All state is integer (epoch seconds,
+    integer refill), so there is nothing to round."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def step(st, e):
+        # tokens_pre bound once; the expression tree is shared by all
+        # four state fields
+        refill = F.when(st["last"].isNull(), F.lit(0).cast("long")).otherwise(
+            F.floor((e["ep"] - st["last"]) / 600).cast("long")
+        )
+        tokens_pre = F.least(F.lit(5).cast("long"), st["tokens"] + refill)
+        allowed = tokens_pre >= 1
+        return F.struct(
+            (tokens_pre - F.when(allowed, 1).otherwise(0).cast("long")).alias(
+                "tokens"
+            ),
+            e["ep"].cast("long").alias("last"),
+            (st["n_allowed"] + F.when(allowed, 1).otherwise(0).cast("long")).alias(
+                "n_allowed"
+            ),
+            (st["n_denied"] + F.when(allowed, 0).otherwise(1).cast("long")).alias(
+                "n_denied"
+            ),
+        )
+
+    folded = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.unix_timestamp("ts").alias("ep"), F.col("event_id")
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("e")).alias("evs"))
+        .select(
+            "user_id",
+            F.aggregate(
+                "evs",
+                F.struct(
+                    F.lit(5).cast("long").alias("tokens"),
+                    F.lit(None).cast("long").alias("last"),
+                    F.lit(0).cast("long").alias("n_allowed"),
+                    F.lit(0).cast("long").alias("n_denied"),
+                ),
+                step,
+            ).alias("st"),
+        )
+    )
+    return folded.select(
+        "user_id",
+        F.col("st.n_allowed").alias("n_allowed"),
+        F.col("st.n_denied").alias("n_denied"),
+        F.col("st.tokens").alias("tokens_end"),
+    )

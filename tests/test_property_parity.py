@@ -138,6 +138,16 @@ EVENT_OPS = [
     # single-row tables make the Gram matrix singular (det = 0 →
     # NULL betas on BOTH sides); constant features likewise
     "agg_regression_normal_eq",
+    # tied timestamps give zero refill gaps (pure drain to denial);
+    # 1-event users exercise the init state; day-scale gaps refill
+    # past cap (the two-sided clamp both ways)
+    "stream_token_bucket",
+    # single-event users produce no span and must drop; tied-ts
+    # spans contribute zero duration on both sides
+    "win_time_weighted_avg",
+    # sparse logs orphan almost the whole listing; the 37-path log
+    # domain never exceeds it
+    "cat_orphan_files",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
@@ -344,6 +354,9 @@ ORDER_OPS = [
     # x-mu-k) directly), all-equal prices (mu == x, pure drain), and
     # coarse dates forcing tied days under the prefix-sum identity
     "win_cusum_alarm",
+    # monotone series have zero drawdown everywhere (trough = every
+    # day — the LATEST-day tie rule decides); single-day groups
+    "win_max_drawdown",
     # few distinct (custkey, day) dims: many buckets share one
     # z-cell; 1-row tables make every bucket bbox 1x1
     "sink_cluster_zorder",
