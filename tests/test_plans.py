@@ -510,3 +510,69 @@ def test_footer_agg_pushdown_fires(spark, sf_dir):
     df = OPS["scan_agg_pushdown_footer"].fn(spark, sf_dir)
     plan = physical_plan(df)
     assert "PushedAggregation: [COUNT(*), MIN(l_quantity), MAX(l_quantity), MIN(l_orderkey), MAX(l_orderkey)]" in plan, plan[:1500]
+
+
+def test_funnel_strict_single_exchange(spark, sf_dir):
+    """The state-machine fold must be ONE shuffle on user_id — no
+    per-stage self-joins, no window sorts (the fold replaces both)."""
+    df = OPS["cat_funnel_strict"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_token_bucket_single_exchange(spark, sf_dir):
+    """Same contract for the rate-limiter automaton: one user_id
+    exchange, sequential state stays inside the fold."""
+    df = OPS["stream_token_bucket"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+
+
+def test_cusum_windows_share_one_sort_order(spark, sf_dir):
+    """CUSUM's prefix-sum + running-min must reuse ONE (grp, day)
+    sort — two stacked Window nodes, not two independent sorts of
+    the series."""
+    df = OPS["win_cusum_alarm"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # the series frame is sorted once; both running windows run over it
+    assert plan.count("Sort [grp") <= 1 or plan.count("Sort ") <= 2
+
+
+def test_vocab_scoring_join_broadcasts(spark, sf_dir):
+    """The 50-row vocabulary must broadcast into the scoring join —
+    the exploded token stream never shuffles by word."""
+    df = OPS["text_vocab_coverage"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_countmin_counter_joins_broadcast(spark, sf_dir):
+    """All three width-64 counter frames broadcast onto the truth
+    side — the sketch never becomes a shuffle join."""
+    df = OPS["agg_countmin_heavy"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_index_probe_join_broadcasts(spark, sf_dir):
+    """Probe set and bloom frames are metadata-sized: the probe join
+    and the actual-containment join must both broadcast."""
+    df = OPS["cat_bloom_skip_index"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_cost_showback_size_dim_broadcasts(spark, sf_dir):
+    """The |tables| size dim broadcasts onto the audit log; the fact
+    shuffles only for the user rollup."""
+    df = OPS["cat_query_cost_showback"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
