@@ -3806,3 +3806,105 @@ def cat_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         listing.join(F.broadcast(referenced), "path", "left_anti")
         .select("path", F.col("fsize").cast("long").alias("fsize"))
     )
+
+
+@register(
+    "cat_tag_propagation",
+    survey_row=66,
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT prev_type AS src, event_type AS dst FROM (
+            SELECT event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events)
+        WHERE prev_type IS NOT NULL AND prev_type <> event_type
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    seeds AS (SELECT node FROM nodes WHERE node LIKE '%r%'),
+    walk AS (
+        SELECT node, 0 AS hops FROM seeds
+        UNION ALL
+        SELECT e.dst, w.hops + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.hops < 4
+    )
+    SELECT n.node AS table_name,
+           w.node IS NOT NULL AS pii_tagged,
+           min(w.hops)::BIGINT AS min_hops_from_seed
+    FROM nodes n LEFT JOIN walk w ON w.node = n.node
+    GROUP BY n.node, w.node IS NOT NULL
+    """,
+)
+def cat_tag_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-tag PROPAGATION through lineage — the governance closure
+    that makes `cat_pii_column_scan`'s findings actionable: a table
+    derived (transitively) from a PII-tagged source inherits the
+    tag, because a SELECT...INSERT moves the data even if the column
+    names change. Seeds are the tagged source tables (deterministic
+    name rule in both engines); the result is every table's tag
+    status plus its distance from the nearest tagged source (hops=0
+    for seeds) — the triage order for a remediation sweep.
+
+    Reuses the lineage-closure machinery: the ≤4-hop min-plus
+    DOUBLING over the deduped edge set (log₂ rounds of broadcast
+    self-joins; |V|²-bounded pairs regardless of corpus size), then
+    one semi-style min-hop join from the seed set. The oracle walks
+    hop-at-a-time by recursive CTE — different algorithm, same
+    fixpoint, the closure-family discipline."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        F.lag("event_type").over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+    )
+    edges = (
+        trans.filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+        .cache()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node").contains("r"))
+    # min-plus doubling: reach(seed -> v) in <= 4 hops
+    reach = seeds.select("node").withColumn("hops", F.lit(0))
+    paths = edges.withColumn("hops", F.lit(1))
+    for _ in range(2):  # 1 -> 2 -> 4 hop paths
+        squared = (
+            paths.join(
+                F.broadcast(
+                    paths.select(
+                        F.col("src").alias("m"),
+                        F.col("dst").alias("dst2"),
+                        F.col("hops").alias("hops2"),
+                    )
+                ),
+                F.col("dst") == F.col("m"),
+            )
+            .select(
+                "src",
+                F.col("dst2").alias("dst"),
+                (F.col("hops") + F.col("hops2")).alias("hops"),
+            )
+        )
+        paths = (
+            paths.unionAll(squared)
+            .groupBy("src", "dst")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint(eager=False)
+        )
+    walked = (
+        seeds.join(F.broadcast(paths), seeds["node"] == paths["src"])
+        .select(F.col("dst").alias("node"), "hops")
+        .unionAll(reach)
+        .groupBy("node")
+        .agg(F.min("hops").alias("min_hops_from_seed"))
+    )
+    return nodes.join(F.broadcast(walked), "node", "left_outer").select(
+        F.col("node").alias("table_name"),
+        F.col("min_hops_from_seed").isNotNull().alias("pii_tagged"),
+        F.col("min_hops_from_seed").cast("long").alias("min_hops_from_seed"),
+    )

@@ -471,3 +471,55 @@ def sink_cluster_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("x") - F.min("x") + 1) * (F.max("y") - F.min("y") + 1)
         ).cast("long").alias("bbox_area"),
     )
+
+
+@register(
+    "scan_nested_schema_pruning",
+    survey_row=2,
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority AS priority,
+           round(o_totalprice, 2) AS price
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def scan_nested_schema_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED schema pruning — column pruning one level down: write
+    a parquet with a struct column meta{priority, clerk_note, price},
+    then read back only two of its three subfields. Spark's
+    nestedSchemaPruning pushes the subfield selection into the
+    parquet ReadSchema, so the untouched clerk_note leaf (the
+    deliberately wide payload) is never decoded — at 100 TB, nested
+    event payloads (the props-style blobs every log schema grows)
+    make this the difference between scanning terabytes and scanning
+    the two leaves you asked for. The plan-assertion twin
+    (tests/test_plans.py) checks clerk_note is absent from the
+    scan's ReadSchema; this gate checks the values survive.
+
+    The roundtrip file is rebuilt per run (same _SCRATCH discipline
+    as the sink ops); the oracle recomputes from the flat source —
+    the struct nesting must be value-transparent."""
+    target = os.path.join(_SCRATCH, "nested_orders.parquet")
+    (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.struct(
+                F.col("o_orderpriority").alias("priority"),
+                F.repeat(F.col("o_orderpriority"), 20).alias("clerk_note"),
+                F.round(F.col("o_totalprice"), 2).alias("price"),
+            ).alias("meta"),
+        )
+        .write.mode("overwrite")
+        .parquet(target)
+    )
+    return (
+        spark.read.parquet(target)
+        .filter(F.col("o_orderstatus") == "O")
+        .select(
+            "o_orderkey",
+            F.col("meta.priority").alias("priority"),
+            F.col("meta.price").alias("price"),
+        )
+    )

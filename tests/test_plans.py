@@ -576,3 +576,12 @@ def test_cost_showback_size_dim_broadcasts(spark, sf_dir):
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_nested_schema_pruning_reaches_scan(spark, sf_dir):
+    """Selecting meta.priority + meta.price must prune the wide
+    meta.clerk_note leaf out of the parquet ReadSchema entirely."""
+    df = OPS["scan_nested_schema_pruning"].fn(spark, sf_dir)
+    scan = scan_summary(df)
+    assert "priority" in scan and "price" in scan
+    assert "clerk_note" not in scan

@@ -148,6 +148,9 @@ EVENT_OPS = [
     # sparse logs orphan almost the whole listing; the 37-path log
     # domain never exceeds it
     "cat_orphan_files",
+    # tiny graphs: no seeds at all (nothing tagged), all-seed
+    # graphs, cyclic reachability under the 4-hop doubling
+    "cat_tag_propagation",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
