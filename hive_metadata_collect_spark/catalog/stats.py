@@ -3908,3 +3908,201 @@ def cat_tag_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_hops_from_seed").isNotNull().alias("pii_tagged"),
         F.col("min_hops_from_seed").cast("long").alias("min_hops_from_seed"),
     )
+
+
+@register(
+    "cat_duplicate_table_detect",
+    survey_row=61,
+    oracle="""
+    WITH fps AS (
+        SELECT 'orders' AS table_name, count(*) AS n_rows,
+               sum(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                     || '|' || CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT))
+                   AS content_fp
+        FROM orders
+        UNION ALL
+        SELECT 'orders_mirror', count(*),
+               sum(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                     || '|' || CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT))
+        FROM orders
+        UNION ALL
+        SELECT 'orders_open', count(*),
+               sum(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                     || '|' || CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT))
+        FROM orders WHERE o_orderstatus = 'O'
+        UNION ALL
+        SELECT 'customer', count(*),
+               sum(CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+                     || '|' || CAST(c_nationkey AS VARCHAR)), 1, 8)) AS BIGINT))
+        FROM customer
+    )
+    SELECT a.table_name AS table_a, b.table_name AS table_b,
+           a.n_rows::BIGINT AS n_rows
+    FROM fps a JOIN fps b
+      ON a.content_fp = b.content_fp AND a.n_rows = b.n_rows
+     AND a.table_name < b.table_name
+    """,
+)
+def cat_duplicate_table_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUPLICATE-table detection — the storage-waste sweep a catalog
+    runs over thousands of tables (copies made for one-off analyses
+    and never deleted are a top-3 warehouse cost): each table reduces
+    to an ORDER-INDEPENDENT content fingerprint (sum of per-row key
+    digests — commutative, so partitioning and row order cannot move
+    it) plus a row count, and candidate duplicate pairs are a
+    self-join on the |tables|-sized fingerprint frame. The fixture
+    registers four logical tables — a genuine mirror pair, a
+    filtered near-copy (must NOT match), and an unrelated table —
+    so the detector's discrimination is structural.
+
+    Per-table cost is one map-side-combine agg (the digest sum is
+    32-bit-per-row, so even 10¹² rows stay far inside int64); the
+    pair join runs on metadata. The same additive fingerprint is
+    what makes INCREMENTAL re-checks possible: append-only tables
+    update their fingerprint by adding the new rows' digests."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def fp(df: DataFrame, name: str, k1: str, k2: str) -> DataFrame:
+        digest = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(k1).cast("string"),
+                        F.lit("|"),
+                        F.col(k2).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(digest).alias("content_fp"),
+        ).select(F.lit(name).alias("table_name"), "n_rows", "content_fp")
+
+    fps = (
+        fp(o, "orders", "o_orderkey", "o_custkey")
+        .unionAll(fp(o, "orders_mirror", "o_orderkey", "o_custkey"))
+        .unionAll(
+            fp(
+                o.filter(F.col("o_orderstatus") == "O"),
+                "orders_open",
+                "o_orderkey",
+                "o_custkey",
+            )
+        )
+        .unionAll(fp(c, "customer", "c_custkey", "c_nationkey"))
+    )
+    a = fps
+    b = fps.select(
+        F.col("table_name").alias("table_b"),
+        F.col("n_rows").alias("b_rows"),
+        F.col("content_fp").alias("b_fp"),
+    )
+    return (
+        a.join(
+            b,
+            (a["content_fp"] == b["b_fp"])
+            & (a["n_rows"] == b["b_rows"])
+            & (a["table_name"] < b["table_b"]),
+        )
+        .select(
+            F.col("table_name").alias("table_a"),
+            "table_b",
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "cat_semantic_type_infer",
+    survey_row=62,
+    oracle="""
+    WITH profiles AS (
+        SELECT 'orders' AS table_name, 'o_orderkey' AS column_name,
+               count(*) AS n, count(DISTINCT o_orderkey) AS n_distinct,
+               0 AS n_patterned FROM orders
+        UNION ALL
+        SELECT 'orders', 'o_orderstatus', count(*),
+               count(DISTINCT o_orderstatus), 0 FROM orders
+        UNION ALL
+        SELECT 'orders', 'o_orderpriority', count(*),
+               count(DISTINCT o_orderpriority),
+               count(*) FILTER (WHERE regexp_matches(o_orderpriority,
+                   '^[0-9]+-')) FROM orders
+        UNION ALL
+        SELECT 'customer', 'c_name', count(*), count(DISTINCT c_name),
+               count(*) FILTER (WHERE regexp_matches(c_name,
+                   '^Customer#[0-9]+$')) FROM customer
+        UNION ALL
+        SELECT 'customer', 'c_mktsegment', count(*),
+               count(DISTINCT c_mktsegment), 0 FROM customer
+    )
+    SELECT table_name, column_name,
+           n_distinct::BIGINT AS n_distinct,
+           CASE
+             WHEN n_distinct = n THEN 'unique_id'
+             WHEN n_patterned * 10 > n * 9 THEN 'templated_string'
+             WHEN n_distinct * 20 <= n THEN 'categorical'
+             ELSE 'free_form'
+           END AS semantic_type
+    FROM profiles
+    """,
+)
+def cat_semantic_type_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC-type inference — the auto-classification layer above
+    `cat_column_profile`'s raw stats (catalogs tag columns as
+    id / code / templated / free-form so search, masking, and join
+    suggestions work without humans): per column, distinct-ratio and
+    template-pattern evidence feed a deterministic rule table —
+    all-distinct ⇒ unique id (join-key candidate), ≥90 % matching a
+    template regex ⇒ templated string (generated, maskable),
+    low cardinality ⇒ categorical (dimension), else free-form. The
+    rule thresholds are integer-arithmetic comparisons (n_patterned·
+    10 > n·9), so no float enters the verdict.
+
+    One profiling agg per column over its table (batched per table
+    in practice — the same single-pass trick cat_column_profile
+    uses); the rule table runs on the |columns| metadata frame."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def prof(df, table, col, pattern=None):
+        patterned = (
+            F.count(F.when(F.col(col).rlike(pattern), 1))
+            if pattern
+            else F.lit(0)
+        )
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(col).alias("n_distinct"),
+            patterned.alias("n_patterned"),
+        ).select(
+            F.lit(table).alias("table_name"),
+            F.lit(col).alias("column_name"),
+            "n",
+            "n_distinct",
+            "n_patterned",
+        )
+
+    profiles = (
+        prof(o, "orders", "o_orderkey")
+        .unionAll(prof(o, "orders", "o_orderstatus"))
+        .unionAll(prof(o, "orders", "o_orderpriority", r"^[0-9]+-"))
+        .unionAll(prof(c, "customer", "c_name", r"^Customer#[0-9]+$"))
+        .unionAll(prof(c, "customer", "c_mktsegment"))
+    )
+    return profiles.select(
+        "table_name",
+        "column_name",
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.when(F.col("n_distinct") == F.col("n"), "unique_id")
+        .when(F.col("n_patterned") * 10 > F.col("n") * 9, "templated_string")
+        .when(F.col("n_distinct") * 20 <= F.col("n"), "categorical")
+        .otherwise("free_form")
+        .alias("semantic_type"),
+    )
