@@ -916,3 +916,56 @@ def sim_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+@register(
+    "sim_embedding_audit",
+    survey_row=69,
+    oracle="""
+    WITH norms AS (
+        SELECT label,
+               round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[])), 6)
+                   AS norm
+        FROM embeddings
+    )
+    SELECT label,
+           count(*)::BIGINT AS n_vectors,
+           count(*) FILTER (WHERE norm < 0.1)::BIGINT AS n_near_zero,
+           round(min(norm), 6) AS min_norm,
+           round(max(norm), 6) AS max_norm,
+           count(*) FILTER (WHERE norm > 2.0)::BIGINT AS n_overscaled
+    FROM norms GROUP BY label
+    """,
+)
+def sim_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING hygiene audit — the ingest gate an
+    embedding-dependent pipeline runs before building any index
+    (`sim_topk_*`, dedup, decontamination all silently degrade on
+    bad vectors): per label, count near-zero vectors (failed
+    encoder calls — they cosine-match everything), overscaled norms
+    (mixed normalization regimes poison MIPS), and the norm range.
+    Every reported statistic is ORDER-INDEPENDENT by construction —
+    counts of per-row predicates and min/max of per-row rounded
+    norms — so no accumulation-order float risk exists anywhere (a
+    mean-norm column was deliberately left out: averaging rounded
+    doubles reintroduces exactly that risk for cosmetic value).
+
+    One pandas-UDF norm pass (same einsum kernel family as the
+    retrieval ops) + one |labels| rollup; map-side combine does the
+    heavy lifting at scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    @F.pandas_udf(DoubleType())
+    def norm6(col: pd.Series) -> pd.Series:
+        E = np.vstack(col.to_numpy()).astype(np.float64)
+        return pd.Series(np.round(np.sqrt(np.einsum("ij,ij->i", E, E)), 6))
+
+    norms = emb.select("label", norm6("embedding").alias("norm"))
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.count(F.when(F.col("norm") < 0.1, 1)).alias("n_near_zero"),
+        F.round(F.min("norm"), 6).alias("min_norm"),
+        F.round(F.max("norm"), 6).alias("max_norm"),
+        F.count(F.when(F.col("norm") > 2.0, 1)).alias("n_overscaled"),
+    )

@@ -1556,3 +1556,101 @@ def agg_regression_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(beta2, 6).alias("beta2"),
         F.round((sy - beta1 * sx1 - beta2 * sx2) / n, 6).alias("intercept"),
     )
+
+
+@register(
+    "agg_bootstrap_ci",
+    survey_row=27,
+    oracle="""
+    WITH reps AS (SELECT i AS rep FROM range(32) t(i)),
+    w AS (
+        SELECT r.rep,
+               CAST(floor(round(e.value, 1) * 10 + 0.5) AS BIGINT) AS v10,
+               CASE
+                 WHEN CAST(('0x' || substr(md5('bs' || r.rep || ':'
+                      || e.event_id), 1, 8)) AS BIGINT) % 1000 < 368 THEN 0
+                 WHEN CAST(('0x' || substr(md5('bs' || r.rep || ':'
+                      || e.event_id), 1, 8)) AS BIGINT) % 1000 < 736 THEN 1
+                 ELSE 2
+               END AS wt
+        FROM events e CROSS JOIN reps r
+    ),
+    means AS (
+        SELECT rep,
+               sum(wt * v10) * 1.0 / (10.0 * nullif(sum(wt), 0)) AS m
+        FROM w GROUP BY rep
+    ),
+    ranked AS (
+        SELECT m, row_number() OVER (ORDER BY m NULLS LAST, rep) AS rn
+        FROM means
+    )
+    SELECT count(*)::BIGINT AS n_replicas,
+           round(min(CASE WHEN rn = 2 THEN m END), 6) AS ci_lo,
+           round(min(CASE WHEN rn = 31 THEN m END), 6) AS ci_hi
+    FROM ranked
+    """,
+)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOOTSTRAP confidence interval, fully deterministic — the
+    resampling-based uncertainty estimate ("how sure is this mean?")
+    that normally needs a random number generator, made
+    reproducible and cross-engine exact the way every sampling op
+    here is: replica b reweights each row by a pseudo-Poisson(1)
+    count derived from md5(b, row) (P(0)=.368, P(1)=.368, P(2)=.264
+    — the Poisson pmf truncated at 2), replica means use EXACT
+    integer numerators (value in tenths × integer weight), and the
+    93.75 % CI is the 2nd/31st of the 32 sorted replica means.
+    This is the m-out-of-n multiplier bootstrap in its distributed
+    form: ONE pass over the data computes all 32 weighted sums
+    (map-side, the cross join is against a broadcast 32-row frame),
+    so the cost is one scan regardless of replica count — the only
+    way bootstrap works at 100 TB.
+
+    The replica-rank tie-break (m, rep) is pinned; each mean is a
+    single IEEE division of exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    reps = spark.range(32).select(F.col("id").cast("int").alias("rep"))
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("bs"),
+                        F.col("rep").cast("string"),
+                        F.lit(":"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    wt = F.when(h < 368, 0).when(h < 736, 1).otherwise(2)
+    w = ev.crossJoin(F.broadcast(reps)).select(
+        "rep",
+        F.floor(F.round("value", 1) * 10 + 0.5).cast("long").alias("v10"),
+        wt.alias("wt"),
+    )
+    means = w.groupBy("rep").agg(
+        (
+            F.sum(F.col("wt") * F.col("v10"))
+            / (10.0 * F.nullif(F.sum("wt"), F.lit(0)))
+        ).alias("m")
+    )
+    ranked = means.select(
+        "m",
+        # NULLS LAST pinned: an all-zero-weight replica (possible on
+        # tiny inputs) sorts NULLS FIRST in Spark but LAST in DuckDB
+        F.row_number()
+        .over(Window.orderBy(F.col("m").asc_nulls_last(), F.col("rep")))
+        .alias("rn"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_replicas"),
+        F.round(F.min(F.when(F.col("rn") == 2, F.col("m"))), 6).alias("ci_lo"),
+        F.round(F.min(F.when(F.col("rn") == 31, F.col("m"))), 6).alias("ci_hi"),
+    )

@@ -1058,3 +1058,77 @@ def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("twap"),
     )
+
+
+@register(
+    "win_seasonal_naive_mae",
+    survey_row=33,
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS grp,
+               CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+               CAST(floor(round(sum(o_totalprice), 2) * 100 + 0.5)
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    f AS (
+        SELECT grp, day, cents,
+               lag(cents) OVER (
+                   PARTITION BY grp, dayofweek(day) ORDER BY day)
+                   AS forecast
+        FROM daily
+    )
+    SELECT grp,
+           count(forecast)::BIGINT AS n_forecasts,
+           round(avg(abs(cents - forecast)) / 100.0, 2) AS mae,
+           round(sum(abs(cents - forecast)) * 100.0
+                 / nullif(sum(CASE WHEN forecast IS NOT NULL
+                              THEN cents END), 0), 6) AS wape_pct
+    FROM f GROUP BY grp
+    """,
+)
+def win_seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL-NAIVE forecast evaluation — the baseline every
+    capacity-planning forecast must beat (predict each day with the
+    previous same-weekday value), scored as MAE and WAPE per group.
+    A collector runs this over table-growth and query-volume series
+    to decide which tables deserve a real model; publishing the
+    naive error is what keeps forecast quality claims honest.
+
+    The forecast is one lag over a (group, day-of-week) partition —
+    the seasonal lag without a 7-row frame or a self-join; first
+    occurrence of each weekday has no forecast and is excluded from
+    scoring on both sides (count(forecast) gates it). Integer cents
+    throughout (the CUSUM cast rule); MAE's division keeps a /100
+    rescale so the report reads in currency units; WAPE normalizes
+    by actuals over SCORED days only."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        F.floor(F.round(F.sum("o_totalprice"), 2) * 100 + 0.5)
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.partitionBy("grp", F.dayofweek("day")).orderBy("day")
+    f = daily.select(
+        "grp",
+        "day",
+        "cents",
+        F.lag("cents").over(w).alias("forecast"),
+    )
+    err = F.abs(F.col("cents") - F.col("forecast"))
+    return f.groupBy("grp").agg(
+        F.count("forecast").alias("n_forecasts"),
+        F.round(F.avg(err) / 100.0, 2).alias("mae"),
+        F.round(
+            F.sum(err)
+            * 100.0
+            / F.nullif(
+                F.sum(F.when(F.col("forecast").isNotNull(), F.col("cents"))),
+                F.lit(0),
+            ),
+            6,
+        ).alias("wape_pct"),
+    )

@@ -151,6 +151,9 @@ EVENT_OPS = [
     # tiny graphs: no seeds at all (nothing tagged), all-seed
     # graphs, cyclic reachability under the 4-hop doubling
     "cat_tag_propagation",
+    # tiny tables: replicas with all-zero weights (nullif NULL mean
+    # sorts first), 1-row inputs where lo==hi
+    "agg_bootstrap_ci",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
@@ -360,6 +363,9 @@ ORDER_OPS = [
     # monotone series have zero drawdown everywhere (trough = every
     # day — the LATEST-day tie rule decides); single-day groups
     "win_max_drawdown",
+    # 0-3-day order spans: most weekdays appear once (no forecast,
+    # excluded), groups with zero scored days (NULL mae rows)
+    "win_seasonal_naive_mae",
     # few distinct (custkey, day) dims: many buckets share one
     # z-cell; 1-row tables make every bucket bbox 1x1
     "sink_cluster_zorder",
