@@ -969,3 +969,81 @@ def sim_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("norm"), 6).alias("max_norm"),
         F.count(F.when(F.col("norm") > 2.0, 1)).alias("n_overscaled"),
     )
+
+
+@register(
+    "sim_centroid_drift",
+    survey_row=69,
+    oracle="""
+    WITH q AS (
+        SELECT label, vec_id % 2 AS half,
+               unnest(generate_series(0, len(embedding) - 1)) AS d,
+               unnest(embedding) AS x
+        FROM embeddings
+    ),
+    comp AS (
+        SELECT label, half, d,
+               sum(CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS sx,
+               count(*) AS n
+        FROM q GROUP BY label, half, d
+    ),
+    cents AS (
+        SELECT a.label, a.d,
+               a.sx * 1.0 / a.n AS ca,
+               b.sx * 1.0 / b.n AS cb
+        FROM comp a JOIN comp b
+          ON a.label = b.label AND a.d = b.d
+         AND a.half = 0 AND b.half = 1
+    )
+    SELECT label,
+           round(sqrt(sum((ca - cb) * (ca - cb))) / 1000.0, 6)
+               AS centroid_drift,
+           count(*)::BIGINT AS n_dims
+    FROM cents GROUP BY label
+    """,
+)
+def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CENTROID drift between two halves of each label's vectors —
+    the embedding-space monitoring a serving stack runs (if the
+    centroid of fresh traffic walks away from the index-build
+    centroid, recall silently decays and the IVF lists need
+    retraining). Split = vec_id parity (the deterministic stand-in
+    for before/after); drift = L2 distance between per-half
+    centroids, per label.
+
+    The float-sum trap is handled the `sim_quantize_int8` way:
+    components quantize to EXACT integer thousandths BEFORE the
+    per-dimension sums (a raw float mean over thousands of rows is
+    accumulation-order-dependent; integer sums are not), and floats
+    reappear only in the final per-dimension division and the
+    64-term distance — fixed-length, fixed-order, engine-identical.
+    Shape: explode to (label, half, dim) partial sums — map-side
+    combine into |labels|×2×|dims| rows — then one broadcast-sized
+    join and rollup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("d", "x"),
+    )
+    comp = q.groupBy("label", "half", "d").agg(
+        F.sum(F.floor(F.col("x") * 1000 + 0.5).cast("long")).alias("sx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = comp.filter(F.col("half") == 0).select(
+        "label", "d", (F.col("sx") / F.col("n")).alias("ca")
+    )
+    b = comp.filter(F.col("half") == 1).select(
+        F.col("label").alias("lb"), F.col("d").alias("db"),
+        (F.col("sx") / F.col("n")).alias("cb"),
+    )
+    cents = a.join(
+        b, (a["label"] == b["lb"]) & (a["d"] == b["db"])
+    )
+    diff = F.col("ca") - F.col("cb")
+    return cents.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(diff * diff)) / 1000.0, 6).alias(
+            "centroid_drift"
+        ),
+        F.count(F.lit(1)).alias("n_dims"),
+    )

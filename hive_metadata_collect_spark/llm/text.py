@@ -1381,3 +1381,115 @@ def text_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") / F.sum("n").over(w_true), 6).alias("recall"),
         F.round(F.col("n") / F.sum("n").over(w_pred), 6).alias("precision"),
     )
+
+
+@register(
+    "text_span_chunk_align",
+    survey_row=71,
+    oracle="""
+    WITH chunks AS (
+        SELECT doc_id, i AS chunk_idx,
+               i * 100 AS c_start,
+               least((i + 1) * 100, n_chars) AS c_end
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(0,
+                 greatest((n_chars - 1) // 100, 0))) AS i)
+    ),
+    spans AS (
+        SELECT doc_id,
+               (doc_id * 37 + s * 61) % greatest(n_chars, 1) AS s_start,
+               least((doc_id * 37 + s * 61) % greatest(n_chars, 1)
+                     + 15 + (doc_id + s) % 30, n_chars) AS s_end,
+               s AS span_idx
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(0, 2)) AS s)
+        WHERE n_chars > 0
+    )
+    SELECT s.doc_id, s.span_idx, c.chunk_idx,
+           greatest(s.s_start, c.c_start)::BIGINT AS ov_start,
+           least(s.s_end, c.c_end)::BIGINT AS ov_end,
+           (s.s_start < c.c_start OR s.s_end > c.c_end) AS is_split
+    FROM spans s JOIN chunks c
+      ON s.doc_id = c.doc_id
+     AND s.s_start < c.c_end AND s.s_end > c.c_start
+    """,
+)
+def text_span_chunk_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-to-CHUNK alignment — the stand-off-annotation join every
+    NLP labeling pipeline needs when documents get chunked for
+    training (`text_chunk_overlap` makes the chunks; labels arrive
+    as character spans against the ORIGINAL document and must be
+    re-addressed to chunks): each span joins to every chunk it
+    overlaps, with the clipped interval and a split flag (spans
+    crossing a chunk boundary — the rows a labeling QA pass
+    reviews). Spans are synthesized deterministically per doc in
+    both engines.
+
+    The join is doc-keyed equi + interval-overlap residual — the
+    `join_interval_overlap` pattern specialized to co-document
+    spans, so there is never a cross-document pair; chunk and span
+    frames both explode from the same doc row and co-partition by
+    doc_id. All offsets are integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.floor((F.col("n_chars") - 1) / 100).cast("int"), F.lit(0)
+                ),
+            )
+        ).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        (F.col("chunk_idx") * 100).alias("c_start"),
+        F.least((F.col("chunk_idx") + 1) * 100, F.col("n_chars")).alias(
+            "c_end"
+        ),
+    )
+    spans = (
+        docs.filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("span_idx"),
+        )
+        .select(
+            "doc_id",
+            "span_idx",
+            (
+                (F.col("doc_id") * 37 + F.col("span_idx") * 61)
+                % F.greatest(F.col("n_chars"), F.lit(1))
+            ).alias("s_start"),
+            F.least(
+                (F.col("doc_id") * 37 + F.col("span_idx") * 61)
+                % F.greatest(F.col("n_chars"), F.lit(1))
+                + 15
+                + (F.col("doc_id") + F.col("span_idx")) % 30,
+                F.col("n_chars"),
+            ).alias("s_end"),
+        )
+    )
+    return (
+        spans.alias("s")
+        .join(
+            chunks.alias("c"),
+            (F.col("s.doc_id") == F.col("c.doc_id"))
+            & (F.col("s.s_start") < F.col("c.c_end"))
+            & (F.col("s.s_end") > F.col("c.c_start")),
+        )
+        .select(
+            F.col("s.doc_id").alias("doc_id"),
+            "span_idx",
+            "chunk_idx",
+            F.greatest("s_start", "c_start").cast("long").alias("ov_start"),
+            F.least("s_end", "c_end").cast("long").alias("ov_end"),
+            (
+                (F.col("s_start") < F.col("c_start"))
+                | (F.col("s_end") > F.col("c_end"))
+            ).alias("is_split"),
+        )
+    )

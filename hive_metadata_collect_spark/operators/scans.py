@@ -523,3 +523,61 @@ def scan_nested_schema_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("meta.price").alias("price"),
         )
     )
+
+
+@register(
+    "scan_position_deletes",
+    survey_row=2,
+    oracle="""
+    WITH data AS (
+        SELECT o_orderkey, o_totalprice,
+               o_orderkey % 4 AS file_id,
+               o_orderkey // 4 AS pos
+        FROM orders
+    ),
+    deletes AS (
+        SELECT file_id, pos FROM data WHERE (pos * 7) % 13 = 0
+    )
+    SELECT d.file_id::BIGINT AS file_id,
+           count(*)::BIGINT AS n_live,
+           round(sum(d.o_totalprice), 2) AS live_price
+    FROM data d
+    LEFT JOIN deletes x
+      ON x.file_id = d.file_id AND x.pos = d.pos
+    WHERE x.pos IS NULL
+    GROUP BY d.file_id
+    """,
+)
+def scan_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ with POSITION deletes — the Iceberg-v2 /
+    Delta-deletion-vector read path (`cat_tx_log_snapshot` replays
+    whole-FILE tombstones; modern formats also delete individual
+    ROWS by (file, position) without rewriting the file): the scan
+    anti-joins the data rows against the position-delete set keyed
+    on (file_id, row_position) and aggregates only survivors.
+    Synthesized deterministically in both engines (file = key mod 4,
+    position = key div 4, deletes on a 13-residue).
+
+    Plan shape is the real one: the delete set is a tiny fraction of
+    the data (here 1/13), so it BROADCASTS into the anti-join and
+    the data side never shuffles for the merge — which is why
+    merge-on-read stays cheap until compaction. The survivors'
+    rollup is the only data-sized shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    data = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_orderkey") % 4).alias("file_id"),
+        F.floor(F.col("o_orderkey") / 4).alias("pos"),
+    )
+    deletes = data.filter((F.col("pos") * 7) % 13 == 0).select(
+        "file_id", "pos"
+    )
+    return (
+        data.join(F.broadcast(deletes), ["file_id", "pos"], "left_anti")
+        .groupBy(F.col("file_id").cast("long").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.round(F.sum("o_totalprice"), 2).alias("live_price"),
+        )
+    )

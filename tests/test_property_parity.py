@@ -255,6 +255,9 @@ DOC_OPS = [
     "text_lang_id_eval",
     # md5-derived dims spanning every AR class boundary
     "mm_image_aspect_bucket",
+    # 1-char docs give single chunks containing every span; spans
+    # clipped at n_chars exercise zero-length and boundary overlaps
+    "text_span_chunk_align",
     # 1-2-token docs hit the trigram guard (sequence(0,n<0) DESCENDS
     # in Spark — the guarded CASE is what this fuzz exists to hold);
     # varied sources hit empty domains in the mixture planner
@@ -366,6 +369,9 @@ ORDER_OPS = [
     # 0-3-day order spans: most weekdays appear once (no forecast,
     # excluded), groups with zero scored days (NULL mae rows)
     "win_seasonal_naive_mae",
+    # tiny key domains put whole files in the delete set (empty
+    # file groups must vanish on both sides)
+    "scan_position_deletes",
     # few distinct (custkey, day) dims: many buckets share one
     # z-cell; 1-row tables make every bucket bbox 1x1
     "sink_cluster_zorder",
