@@ -4106,3 +4106,85 @@ def cat_semantic_type_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("free_form")
         .alias("semantic_type"),
     )
+
+
+@register(
+    "cat_msck_repair_plan",
+    survey_row=63,
+    oracle="""
+    WITH on_disk AS (
+        SELECT DISTINCT event_type AS dt_type,
+               CAST(date_trunc('day', ts) AS DATE) AS dt_day
+        FROM events
+    ),
+    registered AS (
+        SELECT dt_type, dt_day FROM on_disk
+        WHERE CAST(('0x' || substr(md5(dt_type || '/' || dt_day), 1, 8))
+                   AS BIGINT) % 5 <> 0
+    )
+    SELECT d.dt_type, d.dt_day,
+           'ALTER TABLE audit_log ADD PARTITION (event_type=''' ||
+               d.dt_type || ''', day=''' || d.dt_day || ''')' AS ddl
+    FROM on_disk d
+    LEFT JOIN registered r
+      ON r.dt_type = d.dt_type AND r.dt_day = d.dt_day
+    WHERE r.dt_type IS NULL
+    """,
+)
+def cat_msck_repair_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MSCK REPAIR TABLE as a plan — Hive's partition-discovery
+    repair (the single most-run maintenance command against a real
+    metastore): directories that exist on storage but have no
+    PARTITIONS row get an ADD PARTITION statement generated. On-disk
+    partitions derive from the data's own (type, day) combinations;
+    the registered set deterministically drops an md5-selected ~20 %
+    (the same seeded-gap technique as the PII scan's controls), so
+    the anti-join provably recovers exactly the missing ones, and
+    the emitted DDL strings are hash-gated — format drift in the
+    generator breaks the gate, the same discipline as
+    cat_table_ddl_generate.
+
+    Both sides of the anti-join are |partitions|-sized metadata
+    after one DISTINCT over the partition columns (at 100 TB this
+    comes from the storage LISTING, not a data scan — the same
+    boundary cat_partition_listing documents); the repair plan
+    itself broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    on_disk = ev.select(
+        F.col("event_type").alias("dt_type"),
+        F.col("ts").cast("date").alias("dt_day"),
+    ).distinct()
+    gap = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("dt_type"),
+                        F.lit("/"),
+                        F.col("dt_day").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+        == 0
+    )
+    registered = on_disk.filter(~gap)
+    return (
+        on_disk.join(F.broadcast(registered), ["dt_type", "dt_day"], "left_anti")
+        .select(
+            "dt_type",
+            "dt_day",
+            F.concat(
+                F.lit("ALTER TABLE audit_log ADD PARTITION (event_type='"),
+                F.col("dt_type"),
+                F.lit("', day='"),
+                F.col("dt_day").cast("string"),
+                F.lit("')"),
+            ).alias("ddl"),
+        )
+    )

@@ -898,3 +898,60 @@ def fn_ip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "in_site_block"
         ),
     )
+
+
+@register(
+    "fn_xpath_suite",
+    survey_row=49,
+    oracle="""
+    WITH xml AS (
+        SELECT event_id,
+               '<job id="' || event_id || '"><type>' || event_type
+               || '</type><user priority="' || (user_id % 3)
+               || '">u' || user_id || '</user></job>' AS doc
+        FROM events
+    )
+    SELECT event_id,
+           regexp_extract(doc, '<type>([^<]*)</type>', 1) AS job_type,
+           regexp_extract(doc, '<user[^>]*>([^<]*)</user>', 1) AS job_user,
+           CAST(regexp_extract(doc, 'priority="([0-9]+)"', 1) AS BIGINT)
+               AS priority,
+           len(regexp_extract_all(doc, '<[a-z]+[ >]'))::BIGINT
+               AS n_open_tags
+    FROM xml
+    """,
+)
+def fn_xpath_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPATH extraction — the Hive-era function family
+    (xpath_string / xpath_int / xpath) a metastore-adjacent engine
+    must keep because a decade of job-config and Oozie/Airflow-XML
+    payloads live in audit tables: element text, attribute values,
+    and node counts pulled from a synthesized job-descriptor
+    document. Spark runs the REAL xpath functions (JVM
+    javax.xml.xpath under whole-stage codegen); the oracle
+    re-derives each extraction with regexes over the same
+    deterministic XML — valid because the synthesized documents are
+    unambiguous (no nesting of the matched tags, no CDATA), which
+    is exactly the regime where regex-vs-parser agree.
+
+    Map-only, no shuffles; the XML never leaves the JVM."""
+    ev = load_table(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('<job id="'),
+        F.col("event_id").cast("string"),
+        F.lit('"><type>'),
+        F.col("event_type"),
+        F.lit('</type><user priority="'),
+        (F.col("user_id") % 3).cast("string"),
+        F.lit('">u'),
+        F.col("user_id").cast("string"),
+        F.lit("</user></job>"),
+    )
+    xml = ev.select("event_id", doc.alias("doc"))
+    return xml.select(
+        "event_id",
+        F.expr("xpath_string(doc, '/job/type')").alias("job_type"),
+        F.expr("xpath_string(doc, '/job/user')").alias("job_user"),
+        F.expr("xpath_long(doc, '/job/user/@priority')").alias("priority"),
+        F.expr("size(xpath(doc, '//*'))").cast("long").alias("n_open_tags"),
+    )

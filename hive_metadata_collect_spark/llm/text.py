@@ -1493,3 +1493,85 @@ def text_span_chunk_align(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_split"),
         )
     )
+
+
+@register(
+    "text_html_strip",
+    survey_row=71,
+    oracle="""
+    WITH html AS (
+        SELECT doc_id,
+               '<html><head><title>d' || doc_id ||
+               '</title><script>var x=' || (doc_id % 7) ||
+               ';</script></head><body><p>' || text ||
+               '</p><div class="nav">menu menu menu</div></body></html>'
+                   AS raw
+        FROM documents
+    ),
+    stripped AS (
+        SELECT doc_id, raw,
+               trim(regexp_replace(regexp_replace(regexp_replace(raw,
+                   '<script[^>]*>[^<]*</script>', ' ', 'g'),
+                   '<[^>]+>', ' ', 'g'),
+                   ' +', ' ', 'g')) AS clean
+        FROM html
+    )
+    SELECT doc_id,
+           length(raw)::BIGINT AS raw_len,
+           length(clean)::BIGINT AS clean_len,
+           len(regexp_extract_all(raw, '<[a-z]+[^>]*>'))::BIGINT
+               AS n_tags,
+           round(length(clean) * 1.0 / length(raw), 6) AS text_ratio
+    FROM stripped
+    """,
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate STRIPPING — the first transformation of
+    every web-crawl pipeline (CCNet/trafilatura's cheap tier):
+    script blocks dropped whole (their CONTENT is code, not prose —
+    a tag-only strip would leak it into the corpus), remaining tags
+    to whitespace, runs collapsed; emits raw/clean lengths, tag
+    count, and the text-to-markup ratio (the boilerplate-page
+    filter signal — chrome-heavy pages score low). HTML is
+    synthesized around each fixture doc in both engines, with the
+    script CONTENT deliberately present so the strip-order mistake
+    is catchable.
+
+    Three regexp_replace passes in the Java∩RE2 common dialect
+    (order matters and is pinned: script-with-content first);
+    map-only codegen, inherits scan partitioning — the 100 TB form
+    is this exact expression in the crawl-ingest projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("<html><head><title>d"),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><script>var x="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(";</script></head><body><p>"),
+        F.col("text"),
+        F.lit('</p><div class="nav">menu menu menu</div></body></html>'),
+    )
+    html = docs.select("doc_id", raw.alias("raw"))
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.col("raw"), r"<script[^>]*>[^<]*</script>", " "
+                ),
+                r"<[^>]+>",
+                " ",
+            ),
+            r" +",
+            " ",
+        )
+    )
+    stripped = html.select("doc_id", "raw", clean.alias("clean"))
+    return stripped.select(
+        "doc_id",
+        F.length("raw").cast("long").alias("raw_len"),
+        F.length("clean").cast("long").alias("clean_len"),
+        F.size(F.expr("regexp_extract_all(raw, '<[a-z]+[^>]*>', 0)"))
+        .cast("long")
+        .alias("n_tags"),
+        F.round(F.length("clean") / F.length("raw"), 6).alias("text_ratio"),
+    )

@@ -154,6 +154,11 @@ EVENT_OPS = [
     # tiny tables: replicas with all-zero weights (nullif NULL mean
     # sorts first), 1-row inputs where lo==hi
     "agg_bootstrap_ci",
+    # tiny partition sets where the md5 gap rule drops nothing (0
+    # DDL rows) or everything; quote-escaping in generated DDL
+    "cat_msck_repair_plan",
+    # xpath vs regex equivalence on every generated shape
+    "fn_xpath_suite",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
@@ -258,6 +263,9 @@ DOC_OPS = [
     # 1-char docs give single chunks containing every span; spans
     # clipped at n_chars exercise zero-length and boundary overlaps
     "text_span_chunk_align",
+    # docs containing angle brackets / empty docs stress the strip
+    # passes and the ratio division
+    "text_html_strip",
     # 1-2-token docs hit the trigram guard (sequence(0,n<0) DESCENDS
     # in Spark — the guarded CASE is what this fuzz exists to hold);
     # varied sources hit empty domains in the mixture planner
