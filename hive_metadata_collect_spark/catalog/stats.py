@@ -4188,3 +4188,75 @@ def cat_msck_repair_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ddl"),
         )
     )
+
+
+@register(
+    "cat_psi_drift",
+    survey_row=64,
+    oracle="""
+    WITH halves AS (
+        SELECT event_type,
+               CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS half,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, half, n,
+               sum(n) OVER (PARTITION BY half) AS half_tot
+        FROM halves
+    ),
+    pvt AS (
+        SELECT a.event_type,
+               a.n * 1.0 / a.half_tot AS pa,
+               b.n * 1.0 / b.half_tot AS pb
+        FROM (SELECT * FROM tot WHERE half = 'a') a
+        JOIN (SELECT * FROM tot WHERE half = 'b') b
+          ON a.event_type = b.event_type
+    )
+    SELECT event_type,
+           round(pa, 6) AS p_ref, round(pb, 6) AS p_cur,
+           round((pa - pb) * ln(pa / pb), 6) AS psi_term
+    FROM pvt
+    """,
+)
+def cat_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (PSI) between two workload
+    populations — THE model-monitoring drift metric, applied where a
+    collector applies it: has the distribution of accessed tables /
+    event types shifted between two periods? Per category, the PSI
+    term (p_ref − p_cur)·ln(p_ref/p_cur); the global index (sum;
+    >0.2 = investigate) is one further sum. Categories present in
+    only one half are the documented production wrinkle (smoothing
+    needed) — here the split is event_id parity, so every category
+    appears in both halves and the gate stays exact without
+    smoothing.
+
+    Two |categories|-sized marginal windows over one contingency
+    agg (the chi-square plumbing with a different statistic);
+    probabilities are single IEEE divisions of exact counts, and ln
+    of an IEEE-identical argument is libm-stable — the same
+    contract text_unigram_logprob has held across five rounds."""
+    ev = load_table(spark, sf_dir, "events")
+    halves = ev.groupBy(
+        "event_type",
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b").alias("half"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = halves.withColumn(
+        "half_tot", F.sum("n").over(Window.partitionBy("half"))
+    )
+    a = tot.filter(F.col("half") == "a").select(
+        "event_type", (F.col("n") / F.col("half_tot")).alias("pa")
+    )
+    b = tot.filter(F.col("half") == "b").select(
+        F.col("event_type").alias("et_b"),
+        (F.col("n") / F.col("half_tot")).alias("pb"),
+    )
+    pvt = a.join(b, a["event_type"] == b["et_b"])
+    return pvt.select(
+        "event_type",
+        F.round("pa", 6).alias("p_ref"),
+        F.round("pb", 6).alias("p_cur"),
+        F.round(
+            (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb")), 6
+        ).alias("psi_term"),
+    )

@@ -1575,3 +1575,129 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tags"),
         F.round(F.length("clean") / F.length("raw"), 6).alias("text_ratio"),
     )
+
+
+@register(
+    "pipeline_chat_format_validate",
+    survey_row=71,
+    oracle="""
+    WITH conv AS (
+        SELECT doc_id,
+               '[{"role":"user","content":"q' || doc_id || '"},' ||
+               '{"role":"' ||
+               CASE WHEN doc_id % 7 = 3 THEN 'user'
+                    ELSE 'assistant' END ||
+               '","content":"' ||
+               CASE WHEN doc_id % 5 = 2 THEN ''
+                    ELSE 'a' || doc_id END || '"}' ||
+               CASE WHEN doc_id % 3 = 0
+                    THEN ',{"role":"user","content":"f' || doc_id ||
+                         '"},{"role":"assistant","content":"g' ||
+                         doc_id || '"}'
+                    ELSE '' END || ']' AS msgs
+        FROM documents
+    ),
+    checks AS (
+        SELECT doc_id, msgs,
+               CAST(json_array_length(msgs) AS BIGINT) AS n_turns,
+               json_extract_string(msgs, '$[0].role') = 'user'
+                   AS starts_with_user,
+               json_extract_string(msgs,
+                   '$[' || (json_array_length(msgs) - 1) || '].role')
+                   = 'assistant' AS ends_with_assistant,
+               json_extract_string(msgs, '$[1].role') <>
+                   json_extract_string(msgs, '$[0].role')
+                   AS first_pair_alternates,
+               (json_extract_string(msgs, '$[0].content') = ''
+                OR json_extract_string(msgs, '$[1].content') = '')
+                   AS has_empty_content
+        FROM conv
+    )
+    SELECT doc_id, n_turns,
+           (starts_with_user AND ends_with_assistant
+            AND first_pair_alternates AND NOT has_empty_content)
+               AS is_valid,
+           starts_with_user, ends_with_assistant,
+           first_pair_alternates, has_empty_content
+    FROM checks
+    """,
+)
+def pipeline_chat_format_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAT-format validation — the SFT-data ingest gate (a
+    malformed conversation silently teaches the wrong turn
+    structure): each record's message array is checked for the
+    contract every chat template assumes — opens with a user turn,
+    closes with an assistant turn, roles alternate, no empty
+    content. Conversations are synthesized with three seeded defect
+    classes (role repetition on a 7-residue, empty assistant content
+    on a 5-residue, plus valid 4-turn dialogs) so each rule
+    provably fires and the defect classes compose.
+
+    Pure JSON-path extraction (get_json_object ≡
+    json_extract_string) + boolean algebra, all codegen, map-only —
+    the validation predicate pushes into the ingest scan at any
+    scale. The last-turn path is computed from the array LENGTH
+    (dynamic JSON path), exercising the path-construction case the
+    fixed-path fn_json_extract op doesn't."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    msgs = F.concat(
+        F.lit('[{"role":"user","content":"q'),
+        did.cast("string"),
+        F.lit('"},{"role":"'),
+        F.when(did % 7 == 3, "user").otherwise("assistant"),
+        F.lit('","content":"'),
+        F.when(did % 5 == 2, "").otherwise(
+            F.concat(F.lit("a"), did.cast("string"))
+        ),
+        F.lit('"}'),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(',{"role":"user","content":"f'),
+                did.cast("string"),
+                F.lit('"},{"role":"assistant","content":"g'),
+                did.cast("string"),
+                F.lit('"}'),
+            ),
+        ).otherwise(""),
+        F.lit("]"),
+    )
+    conv = docs.select("doc_id", msgs.alias("msgs"))
+    n_turns = F.json_array_length("msgs").cast("long")
+    checks = conv.select(
+        "doc_id",
+        n_turns.alias("n_turns"),
+        (F.get_json_object("msgs", "$[0].role") == "user").alias(
+            "starts_with_user"
+        ),
+        (
+            F.expr(
+                "get_json_object(msgs, concat('$[', "
+                "json_array_length(msgs) - 1, '].role'))"
+            )
+            == "assistant"
+        ).alias("ends_with_assistant"),
+        (
+            F.get_json_object("msgs", "$[1].role")
+            != F.get_json_object("msgs", "$[0].role")
+        ).alias("first_pair_alternates"),
+        (
+            (F.get_json_object("msgs", "$[0].content") == "")
+            | (F.get_json_object("msgs", "$[1].content") == "")
+        ).alias("has_empty_content"),
+    )
+    return checks.select(
+        "doc_id",
+        "n_turns",
+        (
+            F.col("starts_with_user")
+            & F.col("ends_with_assistant")
+            & F.col("first_pair_alternates")
+            & ~F.col("has_empty_content")
+        ).alias("is_valid"),
+        "starts_with_user",
+        "ends_with_assistant",
+        "first_pair_alternates",
+        "has_empty_content",
+    )

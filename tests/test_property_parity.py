@@ -159,6 +159,10 @@ EVENT_OPS = [
     "cat_msck_repair_plan",
     # xpath vs regex equivalence on every generated shape
     "fn_xpath_suite",
+    # categories appearing in only one half (parity split can still
+    # miss a type on 1-2-row tables): pa/pb join drops them — both
+    # engines must agree on the dropped set
+    "cat_psi_drift",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
@@ -266,6 +270,8 @@ DOC_OPS = [
     # docs containing angle brackets / empty docs stress the strip
     # passes and the ratio division
     "text_html_strip",
+    # every seeded defect class × tiny corpora
+    "pipeline_chat_format_validate",
     # 1-2-token docs hit the trigram guard (sequence(0,n<0) DESCENDS
     # in Spark — the guarded CASE is what this fuzz exists to hold);
     # varied sources hit empty domains in the mixture planner
