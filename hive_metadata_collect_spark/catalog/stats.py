@@ -4260,3 +4260,48 @@ def cat_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb")), 6
         ).alias("psi_term"),
     )
+
+
+@register(
+    "cat_usage_hourly_profile",
+    survey_row=64,
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(hour(ts) AS BIGINT) AS hr,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           count(*)::BIGINT AS n_active_hours,
+           max_by(hr, n * 100 + (23 - hr))::BIGINT AS peak_hour,
+           max(n)::BIGINT AS peak_qph,
+           round(max(n) * 24.0 / sum(n), 6) AS peakiness
+    FROM hourly GROUP BY event_type
+    """,
+)
+def cat_usage_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day USAGE profile per table — the diurnal fingerprint
+    a collector derives from its audit log to schedule maintenance
+    (compaction/vacuum go in the trough) and classify workloads
+    (peakiness ≈ 1 → flat service traffic; ≫ 1 → a daily batch job):
+    active-hour count, the peak hour (earliest wins on tied counts,
+    pinned via a scalar composite key — the DuckDB max_by struct
+    limitation again), peak queries-per-hour, and peak-to-mean
+    ratio.
+
+    One |types|×24 contingency agg (map-side partials) then a
+    |types|-row rollup — the same two-level shape as the latency
+    histogram, keyed by time-of-day instead of magnitude."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_active_hours"),
+        F.max_by("hr", F.col("n") * 100 + (23 - F.col("hr")))
+        .cast("long")
+        .alias("peak_hour"),
+        F.max("n").alias("peak_qph"),
+        F.round(F.max("n") * 24.0 / F.sum("n"), 6).alias("peakiness"),
+    )

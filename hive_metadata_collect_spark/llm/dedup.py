@@ -15,7 +15,7 @@ buckets bound candidates independently of corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_metadata_collect_spark.registry import register
@@ -1350,4 +1350,73 @@ def pipeline_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("u32") < F.col("keep_p") * 4294967296.0)
         .select("doc_id", "lang", F.round("keep_p", 6).alias("keep_p"))
+    )
+
+
+@register(
+    "pipeline_interleave_order",
+    survey_row=67,
+    oracle="""
+    WITH langs AS (
+        SELECT lang, row_number() OVER (ORDER BY lang) - 1 AS lang_idx,
+               count(*) OVER () AS n_langs
+        FROM (SELECT DISTINCT lang FROM documents)
+    ),
+    seq AS (
+        SELECT d.doc_id, d.lang, l.lang_idx, l.n_langs,
+               row_number() OVER (
+                   PARTITION BY d.lang
+                   ORDER BY md5('il:' || d.doc_id), d.doc_id) - 1 AS rn
+        FROM documents d JOIN langs l ON l.lang = d.lang
+    )
+    SELECT doc_id, lang,
+           (rn * n_langs + lang_idx)::BIGINT AS train_position
+    FROM seq
+    """,
+)
+def pipeline_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic TRAINING-ORDER interleave — the data-ordering
+    step between mixture planning (`pipeline_domain_mix`) and
+    sequence packing: round-robin the domains so no training window
+    sees a long single-domain run (which spikes gradient noise and
+    wrecks small-batch loss curves). Each domain shuffles internally
+    by md5 rank (reproducible, the stratified-sample discipline),
+    then position = rn·n_domains + domain_idx — a CLOSED FORM, so
+    the global order needs NO global sort: it's one window per
+    domain partition plus integer arithmetic, and a downstream
+    writer just sorts-within-partitions by the position key.
+
+    The |domains| dim is a broadcast join; uneven domain sizes
+    leave gaps in the position sequence by design (positions stay
+    unique and ordered — the writer's sort doesn't care), which is
+    what keeps the form closed instead of needing a second pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    langs = (
+        docs.select("lang")
+        .distinct()
+        .select(
+            "lang",
+            (F.row_number().over(Window.orderBy("lang")) - 1).alias(
+                "lang_idx"
+            ),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n_langs"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("il:"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    seq = docs.join(F.broadcast(langs), "lang").select(
+        "doc_id",
+        "lang",
+        "lang_idx",
+        "n_langs",
+        (F.row_number().over(w) - 1).alias("rn"),
+    )
+    return seq.select(
+        "doc_id",
+        "lang",
+        (F.col("rn") * F.col("n_langs") + F.col("lang_idx"))
+        .cast("long")
+        .alias("train_position"),
     )

@@ -1317,3 +1317,80 @@ def mm_audio_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _synth_wav_payloads(d).mapInPandas(
         batches, schema="doc_id long, peak long, n_clipped long, dc_offset double"
     )
+
+
+@register(
+    "mm_av_sync_check",
+    survey_row=74,
+    oracle="""
+    SELECT doc_id,
+           (64 + doc_id % 128)::BIGINT AS n_samples,
+           (1 + doc_id % 4)::BIGINT AS n_frames,
+           round((64 + doc_id % 128) / 16000.0, 6) AS audio_s,
+           round((1 + doc_id % 4) / 25.0, 6) AS video_s,
+           abs((64 + doc_id % 128) / 16000.0
+               - (1 + doc_id % 4) / 25.0) > 0.05 AS out_of_sync
+    FROM documents
+    """,
+)
+def mm_av_sync_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/V SYNC check — the container-pair consistency audit a
+    video-training pipeline runs before muxing modalities (audio
+    stream duration vs video stream duration; drift past a
+    threshold means a broken demux or a dropped-frames capture and
+    the pair is unusable for lip-sync/AV-alignment training): BOTH
+    real parsers run per document — the RIFF/WAVE chunk walk for
+    n_samples and the Y4M FRAME walk for n_frames — and durations
+    are compared at a 50 ms tolerance. The fixture waveform/stream
+    are closed-form, so the oracle re-derives both durations
+    arithmetically; any drift in EITHER parser's accounting breaks
+    the gate.
+
+    One mapInPandas stage decodes both containers batch-wise (the
+    payloads travel together — no join needed); each duration is a
+    single IEEE division. Map-only at any scale."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        wav, y4m = DECODERS["audio"], DECODERS["video"]
+        for pdf in it:
+            rows = []
+            for doc_id, ap, vp in zip(
+                pdf["doc_id"], pdf["audio_payload"], pdf["video_payload"]
+            ):
+                a = wav(bytes(ap))
+                v = y4m(bytes(vp))
+                audio_s = a["n_samples"] / a["sample_rate"]
+                video_s = v["n_frames"] / 25.0
+                # rounding happens JVM-side after the UDF: Python's
+                # round() is banker's, SQL round() is half-up
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_samples": a["n_samples"],
+                        "n_frames": v["n_frames"],
+                        "audio_s": audio_s,
+                        "video_s": video_s,
+                        "out_of_sync": abs(audio_s - video_s) > 0.05,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    d = load_table(spark, sf_dir, "documents")
+    wavs = _synth_wav_payloads(d).withColumnRenamed("payload", "audio_payload")
+    vids = _synth_y4m_payloads(d).withColumnRenamed("payload", "video_payload")
+    paired = wavs.join(vids, "doc_id")
+    decoded = paired.mapInPandas(
+        batches,
+        schema=(
+            "doc_id long, n_samples long, n_frames long, "
+            "audio_s double, video_s double, out_of_sync boolean"
+        ),
+    )
+    return decoded.select(
+        "doc_id",
+        "n_samples",
+        "n_frames",
+        F.round("audio_s", 6).alias("audio_s"),
+        F.round("video_s", 6).alias("video_s"),
+        "out_of_sync",
+    )

@@ -163,6 +163,9 @@ EVENT_OPS = [
     # miss a type on 1-2-row tables): pa/pb join drops them — both
     # engines must agree on the dropped set
     "cat_psi_drift",
+    # single-hour tables: peakiness = 24/1 exactly; tied hourly
+    # counts decide the earliest-peak composite
+    "cat_usage_hourly_profile",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
@@ -272,6 +275,9 @@ DOC_OPS = [
     "text_html_strip",
     # every seeded defect class × tiny corpora
     "pipeline_chat_format_validate",
+    # 1-language corpora reduce to a pure md5 shuffle; n-language
+    # tiny corpora exercise the gap structure
+    "pipeline_interleave_order",
     # 1-2-token docs hit the trigram guard (sequence(0,n<0) DESCENDS
     # in Spark — the guarded CASE is what this fuzz exists to hold);
     # varied sources hit empty domains in the mixture planner
