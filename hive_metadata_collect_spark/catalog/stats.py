@@ -4305,3 +4305,156 @@ def cat_usage_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("peak_qph"),
         F.round(F.max("n") * 24.0 / F.sum("n"), 6).alias("peakiness"),
     )
+
+
+@register(
+    "cat_lineage_triangles",
+    survey_row=66,
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT prev_type AS src, event_type AS dst FROM (
+            SELECT event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events)
+        WHERE prev_type IS NOT NULL AND prev_type <> event_type
+    ),
+    und AS (
+        SELECT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges GROUP BY 1, 2
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        WHERE e1.a < e1.b AND e2.a < e2.b
+    )
+    SELECT count(*)::BIGINT AS n_triangles,
+           (SELECT count(*) FROM und)::BIGINT AS n_edges,
+           (SELECT count(*) FROM (
+                SELECT a AS n FROM und UNION SELECT b FROM und))::BIGINT
+               AS n_nodes
+    FROM tri
+    """,
+)
+def cat_lineage_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE count over the (undirected) lineage graph — the
+    clustering-coefficient numerator, and the graph-health signal
+    the cycle/closure/pagerank family lacks: a lineage graph with
+    many triangles has redundant derivation paths (the same data
+    reachable two ways — a dedup/consolidation candidate list),
+    while a tree-like graph has none. Canonical algorithm: orient
+    every undirected edge low→high, then count ordered wedges
+    closed by a third edge — each triangle counted exactly once, no
+    double counting, no direction ambiguity.
+
+    Two self-joins over the canonicalized |E|-row edge set
+    (metadata-sized here; at real scale this is the classic
+    node-degree-ordered triangle join, and the orientation trick is
+    exactly what bounds the wedge explosion: high-degree nodes only
+    expand toward higher ids). The corpus-sized work remains the
+    one DISTINCT edge extraction shared by the whole lineage
+    family."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        F.lag("event_type").over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+    )
+    edges = trans.filter(
+        F.col("src").isNotNull() & (F.col("src") != F.col("dst"))
+    ).distinct()
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .cache()
+    )
+    e2 = und.select(F.col("a").alias("m"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tri = (
+        und.join(F.broadcast(e2), und["b"] == e2["m"])
+        .join(
+            F.broadcast(e3),
+            (F.col("a") == F.col("x3")) & (F.col("z") == F.col("z3")),
+        )
+    )
+    n_edges = und.count()
+    n_nodes = (
+        und.select(F.col("a").alias("n")).union(und.select("b")).distinct().count()
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles")).select(
+        "n_triangles",
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+    )
+
+
+@register(
+    "cat_decayed_heat",
+    survey_row=64,
+    oracle="""
+    WITH wm AS (
+        SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS max_day
+        FROM events
+    ),
+    daily AS (
+        SELECT event_type,
+               date_diff('day', CAST(date_trunc('day', ts) AS DATE),
+                         (SELECT max_day FROM wm)) AS age_d,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    weighted AS (
+        SELECT event_type, age_d, n,
+               CAST(floor(pow(2.0, -(age_d / 7.0)) * 1000000) AS BIGINT)
+                   AS w6
+        FROM daily
+    )
+    SELECT event_type,
+           sum(n)::BIGINT AS raw_count,
+           sum(n * w6)::BIGINT AS heat_e6,
+           round(sum(n * w6) / 1000000.0, 6) AS heat
+    FROM weighted GROUP BY event_type
+    """,
+)
+def cat_decayed_heat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-DECAYED table heat (half-life 7 days) — the cache/tier
+    eviction score that fixes raw `cat_table_heat`'s blind spot: a
+    table hammered last month and dead since outranks one warming
+    up today under raw counts, and exactly inverts under decay.
+    Anchored to the data's own max day (reproducible, like the
+    retention planner).
+
+    The float-decay trap is dodged by integerizing the weight ONCE
+    per distinct age (floor(2^(−age/hl)·10⁶) — at most |days|
+    distinct values, each a single libm pow of an engine-identical
+    argument), after which heat is an exact int64 sum of
+    count×weight products — accumulation-order-free where the naive
+    per-event Σ pow(...) would be a float sum in shuffle order. One
+    |types|×|days| rollup then a |types| reduce; the decayed score
+    is incrementally maintainable (yesterday's heat halves-lives by
+    one day: multiply by a constant and add today's counts)."""
+    ev = load_table(spark, sf_dir, "events")
+    wm = ev.agg(F.max(F.col("ts").cast("date")).alias("max_day"))
+    daily = (
+        ev.crossJoin(F.broadcast(wm))
+        .groupBy(
+            "event_type",
+            F.datediff("max_day", F.col("ts").cast("date")).alias("age_d"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    weighted = daily.withColumn(
+        "w6",
+        F.floor(F.pow(F.lit(2.0), -(F.col("age_d") / 7.0)) * 1000000).cast(
+            "long"
+        ),
+    )
+    return weighted.groupBy("event_type").agg(
+        F.sum("n").alias("raw_count"),
+        F.sum(F.col("n") * F.col("w6")).alias("heat_e6"),
+        F.round(F.sum(F.col("n") * F.col("w6")) / 1000000.0, 6).alias("heat"),
+    )

@@ -1654,3 +1654,92 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min(F.when(F.col("rn") == 2, F.col("m"))), 6).alias("ci_lo"),
         F.round(F.min(F.when(F.col("rn") == 31, F.col("m"))), 6).alias("ci_hi"),
     )
+
+
+@register(
+    "agg_exact_median_twopass",
+    survey_row=27,
+    oracle="""
+    WITH v AS (
+        SELECT CAST(floor(round(o_totalprice, 2) * 100 + 0.5) AS BIGINT)
+                   AS cents
+        FROM orders
+    ),
+    k AS (SELECT (count(*) - 1) // 2 AS kth, count(*) AS n FROM v),
+    b AS (
+        SELECT cents // 1000000 AS bucket, count(*) AS bn
+        FROM v GROUP BY 1
+    ),
+    loc AS (
+        SELECT bucket, bn,
+               coalesce(sum(bn) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS below
+        FROM b
+    ),
+    target AS (
+        SELECT l.bucket, l.below
+        FROM loc l, k
+        WHERE l.below <= k.kth AND k.kth < l.below + l.bn
+    )
+    SELECT (SELECT n FROM k)::BIGINT AS n,
+           (SELECT kth FROM k)::BIGINT AS kth,
+           min(x.cents)::BIGINT AS median_cents
+    FROM (
+        SELECT v.cents,
+               row_number() OVER (ORDER BY v.cents) AS rn
+        FROM v, target t
+        WHERE v.cents // 1000000 = t.bucket
+    ) x, k, target t2
+    WHERE x.rn = k.kth - t2.below + 1
+    """,
+)
+def agg_exact_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median by the two-pass histogram algorithm —
+    the at-scale answer to "percentile_cont sorts my 100 TB column
+    on one node": pass 1 histograms the column into coarse buckets
+    (map-side combine, |buckets| rows); the running bucket counts
+    LOCATE the bucket holding the k-th value; pass 2 ranks only
+    WITHIN that one bucket (≈ n/|buckets| rows through a sort) and
+    picks the (k − below)-th element. Two scans, no global sort —
+    the classic distributed selection algorithm (lower-median
+    convention, integer cents so selection is well-defined).
+
+    Spark implements the same two passes the oracle spells out in
+    SQL; the within-bucket sort touches ~1/1000 of the data, and
+    every cross-pass handoff (kth, bucket, below) is a broadcast
+    scalar. Generalizes to any quantile and to the iterative
+    refine-until-one-bucket form for pathological skew."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        F.floor(F.round("o_totalprice", 2) * 100 + 0.5)
+        .cast("long")
+        .alias("cents")
+    )
+    n = v.count()
+    kth = (n - 1) // 2
+    b = v.groupBy(F.floor(F.col("cents") / 1000000).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    loc = b.withColumn("below", F.coalesce(F.sum("bn").over(w), F.lit(0)))
+    t = (
+        loc.filter(
+            (F.col("below") <= kth) & (F.lit(kth) < F.col("below") + F.col("bn"))
+        )
+        .select("bucket", "below")
+        .head()
+    )
+    within = (
+        v.filter(F.floor(F.col("cents") / 1000000) == t["bucket"])
+        .select(
+            "cents",
+            F.row_number().over(Window.orderBy("cents")).alias("rn"),
+        )
+        .filter(F.col("rn") == kth - t["below"] + 1)
+    )
+    return within.select(
+        F.lit(n).cast("long").alias("n"),
+        F.lit(kth).cast("long").alias("kth"),
+        F.col("cents").alias("median_cents"),
+    )

@@ -166,6 +166,11 @@ EVENT_OPS = [
     # single-hour tables: peakiness = 24/1 exactly; tied hourly
     # counts decide the earliest-peak composite
     "cat_usage_hourly_profile",
+    # tree-like tiny graphs (0 triangles), 2-cycles canonicalizing
+    # to a single undirected edge, complete 3-node graphs
+    "cat_lineage_triangles",
+    # same-day-only tables: single age bucket, weight exactly 1e6
+    "cat_decayed_heat",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
@@ -392,6 +397,9 @@ ORDER_OPS = [
     # tiny key domains put whole files in the delete set (empty
     # file groups must vanish on both sides)
     "scan_position_deletes",
+    # 1-2-row tables: kth = 0, the bucket holding it is the first,
+    # within-bucket rank 1 — every handoff at its boundary
+    "agg_exact_median_twopass",
     # few distinct (custkey, day) dims: many buckets share one
     # z-cell; 1-row tables make every bucket bbox 1x1
     "sink_cluster_zorder",
