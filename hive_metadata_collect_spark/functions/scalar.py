@@ -955,3 +955,41 @@ def fn_xpath_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("xpath_long(doc, '/job/user/@priority')").alias("priority"),
         F.expr("size(xpath(doc, '//*'))").cast("long").alias("n_open_tags"),
     )
+
+
+@register(
+    "fn_binary_codec_suite",
+    survey_row=46,
+    oracle="""
+    SELECT doc_id,
+           base64(encode(source)) AS b64,
+           lower(hex(encode(source))) AS hexed,
+           decode(from_base64(base64(encode(source)))) AS roundtrip,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           length(text)::BIGINT AS n_chars
+    FROM documents
+    """,
+)
+def fn_binary_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY codec suite — the string↔bytes bridge functions every
+    payload-bearing pipeline leans on (base64 for transport-safe
+    blobs, hex for digests/debug, and the bytes-vs-chars length
+    distinction that multi-byte text makes load-bearing): encode →
+    base64/hex → decode roundtrip, hash-gated so both codecs'
+    alphabets and padding agree cross-engine. n_bytes vs n_chars
+    differ exactly on the non-ASCII fixture docs (the zh/de/es/fr
+    corpus slices), so the UTF-8 length distinction is genuinely
+    exercised, not vacuously equal.
+
+    Map-only codegen; at scale these fuse into whatever projection
+    carries the payload."""
+    d = load_table(spark, sf_dir, "documents")
+    src = F.encode(F.col("source"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.base64(src).alias("b64"),
+        F.lower(F.hex(src)).alias("hexed"),
+        F.decode(F.unbase64(F.base64(src)), "UTF-8").alias("roundtrip"),
+        F.length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n_bytes"),
+        F.length("text").cast("long").alias("n_chars"),
+    )

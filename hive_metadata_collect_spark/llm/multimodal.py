@@ -1394,3 +1394,73 @@ def mm_av_sync_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("video_s", 6).alias("video_s"),
         "out_of_sync",
     )
+
+
+@register(
+    "mm_image_histogram",
+    survey_row=74,
+    oracle="""
+    WITH px AS (
+        SELECT doc_id,
+               (doc_id + unnest(generate_series(
+                   0, (1 + doc_id % 16) * (1 + (doc_id * 7) % 16) * 3 - 1)))
+                   % 256 AS v
+        FROM documents
+    )
+    SELECT doc_id,
+           (v // 32)::BIGINT AS bucket,
+           count(*)::BIGINT AS n_px,
+           min(v)::BIGINT AS bucket_min,
+           max(v)::BIGINT AS bucket_max
+    FROM px GROUP BY doc_id, v // 32
+    """,
+)
+def mm_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image INTENSITY histogram (8 buckets of 32 levels) over
+    the REAL PPM decode — the exposure/contrast profile an image-
+    curation pipeline filters on (all-dark, all-blown, low-dynamic-
+    range images are training poison that mean-only stats like
+    `mm_image_channel_stats` can't see: a 50 %-black/50 %-white
+    image and a flat gray one share a mean). The parser's pixel
+    plane is histogrammed inside the Arrow batch stage (np.bincount
+    per image — one vectorized pass), and the closed-form pixel
+    function lets the oracle recompute every bucket exactly.
+
+    Output is (doc, bucket) rows — integer counts only, nothing to
+    round anywhere. Decode stays embarrassingly parallel; the
+    histogram adds |docs|×8 rows of output, not a shuffle of
+    pixels."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                # reuse the P6 header walk from decode_ppm, then
+                # histogram the raw plane
+                nl = payload.index(b"\n", payload.index(b"\n", 3) + 1)
+                pixels = np.frombuffer(payload, dtype=np.uint8, offset=nl + 1)
+                hist = np.bincount(pixels >> 5, minlength=8)
+                for b in range(8):
+                    if hist[b]:
+                        bucket_px = pixels[(pixels >> 5) == b]
+                        rows.append(
+                            {
+                                "doc_id": int(doc_id),
+                                "bucket": b,
+                                "n_px": int(hist[b]),
+                                "bucket_min": int(bucket_px.min()),
+                                "bucket_max": int(bucket_px.max()),
+                            }
+                        )
+            yield pd.DataFrame(rows)
+
+    d = load_table(spark, sf_dir, "documents")
+    return _synth_ppm_payloads(d).mapInPandas(
+        batches,
+        schema=(
+            "doc_id long, bucket long, n_px long, "
+            "bucket_min long, bucket_max long"
+        ),
+    )

@@ -1701,3 +1701,69 @@ def pipeline_chat_format_validate(spark: SparkSession, sf_dir: str) -> DataFrame
         "first_pair_alternates",
         "has_empty_content",
     )
+
+
+@register(
+    "text_encoding_audit",
+    survey_row=71,
+    oracle="""
+    WITH noisy AS (
+        SELECT doc_id,
+               text ||
+               CASE WHEN doc_id % 6 = 1
+                    THEN ' ' || chr(65533) || 'corrupt' || chr(65533)
+                    ELSE '' END ||
+               CASE WHEN doc_id % 8 = 2
+                    THEN chr(8) || chr(11) ELSE '' END AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, chr(65533)))::BIGINT
+               AS n_replacement,
+           len(regexp_extract_all(t,
+               '[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F]'))::BIGINT
+               AS n_control,
+           (len(regexp_extract_all(t, chr(65533))) > 0
+            OR len(regexp_extract_all(t,
+                   '[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F]')) > 0)
+               AS is_suspect
+    FROM noisy
+    """,
+)
+def text_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODING-health audit — the mojibake detector every crawl
+    pipeline runs before training (U+FFFD replacement characters
+    mean a decoder already ate bytes; C0 control characters mean
+    binary junk leaked into "text" — both poison tokenizers
+    silently): per document, count replacement chars and non-
+    whitespace control chars, flag suspects. Defects are seeded
+    deterministically on residue classes (the PII-scan control
+    technique) since the fixture corpus is clean — the detector's
+    positive AND negative behavior is hash-gated.
+
+    Two regexp counts in the common dialect (the control-char class
+    spelled byte-exactly, TAB/LF/CR excluded as legitimate);
+    map-only, fuses into the ingest scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            did % 6 == 1,
+            F.concat(F.lit(" �"), F.lit("corrupt"), F.lit("�")),
+        ).otherwise(""),
+        F.when(did % 8 == 2, F.lit("\x08\x0b")).otherwise(""),
+    )
+    noisy = docs.select("doc_id", t.alias("t"))
+    n_repl = F.size(F.expr("regexp_extract_all(t, '�', 0)"))
+    n_ctrl = F.size(
+        F.expr(
+            "regexp_extract_all(t, '[\\\\x01-\\\\x08\\\\x0B\\\\x0C\\\\x0E-\\\\x1F]', 0)"
+        )
+    )
+    return noisy.select(
+        "doc_id",
+        n_repl.cast("long").alias("n_replacement"),
+        n_ctrl.cast("long").alias("n_control"),
+        ((n_repl > 0) | (n_ctrl > 0)).alias("is_suspect"),
+    )

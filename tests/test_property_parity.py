@@ -283,6 +283,12 @@ DOC_OPS = [
     # 1-language corpora reduce to a pure md5 shuffle; n-language
     # tiny corpora exercise the gap structure
     "pipeline_interleave_order",
+    # generated docs with multi-byte chars keep n_bytes > n_chars
+    # honest; empty-string sources roundtrip to empty
+    "fn_binary_codec_suite",
+    # clean tiny corpora: every doc must be NOT suspect unless its
+    # residue class seeds a defect
+    "text_encoding_audit",
     # 1-2-token docs hit the trigram guard (sequence(0,n<0) DESCENDS
     # in Spark — the guarded CASE is what this fuzz exists to hold);
     # varied sources hit empty domains in the mixture planner
