@@ -1767,3 +1767,99 @@ def text_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_ctrl.cast("long").alias("n_control"),
         ((n_repl > 0) | (n_ctrl > 0)).alias("is_suspect"),
     )
+
+
+@register(
+    "text_zipf_fit",
+    survey_row=73,
+    oracle="""
+    WITH topw AS (
+        SELECT word, n,
+               row_number() OVER (ORDER BY n DESC, word ASC) AS rk
+        FROM (
+            SELECT word, count(*) AS n
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+                  FROM documents)
+            GROUP BY word
+        )
+        QUALIFY rk <= 50
+    ),
+    pts AS (
+        SELECT CAST(floor(ln(rk) * 1000000) AS BIGINT) AS lx,
+               CAST(floor(ln(n) * 1000000) AS BIGINT) AS ly
+        FROM topw
+    ),
+    s AS (
+        SELECT count(*)::BIGINT AS k,
+               sum(lx) AS sx, sum(ly) AS sy,
+               sum(lx * lx) AS sxx, sum(lx * ly) AS sxy
+        FROM pts
+    )
+    SELECT k,
+           round((k * sxy - sx * sy)::DOUBLE
+                 / nullif((k * sxx - sx * sx)::DOUBLE, 0), 6)
+               AS zipf_slope,
+           round((sy - (k * sxy - sx * sy)::DOUBLE
+                       / nullif((k * sxx - sx * sx)::DOUBLE, 0) * sx)
+                 / (k * 1000000.0), 6) AS intercept_ln
+    FROM s
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF-law fit over the corpus rank-frequency curve — the
+    naturalness diagnostic for LLM corpora (natural language sits
+    near slope −1 on log-log rank-frequency; machine-generated,
+    template-heavy, or deduplication-damaged corpora bend away
+    from it, which makes this a cheap generated-text / corpus-
+    damage alarm): least-squares slope of ln(freq) vs ln(rank) over
+    the top-50 words, plus the intercept.
+
+    Same determinism architecture as `agg_regression_normal_eq`:
+    the log coordinates quantize to EXACT integer micro-units
+    (each a single libm ln of an engine-identical integer argument
+    — one per rank, 50 total), the sufficient statistics are then
+    order-free int64 sums, and floats reappear only in the Cramer
+    solve. The wordcount top-k is the only corpus-sized work; the
+    fit itself runs on 50 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    )
+    topw = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "n",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), F.col("word").asc()))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") <= 50)
+    )
+    pts = topw.select(
+        F.floor(F.log(F.col("rk").cast("double")) * 1000000)
+        .cast("long")
+        .alias("lx"),
+        F.floor(F.log(F.col("n").cast("double")) * 1000000)
+        .cast("long")
+        .alias("ly"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    k, sx, sy = F.col("k"), F.col("sx"), F.col("sy")
+    det = F.nullif(
+        (k * F.col("sxx") - sx * sx).cast("double"), F.lit(0.0)
+    )
+    slope = (k * F.col("sxy") - sx * sy).cast("double") / det
+    return s.select(
+        k.cast("long").alias("k"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / (k * 1000000.0), 6).alias(
+            "intercept_ln"
+        ),
+    )

@@ -1743,3 +1743,63 @@ def agg_exact_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(kth).cast("long").alias("kth"),
         F.col("cents").alias("median_cents"),
     )
+
+
+@register(
+    "agg_ratio_trap",
+    survey_row=27,
+    oracle="""
+    WITH line AS (
+        SELECT l_returnflag,
+               CAST(floor(round(l_extendedprice, 2) * 100 + 0.5) AS BIGINT)
+                   AS price_c,
+               CAST(floor(round(l_discount, 2) * 100 + 0.5) AS BIGINT)
+                   AS disc_c
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(sum(price_c * disc_c) * 1.0
+                 / (100.0 * sum(price_c)), 6) AS discount_rate_correct,
+           round(avg(disc_c) / 100.0, 6) AS discount_rate_naive,
+           abs(round(sum(price_c * disc_c) * 1.0
+                     / (100.0 * sum(price_c)), 6)
+               - round(avg(disc_c) / 100.0, 6)) > 0.001 AS materially_wrong
+    FROM line GROUP BY l_returnflag
+    """,
+)
+def agg_ratio_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RATIO-aggregation trap stated as an operator (the metric
+    bug behind most wrong dashboards, same family as
+    `sub_not_in_null_trap` / `sub_count_bug`): "average discount
+    rate" computed correctly as ratio-of-sums (price-weighted — what
+    fraction of revenue was given away) versus naively as
+    avg-of-ratios (every line votes equally, so a $1 clearance line
+    swings the metric like a $100k order). Both columns are emitted
+    plus a materiality flag, so the divergence itself is
+    hash-gated — the operator DOCUMENTS the trap with live numbers
+    rather than silently picking a side.
+
+    Integer cents for both factors (the CUSUM cast rule) make
+    sum(price·disc) an exact int64 sum; each rate is one IEEE
+    division. One group-agg, map-side combine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    line = li.select(
+        "l_returnflag",
+        F.floor(F.round("l_extendedprice", 2) * 100 + 0.5)
+        .cast("long")
+        .alias("price_c"),
+        F.floor(F.round("l_discount", 2) * 100 + 0.5)
+        .cast("long")
+        .alias("disc_c"),
+    )
+    correct = F.round(
+        F.sum(F.col("price_c") * F.col("disc_c"))
+        / (100.0 * F.sum("price_c")),
+        6,
+    )
+    naive = F.round(F.avg("disc_c") / 100.0, 6)
+    return line.groupBy("l_returnflag").agg(
+        correct.alias("discount_rate_correct"),
+        naive.alias("discount_rate_naive"),
+        (F.abs(correct - naive) > 0.001).alias("materially_wrong"),
+    )

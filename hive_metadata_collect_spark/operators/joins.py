@@ -1417,3 +1417,95 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("prior_view_ts").isNotNull() & ~in_tol).alias("stale"),
         )
     )
+
+
+@register(
+    "join_role_playing_dim",
+    survey_row=9,
+    oracle="""
+    WITH date_dim AS (
+        SELECT DISTINCT CAST(date_trunc('day', o_orderdate) AS DATE)
+                   AS d_day,
+               isodow(CAST(date_trunc('day', o_orderdate) AS DATE))
+                   AS d_dow,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS d_month
+        FROM orders
+    ),
+    fact AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(date_trunc('day', o_orderdate) AS DATE) AS order_day,
+               CAST(date_trunc('day', l_shipdate) AS DATE) AS ship_day
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT f.l_orderkey, f.l_linenumber,
+           od.d_dow::BIGINT AS order_dow,
+           sd.d_dow::BIGINT AS ship_dow,
+           od.d_month = sd.d_month AS same_month
+    FROM fact f
+    JOIN date_dim od ON od.d_day = f.order_day
+    JOIN date_dim sd ON sd.d_day = f.ship_day
+    WHERE f.ship_day IS NOT NULL
+      AND sd.d_day IS NOT NULL
+    """,
+)
+def join_role_playing_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLE-PLAYING dimension — the star-schema idiom where ONE
+    physical dimension joins a fact multiple times under different
+    roles (here: a date dimension as order-date AND as ship-date;
+    warehouses do this with date, time, airport, account dims daily):
+    each role is an independent alias of the same broadcast frame,
+    and the query reads attributes from both roles at once (weekday
+    of ordering vs weekday of shipping, same-month flag). The
+    classic failure is alias leakage — one role's filter or column
+    silently resolving against the other — which the hash gate
+    catches structurally because the two roles carry different
+    values per row.
+
+    The dim builds from the fact's own date domain (|days| rows) →
+    both role joins BROADCAST; the fact streams through two
+    broadcast hash joins in one stage, never shuffling. ship_day
+    rows lacking a dim entry (ship dates beyond the order-date
+    domain) are inner-join dropped on both sides — the semantics
+    the WHERE spells out."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    date_dim = (
+        o.select(F.col("o_orderdate").cast("date").alias("d_day"))
+        .distinct()
+        .select(
+            "d_day",
+            # Spark dayofweek is Sun=1..Sat=7; isodow is Mon=1..Sun=7
+            (((F.dayofweek("d_day") + 5) % 7) + 1)
+            .cast("long")
+            .alias("d_dow"),
+            F.trunc("d_day", "month").alias("d_month"),
+        )
+    )
+    fact = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("o_orderdate").cast("date").alias("order_day"),
+        F.col("l_shipdate").cast("date").alias("ship_day"),
+    )
+    od = date_dim.select(
+        F.col("d_day").alias("od_day"),
+        F.col("d_dow").alias("order_dow"),
+        F.col("d_month").alias("od_month"),
+    )
+    sd = date_dim.select(
+        F.col("d_day").alias("sd_day"),
+        F.col("d_dow").alias("ship_dow"),
+        F.col("d_month").alias("sd_month"),
+    )
+    return (
+        fact.filter(F.col("ship_day").isNotNull())
+        .join(F.broadcast(od), F.col("order_day") == F.col("od_day"))
+        .join(F.broadcast(sd), F.col("ship_day") == F.col("sd_day"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "order_dow",
+            "ship_dow",
+            (F.col("od_month") == F.col("sd_month")).alias("same_month"),
+        )
+    )

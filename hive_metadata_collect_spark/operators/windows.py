@@ -1132,3 +1132,80 @@ def win_seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("wape_pct"),
     )
+
+
+@register(
+    "win_pareto_cutpoint",
+    survey_row=32,
+    oracle="""
+    WITH cust AS (
+        SELECT o_orderpriority AS grp, o_custkey,
+               CAST(floor(round(sum(o_totalprice), 2) * 100 + 0.5)
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT grp, o_custkey, cents,
+               row_number() OVER (PARTITION BY grp
+                   ORDER BY cents DESC, o_custkey) AS rk,
+               sum(cents) OVER (PARTITION BY grp
+                   ORDER BY cents DESC, o_custkey) AS running,
+               sum(cents) OVER (PARTITION BY grp) AS total,
+               count(*) OVER (PARTITION BY grp) AS n_cust
+        FROM cust
+    )
+    SELECT grp,
+           min(rk)::BIGINT AS top_accounts,
+           max(n_cust)::BIGINT AS n_accounts,
+           round(min(rk) * 100.0 / max(n_cust), 6) AS pct_of_accounts
+    FROM ranked
+    WHERE running * 5 >= total * 4
+    GROUP BY grp
+    """,
+)
+def win_pareto_cutpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARETO 80/20 cutpoint per group — the concentration question
+    `agg_gini_concentration` answers as a coefficient, answered
+    instead as an actionable headcount: how many top customers
+    carry 80 % of revenue (the account-management / capacity-tier
+    list size)? First rank whose running revenue share crosses 80 %,
+    as a count and a percentage of the customer base.
+
+    The crossing test is ALL-INTEGER (running·5 ≥ total·4 — no 0.8
+    float literal, so the boundary row can't ULP-flip), ranks carry
+    the (cents DESC, custkey) tie-break, and min(rk) under the
+    crossing filter IS the cutpoint. One per-customer rollup (the
+    corpus shuffle), then windows over the |group|×|customers|
+    frame."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy(
+        F.col("o_orderpriority").alias("grp"), "o_custkey"
+    ).agg(
+        F.floor(F.round(F.sum("o_totalprice"), 2) * 100 + 0.5)
+        .cast("long")
+        .alias("cents")
+    )
+    w_ord = Window.partitionBy("grp").orderBy(
+        F.col("cents").desc(), F.col("o_custkey")
+    )
+    w_grp = Window.partitionBy("grp")
+    ranked = cust.select(
+        "grp",
+        F.row_number().over(w_ord).alias("rk"),
+        F.sum("cents")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("running"),
+        F.sum("cents").over(w_grp).alias("total"),
+        F.count(F.lit(1)).over(w_grp).alias("n_cust"),
+    )
+    return (
+        ranked.filter(F.col("running") * 5 >= F.col("total") * 4)
+        .groupBy("grp")
+        .agg(
+            F.min("rk").cast("long").alias("top_accounts"),
+            F.max("n_cust").cast("long").alias("n_accounts"),
+            F.round(F.min("rk") * 100.0 / F.max("n_cust"), 6).alias(
+                "pct_of_accounts"
+            ),
+        )
+    )

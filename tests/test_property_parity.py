@@ -289,6 +289,9 @@ DOC_OPS = [
     # clean tiny corpora: every doc must be NOT suspect unless its
     # residue class seeds a defect
     "text_encoding_audit",
+    # fewer than 50 distinct words: k < 50 fits; single-word corpora
+    # have singular fits (NULL slope on both sides)
+    "text_zipf_fit",
     # 1-2-token docs hit the trigram guard (sequence(0,n<0) DESCENDS
     # in Spark — the guarded CASE is what this fuzz exists to hold);
     # varied sources hit empty domains in the mixture planner
@@ -406,6 +409,9 @@ ORDER_OPS = [
     # 1-2-row tables: kth = 0, the bucket holding it is the first,
     # within-bucket rank 1 — every handoff at its boundary
     "agg_exact_median_twopass",
+    # single-customer groups: cutpoint = 1, pct = 100; all-equal
+    # revenues decide by the custkey tie-break
+    "win_pareto_cutpoint",
     # few distinct (custkey, day) dims: many buckets share one
     # z-cell; 1-row tables make every bucket bbox 1x1
     "sink_cluster_zorder",
