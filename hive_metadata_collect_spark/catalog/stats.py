@@ -4458,3 +4458,181 @@ def cat_decayed_heat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n") * F.col("w6")).alias("heat_e6"),
         F.round(F.sum(F.col("n") * F.col("w6")) / 1000000.0, 6).alias("heat"),
     )
+
+
+@register(
+    "cat_survival_curve",
+    survey_row=64,
+    oracle="""
+    WITH RECURSIVE life AS (
+        SELECT user_id,
+               date_diff('day',
+                   min(CAST(date_trunc('day', ts) AS DATE)),
+                   max(CAST(date_trunc('day', ts) AS DATE))) AS lifetime_d
+        FROM events GROUP BY user_id
+    ),
+    risk AS (
+        SELECT lifetime_d AS t, count(*) AS d,
+               row_number() OVER (ORDER BY lifetime_d) AS rn
+        FROM life GROUP BY lifetime_d
+    ),
+    n0 AS (SELECT count(*) AS n FROM life),
+    km AS (
+        SELECT r.rn, r.t, r.d,
+               (SELECT n FROM n0) AS at_risk,
+               1.0 * ((SELECT n FROM n0) - r.d) / (SELECT n FROM n0)
+                   AS s
+        FROM risk r WHERE r.rn = 1
+        UNION ALL
+        SELECT r.rn, r.t, r.d,
+               k.at_risk - k.d AS at_risk,
+               k.s * (k.at_risk - k.d - r.d) / (k.at_risk - k.d) AS s
+        FROM km k JOIN risk r ON r.rn = k.rn + 1
+    )
+    SELECT t::BIGINT AS lifetime_d, d::BIGINT AS n_churned,
+           at_risk::BIGINT AS n_at_risk,
+           round(s, 6) AS survival
+    FROM km
+    """,
+)
+def cat_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival curve over entity lifetimes — the
+    churn/retention statistic that handles the thing naive retention
+    can't (every entity observed for a different window): here each
+    user's lifetime is last-seen − first-seen days, and S(t) = Π_{
+    t_i ≤ t} (1 − d_i/n_i) steps down at each distinct lifetime.
+    The running product is the CUSUM family's third member: no
+    prefix-sum identity in plain algebra BUT the risk table is
+    |distinct lifetimes|-sized metadata, so the product folds over
+    a sorted array JVM-side (F.aggregate, fixed order — the
+    determinism contract) after one corpus-sized lifetime rollup.
+    The oracle single-steps the identical recurrence by recursive
+    CTE, the token-bucket discipline.
+
+    Survival multiplications are doubles in a FIXED fold order with
+    engine-identical factors (ratios of exact integers), so
+    round(…,6) is stable."""
+    ev = load_table(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date"))
+        ).alias("lifetime_d")
+    )
+    risk = life.groupBy("lifetime_d").agg(F.count(F.lit(1)).alias("d"))
+    folded = risk.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("lifetime_d", "d"))).alias(
+            "steps"
+        ),
+        F.sum("d").alias("n0"),
+    )
+    # fold: state = array of (t, d, at_risk, s) rows built sequentially
+    stepped = folded.select(
+        F.aggregate(
+            "steps",
+            F.expr(
+                "CAST(array() AS "
+                "array<struct<t:int,d:bigint,at_risk:bigint,s:double>>)"
+            ),
+            lambda acc, e: F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        e["lifetime_d"].alias("t"),
+                        e["d"].alias("d"),
+                        F.coalesce(
+                            F.try_element_at(acc, F.lit(-1))["at_risk"]
+                            - F.try_element_at(acc, F.lit(-1))["d"],
+                            F.col("n0"),
+                        ).alias("at_risk"),
+                        (
+                            F.coalesce(F.try_element_at(acc, F.lit(-1))["s"], F.lit(1.0))
+                            * (
+                                F.coalesce(
+                                    F.try_element_at(acc, F.lit(-1))["at_risk"]
+                                    - F.try_element_at(acc, F.lit(-1))["d"],
+                                    F.col("n0"),
+                                )
+                                - e["d"]
+                            )
+                            / F.coalesce(
+                                F.try_element_at(acc, F.lit(-1))["at_risk"]
+                                - F.try_element_at(acc, F.lit(-1))["d"],
+                                F.col("n0"),
+                            )
+                        ).alias("s"),
+                    )
+                ),
+            ),
+        ).alias("curve")
+    )
+    return stepped.select(F.explode("curve").alias("r")).select(
+        F.col("r.t").cast("long").alias("lifetime_d"),
+        F.col("r.d").alias("n_churned"),
+        F.col("r.at_risk").alias("n_at_risk"),
+        F.round(F.col("r.s"), 6).alias("survival"),
+    )
+
+
+@register(
+    "cat_bitemporal_asof",
+    survey_row=62,
+    oracle="""
+    WITH versions AS (
+        SELECT event_id % 20 AS key,
+               event_id % 3 AS valid_from,
+               event_id % 3 + 1 + event_id % 2 AS valid_to,
+               event_id % 5 AS tx_from,
+               CASE WHEN event_id % 4 = 1 THEN event_id % 5 + 2
+                    ELSE 99 END AS tx_to,
+               event_id AS payload
+        FROM events
+    )
+    SELECT key::BIGINT AS key,
+           max(payload)::BIGINT AS payload,
+           count(*)::BIGINT AS n_visible_versions
+    FROM versions
+    WHERE valid_from <= 2 AND 2 < valid_to
+      AND tx_from <= 3 AND 3 < tx_to
+    GROUP BY key
+    """,
+)
+def cat_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL point query — the two-axis time model auditors
+    require and `cat_scd2_diff`'s single valid-time axis cannot
+    answer: "what did we BELIEVE on tx-time 3 about the state of
+    key K at valid-time 2?" Valid time is when the fact was true in
+    the world; transaction time is when the warehouse knew it — a
+    late correction changes tx-time history but rewrites nothing.
+    Each version row carries both intervals (synthesized with open
+    tx_to = 99 for still-current beliefs and seeded superseded
+    rows); the as-of query is two half-open containment filters and
+    a per-key reduce (max payload = latest correction among visible
+    versions, plus the visible-version count the audit report
+    shows).
+
+    Filters push to the scan on both interval columns; no join at
+    all — the bitemporal resolve is a filter + group, which is why
+    warehouses can afford it at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    versions = ev.select(
+        (eid % 20).alias("key"),
+        (eid % 3).alias("valid_from"),
+        (eid % 3 + 1 + eid % 2).alias("valid_to"),
+        (eid % 5).alias("tx_from"),
+        F.when(eid % 4 == 1, eid % 5 + 2).otherwise(99).alias("tx_to"),
+        eid.alias("payload"),
+    )
+    return (
+        versions.filter(
+            (F.col("valid_from") <= 2)
+            & (F.lit(2) < F.col("valid_to"))
+            & (F.col("tx_from") <= 3)
+            & (F.lit(3) < F.col("tx_to"))
+        )
+        .groupBy(F.col("key").cast("long").alias("key"))
+        .agg(
+            F.max("payload").cast("long").alias("payload"),
+            F.count(F.lit(1)).alias("n_visible_versions"),
+        )
+    )

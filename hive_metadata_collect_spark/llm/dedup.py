@@ -1420,3 +1420,86 @@ def pipeline_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("train_position"),
     )
+
+
+@register(
+    "pipeline_preference_pairs",
+    survey_row=67,
+    oracle="""
+    WITH cand AS (
+        SELECT doc_id % 500 AS prompt_id, doc_id, n_chars,
+               least(greatest(n_chars / 2000.0, 0.05), 0.95) AS score,
+               row_number() OVER (
+                   PARTITION BY doc_id % 500
+                   ORDER BY least(greatest(n_chars / 2000.0, 0.05), 0.95)
+                            DESC, doc_id) AS rk,
+               count(*) OVER (PARTITION BY doc_id % 500) AS n_cand
+        FROM documents
+    )
+    SELECT a.prompt_id::BIGINT AS prompt_id,
+           a.doc_id AS chosen_doc,
+           b.doc_id AS rejected_doc,
+           round(a.score - b.score, 6) AS margin
+    FROM cand a JOIN cand b
+      ON a.prompt_id = b.prompt_id AND a.rk = 1 AND b.rk = b.n_cand
+    WHERE a.n_cand >= 2 AND a.score - b.score >= 0.1
+    """,
+)
+def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFERENCE-pair construction — the DPO/RLHF dataset builder:
+    responses sharing a prompt are ranked by a reward proxy, and
+    (best, worst) become the (chosen, rejected) pair — but only
+    when the margin clears a threshold (near-tie pairs teach noise;
+    the 0.1 floor is the standard margin filter). Prompts here are
+    doc_id buckets, the reward proxy the quality-resample clamp, so
+    both the grouping and the ranking are deterministic in both
+    engines; single-candidate prompts produce no pair by
+    definition.
+
+    One window over the prompt partition (rank + candidate count in
+    the same sort), then a self-join pinned to rk=1 × rk=n — at
+    scale this is the grouped-top/bottom-1 pattern: the self-join
+    carries only two rows per prompt, so it broadcasts after the
+    window pass; the margin is one subtraction of clamped IEEE
+    divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    score = F.least(
+        F.greatest(F.col("n_chars") / 2000.0, F.lit(0.05)), F.lit(0.95)
+    )
+    w = Window.partitionBy("prompt_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    cand = docs.select(
+        (F.col("doc_id") % 500).alias("prompt_id"),
+        "doc_id",
+        score.alias("score"),
+    ).select(
+        "prompt_id",
+        "doc_id",
+        "score",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("prompt_id")).alias(
+            "n_cand"
+        ),
+    )
+    a = cand.filter(F.col("rk") == 1).select(
+        F.col("prompt_id"),
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("score").alias("s_a"),
+        "n_cand",
+    )
+    b = cand.filter(F.col("rk") == F.col("n_cand")).select(
+        F.col("prompt_id").alias("pb"),
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("score").alias("s_b"),
+    )
+    return (
+        a.join(b, a["prompt_id"] == b["pb"])
+        .filter((F.col("n_cand") >= 2) & (F.col("s_a") - F.col("s_b") >= 0.1))
+        .select(
+            F.col("prompt_id").cast("long").alias("prompt_id"),
+            "chosen_doc",
+            "rejected_doc",
+            F.round(F.col("s_a") - F.col("s_b"), 6).alias("margin"),
+        )
+    )

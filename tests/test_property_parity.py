@@ -171,6 +171,11 @@ EVENT_OPS = [
     "cat_lineage_triangles",
     # same-day-only tables: single age bucket, weight exactly 1e6
     "cat_decayed_heat",
+    # single-user tables: one lifetime step, survival drops to 0;
+    # all-same-day users make lifetime 0 the only step
+    "cat_survival_curve",
+    # tiny logs: keys with zero visible versions vanish identically
+    "cat_bitemporal_asof",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
@@ -292,6 +297,9 @@ DOC_OPS = [
     # fewer than 50 distinct words: k < 50 fits; single-word corpora
     # have singular fits (NULL slope on both sides)
     "text_zipf_fit",
+    # 1-candidate prompts yield nothing; sub-margin pairs filtered;
+    # equal-score ties break by doc_id on both sides
+    "pipeline_preference_pairs",
     # 1-2-token docs hit the trigram guard (sequence(0,n<0) DESCENDS
     # in Spark — the guarded CASE is what this fuzz exists to hold);
     # varied sources hit empty domains in the mixture planner
