@@ -4636,3 +4636,91 @@ def cat_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_visible_versions"),
         )
     )
+
+
+@register(
+    "cat_params_eav_pivot",
+    survey_row=61,
+    oracle="""
+    WITH params AS (
+        SELECT 'tbl_' || (event_id % 40) AS tbl, 'numRows' AS k,
+               CAST(event_id % 100000 AS VARCHAR) AS v
+        FROM events WHERE event_id % 3 = 0
+        UNION ALL
+        SELECT 'tbl_' || (event_id % 40), 'totalSize',
+               CAST(event_id % 900000 + 1024 AS VARCHAR)
+        FROM events WHERE event_id % 3 = 1
+        UNION ALL
+        SELECT 'tbl_' || (event_id % 40), 'comment',
+               'desc-' || (event_id % 7)
+        FROM events WHERE event_id % 11 = 2
+    ),
+    latest AS (
+        SELECT tbl, k, max(v) AS v FROM params GROUP BY tbl, k
+    )
+    SELECT tbl,
+           max(CASE WHEN k = 'numRows' THEN CAST(v AS BIGINT) END)
+               AS num_rows,
+           max(CASE WHEN k = 'totalSize' THEN CAST(v AS BIGINT) END)
+               AS total_size,
+           max(CASE WHEN k = 'comment' THEN v END) AS comment,
+           (max(CASE WHEN k = 'comment' THEN v END) IS NULL)
+               AS missing_comment
+    FROM latest GROUP BY tbl
+    """,
+)
+def cat_params_eav_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE_PARAMS EAV pivot — THE metastore access pattern: Hive
+    stores every table statistic and annotation as untyped
+    key/value rows (TABLE_PARAMS: numRows, totalSize, comment,
+    transient_lastDdlTime, ...), and every downstream consumer
+    needs them as typed COLUMNS. One conditional-aggregation pivot
+    turns the tall k/v frame wide, re-typing numeric params with
+    CAST and surfacing governance gaps (missing comment) as a flag.
+    Duplicate params per (table, key) resolve max-wins first — the
+    deterministic stand-in for last-DDL-wins.
+
+    Conditional aggregation (not the pivot() API) keeps the output
+    schema STATIC — the property the oracle gate and any downstream
+    consumer needs; pivot()'s inferred columns shift with the data.
+    Two |params|-sized group-aggs with map-side combine; at real
+    scale TABLE_PARAMS is millions of rows for thousands of tables
+    — still metadata, still one pass."""
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    tbl = F.concat(F.lit("tbl_"), (eid % 40).cast("string"))
+    params = (
+        ev.filter(eid % 3 == 0)
+        .select(
+            tbl.alias("tbl"),
+            F.lit("numRows").alias("k"),
+            (eid % 100000).cast("string").alias("v"),
+        )
+        .unionAll(
+            ev.filter(eid % 3 == 1).select(
+                tbl.alias("tbl"),
+                F.lit("totalSize").alias("k"),
+                (eid % 900000 + 1024).cast("string").alias("v"),
+            )
+        )
+        .unionAll(
+            ev.filter(eid % 11 == 2).select(
+                tbl.alias("tbl"),
+                F.lit("comment").alias("k"),
+                F.concat(F.lit("desc-"), (eid % 7).cast("string")).alias("v"),
+            )
+        )
+    )
+    latest = params.groupBy("tbl", "k").agg(F.max("v").alias("v"))
+    return latest.groupBy("tbl").agg(
+        F.max(F.when(F.col("k") == "numRows", F.col("v")))
+        .cast("long")
+        .alias("num_rows"),
+        F.max(F.when(F.col("k") == "totalSize", F.col("v")))
+        .cast("long")
+        .alias("total_size"),
+        F.max(F.when(F.col("k") == "comment", F.col("v"))).alias("comment"),
+        F.max(F.when(F.col("k") == "comment", F.col("v")))
+        .isNull()
+        .alias("missing_comment"),
+    )

@@ -1047,3 +1047,93 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_dims"),
     )
+
+
+@register(
+    "sim_matryoshka_eval",
+    survey_row=69,
+    oracle="""
+    WITH q AS (
+        SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 3
+    ),
+    scored AS (
+        SELECT vec_id,
+               list_dot_product(embedding::DOUBLE[], qe) AS dot_full,
+               list_dot_product((embedding::DOUBLE[])[1:16], qe[1:16])
+                   AS dot_16
+        FROM embeddings, q WHERE vec_id <> 3
+    ),
+    top_full AS (
+        SELECT vec_id FROM scored
+        ORDER BY dot_full DESC, vec_id LIMIT 10
+    ),
+    top_16 AS (
+        SELECT vec_id FROM scored
+        ORDER BY dot_16 DESC, vec_id LIMIT 10
+    )
+    SELECT (SELECT list_sort(list(vec_id)) FROM top_full)
+               AS top10_full,
+           (SELECT list_sort(list(vec_id)) FROM top_16) AS top10_16,
+           (SELECT count(*) FROM top_full f JOIN top_16 s
+            ON f.vec_id = s.vec_id)::BIGINT AS overlap_at_10
+    """,
+)
+def sim_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA truncation evaluation — the dimension-budget
+    decision for MRL-style embeddings (serve the 16-dim prefix at
+    1/4 the memory and FLOPs if its retrieval agrees with full
+    dimension often enough): top-10 by inner product at full
+    dimensionality vs at the 16-dim PREFIX of the same vectors,
+    with overlap@10 as the agreement metric. Overlap near 10 →
+    truncate and bank the savings; low overlap → this encoder's
+    early dims aren't information-ordered and MRL serving is off
+    the table.
+
+    Both rankings come from one matvec pass each (the established
+    kernel), tie-broken (score, vec_id); the overlap is a 10×10
+    semi-join. The emitted id lists are SORTED so the gate compares
+    sets, not ranking order (rank order at equal sets is already
+    pinned by the tie-break)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = np.asarray(_query_vector(spark, sf_dir, 3), dtype=np.float64)
+    q16 = q[:16]
+
+    @F.pandas_udf("dot_full double, dot_16 double")
+    def scores(col: pd.Series) -> pd.DataFrame:
+        E = np.vstack(col.to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {"dot_full": E @ q, "dot_16": E[:, :16] @ q16}
+        )
+
+    scored = (
+        emb.filter(F.col("vec_id") != 3)
+        .select("vec_id", scores("embedding").alias("s"))
+        .select(
+            "vec_id",
+            F.col("s.dot_full").alias("dot_full"),
+            F.col("s.dot_16").alias("dot_16"),
+        )
+        .cache()
+    )
+    top_full = (
+        scored.orderBy(F.col("dot_full").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    top_16 = (
+        scored.orderBy(F.col("dot_16").desc(), F.col("vec_id"))
+        .limit(10)
+        .select(F.col("vec_id").alias("v16"))
+    )
+    overlap = top_full.join(
+        F.broadcast(top_16), top_full["vec_id"] == top_16["v16"]
+    ).count()
+    full_list = top_full.agg(
+        F.sort_array(F.collect_list("vec_id")).alias("top10_full")
+    )
+    l16 = top_16.agg(F.sort_array(F.collect_list("v16")).alias("top10_16"))
+    return full_list.crossJoin(l16).select(
+        "top10_full",
+        "top10_16",
+        F.lit(overlap).cast("long").alias("overlap_at_10"),
+    )

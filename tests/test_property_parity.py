@@ -176,6 +176,9 @@ EVENT_OPS = [
     "cat_survival_curve",
     # tiny logs: keys with zero visible versions vanish identically
     "cat_bitemporal_asof",
+    # tables where a param never occurs (all-NULL column), max-wins
+    # dedup on duplicate keys, lexicographic-max cast semantics
+    "cat_params_eav_pivot",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
