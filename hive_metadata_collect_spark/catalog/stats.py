@@ -4724,3 +4724,167 @@ def cat_params_eav_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .isNull()
         .alias("missing_comment"),
     )
+
+
+@register(
+    "cat_erasure_plan",
+    survey_row=62,
+    oracle="""
+    WITH subject AS (SELECT 7 AS uid),
+    hits AS (
+        SELECT 'events' AS table_name,
+               'day=' || CAST(date_trunc('day', ts) AS DATE) AS partition_id,
+               count(*) AS n_rows
+        FROM events, subject WHERE user_id = uid
+        GROUP BY 2
+        UNION ALL
+        SELECT 'orders',
+               'month=' || CAST(date_trunc('month', o_orderdate) AS DATE),
+               count(*)
+        FROM orders, subject WHERE o_custkey = uid
+        GROUP BY 2
+        UNION ALL
+        SELECT 'customer', 'unpartitioned', count(*)
+        FROM customer, subject WHERE c_custkey = uid
+        HAVING count(*) > 0
+    )
+    SELECT table_name, partition_id, n_rows::BIGINT AS n_rows,
+           sum(n_rows) OVER (PARTITION BY table_name)::BIGINT
+               AS table_total,
+           count(*) OVER (PARTITION BY table_name)::BIGINT
+               AS partitions_to_rewrite
+    FROM hits
+    """,
+)
+def cat_erasure_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR ERASURE plan — right-to-be-forgotten turned into the
+    concrete work list a platform team executes: for one data
+    subject, every (table, partition) holding their rows, with row
+    counts and the per-table rewrite scope (each listed partition
+    must be rewritten — that count IS the cost model for
+    copy-on-write tables; with deletion vectors it becomes the
+    DV-write count instead, same plan). Subject key 7 spans all
+    three key domains by construction; empty tables drop out via
+    HAVING on both sides.
+
+    Each per-table probe is a pushed-down point predicate + a
+    partition-grain rollup — at 100 TB the scan side is
+    partition-pruned (or bloom-skipped, cat_bloom_skip_index) and
+    the plan output is partitions-holding-the-subject sized, i.e.
+    tiny. The window totals run over that tiny frame."""
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    uid = 7
+    hits = (
+        ev.filter(F.col("user_id") == uid)
+        .groupBy(
+            F.concat(
+                F.lit("day="), F.col("ts").cast("date").cast("string")
+            ).alias("partition_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit("events").alias("table_name"), "partition_id", "n_rows")
+        .unionAll(
+            o.filter(F.col("o_custkey") == uid)
+            .groupBy(
+                F.concat(
+                    F.lit("month="),
+                    F.trunc("o_orderdate", "month").cast("string"),
+                ).alias("partition_id")
+            )
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(F.lit("orders").alias("table_name"), "partition_id", "n_rows")
+        )
+        .unionAll(
+            c.filter(F.col("c_custkey") == uid)
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .filter(F.col("n_rows") > 0)
+            .select(
+                F.lit("customer").alias("table_name"),
+                F.lit("unpartitioned").alias("partition_id"),
+                "n_rows",
+            )
+        )
+    )
+    w = Window.partitionBy("table_name")
+    return hits.select(
+        "table_name",
+        "partition_id",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.sum("n_rows").over(w).cast("long").alias("table_total"),
+        F.count(F.lit(1)).over(w).cast("long").alias("partitions_to_rewrite"),
+    )
+
+
+@register(
+    "cat_mv_staleness",
+    survey_row=66,
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT prev_type AS src, event_type AS dst FROM (
+            SELECT event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events)
+        WHERE prev_type IS NOT NULL AND prev_type <> event_type
+    ),
+    freshness AS (
+        SELECT event_type AS node, max(ts) AS last_touch
+        FROM events GROUP BY event_type
+    )
+    SELECT e.dst AS mv_name,
+           f_mv.last_touch AS mv_refreshed_at,
+           max(f_src.last_touch) AS newest_upstream_change,
+           max(f_src.last_touch) > f_mv.last_touch AS is_stale,
+           count(*)::BIGINT AS n_upstreams
+    FROM edges e
+    JOIN freshness f_mv ON f_mv.node = e.dst
+    JOIN freshness f_src ON f_src.node = e.src
+    GROUP BY e.dst, f_mv.last_touch
+    """,
+)
+def cat_mv_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZED-VIEW staleness — the freshness×lineage join that
+    answers the question either artifact alone cannot: a derived
+    table is STALE when any upstream changed after its own last
+    refresh. Lineage edges say who feeds whom; the freshness sweep
+    says when each side last moved; one join + per-MV max gives the
+    stale set with its newest-upstream timestamp (the refresh
+    scheduler's priority key) and upstream fan-in.
+
+    Both inputs are |tables|-sized reductions of the audit stream
+    (the corpus-sized work is shared with the whole lineage/
+    freshness family); the staleness join broadcasts. At 100 TB
+    this runs entirely on collector metadata — no data scan."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        F.lag("event_type").over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+    )
+    edges = trans.filter(
+        F.col("src").isNotNull() & (F.col("src") != F.col("dst"))
+    ).distinct()
+    freshness = ev.groupBy(F.col("event_type").alias("node")).agg(
+        F.max("ts").alias("last_touch")
+    )
+    f_mv = freshness.select(
+        F.col("node").alias("mv_node"), F.col("last_touch").alias("mv_refreshed_at")
+    )
+    f_src = freshness.select(
+        F.col("node").alias("src_node"),
+        F.col("last_touch").alias("src_touch"),
+    )
+    return (
+        edges.join(F.broadcast(f_mv), edges["dst"] == f_mv["mv_node"])
+        .join(F.broadcast(f_src), edges["src"] == f_src["src_node"])
+        .groupBy(F.col("dst").alias("mv_name"), "mv_refreshed_at")
+        .agg(
+            F.max("src_touch").alias("newest_upstream_change"),
+            (F.max("src_touch") > F.first("mv_refreshed_at")).alias(
+                "is_stale"
+            ),
+            F.count(F.lit(1)).alias("n_upstreams"),
+        )
+    )

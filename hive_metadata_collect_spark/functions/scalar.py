@@ -993,3 +993,56 @@ def fn_binary_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n_bytes"),
         F.length("text").cast("long").alias("n_chars"),
     )
+
+
+@register(
+    "fn_explode_outer_nulls",
+    survey_row=48,
+    oracle="""
+    WITH arr AS (
+        SELECT event_id,
+               CASE
+                 WHEN event_id % 5 = 0 THEN []
+                 WHEN event_id % 7 = 0 THEN NULL
+                 ELSE [event_id % 10, event_id % 3]
+               END AS xs
+        FROM events
+    )
+    SELECT event_id,
+           unnest(CASE WHEN xs IS NULL OR len(xs) = 0
+                       THEN [NULL] ELSE xs END) AS x,
+           xs IS NULL AS was_null,
+           xs IS NOT NULL AND len(xs) = 0 AS was_empty
+    FROM arr
+    """,
+)
+def fn_explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer vs explode — the row-loss trap stated as an
+    operator (the array cousin of sub_not_in_null_trap): plain
+    explode() silently DROPS rows whose array is empty or NULL,
+    which in a fact table means entities vanish from every
+    downstream rollup; explode_outer preserves them with one NULL
+    element. Arrays are synthesized with both degenerate classes
+    (empty on a 5-residue, NULL on a 7-residue — and their overlap
+    at 35k, hitting the NULL branch first); the output keeps
+    was_null/was_empty markers so the preserved rows' provenance is
+    itself gated.
+
+    DuckDB's unnest has no OUTER mode, so the oracle pre-coalesces
+    degenerate arrays to [NULL] — which is exactly the semantics
+    explode_outer implements natively. Map-side generator, no
+    shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    xs = (
+        F.when(eid % 5 == 0, F.array().cast("array<bigint>"))
+        .when(eid % 7 == 0, F.lit(None).cast("array<bigint>"))
+        .otherwise(F.array(eid % 10, eid % 3))
+    )
+    arr = ev.select("event_id", xs.alias("xs"))
+    return arr.select(
+        "event_id",
+        F.explode_outer("xs").alias("x"),
+        F.col("xs").isNull().alias("was_null"),
+        (F.col("xs").isNotNull() & (F.size("xs") == 0)).alias("was_empty"),
+    )

@@ -179,6 +179,12 @@ EVENT_OPS = [
     # tables where a param never occurs (all-NULL column), max-wins
     # dedup on duplicate keys, lexicographic-max cast semantics
     "cat_params_eav_pivot",
+    # the 5- and 7-residue degenerate classes and their 35-overlap
+    # (NULL branch wins); tiny tables with no normal arrays at all
+    "fn_explode_outer_nulls",
+    # graphs where an MV is its own upstream's upstream; fresh MVs
+    # (is_stale false everywhere) on single-type tables
+    "cat_mv_staleness",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
