@@ -4888,3 +4888,89 @@ def cat_mv_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_upstreams"),
         )
     )
+
+
+@register(
+    "cat_rfm_segments",
+    survey_row=64,
+    oracle="""
+    WITH wm AS (SELECT max(ts) AS now_ts FROM events),
+    rfm AS (
+        SELECT user_id,
+               date_diff('day', max(ts), (SELECT now_ts FROM wm))
+                   AS recency_d,
+               count(*) AS frequency,
+               CAST(floor(round(sum(value), 1) * 10 + 0.5) AS BIGINT)
+                   AS monetary10
+        FROM events GROUP BY user_id
+    ),
+    scored AS (
+        SELECT user_id, recency_d, frequency, monetary10,
+               ntile(4) OVER (ORDER BY recency_d ASC, user_id) AS r_q,
+               ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_q,
+               ntile(4) OVER (ORDER BY monetary10 DESC, user_id) AS m_q
+        FROM rfm
+    )
+    SELECT user_id, r_q::BIGINT AS r_q, f_q::BIGINT AS f_q,
+           m_q::BIGINT AS m_q,
+           CASE WHEN r_q = 1 AND f_q = 1 THEN 'champion'
+                WHEN r_q = 1 THEN 'recent'
+                WHEN f_q = 1 THEN 'loyal_lapsing'
+                WHEN r_q = 4 AND f_q = 4 THEN 'lost'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+)
+def cat_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION — multi-dimensional entity scoring (the
+    marketing classic, equally at home as a table-owner engagement
+    score): per entity, Recency (days since last touch, vs the
+    data-derived watermark), Frequency, Monetary (integer tenths —
+    the cents rule), each quartiled with a pinned (metric, user_id)
+    tie-break, then a rule table maps quartile triples to named
+    segments (champion / recent / loyal_lapsing / lost / regular).
+
+    The three ntile windows share one |users|-sized frame (the
+    corpus-sized work is the single per-user rollup feeding it) —
+    at 100 TB the quartile boundaries would come from
+    approx-quantiles instead of three full sorts of the entity
+    frame, the documented two-pass swap; the rule table is pure
+    CASE."""
+    ev = load_table(spark, sf_dir, "events")
+    wm = ev.agg(F.max("ts").alias("now_ts"))
+    rfm = (
+        ev.crossJoin(F.broadcast(wm))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max("now_ts"), F.max("ts")).alias("recency_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.floor(F.round(F.sum("value"), 1) * 10 + 0.5)
+            .cast("long")
+            .alias("monetary10"),
+        )
+    )
+    r_q = F.ntile(4).over(Window.orderBy(F.col("recency_d").asc(), "user_id"))
+    f_q = F.ntile(4).over(
+        Window.orderBy(F.col("frequency").desc(), "user_id")
+    )
+    m_q = F.ntile(4).over(
+        Window.orderBy(F.col("monetary10").desc(), "user_id")
+    )
+    scored = rfm.select(
+        "user_id",
+        r_q.cast("long").alias("r_q"),
+        f_q.cast("long").alias("f_q"),
+        m_q.cast("long").alias("m_q"),
+    )
+    return scored.select(
+        "user_id",
+        "r_q",
+        "f_q",
+        "m_q",
+        F.when((F.col("r_q") == 1) & (F.col("f_q") == 1), "champion")
+        .when(F.col("r_q") == 1, "recent")
+        .when(F.col("f_q") == 1, "loyal_lapsing")
+        .when((F.col("r_q") == 4) & (F.col("f_q") == 4), "lost")
+        .otherwise("regular")
+        .alias("segment"),
+    )

@@ -1137,3 +1137,80 @@ def sim_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top10_16",
         F.lit(overlap).cast("long").alias("overlap_at_10"),
     )
+
+
+@register(
+    "sim_hard_negatives",
+    survey_row=70,
+    oracle="""
+    WITH anchors AS (
+        SELECT vec_id AS a_id, label AS a_label,
+               embedding::DOUBLE[] AS a_emb
+        FROM embeddings WHERE vec_id < 5
+    ),
+    cand AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS emb
+        FROM embeddings WHERE vec_id >= 5
+    ),
+    scored AS (
+        SELECT a.a_id, a.a_label, c.vec_id, c.label,
+               list_dot_product(c.emb, a.a_emb) /
+                 sqrt(list_dot_product(c.emb, c.emb)
+                      * list_dot_product(a.a_emb, a.a_emb)) AS cos,
+               row_number() OVER (
+                   PARTITION BY a.a_id
+                   ORDER BY list_dot_product(c.emb, a.a_emb) /
+                       sqrt(list_dot_product(c.emb, c.emb)
+                            * list_dot_product(a.a_emb, a.a_emb)) DESC,
+                       c.vec_id) AS rn
+        FROM anchors a JOIN cand c ON c.label <> a.a_label
+    )
+    SELECT a_id, a_label, vec_id AS negative_id,
+           label AS negative_label, round(cos, 6) AS cosine
+    FROM scored WHERE rn = 1
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining — the contrastive-training data step
+    (retrieval encoders trained on random negatives plateau; the
+    gradient signal lives in negatives that LOOK positive): for
+    each anchor, the most-similar candidate with a DIFFERENT label.
+    Five anchors broadcast against the candidate corpus; similarity
+    in one pandas matvec per anchor-batch; the different-label
+    constraint rides the join predicate so same-label candidates
+    never score; top-1 per anchor via the (cosine, vec_id)
+    tie-break.
+
+    The plan is the sim_knn_batch shape with a label-inequality
+    residual — anchors broadcast, corpus never shuffles, per-anchor
+    TakeOrdered. At training scale (millions of anchors) the same
+    mining runs against the ANN index (sim_topk_ivf) with the label
+    filter applied post-probe — this op is that pipeline's exact
+    oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = [
+        (int(r["vec_id"]), r["label"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 5)
+        .select("vec_id", "label", "embedding")
+        .collect()
+    ]
+    cand = emb.filter(F.col("vec_id") >= 5).cache()
+    outs = []
+    for a_id, a_label, a_emb in anchors:
+        cos = _cosine_vs_query_udf(a_emb)
+        outs.append(
+            cand.filter(F.col("label") != a_label)
+            .select(
+                F.lit(a_id).cast("long").alias("a_id"),
+                F.lit(a_label).alias("a_label"),
+                F.col("vec_id").alias("negative_id"),
+                F.col("label").alias("negative_label"),
+                F.round(cos("embedding"), 6).alias("cosine"),
+            )
+            .orderBy(F.col("cosine").desc(), F.col("negative_id"))
+            .limit(1)
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

@@ -725,3 +725,54 @@ def stream_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.n_denied").alias("n_denied"),
         F.col("st.tokens").alias("tokens_end"),
     )
+
+
+@register(
+    "stream_disorder_profile",
+    survey_row=55,
+    oracle="""
+    WITH ranks AS (
+        SELECT event_type,
+               row_number() OVER (ORDER BY event_id) AS arrival_rk,
+               row_number() OVER (ORDER BY ts, event_id) AS time_rk
+        FROM events
+    )
+    SELECT event_type,
+           max(arrival_rk - time_rk)::BIGINT AS max_early_by,
+           max(time_rk - arrival_rk)::BIGINT AS max_late_by,
+           count(*) FILTER (WHERE arrival_rk <> time_rk)::BIGINT
+               AS n_displaced,
+           round(count(*) FILTER (WHERE arrival_rk <> time_rk)
+                 * 1.0 / count(*), 6) AS displaced_frac
+    FROM ranks GROUP BY event_type
+    """,
+)
+def stream_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream DISORDER profile — the measurement that SIZES a
+    watermark before you pick one (`stream_late_drop_accounting`
+    scores a chosen delay; this op tells you what delay the stream
+    actually needs): rank every event by arrival order and by event
+    time, and the rank displacement distribution IS the reorder
+    requirement — max displacement bounds the reorder-buffer depth,
+    the displaced fraction says how much of the stream is affected
+    at all. Ties pinned by event_id in the time ranking.
+
+    Two global-order windows sharing the replay frame (arrival
+    order is one logical sequence, as in the drop-accounting op; at
+    scale the same profile shards per source partition), then a
+    per-type rollup of pure integer rank arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    ranks = ev.select(
+        "event_type",
+        F.row_number().over(Window.orderBy("event_id")).alias("arrival_rk"),
+        F.row_number().over(Window.orderBy("ts", "event_id")).alias("time_rk"),
+    )
+    disp = F.col("arrival_rk") - F.col("time_rk")
+    return ranks.groupBy("event_type").agg(
+        F.max(disp).cast("long").alias("max_early_by"),
+        F.max(-disp).cast("long").alias("max_late_by"),
+        F.count(F.when(disp != 0, 1)).alias("n_displaced"),
+        F.round(F.count(F.when(disp != 0, 1)) / F.count(F.lit(1)), 6).alias(
+            "displaced_frac"
+        ),
+    )

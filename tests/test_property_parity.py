@@ -185,6 +185,12 @@ EVENT_OPS = [
     # graphs where an MV is its own upstream's upstream; fresh MVs
     # (is_stale false everywhere) on single-type tables
     "cat_mv_staleness",
+    # in-order tiny streams (0 displaced everywhere); fully
+    # reversed arrival (every row displaced)
+    "stream_disorder_profile",
+    # 1-3 users: quartiles collapse (everyone r_q=f_q=1 → champion);
+    # value ties decide by user_id
+    "cat_rfm_segments",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
