@@ -4974,3 +4974,157 @@ def cat_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("regular")
         .alias("segment"),
     )
+
+
+@register(
+    "cat_sequence_gaps",
+    survey_row=63,
+    oracle="""
+    WITH seq AS (
+        SELECT event_type, event_id,
+               lead(event_id) OVER (PARTITION BY event_type
+                                    ORDER BY event_id) AS nxt
+        FROM events
+    )
+    SELECT event_type,
+           (event_id + 1)::BIGINT AS gap_start,
+           (nxt - 1)::BIGINT AS gap_end,
+           (nxt - event_id - 1)::BIGINT AS n_missing
+    FROM seq
+    WHERE nxt IS NOT NULL AND nxt > event_id + 1
+    """,
+)
+def cat_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-gap detection — the ingestion-integrity audit run
+    against any monotonically-assigned id (CDC log offsets, Kafka
+    offsets per partition, metastore auto-increment ids): within
+    each stream, consecutive-id pairs with a hole between them
+    become (gap_start, gap_end, n_missing) rows — the exact ranges
+    a backfill job must re-request. Because event ids here are
+    globally dense but each type holds a subset, every type exhibits
+    genuine gaps — the detector's output is structurally non-empty
+    AND verifiable.
+
+    One lead() per stream partition — the islands-and-gaps idiom
+    reduced to its integrity-audit core; one shuffle on the stream
+    key, pure integer arithmetic after."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    seq = ev.select(
+        "event_type",
+        "event_id",
+        F.lead("event_id").over(w).alias("nxt"),
+    )
+    return seq.filter(
+        F.col("nxt").isNotNull() & (F.col("nxt") > F.col("event_id") + 1)
+    ).select(
+        "event_type",
+        (F.col("event_id") + 1).alias("gap_start"),
+        (F.col("nxt") - 1).alias("gap_end"),
+        (F.col("nxt") - F.col("event_id") - 1).alias("n_missing"),
+    )
+
+
+@register(
+    "cat_query_antipatterns",
+    survey_row=64,
+    oracle="""
+    WITH log AS (
+        SELECT event_id,
+               CASE event_id % 4
+                 WHEN 0 THEN 'SELECT * FROM raw_' || (event_id % 7)
+                 WHEN 1 THEN 'SELECT a.k FROM raw_' || (event_id % 7)
+                      || ' a, dim_' || (event_id % 5)
+                      || ' b WHERE a.v > ' || (event_id % 50)
+                 WHEN 2 THEN 'SELECT k FROM part_tab WHERE v = '
+                      || (event_id % 50)
+                 ELSE 'SELECT k FROM part_tab WHERE dt = ''2024-01-0'
+                      || (event_id % 9 + 1) || ''' AND v = '
+                      || (event_id % 50)
+               END AS q
+        FROM events
+    ),
+    flagged AS (
+        SELECT event_id, q,
+               q LIKE 'SELECT *%' AS star_select,
+               (q LIKE '%,%' AND q NOT LIKE '%JOIN%') AS implicit_cross,
+               (q LIKE '%part_tab%' AND q NOT LIKE '%dt =%')
+                   AS missing_partition_filter
+        FROM log
+    )
+    SELECT CASE WHEN star_select THEN 'star_select'
+                WHEN implicit_cross THEN 'implicit_cross_join'
+                WHEN missing_partition_filter
+                     THEN 'missing_partition_filter'
+                ELSE 'clean' END AS antipattern,
+           count(*)::BIGINT AS n_queries,
+           min(q) AS example_query
+    FROM flagged
+    GROUP BY 1
+    """,
+)
+def cat_query_antipatterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query ANTIPATTERN detection — the advisor report a collector
+    builds from its query log (the highest-leverage artifact for a
+    platform team: most warehouse cost hides in a handful of
+    fixable habits): each statement classified against the big
+    three — SELECT * (dead-column scan), comma-join without JOIN
+    (the accidental cross product), and partitioned-table access
+    with no partition predicate (full scan of a pruned table). The
+    synthesized log seeds each class on a residue plus a clean
+    class; counts and a deterministic example (min) per pattern.
+
+    Classification is LIKE-predicate codegen over the template
+    stream (the cat_query_fingerprint shape with a rule head);
+    precedence is pinned (star > cross > missing-filter) so
+    multi-fault statements classify identically in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    q = (
+        F.when(
+            eid % 4 == 0,
+            F.concat(F.lit("SELECT * FROM raw_"), (eid % 7).cast("string")),
+        )
+        .when(
+            eid % 4 == 1,
+            F.concat(
+                F.lit("SELECT a.k FROM raw_"),
+                (eid % 7).cast("string"),
+                F.lit(" a, dim_"),
+                (eid % 5).cast("string"),
+                F.lit(" b WHERE a.v > "),
+                (eid % 50).cast("string"),
+            ),
+        )
+        .when(
+            eid % 4 == 2,
+            F.concat(
+                F.lit("SELECT k FROM part_tab WHERE v = "),
+                (eid % 50).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("SELECT k FROM part_tab WHERE dt = '2024-01-0"),
+                (eid % 9 + 1).cast("string"),
+                F.lit("' AND v = "),
+                (eid % 50).cast("string"),
+            )
+        )
+    )
+    log = ev.select("event_id", q.alias("q"))
+    star = F.col("q").like("SELECT *%")
+    cross = F.col("q").like("%,%") & ~F.col("q").like("%JOIN%")
+    nofilter = F.col("q").like("%part_tab%") & ~F.col("q").like("%dt =%")
+    flagged = log.select(
+        "q",
+        F.when(star, "star_select")
+        .when(cross, "implicit_cross_join")
+        .when(nofilter, "missing_partition_filter")
+        .otherwise("clean")
+        .alias("antipattern"),
+    )
+    return flagged.groupBy("antipattern").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.min("q").alias("example_query"),
+    )

@@ -1046,3 +1046,52 @@ def fn_explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("xs").isNull().alias("was_null"),
         (F.col("xs").isNotNull() & (F.size("xs") == 0)).alias("was_empty"),
     )
+
+
+@register(
+    "fn_isoweek_suite",
+    survey_row=43,
+    oracle="""
+    WITH d AS (
+        SELECT event_id,
+               DATE '2019-12-28' + INTERVAL (event_id % 12) DAY AS dt
+        FROM events
+    )
+    SELECT event_id,
+           CAST(dt AS DATE) AS dt,
+           weekofyear(dt)::BIGINT AS iso_week,
+           isodow(dt)::BIGINT AS iso_dow,
+           isoyear(dt)::BIGINT AS iso_year,
+           (isoyear(dt) <> year(dt)) AS year_mismatch
+    FROM d
+    """,
+)
+def fn_isoweek_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-8601 week arithmetic at the YEAR BOUNDARY — the calendar
+    trap that corrupts weekly rollups every January: dates in
+    late-December/early-January can belong to week 52/53 of the
+    PREVIOUS iso-year or week 1 of the NEXT (2019-12-30 is
+    iso-week 1 of 2020; 2021-01-01 is week 53 of 2020), so grouping
+    by (calendar_year, weekofyear) silently splits one ISO week
+    into two buckets. The synthesized date span is pinned across
+    exactly such a boundary, and the year_mismatch flag marks every
+    row where the naive grouping would go wrong.
+
+    Spark: weekofyear is ISO already; iso_dow via the (+5)%7+1
+    shift (Spark's dayofweek is Sunday-first); iso_year derived
+    from the Thursday-of-week rule (the ISO definition itself:
+    a week belongs to the year containing its Thursday). Map-only
+    codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    dt = F.date_add(F.lit("2019-12-28").cast("date"), (F.col("event_id") % 12).cast("int"))
+    iso_dow = ((F.dayofweek(dt) + 5) % 7) + 1
+    # ISO year = calendar year of this week's Thursday
+    thursday = F.date_add(dt, (4 - iso_dow).cast("int"))
+    return ev.select(
+        "event_id",
+        dt.alias("dt"),
+        F.weekofyear(dt).cast("long").alias("iso_week"),
+        iso_dow.cast("long").alias("iso_dow"),
+        F.year(thursday).cast("long").alias("iso_year"),
+        (F.year(thursday) != F.year(dt)).alias("year_mismatch"),
+    )

@@ -1464,3 +1464,70 @@ def mm_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket_min long, bucket_max long"
         ),
     )
+
+
+@register(
+    "mm_format_sniff",
+    survey_row=74,
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'wav'
+                           WHEN 1 THEN 'ppm'
+                           ELSE 'y4m' END AS detected,
+           CASE doc_id % 3 WHEN 0 THEN 'audio'
+                           WHEN 1 THEN 'image'
+                           ELSE 'video' END AS modality,
+           TRUE AS sniff_ok
+    FROM documents
+    """,
+)
+def mm_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORMAT sniffing — the dispatcher that stands in FRONT of
+    DECODERS in a real ingest (payloads arrive as bytes with no
+    trustworthy extension; the container's magic bytes are the only
+    truth): a MIXED payload column (each doc synthesized as one of
+    the three REAL containers by residue class) is classified from
+    its leading bytes — RIFF → wav, P6 → ppm, YUV4MPEG2 → y4m —
+    and routed to a modality. The oracle knows which container each
+    doc SHOULD be (the residue), so the gate proves the sniffer
+    recognizes real magic bytes on real containers, not just that
+    the CASE mirrors itself; sniff_ok would break the hash the
+    moment the sniffer and the synthesis disagree.
+
+    The sniff itself is a per-row prefix compare inside the Arrow
+    batch stage — at scale this is the cheap pre-pass that lets a
+    mixed media lake fan out to per-modality decode stages without
+    a trial-decode."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                    det, mod = "wav", "audio"
+                elif p[:2] == b"P6":
+                    det, mod = "ppm", "image"
+                elif p.startswith(b"YUV4MPEG2"):
+                    det, mod = "y4m", "video"
+                else:
+                    det, mod = "unknown", "unknown"
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "detected": det,
+                        "modality": mod,
+                        "sniff_ok": det != "unknown",
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    d = load_table(spark, sf_dir, "documents")
+    wav = _synth_wav_payloads(d.filter(F.col("doc_id") % 3 == 0))
+    ppm = _synth_ppm_payloads(d.filter(F.col("doc_id") % 3 == 1))
+    y4m = _synth_y4m_payloads(d.filter(F.col("doc_id") % 3 == 2))
+    mixed = wav.unionAll(ppm).unionAll(y4m)
+    return mixed.mapInPandas(
+        batches,
+        schema="doc_id long, detected string, modality string, sniff_ok boolean",
+    )

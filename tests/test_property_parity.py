@@ -191,6 +191,14 @@ EVENT_OPS = [
     # 1-3 users: quartiles collapse (everyone r_q=f_q=1 → champion);
     # value ties decide by user_id
     "cat_rfm_segments",
+    # boundary dates from tiny id sets; every row's iso-vs-calendar
+    # disagreement is the assertion
+    "fn_isoweek_suite",
+    # dense tiny streams (no gaps at all) and single-row streams
+    "cat_sequence_gaps",
+    # all four residue classes on tiny logs; precedence on
+    # multi-fault statements
+    "cat_query_antipatterns",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
