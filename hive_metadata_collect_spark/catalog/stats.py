@@ -5128,3 +5128,98 @@ def cat_query_antipatterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_queries"),
         F.min("q").alias("example_query"),
     )
+
+
+@register(
+    "cat_join_size_estimate",
+    survey_row=61,
+    oracle="""
+    WITH ca AS (
+        SELECT CAST(('0x' || substr(md5('js:' ||
+                   CAST(o_custkey % 1000 AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 128 AS slot,
+               count(*) AS c
+        FROM orders GROUP BY 1
+    ),
+    cb AS (
+        SELECT CAST(('0x' || substr(md5('js:' ||
+                   CAST(user_id % 1000 AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 128 AS slot,
+               count(*) AS c
+        FROM events GROUP BY 1
+    ),
+    est AS (
+        SELECT sum(ca.c * cb.c) AS estimated
+        FROM ca JOIN cb ON ca.slot = cb.slot
+    ),
+    exact_ AS (
+        SELECT count(*) AS actual
+        FROM orders o JOIN events e
+          ON o.o_custkey % 1000 = e.user_id % 1000
+    )
+    SELECT estimated::BIGINT AS estimated_rows,
+           actual::BIGINT AS actual_rows,
+           (estimated >= actual) AS is_upper_bound
+    FROM est, exact_
+    """,
+)
+def cat_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE estimation from per-table key sketches — the
+    optimizer statistic a catalog serves so planners can choose
+    join order and strategy WITHOUT touching data: each side's key
+    distribution compresses to a 128-slot count sketch (one CMS
+    row, the agg_countmin_heavy machinery repurposed), and the
+    inner-product of the two sketches Σ a[s]·b[s] estimates
+    |A ⋈ B| — provably an UPPER bound (hash collisions only add
+    cross terms), tight when keys collide rarely. The exact join
+    count is computed alongside so the bound property itself is
+    hash-gated, not asserted.
+
+    Sketch build: one ≤128-row aggregate per table (mergeable —
+    partitions sketch independently and counters add, so the
+    catalog maintains these incrementally); the estimate is a
+    128×128 slot equi-join. The exact twin is the expensive thing
+    this op exists to avoid — at 100 TB you'd never run it, which
+    is the point."""
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+
+    def sketch(df, key_col):
+        slot = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("js:"), (F.col(key_col) % 1000).cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 128
+        )
+        return df.groupBy(slot.alias("slot")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+
+    ca = sketch(o, "o_custkey")
+    cb = sketch(ev, "user_id").select(
+        F.col("slot").alias("slot_b"), F.col("c").alias("cb")
+    )
+    est = (
+        ca.join(F.broadcast(cb), ca["slot"] == cb["slot_b"])
+        .agg(F.sum(F.col("c") * F.col("cb")).alias("estimated"))
+    )
+    actual = (
+        o.select((F.col("o_custkey") % 1000).alias("k"))
+        .join(
+            ev.select((F.col("user_id") % 1000).alias("k")), "k"
+        )
+        .count()
+    )
+    return est.select(
+        F.col("estimated").cast("long").alias("estimated_rows"),
+        F.lit(actual).cast("long").alias("actual_rows"),
+        (F.col("estimated") >= actual).alias("is_upper_bound"),
+    )

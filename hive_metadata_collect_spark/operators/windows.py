@@ -1209,3 +1209,70 @@ def win_pareto_cutpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "win_peak_concurrency",
+    survey_row=33,
+    oracle="""
+    WITH deltas AS (
+        SELECT user_id, ts AS t, 1 AS delta FROM events
+        UNION ALL
+        SELECT user_id, ts + INTERVAL 30 MINUTE, -1 FROM events
+    ),
+    swept AS (
+        SELECT user_id, t, delta,
+               sum(delta) OVER (
+                   PARTITION BY user_id
+                   ORDER BY t, delta
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS live
+        FROM deltas
+    )
+    SELECT user_id,
+           max(live)::BIGINT AS peak_concurrency,
+           max_by(CAST(floor(epoch(t)) AS BIGINT),
+                  live * 100000000000 - CAST(floor(epoch(t)) AS BIGINT))
+               AS peak_at_epoch
+    FROM swept GROUP BY user_id
+    """,
+)
+def win_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK CONCURRENCY via the sweep line — capacity planning's
+    core question (max simultaneous sessions/queries/connections
+    per principal), answered without materializing any pairwise
+    overlap: each 30-min session contributes +1 at start and −1 at
+    end, a running sum over the merged boundary stream IS the live
+    count at every instant, and its max is the peak. The classic
+    O(n log n) interval algorithm, distributed as one keyed window.
+
+    Boundary-order tie rule is load-bearing and pinned: at equal
+    timestamps the −1 sorts BEFORE the +1 (ORDER BY t, delta), so
+    back-to-back sessions don't double-count — the off-by-one every
+    naive implementation ships. Peak timestamp ties resolve to the
+    EARLIEST instant via the composite max_by key (epoch seconds
+    subtracted from the scaled count). One shuffle on the key; the
+    boundary stream is 2× events, narrow."""
+    ev = load_table(spark, sf_dir, "events")
+    deltas = ev.select(
+        "user_id", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        ev.select(
+            "user_id",
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = deltas.withColumn("live", F.sum("delta").over(w))
+    return swept.groupBy("user_id").agg(
+        F.max("live").cast("long").alias("peak_concurrency"),
+        F.max_by(
+            F.unix_timestamp("t"),
+            F.col("live") * 100000000000 - F.unix_timestamp("t"),
+        ).alias("peak_at_epoch"),
+    )

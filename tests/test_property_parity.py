@@ -199,6 +199,9 @@ EVENT_OPS = [
     # all four residue classes on tiny logs; precedence on
     # multi-fault statements
     "cat_query_antipatterns",
+    # equal-ts start/end collisions exercise the -1-before-+1 rule;
+    # single-event users peak at 1
+    "win_peak_concurrency",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
