@@ -5223,3 +5223,87 @@ def cat_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(actual).cast("long").alias("actual_rows"),
         (F.col("estimated") >= actual).alias("is_upper_bound"),
     )
+
+
+@register(
+    "cat_config_drift",
+    survey_row=61,
+    oracle="""
+    WITH conf AS (
+        SELECT 'tbl_' || (event_id % 30) AS tbl,
+               CASE event_id % 3 WHEN 0 THEN 'format'
+                    WHEN 1 THEN 'compression' ELSE 'retention' END AS k,
+               CASE WHEN event_id % 17 = 5
+                    THEN 'v_odd_' || (event_id % 2)
+                    ELSE 'v_std' END AS v
+        FROM events
+    ),
+    latest AS (
+        SELECT tbl, k, max(v) AS v FROM conf GROUP BY tbl, k
+    ),
+    modal AS (
+        SELECT k, v AS modal_v FROM (
+            SELECT k, v, count(*) AS n,
+                   row_number() OVER (PARTITION BY k
+                       ORDER BY count(*) DESC, v ASC) AS rn
+            FROM latest GROUP BY k, v
+        ) WHERE rn = 1
+    )
+    SELECT l.tbl, l.k, l.v AS actual_v, m.modal_v
+    FROM latest l JOIN modal m ON m.k = l.k
+    WHERE l.v <> m.modal_v
+    """,
+)
+def cat_config_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONFIG-drift detection — the fleet-consistency sweep a
+    platform team runs over table properties (a table whose
+    compression/format/retention differs from the fleet norm is
+    either a deliberate exception or a forgotten experiment; both
+    need a name on them): per config key, the MODAL value across
+    tables (count desc, value asc tie-break — deterministic mode,
+    the agg_mode_deterministic discipline) defines the norm, and
+    the report is every (table, key) deviating from it. Values are
+    synthesized with a residue-seeded minority so the drift set is
+    structural.
+
+    Everything after the per-(table, key) latest-resolve operates
+    on \\|tables\\|×\\|keys\\| metadata; the modal frame broadcasts
+    into the deviation anti-filter."""
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    conf = ev.select(
+        F.concat(F.lit("tbl_"), (eid % 30).cast("string")).alias("tbl"),
+        F.when(eid % 3 == 0, "format")
+        .when(eid % 3 == 1, "compression")
+        .otherwise("retention")
+        .alias("k"),
+        F.when(
+            eid % 17 == 5,
+            F.concat(F.lit("v_odd_"), (eid % 2).cast("string")),
+        )
+        .otherwise("v_std")
+        .alias("v"),
+    )
+    latest = conf.groupBy("tbl", "k").agg(F.max("v").alias("v"))
+    modal = (
+        latest.groupBy("k", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "k",
+            "v",
+            F.row_number()
+            .over(
+                Window.partitionBy("k").orderBy(
+                    F.col("n").desc(), F.col("v").asc()
+                )
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("k", F.col("v").alias("modal_v"))
+    )
+    return (
+        latest.join(F.broadcast(modal), "k")
+        .filter(F.col("v") != F.col("modal_v"))
+        .select("tbl", "k", F.col("v").alias("actual_v"), "modal_v")
+    )

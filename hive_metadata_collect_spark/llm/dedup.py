@@ -1503,3 +1503,75 @@ def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s_a") - F.col("s_b"), 6).alias("margin"),
         )
     )
+
+
+@register(
+    "pipeline_license_taint",
+    survey_row=67,
+    oracle="""
+    WITH lic AS (
+        SELECT doc_id, md5(text) AS grp,
+               CASE WHEN doc_id % 11 = 3 THEN 2
+                    WHEN doc_id % 4 = 1 THEN 1
+                    ELSE 0 END AS lic_rank
+        FROM documents
+    ),
+    taint AS (
+        SELECT grp, max(lic_rank) AS grp_rank, count(*) AS n_copies
+        FROM lic GROUP BY grp
+    )
+    SELECT l.doc_id,
+           CASE l.lic_rank WHEN 2 THEN 'cc-nc' WHEN 1 THEN 'cc-by'
+                ELSE 'public' END AS own_license,
+           CASE t.grp_rank WHEN 2 THEN 'cc-nc' WHEN 1 THEN 'cc-by'
+                ELSE 'public' END AS effective_license,
+           (t.grp_rank > l.lic_rank) AS tainted_by_copy,
+           t.n_copies::BIGINT AS n_copies
+    FROM lic l JOIN taint t ON t.grp = l.grp
+    """,
+)
+def pipeline_license_taint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LICENSE taint through duplicate clusters — the curation rule
+    licensing reviews actually impose: if any copy of a document
+    carries a restrictive license, EVERY copy inherits it (you
+    cannot launder a cc-nc text by training on its public-mirror
+    duplicate). Licenses are synthesized per doc on residue classes
+    (public < cc-by < cc-nc as an ordered severity rank); clusters
+    are exact-duplicate text groups (the dedup_exact digest — the
+    same taint composes over near-dup components via
+    min_label_components when policy requires it, declared as the
+    extension path); effective license = the cluster max severity,
+    with the tainted-by-copy flag marking docs whose own label was
+    upgraded.
+
+    One digest group-agg + a join-back on the digest — both keyed
+    on the same hash, so AQE coalesces them into one exchange
+    lineage; severity is integer max, nothing to round."""
+    docs = load_table(spark, sf_dir, "documents")
+    lic_rank = (
+        F.when(F.col("doc_id") % 11 == 3, 2)
+        .when(F.col("doc_id") % 4 == 1, 1)
+        .otherwise(0)
+    )
+    lic = docs.select(
+        "doc_id",
+        F.md5(F.encode("text", "UTF-8")).alias("grp"),
+        lic_rank.alias("lic_rank"),
+    )
+    taint = lic.groupBy("grp").agg(
+        F.max("lic_rank").alias("grp_rank"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    name = (
+        lambda c: F.when(c == 2, "cc-nc").when(c == 1, "cc-by").otherwise("public")
+    )
+    return (
+        lic.join(taint, "grp")
+        .select(
+            "doc_id",
+            name(F.col("lic_rank")).alias("own_license"),
+            name(F.col("grp_rank")).alias("effective_license"),
+            (F.col("grp_rank") > F.col("lic_rank")).alias("tainted_by_copy"),
+            F.col("n_copies").cast("long").alias("n_copies"),
+        )
+    )

@@ -202,6 +202,9 @@ EVENT_OPS = [
     # equal-ts start/end collisions exercise the -1-before-+1 rule;
     # single-event users peak at 1
     "win_peak_concurrency",
+    # keys where the minority IS the mode on tiny fleets (no drift
+    # rows); modal ties broken by value asc
+    "cat_config_drift",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
@@ -326,6 +329,9 @@ DOC_OPS = [
     # 1-candidate prompts yield nothing; sub-margin pairs filtered;
     # equal-score ties break by doc_id on both sides
     "pipeline_preference_pairs",
+    # duplicate generated texts form real multi-copy groups; no
+    # restrictive copy → nothing tainted
+    "pipeline_license_taint",
     # 1-2-token docs hit the trigram guard (sequence(0,n<0) DESCENDS
     # in Spark — the guarded CASE is what this fuzz exists to hold);
     # varied sources hit empty domains in the mixture planner
