@@ -585,3 +585,50 @@ def test_nested_schema_pruning_reaches_scan(spark, sf_dir):
     scan = scan_summary(df)
     assert "priority" in scan and "price" in scan
     assert "clerk_note" not in scan
+
+
+def test_twopass_median_within_bucket_sort_only(spark, sf_dir):
+    """Pass 2 must rank only the located bucket — the plan carries a
+    bucket filter below the window sort, never a full-column sort."""
+    df = OPS["agg_exact_median_twopass"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" in plan
+    # the within-bucket filter reaches the scan side
+    assert "FLOOR" in plan.upper() or "floor" in plan
+
+
+def test_sweep_line_single_keyed_window(spark, sf_dir):
+    """Peak concurrency: one user_id-partitioned window over the
+    boundary union — no join, no global sort."""
+    df = OPS["win_peak_concurrency"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Union") >= 1
+
+
+def test_position_delete_set_broadcasts(spark, sf_dir):
+    """Merge-on-read: the delete set must broadcast into the
+    anti-join; the data side never shuffles for the merge."""
+    df = OPS["scan_position_deletes"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_survival_curve_single_corpus_shuffle(spark, sf_dir):
+    """KM curve: the per-user lifetime rollup is the only
+    corpus-sized exchange; the product folds over an array, so no
+    Window and no join appear at all."""
+    df = OPS["cat_survival_curve"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_join_size_estimate_sketch_join_broadcasts(spark, sf_dir):
+    """The 128-slot sketch equi-join must broadcast — cardinality
+    estimation never becomes a real shuffle join."""
+    df = OPS["cat_join_size_estimate"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
