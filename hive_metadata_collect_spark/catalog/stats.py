@@ -5307,3 +5307,82 @@ def cat_config_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("v") != F.col("modal_v"))
         .select("tbl", "k", F.col("v").alias("actual_v"), "modal_v")
     )
+
+
+@register(
+    "cat_scd2_repair",
+    survey_row=62,
+    oracle="""
+    WITH dirty AS (
+        SELECT event_id % 25 AS key,
+               event_id AS version_id,
+               CAST(date_trunc('day', ts) AS DATE) AS valid_from,
+               CAST(date_trunc('day', ts) AS DATE)
+                   + INTERVAL (3 + event_id % 10) DAY AS valid_to
+        FROM events WHERE event_id % 6 = 0
+    ),
+    repaired AS (
+        SELECT key, version_id, valid_from,
+               CAST(valid_to AS DATE) AS valid_to_orig,
+               lead(valid_from) OVER (PARTITION BY key
+                   ORDER BY valid_from, version_id) AS next_from
+        FROM dirty
+    )
+    SELECT key::BIGINT AS key, version_id,
+           valid_from,
+           least(valid_to_orig, coalesce(next_from, valid_to_orig))
+               AS valid_to,
+           (next_from IS NOT NULL AND next_from < valid_to_orig)
+               AS was_clipped,
+           (next_from IS NOT NULL AND next_from = valid_from)
+               AS zero_duration
+    FROM repaired
+    """,
+)
+def cat_scd2_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity-interval REPAIR — the hygiene pass that makes
+    `cat_scd2_diff`/`cat_scd2_apply` trustworthy on real metastores
+    (hand-edited dimension rows and replayed loads leave OVERLAPPING
+    validity windows, and every as-of join over them silently
+    double-matches): within each key's version chain, clip every
+    interval's end to the next version's start (lead over the
+    validity order), flagging clipped rows and the zero-duration
+    degenerates (same-day supersedes) that auditors review rather
+    than auto-delete. Dirty intervals are synthesized with
+    deliberately-overlapping spans (duration outruns the version
+    spacing).
+
+    One lead() per key partition — the same islands idiom as
+    sequence gaps, applied to interval hygiene; clip is a least()
+    against the shifted start. At metastore scale this is
+    \\|versions\\|-sized work."""
+    ev = load_table(spark, sf_dir, "events")
+    dirty = ev.filter(F.col("event_id") % 6 == 0).select(
+        (F.col("event_id") % 25).alias("key"),
+        F.col("event_id").alias("version_id"),
+        F.col("ts").cast("date").alias("valid_from"),
+        F.date_add(
+            F.col("ts").cast("date"), (3 + F.col("event_id") % 10).cast("int")
+        ).alias("valid_to_orig"),
+    )
+    w = Window.partitionBy("key").orderBy("valid_from", "version_id")
+    repaired = dirty.withColumn(
+        "next_from", F.lead("valid_from").over(w)
+    )
+    return repaired.select(
+        F.col("key").cast("long").alias("key"),
+        "version_id",
+        "valid_from",
+        F.least(
+            F.col("valid_to_orig"),
+            F.coalesce("next_from", "valid_to_orig"),
+        ).alias("valid_to"),
+        (
+            F.col("next_from").isNotNull()
+            & (F.col("next_from") < F.col("valid_to_orig"))
+        ).alias("was_clipped"),
+        (
+            F.col("next_from").isNotNull()
+            & (F.col("next_from") == F.col("valid_from"))
+        ).alias("zero_duration"),
+    )

@@ -1863,3 +1863,119 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept_ln"
         ),
     )
+
+
+@register(
+    "text_markdown_profile",
+    survey_row=71,
+    oracle="""
+    WITH md AS (
+        SELECT doc_id,
+               coalesce(CASE WHEN doc_id % 4 = 0
+                    THEN '# T' || doc_id || chr(10) END, '') ||
+               coalesce(CASE WHEN doc_id % 3 = 1
+                    THEN '```' || chr(10) || 'x = ' || (doc_id % 9)
+                         || chr(10) || '```' || chr(10) END, '') ||
+               coalesce(CASE WHEN doc_id % 5 = 2
+                    THEN '- item a' || chr(10) || '- item b' || chr(10)
+               END, '') ||
+               text ||
+               coalesce(CASE WHEN doc_id % 7 = 4
+                    THEN ' [ref](http://ex.com/' || doc_id || ')' END, '')
+                   AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '(^|\\n)#+ '))::BIGINT AS n_headings,
+           (len(regexp_extract_all(t, '```')) // 2)::BIGINT
+               AS n_code_blocks,
+           len(regexp_extract_all(t, '(^|\\n)- '))::BIGINT
+               AS n_list_items,
+           len(regexp_extract_all(t, '\\[[^\\]]*\\]\\([^)]*\\)'))::BIGINT
+               AS n_links,
+           CASE WHEN len(regexp_extract_all(t, '```')) >= 2
+                THEN 'technical'
+                WHEN len(regexp_extract_all(t, '(^|\\n)#+ ')) > 0
+                THEN 'structured'
+                ELSE 'plain' END AS doc_class
+    FROM md
+    """,
+)
+def text_markdown_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKDOWN structure profile — the routing signal crawl
+    pipelines extract before quality scoring (code-fenced documents
+    go to the code pipeline with different dedup thresholds;
+    heading-structured docs chunk on headings instead of fixed
+    windows — `text_chunk_overlap`'s smarter sibling): per doc,
+    heading / fenced-code-block / list-item / inline-link counts
+    and a routing class with pinned precedence (code beats
+    structure beats plain). Markdown features are synthesized
+    around the fixture text on residue classes, every feature class
+    independently seeded so the counts are structural.
+
+    COALESCE-free concat quirk is deliberate: SQL string || NULL is
+    NULL — the CASE arms WITHOUT an ELSE return NULL and would
+    nullify the whole doc, so the Spark side uses concat_ws-style
+    empty defaults and the oracle relies on DuckDB's ||
+    propagation... no: both sides must AGREE. The oracle's || chain
+    nullifies nothing because every CASE carries its feature only
+    when seeded — and concat() in Spark propagates NULL the same
+    way, so BOTH engines build the doc only from non-NULL arms via
+    coalesce-to-empty on each arm. Regexes in the common dialect
+    with multiline anchors spelled as (^|\\n). Map-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    nl = F.lit("\n")
+    t = F.concat(
+        F.coalesce(
+            F.when(
+                did % 4 == 0,
+                F.concat(F.lit("# T"), did.cast("string"), nl),
+            ),
+            F.lit(""),
+        ),
+        F.coalesce(
+            F.when(
+                did % 3 == 1,
+                F.concat(
+                    F.lit("```"), nl, F.lit("x = "),
+                    (did % 9).cast("string"), nl, F.lit("```"), nl,
+                ),
+            ),
+            F.lit(""),
+        ),
+        F.coalesce(
+            F.when(did % 5 == 2, F.concat(F.lit("- item a"), nl, F.lit("- item b"), nl)),
+            F.lit(""),
+        ),
+        F.col("text"),
+        F.coalesce(
+            F.when(
+                did % 7 == 4,
+                F.concat(
+                    F.lit(" [ref](http://ex.com/"), did.cast("string"), F.lit(")")
+                ),
+            ),
+            F.lit(""),
+        ),
+    )
+    md = docs.select("doc_id", t.alias("t"))
+    n_head = F.size(F.expr(r"regexp_extract_all(t, '(^|\n)#+ ', 0)"))
+    n_fence = F.floor(F.size(F.expr("regexp_extract_all(t, '```', 0)")) / 2)
+    n_list = F.size(F.expr(r"regexp_extract_all(t, '(^|\n)- ', 0)"))
+    n_links = F.size(
+        F.expr(r"regexp_extract_all(t, '\\[[^\\]]*\\]\\([^)]*\\)', 0)")
+    )
+    return md.select(
+        "doc_id",
+        n_head.cast("long").alias("n_headings"),
+        n_fence.cast("long").alias("n_code_blocks"),
+        n_list.cast("long").alias("n_list_items"),
+        n_links.cast("long").alias("n_links"),
+        F.when(
+            F.size(F.expr("regexp_extract_all(t, '```', 0)")) >= 2, "technical"
+        )
+        .when(n_head > 0, "structured")
+        .otherwise("plain")
+        .alias("doc_class"),
+    )

@@ -205,6 +205,9 @@ EVENT_OPS = [
     # keys where the minority IS the mode on tiny fleets (no drift
     # rows); modal ties broken by value asc
     "cat_config_drift",
+    # single-version keys (never clipped); same-day version chains
+    # (zero-duration flags)
+    "cat_scd2_repair",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
@@ -332,6 +335,9 @@ DOC_OPS = [
     # duplicate generated texts form real multi-copy groups; no
     # restrictive copy → nothing tainted
     "pipeline_license_taint",
+    # docs whose own text contains ``` or markdown tokens add to
+    # the synthesized counts identically on both sides
+    "text_markdown_profile",
     # 1-2-token docs hit the trigram guard (sequence(0,n<0) DESCENDS
     # in Spark — the guarded CASE is what this fuzz exists to hold);
     # varied sources hit empty domains in the mixture planner
