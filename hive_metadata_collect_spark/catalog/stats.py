@@ -5386,3 +5386,69 @@ def cat_scd2_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("next_from") == F.col("valid_from"))
         ).alias("zero_duration"),
     )
+
+
+@register(
+    "cat_new_access_detect",
+    survey_row=64,
+    oracle="""
+    WITH wm AS (SELECT max(ts) AS max_ts FROM events),
+    split AS (
+        SELECT user_id, event_type, ts,
+               ts >= (SELECT max_ts FROM wm) - INTERVAL 3 DAY AS recent
+        FROM events
+    ),
+    hist AS (
+        SELECT DISTINCT user_id, event_type FROM split WHERE NOT recent
+    )
+    SELECT s.user_id, s.event_type,
+           min(s.ts) AS first_seen,
+           count(*)::BIGINT AS n_recent_accesses
+    FROM split s
+    LEFT JOIN hist h
+      ON h.user_id = s.user_id AND h.event_type = s.event_type
+    WHERE s.recent AND h.user_id IS NULL
+    GROUP BY s.user_id, s.event_type
+    """,
+)
+def cat_new_access_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-TIME access detection — the security/anomaly sweep a
+    collector runs nightly over its audit log: (principal, table)
+    pairs appearing in the recent window that have NO history before
+    it (a service account suddenly reading the payroll table is
+    exactly this row). The window anchors to the data's max
+    timestamp (reproducible, the retention-planner rule); history =
+    the DISTINCT pair set before the cut; detection = recent
+    accesses anti-joined against it, with first-seen time and
+    recent-access count per new pair.
+
+    The historical pair set is |principals|×|tables|-bounded — it
+    BROADCASTS into the anti-join regardless of how many billions
+    of audit rows produced it (the DISTINCT is the corpus-sized
+    map-side-combine step); at 100 TB this is the incremental
+    pattern: yesterday's pair set is a maintained artifact, not a
+    rescan."""
+    ev = load_table(spark, sf_dir, "events")
+    wm = ev.agg(F.max("ts").alias("max_ts"))
+    split = ev.crossJoin(F.broadcast(wm)).select(
+        "user_id",
+        "event_type",
+        "ts",
+        (
+            F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 3 DAY")
+        ).alias("recent"),
+    )
+    hist = (
+        split.filter(~F.col("recent"))
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    return (
+        split.filter(F.col("recent"))
+        .join(F.broadcast(hist), ["user_id", "event_type"], "left_anti")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.min("ts").alias("first_seen"),
+            F.count(F.lit(1)).alias("n_recent_accesses"),
+        )
+    )

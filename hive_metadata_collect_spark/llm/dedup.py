@@ -1575,3 +1575,82 @@ def pipeline_license_taint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_copies").cast("long").alias("n_copies"),
         )
     )
+
+
+@register(
+    "pipeline_annotator_kappa",
+    survey_row=67,
+    oracle="""
+    WITH labels AS (
+        SELECT doc_id,
+               CASE WHEN (doc_id * 7) % 10 < 6 THEN 'keep'
+                    ELSE 'drop' END AS rater_a,
+               CASE WHEN (doc_id * 7) % 10 < 6
+                    THEN CASE WHEN doc_id % 9 = 4 THEN 'drop'
+                              ELSE 'keep' END
+                    ELSE CASE WHEN doc_id % 13 = 6 THEN 'keep'
+                              ELSE 'drop' END END AS rater_b
+        FROM documents
+    ),
+    cells AS (
+        SELECT count(*) AS n,
+               count(*) FILTER (WHERE rater_a = rater_b) AS agree,
+               count(*) FILTER (WHERE rater_a = 'keep') AS a_keep,
+               count(*) FILTER (WHERE rater_b = 'keep') AS b_keep
+        FROM labels
+    )
+    SELECT n::BIGINT AS n,
+           round(agree * 1.0 / n, 6) AS observed_agreement,
+           round((a_keep * b_keep + (n - a_keep) * (n - b_keep))
+                 * 1.0 / (n * n), 6) AS expected_agreement,
+           round((agree * 1.0 / n
+                  - (a_keep * b_keep + (n - a_keep) * (n - b_keep))
+                    * 1.0 / (n * n))
+                 / nullif(1.0 - (a_keep * b_keep
+                                 + (n - a_keep) * (n - b_keep))
+                          * 1.0 / (n * n), 0), 6) AS cohens_kappa
+    FROM cells
+    """,
+)
+def pipeline_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA between two annotators — the labeling-QA
+    statistic that raw agreement hides (two raters who both mark
+    90 % "keep" agree 82 % by pure chance; kappa measures agreement
+    ABOVE chance, and it's the gate every labeling vendor contract
+    specifies): two raters are synthesized with a controlled
+    disagreement structure (rater B flips A's verdict on seeded
+    residues), the 2×2 contingency reduces to four exact counts,
+    and κ = (p_o − p_e)/(1 − p_e) follows in closed form.
+
+    One global aggregate (four conditional counts, map-side
+    combine); every ratio is an IEEE division of exact int64
+    counts; the perfect-agreement singularity (p_e = 1) guards
+    with nullif on both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    rater_a = F.when((did * 7) % 10 < 6, "keep").otherwise("drop")
+    rater_b = F.when(
+        (did * 7) % 10 < 6,
+        F.when(did % 9 == 4, "drop").otherwise("keep"),
+    ).otherwise(F.when(did % 13 == 6, "keep").otherwise("drop"))
+    labels = docs.select(rater_a.alias("a"), rater_b.alias("b"))
+    cells = labels.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("a") == F.col("b"), 1)).alias("agree"),
+        F.count(F.when(F.col("a") == "keep", 1)).alias("a_keep"),
+        F.count(F.when(F.col("b") == "keep", 1)).alias("b_keep"),
+    )
+    n, agree = F.col("n"), F.col("agree")
+    pe = (
+        F.col("a_keep") * F.col("b_keep")
+        + (n - F.col("a_keep")) * (n - F.col("b_keep"))
+    ) / (n * n)
+    po = agree / n
+    return cells.select(
+        n.cast("long").alias("n"),
+        F.round(po, 6).alias("observed_agreement"),
+        F.round(pe, 6).alias("expected_agreement"),
+        F.round((po - pe) / F.nullif(1.0 - pe, F.lit(0.0)), 6).alias(
+            "cohens_kappa"
+        ),
+    )

@@ -208,6 +208,9 @@ EVENT_OPS = [
     # single-version keys (never clipped); same-day version chains
     # (zero-duration flags)
     "cat_scd2_repair",
+    # tiny logs: everything inside the 3-day window (no history →
+    # every pair "new"), and all-history tables (empty result)
+    "cat_new_access_detect",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
@@ -338,6 +341,9 @@ DOC_OPS = [
     # docs whose own text contains ``` or markdown tokens add to
     # the synthesized counts identically on both sides
     "text_markdown_profile",
+    # tiny corpora where raters agree perfectly (kappa NULL via the
+    # p_e=1 guard) or one class vanishes
+    "pipeline_annotator_kappa",
     # 1-2-token docs hit the trigram guard (sequence(0,n<0) DESCENDS
     # in Spark — the guarded CASE is what this fuzz exists to hold);
     # varied sources hit empty domains in the mixture planner
