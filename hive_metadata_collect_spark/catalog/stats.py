@@ -5452,3 +5452,88 @@ def cat_new_access_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_recent_accesses"),
         )
     )
+
+
+@register(
+    "cat_role_mining",
+    survey_row=62,
+    oracle="""
+    WITH access AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ),
+    sizes AS (
+        SELECT user_id, count(*) AS n_tables
+        FROM access GROUP BY user_id
+    ),
+    pairs AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               count(*) AS n_shared
+        FROM access a JOIN access b
+          ON a.event_type = b.event_type AND a.user_id < b.user_id
+        GROUP BY a.user_id, b.user_id
+    )
+    SELECT p.user_a, p.user_b,
+           p.n_shared::BIGINT AS n_shared,
+           sa.n_tables::BIGINT AS n_a, sb.n_tables::BIGINT AS n_b,
+           round(p.n_shared * 1.0
+                 / (sa.n_tables + sb.n_tables - p.n_shared), 6)
+               AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.user_id = p.user_a
+    JOIN sizes sb ON sb.user_id = p.user_b
+    WHERE p.n_shared * 10 >= (sa.n_tables + sb.n_tables - p.n_shared) * 8
+    """,
+)
+def cat_role_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLE MINING — the IAM consolidation sweep over the audit log
+    (principals whose table-access sets nearly coincide should share
+    one role, not N copied grant lists — the input every RBAC
+    cleanup starts from): per-principal DISTINCT access sets,
+    pairwise overlap via the inverted-index join (pairs meet only
+    through tables they SHARE — never a principals² cross join, the
+    dedup_near_minhash shape on grants), and Jaccard ≥ 0.8 pairs
+    survive as same-role candidates. The threshold test is integer
+    cross-multiplication (n·10 ≥ union·8) so the boundary pair
+    can't float-flip.
+
+    The DISTINCT access extraction is the only corpus-sized step;
+    pairs and sizes are |principals|-scale, and the size joins
+    broadcast. At enterprise scale the same mining adds a minhash
+    prefilter — the declared twin machinery."""
+    ev = load_table(spark, sf_dir, "events")
+    access = ev.select("user_id", "event_type").distinct().cache()
+    sizes = access.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_tables")
+    )
+    b = access.select(
+        F.col("user_id").alias("user_b"), F.col("event_type").alias("et_b")
+    )
+    pairs = (
+        access.join(
+            b,
+            (F.col("event_type") == F.col("et_b"))
+            & (F.col("user_id") < F.col("user_b")),
+        )
+        .groupBy(F.col("user_id").alias("user_a"), "user_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("user_id").alias("user_a"), F.col("n_tables").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("user_id").alias("user_b"), F.col("n_tables").alias("n_b")
+    )
+    union_sz = F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    return (
+        pairs.join(F.broadcast(sa), "user_a")
+        .join(F.broadcast(sb), "user_b")
+        .filter(F.col("n_shared") * 10 >= union_sz * 8)
+        .select(
+            "user_a",
+            "user_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(F.col("n_shared") / union_sz, 6).alias("jaccard"),
+        )
+    )

@@ -1979,3 +1979,74 @@ def text_markdown_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("plain")
         .alias("doc_class"),
     )
+
+
+@register(
+    "text_word_burstiness",
+    survey_row=73,
+    oracle="""
+    WITH counts AS (
+        SELECT doc_id, word, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(string_split(lower(text), ' ')) AS word
+              FROM documents)
+        GROUP BY doc_id, word
+    ),
+    ndocs AS (SELECT count(*) AS nd FROM documents),
+    stats AS (
+        SELECT word,
+               sum(c) AS total,
+               sum(c * c) AS sum_sq,
+               count(*) AS df
+        FROM counts GROUP BY word
+    )
+    SELECT word, total::BIGINT AS total, df::BIGINT AS doc_freq,
+           round((sum_sq * 1.0 - total * total * 1.0 / nd)
+                 / nullif(nd - 1, 0)
+                 / nullif(total * 1.0 / nd, 0), 6) AS burstiness
+    FROM stats, ndocs
+    WHERE total >= 30
+    """,
+)
+def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WORD BURSTINESS (variance-to-mean ratio of per-document
+    counts, zeros included) — the dispersion statistic that
+    separates topical words from function words at equal total
+    frequency (a word appearing 100× in 3 docs is a TOPIC; 100×
+    spread over 90 docs is glue — tf-idf's document-frequency
+    signal refined to a rate): VMR = s²/mean over all docs, where
+    absent docs count as zero — handled WITHOUT materializing
+    zeros, via the algebraic identity s² = (Σc² − (Σc)²/N)/(N−1)
+    with N = total docs (the sparse-vector variance trick; a dense
+    per-doc-per-word frame would be |docs|×|vocab|).
+
+    Sufficient statistics (Σc, Σc², df) are exact int64 sums from
+    one word-level reduce; N broadcasts; the VMR is a fixed IEEE
+    sequence. Restricted to total ≥ 30 so the statistic is over
+    words where dispersion is meaningful."""
+    docs = load_table(spark, sf_dir, "documents")
+    nd = docs.count()
+    counts = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = counts.groupBy("word").agg(
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    total = F.col("total")
+    var = (F.col("sum_sq") - total * total / nd) / F.nullif(
+        F.lit(nd - 1), F.lit(0)
+    )
+    mean = total / nd
+    return stats.filter(total >= 30).select(
+        "word",
+        total.cast("long").alias("total"),
+        F.col("df").cast("long").alias("doc_freq"),
+        F.round(var / F.nullif(mean, F.lit(0.0)), 6).alias("burstiness"),
+    )

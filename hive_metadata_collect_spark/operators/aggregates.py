@@ -1803,3 +1803,66 @@ def agg_ratio_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
         naive.alias("discount_rate_naive"),
         (F.abs(correct - naive) > 0.001).alias("materially_wrong"),
     )
+
+
+@register(
+    "agg_smoothed_rate_ranking",
+    survey_row=27,
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               count(*) AS n,
+               count(*) FILTER (WHERE event_type = 'purchase') AS k
+        FROM events GROUP BY user_id
+    ),
+    prior AS (
+        SELECT sum(k) AS gk, sum(n) AS gn FROM per_user
+    )
+    SELECT u.user_id, u.n::BIGINT AS n, u.k::BIGINT AS k,
+           round(u.k * 1.0 / u.n, 6) AS raw_rate,
+           round((u.k + 20.0 * p.gk / p.gn) / (u.n + 20.0), 6)
+               AS smoothed_rate,
+           rank() OVER (ORDER BY (u.k + 20.0 * p.gk / p.gn)
+                                 / (u.n + 20.0) DESC,
+                        u.user_id)::BIGINT AS rate_rank
+    FROM per_user u, prior p
+    """,
+)
+def agg_smoothed_rate_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes SMOOTHED rate ranking — the fix for the
+    oldest ranking bug there is (an entity that is 1-for-1 ranks
+    above one that is 900-for-1000 on raw rate): shrink every
+    per-entity rate toward the global prior with pseudo-count
+    weight m=20, so small samples defer to the fleet and large
+    samples speak for themselves — Beta-Binomial posterior means
+    with α+β=m, the same estimator behind "smoothed CTR" and
+    Laplace-smoothed quality scores. Raw and smoothed rates emitted
+    side by side, plus the rank the smoothed column induces
+    (deterministic (rate desc, user_id) tie-break).
+
+    One per-entity aggregate, one broadcast global prior, one
+    window over the |entities| frame; every rate is a fixed
+    sequence of IEEE ops on exact int64 counts."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("k"),
+    )
+    prior = per_user.agg(
+        F.sum("k").alias("gk"), F.sum("n").alias("gn")
+    )
+    j = per_user.crossJoin(F.broadcast(prior))
+    smoothed = (F.col("k") + 20.0 * F.col("gk") / F.col("gn")) / (
+        F.col("n") + 20.0
+    )
+    return j.select(
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round(F.col("k") / F.col("n"), 6).alias("raw_rate"),
+        F.round(smoothed, 6).alias("smoothed_rate"),
+        F.rank()
+        .over(Window.orderBy(smoothed.desc(), F.col("user_id")))
+        .cast("long")
+        .alias("rate_rank"),
+    )

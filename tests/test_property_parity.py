@@ -211,6 +211,12 @@ EVENT_OPS = [
     # tiny logs: everything inside the 3-day window (no history →
     # every pair "new"), and all-history tables (empty result)
     "cat_new_access_detect",
+    # 0-purchase tables: every raw rate 0, shrinkage pulls to the
+    # 0 prior (gn>0 always since n>=1)
+    "agg_smoothed_rate_ranking",
+    # identical access sets (jaccard exactly 1), singleton users,
+    # and the 0.8 boundary via integer cross-multiplication
+    "cat_role_mining",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
@@ -344,6 +350,9 @@ DOC_OPS = [
     # tiny corpora where raters agree perfectly (kappa NULL via the
     # p_e=1 guard) or one class vanishes
     "pipeline_annotator_kappa",
+    # tiny corpora rarely reach total>=30: empty results must agree;
+    # repeated generated words exercise the zero-including variance
+    "text_word_burstiness",
     # 1-2-token docs hit the trigram guard (sequence(0,n<0) DESCENDS
     # in Spark — the guarded CASE is what this fuzz exists to hold);
     # varied sources hit empty domains in the mixture planner
