@@ -5537,3 +5537,79 @@ def cat_role_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_shared") / union_sz, 6).alias("jaccard"),
         )
     )
+
+
+@register(
+    "cat_temporal_orphans",
+    survey_row=62,
+    oracle="""
+    WITH dim AS (
+        SELECT o_custkey, o_orderdate AS valid_from,
+               coalesce(lead(o_orderdate) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey),
+                   TIMESTAMP '2999-01-01') AS valid_to
+        FROM orders
+    ),
+    fact AS (
+        SELECT o.o_custkey AS f_custkey, l.l_orderkey, l.l_linenumber,
+               l.l_shipdate
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT f.f_custkey AS custkey,
+           count(*)::BIGINT AS n_orphan_lines,
+           min(f.l_shipdate) AS earliest_orphan_ship
+    FROM fact f
+    LEFT JOIN dim d ON f.f_custkey = d.o_custkey
+                   AND f.l_shipdate >= d.valid_from
+                   AND f.l_shipdate < d.valid_to
+    WHERE d.o_custkey IS NULL
+    GROUP BY f.f_custkey
+    """,
+)
+def cat_temporal_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL referential-integrity audit — the rows
+    `join_temporal_dim` silently drops, surfaced as the defect list:
+    fact lines whose timestamp falls OUTSIDE every dimension
+    validity interval (here: lines shipped before their customer's
+    first recorded version — in a live warehouse, the signature of
+    late-arriving facts or a dimension load gap). Plain referential
+    integrity (`cat_referential_integrity`) checks the KEY exists;
+    this checks a version existed AT THE TIME, which is the
+    condition SCD2 correctness actually requires.
+
+    Same interval timeline as the temporal join (half-open via
+    lead), flipped to LEFT + null-filter — the orphan detector and
+    the join are provably complements over the same dim. Orphans
+    roll up per customer with the earliest offending timestamp (the
+    backfill cursor)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dim = o.select(
+        F.col("o_custkey").alias("d_custkey"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.coalesce(
+            F.lead("o_orderdate").over(w),
+            F.lit("2999-01-01").cast("timestamp"),
+        ).alias("valid_to"),
+    )
+    fact = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_custkey").alias("f_custkey"),
+        "l_shipdate",
+    )
+    return (
+        fact.join(
+            dim,
+            (F.col("f_custkey") == F.col("d_custkey"))
+            & (F.col("l_shipdate") >= F.col("valid_from"))
+            & (F.col("l_shipdate") < F.col("valid_to")),
+            "left_outer",
+        )
+        .filter(F.col("d_custkey").isNull())
+        .groupBy(F.col("f_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orphan_lines"),
+            F.min("l_shipdate").alias("earliest_orphan_ship"),
+        )
+    )

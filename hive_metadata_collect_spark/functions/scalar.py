@@ -1095,3 +1095,52 @@ def fn_isoweek_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year(thursday).cast("long").alias("iso_year"),
         (F.year(thursday) != F.year(dt)).alias("year_mismatch"),
     )
+
+
+@register(
+    "fn_round_half_even",
+    survey_row=44,
+    oracle="""
+    WITH v AS (
+        SELECT event_id,
+               (event_id % 2000) * 5 AS m  -- exact integer thousandths
+        FROM events
+    )
+    SELECT event_id,
+           (m // 10 + CASE WHEN m % 10 >= 5 THEN 1 ELSE 0 END)::BIGINT
+               AS half_up_cents,
+           (m // 10
+            + CASE WHEN m % 10 > 5 THEN 1
+                   WHEN m % 10 = 5 THEN (m // 10) % 2
+                   ELSE 0 END)::BIGINT AS half_even_cents,
+           (m % 10 = 5 AND (m // 10) % 2 = 0) AS diverges
+    FROM v
+    """,
+)
+def fn_round_half_even(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HALF-EVEN vs HALF-UP rounding stated as an operator — the
+    money-rounding policy split that silently biases ledger totals
+    (half-up rounds every .5 cent upward, ~+0.5 cent per tie;
+    banker's rounding alternates by parity, the GAAP-adjacent and
+    IEEE-754 default): the value grid is exact DECIMAL thousandths
+    ending in 5, so every tie genuinely occurs, and Spark's own
+    round()/bround() produce the two policies — converted to
+    integer cents and gated against the oracle's ARITHMETIC
+    definition of each policy (floor + carry rules on integer
+    thousandths). The gate therefore proves Spark's decimal
+    rounding semantics, not that two copies of one formula agree.
+
+    The input must be DECIMAL, not DOUBLE — the first draft used
+    doubles and died instantly: 0.565 has no binary representation,
+    so "the tie case" doesn't even exist in double land (each
+    engine saw a different non-tie). Map-only codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    x_dec = F.expr(
+        "cast((event_id % 2000) * 5 as decimal(12,3)) / 1000"
+    )
+    return ev.select(
+        "event_id",
+        (F.round(x_dec, 2) * 100).cast("long").alias("half_up_cents"),
+        (F.bround(x_dec, 2) * 100).cast("long").alias("half_even_cents"),
+        (F.round(x_dec, 2) != F.bround(x_dec, 2)).alias("diverges"),
+    )

@@ -32,7 +32,7 @@ from typing import Callable, Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_metadata_collect_spark.registry import register
@@ -1530,4 +1530,66 @@ def mm_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixed.mapInPandas(
         batches,
         schema="doc_id long, detected string, modality string, sniff_ok boolean",
+    )
+
+
+@register(
+    "mm_webdataset_shard_plan",
+    survey_row=74,
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id,
+               44 + 2 * (64 + doc_id % 128) AS payload_bytes
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, payload_bytes,
+               coalesce(sum(payload_bytes) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) // 4096 AS shard_id
+        FROM sized
+    )
+    SELECT shard_id::BIGINT AS shard_id,
+           count(*)::BIGINT AS n_samples,
+           sum(payload_bytes)::BIGINT AS shard_bytes,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM packed GROUP BY shard_id
+    """,
+)
+def mm_webdataset_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEBDATASET shard planner — the tar-sharding step every
+    large-scale media-training loader assumes (samples streamed
+    sequentially from ~fixed-size tar shards; the shard boundaries
+    ARE the I/O unit and the shuffle granularity): REAL payload
+    sizes (each doc's RIFF/WAVE container — 44-byte header + 2
+    bytes/sample, the exact bytes `mm_audio_rms` parses) are packed
+    in doc order into ~4 KB shards by the exclusive-running-sum
+    division rule (`cat_compaction_plan`'s bin packer applied to
+    media), emitting per-shard sample counts, byte totals, and the
+    doc-id range a loader needs for random shard access.
+
+    The size column comes from the container FORMULA — the oracle
+    re-derives it, so a header-size or sample-width slip in the
+    synthesizer breaks the gate. One ordered window over |docs|
+    rows (at real scale: per-bucket windows after a range
+    partition, same plan as the compaction op)."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        (44 + 2 * (64 + F.col("doc_id") % 128)).alias("payload_bytes"),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    packed = sized.withColumn(
+        "shard_id",
+        F.floor(
+            F.coalesce(F.sum("payload_bytes").over(w), F.lit(0)) / 4096
+        ),
+    )
+    return packed.groupBy(F.col("shard_id").cast("long").alias("shard_id")).agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum("payload_bytes").alias("shard_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
     )

@@ -217,6 +217,8 @@ EVENT_OPS = [
     # identical access sets (jaccard exactly 1), singleton users,
     # and the 0.8 boundary via integer cross-multiplication
     "cat_role_mining",
+    # exact-decimal ties across the whole half-cent grid on tiny ids
+    "fn_round_half_even",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
@@ -353,6 +355,9 @@ DOC_OPS = [
     # tiny corpora rarely reach total>=30: empty results must agree;
     # repeated generated words exercise the zero-including variance
     "text_word_burstiness",
+    # 1-doc corpora: one shard; shard boundaries landing exactly on
+    # a document edge
+    "mm_webdataset_shard_plan",
     # 1-2-token docs hit the trigram guard (sequence(0,n<0) DESCENDS
     # in Spark — the guarded CASE is what this fuzz exists to hold);
     # varied sources hit empty domains in the mixture planner
