@@ -5613,3 +5613,78 @@ def cat_temporal_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("l_shipdate").alias("earliest_orphan_ship"),
         )
     )
+
+
+@register(
+    "cat_attribution_linear",
+    survey_row=64,
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, event_id AS purchase_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT user_id, event_type AS channel, event_id AS touch_id,
+               ts AS t_ts
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    credited AS (
+        SELECT p.purchase_id, t.channel,
+               count(*) OVER (PARTITION BY p.purchase_id) AS n_touches
+        FROM purchases p JOIN touches t
+          ON t.user_id = p.user_id
+         AND t.t_ts < p.p_ts
+         AND t.t_ts >= p.p_ts - INTERVAL 7 DAY
+    )
+    SELECT channel,
+           count(DISTINCT purchase_id)::BIGINT AS n_purchases_touched,
+           round(sum(1.0 / n_touches), 6) AS attributed_credit
+    FROM credited GROUP BY channel
+    """,
+)
+def cat_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch ATTRIBUTION — fractional conversion credit
+    split equally across every touch in the 7-day window before
+    each purchase (the model marketing runs when last-touch
+    over-credits the bottom of the funnel; the as-of join family
+    covers last-touch, this op is the fractional generalization):
+    each purchase's credit sums to exactly 1 across its touches by
+    construction, so total credit equals total attributed
+    purchases — the self-auditing property that makes the report
+    trustworthy.
+
+    The purchase×touch match is the stream-stream time-bounded
+    join shape (equi on user + range residual); per-purchase touch
+    counts come from a window over the matched frame; the credit
+    sum is Σ 1/n with n exact — each term one IEEE division, summed
+    per channel over deterministic groups. Note round AFTER the
+    sum: the per-term quotients are identical in both engines, and
+    the sum order over equal terms cannot change a value built
+    from identical addends at this magnitude — verified stable
+    across the parity gates at three SFs."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("t_ts"),
+    )
+    credited = purchases.join(
+        touches,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAY")),
+    ).withColumn(
+        "n_touches",
+        F.count(F.lit(1)).over(Window.partitionBy("purchase_id")),
+    )
+    return credited.groupBy("channel").agg(
+        F.countDistinct("purchase_id").alias("n_purchases_touched"),
+        F.round(F.sum(1.0 / F.col("n_touches")), 6).alias(
+            "attributed_credit"
+        ),
+    )

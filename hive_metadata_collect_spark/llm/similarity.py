@@ -1214,3 +1214,94 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+@register(
+    "sim_covariance_top_pairs",
+    survey_row=69,
+    oracle="""
+    WITH comp AS (
+        SELECT vec_id,
+               unnest(generate_series(0, len(embedding) - 1)) AS d,
+               CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT)
+                   AS q
+        FROM embeddings
+    ),
+    n_ AS (SELECT count(*) AS n FROM embeddings),
+    sums AS (
+        SELECT d, sum(q) AS s FROM comp GROUP BY d
+    ),
+    cross_ AS (
+        SELECT a.d AS d1, b.d AS d2,
+               sum(a.q * b.q) AS sxy
+        FROM comp a JOIN comp b
+          ON a.vec_id = b.vec_id AND a.d < b.d
+        GROUP BY a.d, b.d
+    )
+    SELECT d1::BIGINT AS d1, d2::BIGINT AS d2,
+           round((sxy - s1.s * 1.0 * s2.s / n_.n) / (n_.n * 1000000.0),
+                 6) AS cov
+    FROM cross_
+    JOIN sums s1 ON s1.d = d1
+    JOIN sums s2 ON s2.d = d2
+    CROSS JOIN n_
+    ORDER BY abs((sxy - s1.s * 1.0 * s2.s / n_.n)) DESC, d1, d2
+    LIMIT 20
+    """,
+)
+def sim_covariance_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-COVARIANCE dimension pairs of the embedding space — the
+    redundancy audit behind dimensionality decisions (two highly
+    covarying dimensions carry one dimension of information;
+    before PCA/MRL truncation you look at exactly this list), and
+    the computation underneath is the distributed-PCA primitive:
+    the GRAM matrix as a mergeable aggregate. Components quantize
+    to exact integer thousandths (the centroid-drift rule), each
+    row contributes integer products, and the d×d sums are
+    order-free int64 — partitions compute partial Grams and they
+    ADD, which is how a 100 TB covariance matrix is actually built
+    (the d²-sized result never shuffles more than once).
+
+    Top-20 by |centered covariance| with a (d1, d2) tie-break; the
+    centering and scaling are fixed IEEE ops on the exact sums.
+    The pair join is per-vector (a.d < b.d), i.e. 64·63/2 products
+    per row — the map-side cost of any Gram build."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    comp = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("d", "x"),
+    ).select(
+        "vec_id",
+        "d",
+        F.floor(F.col("x") * 1000 + 0.5).cast("long").alias("q"),
+    )
+    sums = comp.groupBy("d").agg(F.sum("q").alias("s"))
+    b = comp.select(
+        F.col("vec_id").alias("vb"),
+        F.col("d").alias("d2"),
+        F.col("q").alias("qb"),
+    )
+    cross = (
+        comp.join(
+            b, (F.col("vec_id") == F.col("vb")) & (F.col("d") < F.col("d2"))
+        )
+        .groupBy(F.col("d").alias("d1"), "d2")
+        .agg(F.sum(F.col("q") * F.col("qb")).alias("sxy"))
+    )
+    s1 = sums.select(F.col("d").alias("d1"), F.col("s").alias("s1"))
+    s2 = sums.select(F.col("d").alias("d2"), F.col("s").alias("s2"))
+    centered = F.col("sxy") - F.col("s1") * F.col("s2") / n
+    return (
+        cross.join(F.broadcast(s1), "d1")
+        .join(F.broadcast(s2), "d2")
+        .select(
+            F.col("d1").cast("long").alias("d1"),
+            F.col("d2").cast("long").alias("d2"),
+            F.round(centered / (n * 1000000.0), 6).alias("cov"),
+            F.abs(centered).alias("_ord"),
+        )
+        .orderBy(F.col("_ord").desc(), "d1", "d2")
+        .limit(20)
+        .drop("_ord")
+    )

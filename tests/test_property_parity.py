@@ -219,6 +219,9 @@ EVENT_OPS = [
     "cat_role_mining",
     # exact-decimal ties across the whole half-cent grid on tiny ids
     "fn_round_half_even",
+    # purchases with zero touches vanish (credit conservation only
+    # over touched purchases); equal-ts touch/purchase boundary
+    "cat_attribution_linear",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
