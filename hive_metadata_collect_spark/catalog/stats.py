@@ -5688,3 +5688,87 @@ def cat_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "attributed_credit"
         ),
     )
+
+
+@register(
+    "cat_impact_scoring",
+    survey_row=66,
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT prev_type AS src, event_type AS dst FROM (
+            SELECT event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events)
+        WHERE prev_type IS NOT NULL AND prev_type <> event_type
+    ),
+    sizes AS (
+        SELECT event_type AS node,
+               count(*) * 1000 AS tbl_bytes
+        FROM events GROUP BY event_type
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst
+        FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT r.src AS node,
+           count(DISTINCT r.dst)::BIGINT AS n_downstream,
+           sum(s.tbl_bytes)::BIGINT AS downstream_bytes
+    FROM (SELECT DISTINCT src, dst FROM reach) r
+    JOIN sizes s ON s.node = r.dst
+    GROUP BY r.src
+    """,
+)
+def cat_impact_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED impact scoring — the blast-radius number an incident
+    commander actually wants (`cat_lineage_closure` says WHICH
+    tables are downstream; this says HOW MUCH data is at stake):
+    per source table, the count of transitively-reachable
+    downstream tables and their summed bytes (sizes derived from
+    the audit volume as the deterministic stand-in for
+    cat_storage_size). "Table X is corrupt" → this row is the
+    paging decision.
+
+    Closure by the established min-plus doubling (the cycle-safe
+    bounded form — DISTINCT pairs, not hop-counts, so a cyclic
+    graph converges); the size dim broadcasts onto the reachability
+    pairs; everything after the shared edge-extraction is
+    |V|²-bounded metadata. Oracle recomputes by recursive-CTE
+    union-distinct reachability — same fixpoint, different
+    algorithm, per the closure-family rule."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        F.lag("event_type").over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+    )
+    edges = trans.filter(
+        F.col("src").isNotNull() & (F.col("src") != F.col("dst"))
+    ).distinct()
+    sizes = ev.groupBy(F.col("event_type").alias("node")).agg(
+        (F.count(F.lit(1)) * 1000).alias("tbl_bytes")
+    )
+    reach = edges
+    for _ in range(3):  # 1 -> 2 -> 4 -> 8 hops, >= |V| here
+        stepped = (
+            reach.join(
+                F.broadcast(
+                    reach.select(
+                        F.col("src").alias("m"), F.col("dst").alias("dst2")
+                    )
+                ),
+                F.col("dst") == F.col("m"),
+            )
+            .select("src", F.col("dst2").alias("dst"))
+        )
+        reach = reach.union(stepped).distinct().localCheckpoint(eager=False)
+    return (
+        reach.join(F.broadcast(sizes), reach["dst"] == sizes["node"])
+        .groupBy(F.col("src").alias("node"))
+        .agg(
+            F.countDistinct("dst").alias("n_downstream"),
+            F.sum("tbl_bytes").alias("downstream_bytes"),
+        )
+    )

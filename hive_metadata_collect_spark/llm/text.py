@@ -2050,3 +2050,65 @@ def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("df").cast("long").alias("doc_freq"),
         F.round(var / F.nullif(mean, F.lit(0.0)), 6).alias("burstiness"),
     )
+
+
+@register(
+    "text_readability_score",
+    survey_row=72,
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS n_sents,
+               greatest(len(string_split(lower(text), ' ')), 1)
+                   AS n_words,
+               greatest(len(regexp_extract_all(lower(text),
+                   '[aeiouy]+')), 1) AS n_syll
+        FROM documents
+    )
+    SELECT doc_id,
+           n_sents::BIGINT AS n_sents,
+           n_words::BIGINT AS n_words,
+           n_syll::BIGINT AS n_syll,
+           round(0.39 * n_words / n_sents
+                 + 11.8 * n_syll / n_words - 15.59, 4) AS fk_grade,
+           (0.39 * n_words / n_sents
+            + 11.8 * n_syll / n_words - 15.59) > 12.0 AS too_complex
+    FROM feats
+    """,
+)
+def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """READABILITY (Flesch-Kincaid grade) — the audience-level
+    filter curation pipelines run beside quality scoring (a
+    children's-content dataset and a legal corpus want opposite
+    tails of exactly this score): words-per-sentence and
+    approximate syllables-per-word (vowel-group runs — the
+    standard dependency-free syllable proxy, biased but
+    consistently so) feed the published FK formula. Sentence/word/
+    syllable counts floor at 1 so fragmentary documents score
+    rather than divide by zero — the clamp is applied identically
+    on both sides.
+
+    Three regexp/split counts + one fixed IEEE formula per row —
+    map-only codegen; at 100 TB this lives in the same ingest
+    projection as the quality signals."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_sents = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    )
+    n_words = F.greatest(
+        F.size(F.split(F.lower(F.col("text")), " ")), F.lit(1)
+    )
+    n_syll = F.greatest(
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")),
+        F.lit(1),
+    )
+    grade = 0.39 * n_words / n_sents + 11.8 * n_syll / n_words - 15.59
+    return docs.select(
+        "doc_id",
+        n_sents.cast("long").alias("n_sents"),
+        n_words.cast("long").alias("n_words"),
+        n_syll.cast("long").alias("n_syll"),
+        F.round(grade, 4).alias("fk_grade"),
+        (grade > 12.0).alias("too_complex"),
+    )

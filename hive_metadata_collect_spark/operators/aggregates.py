@@ -1866,3 +1866,94 @@ def agg_smoothed_rate_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rate_rank"),
     )
+
+
+@register(
+    "agg_welch_ttest",
+    survey_row=27,
+    oracle="""
+    WITH g AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'control'
+                    ELSE 'treatment' END AS grp,
+               CAST(floor(round(value, 1) * 10 + 0.5) AS BIGINT) AS v10
+        FROM events
+    ),
+    s AS (
+        SELECT grp, count(*) AS n, sum(v10) AS sv,
+               sum(v10 * v10) AS svv
+        FROM g GROUP BY grp
+    ),
+    wide AS (
+        SELECT max(CASE WHEN grp = 'control' THEN n END) AS n1,
+               max(CASE WHEN grp = 'control' THEN sv END) AS s1,
+               max(CASE WHEN grp = 'control' THEN svv END) AS q1,
+               max(CASE WHEN grp = 'treatment' THEN n END) AS n2,
+               max(CASE WHEN grp = 'treatment' THEN sv END) AS s2,
+               max(CASE WHEN grp = 'treatment' THEN svv END) AS q2
+        FROM s
+    )
+    SELECT n1::BIGINT AS n_control, n2::BIGINT AS n_treatment,
+           round((s1 * 1.0 / n1 - s2 * 1.0 / n2) / 10.0, 6)
+               AS mean_diff,
+           round((s1 * 1.0 / n1 - s2 * 1.0 / n2)
+                 / sqrt(((q1 - s1 * 1.0 * s1 / n1)
+                         / nullif(n1 - 1, 0)) / n1
+                        + ((q2 - s2 * 1.0 * s2 / n2)
+                           / nullif(n2 - 1, 0)) / n2),
+                 6) AS welch_t
+    FROM wide
+    """,
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH'S t-test from sufficient statistics — the experiment
+    readout (unequal variances, unequal group sizes — the realistic
+    A/B case Student's t mishandles) computed the only way it scales:
+    each arm reduces to (n, Σv, Σv²) in ONE pass — exact int64 sums
+    over integer-tenths values — and the t statistic follows in
+    closed form from six numbers. No per-row float ever
+    accumulates; the solve is a fixed IEEE sequence (the
+    normal-equation discipline applied to inference).
+
+    One two-group aggregate with map-side combine, one 2-row
+    pivot, one expression. Group assignment is the deterministic
+    parity split; at real scale the same sufficient statistics are
+    the per-segment cube any experimentation platform maintains
+    incrementally."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "control")
+        .otherwise("treatment")
+        .alias("grp"),
+        F.floor(F.round("value", 1) * 10 + 0.5).cast("long").alias("v10"),
+    )
+    s = g.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v10").alias("sv"),
+        F.sum(F.col("v10") * F.col("v10")).alias("svv"),
+    )
+    wide = s.agg(
+        F.max(F.when(F.col("grp") == "control", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == "control", F.col("sv"))).alias("s1"),
+        F.max(F.when(F.col("grp") == "control", F.col("svv"))).alias("q1"),
+        F.max(F.when(F.col("grp") == "treatment", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("grp") == "treatment", F.col("sv"))).alias("s2"),
+        F.max(F.when(F.col("grp") == "treatment", F.col("svv"))).alias("q2"),
+    )
+    m1 = F.col("s1") / F.col("n1")
+    m2 = F.col("s2") / F.col("n2")
+    # operand order mirrors the oracle exactly (s·s/n, not s·(s/n)):
+    # double multiplication is not associative at the last ULP
+    var1 = (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1")) / F.nullif(
+        F.col("n1") - 1, F.lit(0)
+    )
+    var2 = (F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2")) / F.nullif(
+        F.col("n2") - 1, F.lit(0)
+    )
+    return wide.select(
+        F.col("n1").cast("long").alias("n_control"),
+        F.col("n2").cast("long").alias("n_treatment"),
+        F.round((m1 - m2) / 10.0, 6).alias("mean_diff"),
+        F.round(
+            (m1 - m2) / F.sqrt(var1 / F.col("n1") + var2 / F.col("n2")), 6
+        ).alias("welch_t"),
+    )

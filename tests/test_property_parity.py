@@ -222,6 +222,12 @@ EVENT_OPS = [
     # purchases with zero touches vanish (credit conservation only
     # over touched purchases); equal-ts touch/purchase boundary
     "cat_attribution_linear",
+    # cyclic tiny graphs (the DISTINCT-pair closure must converge);
+    # isolated nodes have no impact rows
+    "cat_impact_scoring",
+    # 1-row groups make variance NULL (t NULL on both sides);
+    # single-arm tables NULL the pivot
+    "agg_welch_ttest",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
@@ -361,6 +367,8 @@ DOC_OPS = [
     # 1-doc corpora: one shard; shard boundaries landing exactly on
     # a document edge
     "mm_webdataset_shard_plan",
+    # no-vowel and no-punctuation docs hit every floor clamp
+    "text_readability_score",
     # 1-2-token docs hit the trigram guard (sequence(0,n<0) DESCENDS
     # in Spark — the guarded CASE is what this fuzz exists to hold);
     # varied sources hit empty domains in the mixture planner
