@@ -2112,3 +2112,56 @@ def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(grade, 4).alias("fk_grade"),
         (grade > 12.0).alias("too_complex"),
     )
+
+
+@register(
+    "text_tokenizer_fertility",
+    survey_row=71,
+    oracle="""
+    WITH per_doc AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS words,
+               len(regexp_extract_all(text,
+                   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS toks
+        FROM documents
+    )
+    SELECT lang,
+           sum(words)::BIGINT AS total_words,
+           sum(toks)::BIGINT AS total_tokens,
+           round(sum(toks) * 1.0 / sum(words), 6) AS fertility,
+           sum(toks) * 2 > sum(words) * 3 AS high_cost
+    FROM per_doc GROUP BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language — tokens-per-word, the
+    multilingual cost metric that decides vocab allocation (a
+    language at fertility 3 pays 3× the context budget and 3× the
+    serving cost of one at 1.1; high-fertility slices are where a
+    vocab extension or byte-fallback review starts): the BPE-ish
+    regex token count (`text_token_count`'s proxy) over whitespace
+    words, aggregated per language, with the >1.5 cost flag as
+    integer cross-multiplication (no float boundary).
+
+    Ratio-of-sums, deliberately NOT avg-of-ratios — the
+    `agg_ratio_trap` rule applied where it matters: long documents
+    must weigh proportionally to their token mass. Exact integer
+    sums; one |langs| rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("words"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"),
+                F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"),
+                F.lit(0),
+            )
+        ).alias("toks"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.sum("words").cast("long").alias("total_words"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.round(F.sum("toks") / F.sum("words"), 6).alias("fertility"),
+        (F.sum("toks") * 2 > F.sum("words") * 3).alias("high_cost"),
+    )

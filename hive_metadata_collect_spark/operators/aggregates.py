@@ -1957,3 +1957,68 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (m1 - m2) / F.sqrt(var1 / F.col("n1") + var2 / F.col("n2")), 6
         ).alias("welch_t"),
     )
+
+
+@register(
+    "agg_cube_topk",
+    survey_row=26,
+    oracle="""
+    WITH cells AS (
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               o_custkey,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority), o_custkey
+    ),
+    ranked AS (
+        SELECT status, priority, o_custkey, revenue,
+               row_number() OVER (
+                   PARTITION BY status, priority
+                   ORDER BY revenue DESC, o_custkey) AS rk
+        FROM cells
+    )
+    SELECT status, priority, o_custkey, revenue, rk::BIGINT AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def agg_cube_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-K WITHIN EVERY GROUPING SET — the leaderboard cube (top
+    3 customers overall, per status, per priority, and per
+    status×priority, all in one result) that powers drill-down
+    dashboards without one query per level: CUBE produces every
+    aggregation level with NULL markers (coalesced to 'ALL' so the
+    level is a visible dimension value), then one window ranks
+    within each (level, cell) and keeps k.
+
+    The composition order is the point: rank AFTER the cube, so
+    each level's leaderboard is computed over that level's own
+    aggregates — ranking before cubing double-counts through the
+    rollup. One Expand-based cube shuffle + one window over the
+    |cells|×|custkeys| frame; ties pinned by custkey."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = (
+        o.cube("o_orderstatus", "o_orderpriority", "o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        # cube() cubes ALL listed columns; keep only the cells where
+        # custkey itself is concrete (the per-entity leaderboard rows)
+        .filter(F.col("o_custkey").isNotNull())
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "o_custkey",
+            "revenue",
+        )
+    )
+    ranked = cells.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("status", "priority").orderBy(
+                F.col("revenue").desc(), F.col("o_custkey")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rk") <= 3).select(
+        "status", "priority", "o_custkey", "revenue",
+        F.col("rk").cast("long").alias("rk"),
+    )

@@ -369,6 +369,9 @@ DOC_OPS = [
     "mm_webdataset_shard_plan",
     # no-vowel and no-punctuation docs hit every floor clamp
     "text_readability_score",
+    # single-lang corpora; empty-ish docs where words floor to the
+    # split's 1-element minimum
+    "text_tokenizer_fertility",
     # 1-2-token docs hit the trigram guard (sequence(0,n<0) DESCENDS
     # in Spark — the guarded CASE is what this fuzz exists to hold);
     # varied sources hit empty domains in the mixture planner
@@ -470,6 +473,9 @@ ORDER_OPS = [
     "cat_key_uniqueness",
     "set_except_all",
     "win_ignore_nulls",
+    # tiny cubes where every level has < 3 entities; revenue ties
+    # across cube levels decided by custkey
+    "agg_cube_topk",
     # round 6 continued (session 3) — 1-row groups (cusum = max(0,
     # x-mu-k) directly), all-equal prices (mu == x, pure drain), and
     # coarse dates forcing tied days under the prefix-sum identity
