@@ -1144,3 +1144,61 @@ def fn_round_half_even(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.bround(x_dec, 2) * 100).cast("long").alias("half_even_cents"),
         (F.round(x_dec, 2) != F.bround(x_dec, 2)).alias("diverges"),
     )
+
+
+@register(
+    "fn_json_contract_check",
+    survey_row=49,
+    oracle="""
+    WITH checked AS (
+        SELECT event_id, props,
+               json_extract_string(props, '$.k') IS NOT NULL
+                   AS has_k,
+               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   IS NOT NULL AS k_is_int,
+               json_extract_string(props, '$.missing_required')
+                   IS NOT NULL AS has_required_v2
+        FROM events
+    )
+    SELECT has_k, k_is_int, has_required_v2,
+           count(*)::BIGINT AS n_records,
+           (has_k AND k_is_int)::BOOLEAN AS passes_v1,
+           (has_k AND k_is_int AND has_required_v2) AS passes_v2
+    FROM checked
+    GROUP BY has_k, k_is_int, has_required_v2
+    """,
+)
+def fn_json_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON DATA-CONTRACT validation — the field-level cousin of
+    `scan_corrupt_records` (that op catches unparseable records;
+    this one catches parseable records that violate the CONTRACT):
+    every event's props payload — the REAL fixture JSON column, not
+    a synthesized one — is checked against two contract versions
+    (v1: key `k` present and integer-typed; v2 additionally
+    requires a field the fixture never carries, so the v2 rollout
+    report correctly shows 100 % non-compliance — the
+    "can we enforce this yet?" answer a schema-registry migration
+    needs BEFORE flipping the flag).
+
+    get_json_object probes + try_cast type checks, grouped into the
+    compliance contingency — map-only until a |distinct-outcomes|
+    reduce (≤8 rows). At 100 TB this is the contract-monitor
+    projection on the ingest path."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    checked = ev.select(
+        k.isNotNull().alias("has_k"),
+        F.expr("try_cast(get_json_object(props, '$.k') as bigint)")
+        .isNotNull()
+        .alias("k_is_int"),
+        F.get_json_object("props", "$.missing_required")
+        .isNotNull()
+        .alias("has_required_v2"),
+    )
+    return checked.groupBy("has_k", "k_is_int", "has_required_v2").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        (F.col("has_k") & F.col("k_is_int")).alias("passes_v1"),
+        (
+            F.col("has_k") & F.col("k_is_int") & F.col("has_required_v2")
+        ).alias("passes_v2"),
+    )

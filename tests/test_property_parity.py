@@ -228,6 +228,9 @@ EVENT_OPS = [
     # 1-row groups make variance NULL (t NULL on both sides);
     # single-arm tables NULL the pivot
     "agg_welch_ttest",
+    # generated props are always valid v1 JSON here; the fuzz holds
+    # the grouped-contingency shape and the all-false v2 column
+    "fn_json_contract_check",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
