@@ -1654,3 +1654,91 @@ def pipeline_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohens_kappa"
         ),
     )
+
+
+@register(
+    "pipeline_curation_verdict",
+    survey_row=67,
+    oracle="""
+    WITH sig AS (
+        SELECT doc_id, lang, n_chars,
+               md5(text) AS grp,
+               CASE WHEN doc_id % 11 = 3 THEN 2
+                    WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS lic_rank,
+               CASE
+                 WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                 WHEN regexp_matches(text, '[ßäöü]') THEN 'de'
+                 WHEN regexp_matches(text, '[áíóúñ]') THEN 'es'
+                 WHEN regexp_matches(text, '[àâçèéêë]') THEN 'fr'
+                 ELSE 'en'
+               END AS lang_pred
+        FROM documents
+    ),
+    grp AS (
+        SELECT grp, min(doc_id) AS canonical, max(lic_rank) AS grp_lic
+        FROM sig GROUP BY grp
+    )
+    SELECT s.doc_id,
+           CASE
+             WHEN g.grp_lic = 2 THEN 'drop_license'
+             WHEN s.doc_id <> g.canonical THEN 'drop_duplicate'
+             WHEN s.n_chars < 120 THEN 'drop_too_short'
+             WHEN s.lang_pred <> s.lang THEN 'review_lang_mismatch'
+             ELSE 'keep'
+           END AS verdict,
+           (s.doc_id = g.canonical) AS is_canonical,
+           g.grp_lic = 2 AS cluster_restricted
+    FROM sig s JOIN grp g ON g.grp = s.grp
+    """,
+)
+def pipeline_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CURATION VERDICT — the per-document decision table a
+    pretraining data pipeline actually emits, composing the signal
+    family into one pass with a PINNED precedence (the order IS
+    policy): cluster-restrictive license drops the whole duplicate
+    group first (`pipeline_license_taint`'s rule — legal beats
+    everything); then non-canonical duplicates drop
+    (`dedup_exact_keep_best`'s min-id canonical); then the length
+    floor; then language-label/prediction mismatches route to
+    review (`text_lang_id`'s rule) rather than dropping — mislabels
+    are fixable, duplicates aren't. Keep is what remains.
+
+    One signal projection (map-only: digest, license rank, lang
+    rule), one digest group-agg for canonical + cluster license,
+    one join-back — the whole verdict costs a dedup pass; every
+    signal is integer/string logic, nothing to round. The reasons
+    column doubles as the funnel report input
+    (`pipeline_quality_report`'s stage counts are one groupBy
+    away)."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    sig = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(F.encode("text", "UTF-8")).alias("grp"),
+        F.when(did % 11 == 3, 2).when(did % 4 == 1, 1).otherwise(0).alias(
+            "lic_rank"
+        ),
+        F.when(F.col("text").rlike("[一-鿿]"), "zh")
+        .when(F.col("text").rlike("[ßäöü]"), "de")
+        .when(F.col("text").rlike("[áíóúñ]"), "es")
+        .when(F.col("text").rlike("[àâçèéêë]"), "fr")
+        .otherwise("en")
+        .alias("lang_pred"),
+    )
+    grp = sig.groupBy("grp").agg(
+        F.min("doc_id").alias("canonical"),
+        F.max("lic_rank").alias("grp_lic"),
+    )
+    return sig.join(grp, "grp").select(
+        "doc_id",
+        F.when(F.col("grp_lic") == 2, "drop_license")
+        .when(F.col("doc_id") != F.col("canonical"), "drop_duplicate")
+        .when(F.col("n_chars") < 120, "drop_too_short")
+        .when(F.col("lang_pred") != F.col("lang"), "review_lang_mismatch")
+        .otherwise("keep")
+        .alias("verdict"),
+        (F.col("doc_id") == F.col("canonical")).alias("is_canonical"),
+        (F.col("grp_lic") == 2).alias("cluster_restricted"),
+    )

@@ -2070,10 +2070,12 @@ def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
            n_sents::BIGINT AS n_sents,
            n_words::BIGINT AS n_words,
            n_syll::BIGINT AS n_syll,
-           round(0.39 * n_words / n_sents
-                 + 11.8 * n_syll / n_words - 15.59, 4) AS fk_grade,
-           (0.39 * n_words / n_sents
-            + 11.8 * n_syll / n_words - 15.59) > 12.0 AS too_complex
+           round(0.39::DOUBLE * n_words / n_sents
+                 + 11.8::DOUBLE * n_syll / n_words - 15.59::DOUBLE, 4)
+               AS fk_grade,
+           (0.39::DOUBLE * n_words / n_sents
+            + 11.8::DOUBLE * n_syll / n_words - 15.59::DOUBLE) > 12.0
+               AS too_complex
     FROM feats
     """,
 )
@@ -2091,7 +2093,10 @@ def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Three regexp/split counts + one fixed IEEE formula per row —
     map-only codegen; at 100 TB this lives in the same ingest
-    projection as the quality signals."""
+    projection as the quality signals. The oracle pins its literals
+    ::DOUBLE — DuckDB parses 0.39 as DECIMAL and computes the
+    formula in decimal arithmetic, which flipped a 4th-decimal
+    rounding boundary at sf1."""
     docs = load_table(spark, sf_dir, "documents")
     n_sents = F.greatest(
         F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)

@@ -358,6 +358,9 @@ DOC_OPS = [
     # duplicate generated texts form real multi-copy groups; no
     # restrictive copy → nothing tainted
     "pipeline_license_taint",
+    # precedence on multi-fault docs (restricted AND duplicate AND
+    # short); all-unique corpora (everyone canonical)
+    "pipeline_curation_verdict",
     # docs whose own text contains ``` or markdown tokens add to
     # the synthesized counts identically on both sides
     "text_markdown_profile",
