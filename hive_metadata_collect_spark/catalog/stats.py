@@ -5782,3 +5782,55 @@ def cat_impact_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tbl_bytes").alias("downstream_bytes"),
         )
     )
+
+
+@register(
+    "cat_equidepth_histogram",
+    survey_row=62,
+    oracle="""
+    WITH banded AS (
+        SELECT o_totalprice,
+               ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                   AS band
+        FROM orders
+    )
+    SELECT band::BIGINT AS band,
+           count(*)::BIGINT AS n_rows,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi,
+           round(max(o_totalprice) - min(o_totalprice), 2) AS width
+    FROM banded GROUP BY band
+    """,
+)
+def cat_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram — the optimizer-statistics histogram
+    kind (Hive column stats and every selectivity estimator use
+    equi-depth, not equi-width: `cat_column_histogram`'s fixed-width
+    bands put 90 % of a skewed column in one bucket and estimate
+    nothing; equal-population bands adapt their WIDTH to the
+    distribution, so each band's selectivity is exactly 1/k): ten
+    ntile bands over the price column with per-band bounds, counts,
+    and widths — narrow bands mark dense regions, wide bands the
+    sparse tail, which is precisely what a range-predicate
+    estimator reads off.
+
+    The gate uses ntile over a pinned total order (value, key) for
+    determinism; the at-scale build swaps in approx_percentile
+    boundaries + one banding pass (two scans, no global sort) —
+    the same two-pass trade documented at cat_rfm_segments. Output
+    is k rows."""
+    o = load_table(spark, sf_dir, "orders")
+    banded = o.select(
+        "o_totalprice",
+        F.ntile(10)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("band"),
+    )
+    return banded.groupBy(F.col("band").cast("long").alias("band")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+        F.round(F.max("o_totalprice") - F.min("o_totalprice"), 2).alias(
+            "width"
+        ),
+    )

@@ -2170,3 +2170,77 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("toks") / F.sum("words"), 6).alias("fertility"),
         (F.sum("toks") * 2 > F.sum("words") * 3).alias("high_cost"),
     )
+
+
+@register(
+    "text_stem_vocab_reduction",
+    survey_row=71,
+    oracle="""
+    WITH words AS (
+        SELECT DISTINCT lang,
+               unnest(string_split(lower(text), ' ')) AS word
+        FROM documents
+    ),
+    stemmed AS (
+        SELECT lang, word,
+               CASE
+                 WHEN len(word) > 5 AND word LIKE '%ing'
+                     THEN substr(word, 1, len(word) - 3)
+                 WHEN len(word) > 4 AND word LIKE '%ed'
+                     THEN substr(word, 1, len(word) - 2)
+                 WHEN len(word) > 3 AND word LIKE '%es'
+                     THEN substr(word, 1, len(word) - 2)
+                 WHEN len(word) > 3 AND word LIKE '%s'
+                      AND word NOT LIKE '%ss'
+                     THEN substr(word, 1, len(word) - 1)
+                 ELSE word
+               END AS stem
+        FROM words
+    )
+    SELECT lang,
+           count(DISTINCT word)::BIGINT AS vocab_raw,
+           count(DISTINCT stem)::BIGINT AS vocab_stemmed,
+           round(1.0 - count(DISTINCT stem) * 1.0
+                 / count(DISTINCT word), 6) AS reduction
+    FROM stemmed GROUP BY lang
+    """,
+)
+def text_stem_vocab_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based STEMMING and its vocab compression — the
+    morphology probe that sizes how much of a language's surface
+    vocabulary is inflection (English collapses ~20-30 % under
+    four suffix rules; an isolating language like Chinese barely
+    moves — so the per-lang reduction column doubles as a typology
+    signal next to tokenizer fertility): a Porter-lite suffix
+    strip (ing/ed/es/s with length guards and the -ss exception,
+    applied in pinned longest-first order) over each language's
+    DISTINCT vocabulary, reporting raw vs stemmed vocab sizes.
+
+    Stemming runs on the deduped vocab, not the token stream —
+    |vocab| rows per language, orders of magnitude under corpus
+    size; two countDistincts in one rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    ).distinct()
+    w = F.col("word")
+    ln = F.length(w)
+    stem = (
+        F.when((ln > 5) & w.endswith("ing"), F.expr("substr(word, 1, length(word) - 3)"))
+        .when((ln > 4) & w.endswith("ed"), F.expr("substr(word, 1, length(word) - 2)"))
+        .when((ln > 3) & w.endswith("es"), F.expr("substr(word, 1, length(word) - 2)"))
+        .when(
+            (ln > 3) & w.endswith("s") & ~w.endswith("ss"),
+            F.expr("substr(word, 1, length(word) - 1)"),
+        )
+        .otherwise(w)
+    )
+    stemmed = words.select("lang", "word", stem.alias("stem"))
+    return stemmed.groupBy("lang").agg(
+        F.countDistinct("word").alias("vocab_raw"),
+        F.countDistinct("stem").alias("vocab_stemmed"),
+        F.round(
+            1.0 - F.countDistinct("stem") / F.countDistinct("word"), 6
+        ).alias("reduction"),
+    )

@@ -378,6 +378,9 @@ DOC_OPS = [
     # single-lang corpora; empty-ish docs where words floor to the
     # split's 1-element minimum
     "text_tokenizer_fertility",
+    # words at each length guard boundary; -ss exception words;
+    # stems colliding across distinct raw words
+    "text_stem_vocab_reduction",
     # 1-2-token docs hit the trigram guard (sequence(0,n<0) DESCENDS
     # in Spark — the guarded CASE is what this fuzz exists to hold);
     # varied sources hit empty domains in the mixture planner
@@ -482,6 +485,9 @@ ORDER_OPS = [
     # tiny cubes where every level has < 3 entities; revenue ties
     # across cube levels decided by custkey
     "agg_cube_topk",
+    # < 10 rows: some bands empty (vanish identically); heavy price
+    # ties split only by the orderkey tie-break
+    "cat_equidepth_histogram",
     # round 6 continued (session 3) — 1-row groups (cusum = max(0,
     # x-mu-k) directly), all-equal prices (mu == x, pure drain), and
     # coarse dates forcing tied days under the prefix-sum identity
