@@ -5834,3 +5834,71 @@ def cat_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "width"
         ),
     )
+
+
+@register(
+    "cat_naming_lint",
+    survey_row=61,
+    oracle="""
+    WITH names AS (
+        SELECT DISTINCT
+               CASE event_id % 5
+                 WHEN 0 THEN 'raw_events_' || (event_id % 13)
+                 WHEN 1 THEN 'stg_Orders_' || (event_id % 13)
+                 WHEN 2 THEN 'tmp_scratch_' || (event_id % 13)
+                 WHEN 3 THEN 'mart_revenue_' || (event_id % 13)
+                 ELSE 'MyTable' || (event_id % 13)
+               END AS tbl
+        FROM events
+    )
+    SELECT tbl,
+           NOT regexp_matches(tbl, '^[a-z][a-z0-9_]*$')
+               AS bad_case,
+           NOT (tbl LIKE 'raw_%' OR tbl LIKE 'stg_%'
+                OR tbl LIKE 'mart_%') AS missing_layer_prefix,
+           tbl LIKE 'tmp_%' AS is_scratch,
+           (NOT regexp_matches(tbl, '^[a-z][a-z0-9_]*$'))
+               OR NOT (tbl LIKE 'raw_%' OR tbl LIKE 'stg_%'
+                       OR tbl LIKE 'mart_%')
+               OR tbl LIKE 'tmp_%' AS violates
+    FROM names
+    """,
+)
+def cat_naming_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAMING-convention lint — the cheapest governance check with
+    the highest compliance yield (a warehouse where `MyTable7` and
+    `tmp_scratch_3` survive review has no working review): every
+    distinct table name tested against the three standard rules —
+    lower_snake_case, a recognized layer prefix (raw_/stg_/mart_),
+    and no scratch tables in the catalog at all — with per-rule
+    flags so the lint report explains itself. Names synthesize all
+    violation classes (camelCase, mixed-case with a valid prefix,
+    tmp_, and two clean classes).
+
+    One DISTINCT over names then pure regex/LIKE codegen on the
+    |tables| frame. The real deployment points this at
+    TBLS.TBL_NAME."""
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    tbl = (
+        F.when(eid % 5 == 0, F.concat(F.lit("raw_events_"), (eid % 13).cast("string")))
+        .when(eid % 5 == 1, F.concat(F.lit("stg_Orders_"), (eid % 13).cast("string")))
+        .when(eid % 5 == 2, F.concat(F.lit("tmp_scratch_"), (eid % 13).cast("string")))
+        .when(eid % 5 == 3, F.concat(F.lit("mart_revenue_"), (eid % 13).cast("string")))
+        .otherwise(F.concat(F.lit("MyTable"), (eid % 13).cast("string")))
+    )
+    names = ev.select(tbl.alias("tbl")).distinct()
+    bad_case = ~F.col("tbl").rlike("^[a-z][a-z0-9_]*$")
+    no_prefix = ~(
+        F.col("tbl").like("raw_%")
+        | F.col("tbl").like("stg_%")
+        | F.col("tbl").like("mart_%")
+    )
+    scratch = F.col("tbl").like("tmp_%")
+    return names.select(
+        "tbl",
+        bad_case.alias("bad_case"),
+        no_prefix.alias("missing_layer_prefix"),
+        scratch.alias("is_scratch"),
+        (bad_case | no_prefix | scratch).alias("violates"),
+    )

@@ -2022,3 +2022,76 @@ def agg_cube_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status", "priority", "o_custkey", "revenue",
         F.col("rk").cast("long").alias("rk"),
     )
+
+
+@register(
+    "agg_winsorized_mean",
+    survey_row=27,
+    oracle="""
+    WITH v AS (
+        SELECT o_orderpriority AS grp,
+               CAST(floor(round(o_totalprice, 2) * 100 + 0.5) AS BIGINT)
+                   AS cents
+        FROM orders
+    ),
+    bounds AS (
+        SELECT grp,
+               quantile_cont(cents, 0.05) AS lo,
+               quantile_cont(cents, 0.95) AS hi
+        FROM v GROUP BY grp
+    )
+    SELECT v.grp,
+           count(*)::BIGINT AS n,
+           round(avg(cents) / 100.0, 4) AS raw_mean,
+           round(avg(least(greatest(cents * 1.0, b.lo), b.hi)) / 100.0,
+                 4) AS winsorized_mean,
+           count(*) FILTER (WHERE cents < b.lo OR cents > b.hi)::BIGINT
+               AS n_clamped
+    FROM v JOIN bounds b ON b.grp = v.grp
+    GROUP BY v.grp
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZED mean — the robust average for fat-tailed metrics
+    (one whale order shifts a raw mean for a month; trimming
+    DELETES information, winsorizing CLAMPS the tails to the
+    p5/p95 bounds and keeps every row's vote): per group, the
+    two-pass form — exact quantile bounds, then a clamped mean —
+    with the raw mean and clamp count beside it so the outlier
+    influence is itself visible. Completes the robust-statistics
+    family (`agg_median_abs_deviation` for spread, this for
+    location).
+
+    Values are integer cents; the interpolated bounds are at worst
+    exact halves (dyadic — sums of them stay exact in double), the
+    clamped average is sum/n once per group. Two passes over one
+    corpus-sized shuffle lineage (bounds agg + broadcast-back),
+    the documented exact-quantile trade; approx_percentile swaps
+    in at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.round("o_totalprice", 2) * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    bounds = v.groupBy("grp").agg(
+        F.expr("percentile(cents, 0.05)").alias("lo"),
+        F.expr("percentile(cents, 0.95)").alias("hi"),
+    )
+    j = v.join(F.broadcast(bounds), "grp")
+    clamped = F.least(
+        F.greatest(F.col("cents") * 1.0, F.col("lo")), F.col("hi")
+    )
+    return j.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("cents") / 100.0, 4).alias("raw_mean"),
+        F.round(F.avg(clamped) / 100.0, 4).alias("winsorized_mean"),
+        F.count(
+            F.when(
+                (F.col("cents") < F.col("lo"))
+                | (F.col("cents") > F.col("hi")),
+                1,
+            )
+        ).alias("n_clamped"),
+    )

@@ -231,6 +231,8 @@ EVENT_OPS = [
     # generated props are always valid v1 JSON here; the fuzz holds
     # the grouped-contingency shape and the all-false v2 column
     "fn_json_contract_check",
+    # all five name classes on tiny id domains
+    "cat_naming_lint",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
@@ -488,6 +490,8 @@ ORDER_OPS = [
     # < 10 rows: some bands empty (vanish identically); heavy price
     # ties split only by the orderkey tie-break
     "cat_equidepth_histogram",
+    # tiny groups where p5 == p95 (nothing clamps) and 1-row groups
+    "agg_winsorized_mean",
     # round 6 continued (session 3) — 1-row groups (cusum = max(0,
     # x-mu-k) directly), all-equal prices (mu == x, pure drain), and
     # coarse dates forcing tied days under the prefix-sum identity
