@@ -5902,3 +5902,124 @@ def cat_naming_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
         scratch.alias("is_scratch"),
         (bad_case | no_prefix | scratch).alias("violates"),
     )
+
+
+@register(
+    "cat_golden_record",
+    survey_row=61,
+    oracle="""
+    WITH sources AS (
+        SELECT event_id % 40 AS entity_id, 1 AS priority,
+               CASE WHEN event_id % 3 = 0
+                    THEN 'crm_name_' || (event_id % 40) END AS name,
+               CASE WHEN event_id % 5 = 0
+                    THEN 'crm' || (event_id % 40) || '@x.com' END AS email
+        FROM events WHERE event_id % 7 = 0
+        UNION ALL
+        SELECT event_id % 40, 2,
+               'erp_name_' || (event_id % 40),
+               CASE WHEN event_id % 4 = 1
+                    THEN 'erp' || (event_id % 40) || '@x.com' END
+        FROM events WHERE event_id % 7 = 1
+        UNION ALL
+        SELECT event_id % 40, 3,
+               CASE WHEN event_id % 2 = 0
+                    THEN 'web_name_' || (event_id % 40) END,
+               'web' || (event_id % 40) || '@x.com'
+        FROM events WHERE event_id % 7 = 2
+    )
+    SELECT entity_id::BIGINT AS entity_id,
+           min(CASE WHEN name IS NOT NULL THEN priority END)::BIGINT
+               AS name_source,
+           min(name) FILTER (WHERE priority = (
+               SELECT min(s2.priority) FROM sources s2
+               WHERE s2.entity_id = sources.entity_id
+                 AND s2.name IS NOT NULL)) AS name,
+           min(CASE WHEN email IS NOT NULL THEN priority END)::BIGINT
+               AS email_source,
+           min(email) FILTER (WHERE priority = (
+               SELECT min(s3.priority) FROM sources s3
+               WHERE s3.entity_id = sources.entity_id
+                 AND s3.email IS NOT NULL)) AS email
+    FROM sources
+    GROUP BY entity_id
+    """,
+)
+def cat_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOLDEN-RECORD survivorship — the master-data-management merge
+    (the same entity arrives from CRM, ERP, and web signup with
+    conflicting, partially-null attributes; the golden record takes
+    each FIELD independently from the highest-priority source that
+    HAS it — priority is per-attribute, not per-row, which is why a
+    naive row-level dedup gets MDM wrong): three synthesized
+    sources with seeded null patterns merge per entity, each column
+    carrying its winning source id beside it (the survivorship
+    lineage auditors require).
+
+    Per-column survivorship is one min_by over (priority) among
+    non-null candidates — here via the scalar composite
+    min_by(priority·K + …) -free formulation: min(CASE…) for the
+    winning priority and a tie-free min over that priority's
+    values. One |entities|-keyed agg after the source union;
+    at scale each source arrives pre-keyed and the merge is one
+    shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    ent = (eid % 40).alias("entity_id")
+
+    crm = ev.filter(eid % 7 == 0).select(
+        ent,
+        F.lit(1).alias("priority"),
+        F.when(
+            eid % 3 == 0, F.concat(F.lit("crm_name_"), (eid % 40).cast("string"))
+        ).alias("name"),
+        F.when(
+            eid % 5 == 0,
+            F.concat(F.lit("crm"), (eid % 40).cast("string"), F.lit("@x.com")),
+        ).alias("email"),
+    )
+    erp = ev.filter(eid % 7 == 1).select(
+        ent,
+        F.lit(2).alias("priority"),
+        F.concat(F.lit("erp_name_"), (eid % 40).cast("string")).alias("name"),
+        F.when(
+            eid % 4 == 1,
+            F.concat(F.lit("erp"), (eid % 40).cast("string"), F.lit("@x.com")),
+        ).alias("email"),
+    )
+    web = ev.filter(eid % 7 == 2).select(
+        ent,
+        F.lit(3).alias("priority"),
+        F.when(
+            eid % 2 == 0, F.concat(F.lit("web_name_"), (eid % 40).cast("string"))
+        ).alias("name"),
+        F.concat(F.lit("web"), (eid % 40).cast("string"), F.lit("@x.com")).alias(
+            "email"
+        ),
+    )
+    sources = crm.unionAll(erp).unionAll(web)
+    name_src = F.min(F.when(F.col("name").isNotNull(), F.col("priority")))
+    email_src = F.min(F.when(F.col("email").isNotNull(), F.col("priority")))
+    merged = sources.groupBy("entity_id").agg(
+        name_src.cast("long").alias("name_source"),
+        email_src.cast("long").alias("email_source"),
+        F.min(
+            F.when(
+                F.col("name").isNotNull(),
+                F.struct(F.col("priority"), F.col("name")),
+            )
+        )["name"].alias("name"),
+        F.min(
+            F.when(
+                F.col("email").isNotNull(),
+                F.struct(F.col("priority"), F.col("email")),
+            )
+        )["email"].alias("email"),
+    )
+    return merged.select(
+        F.col("entity_id").cast("long").alias("entity_id"),
+        "name_source",
+        "name",
+        "email_source",
+        "email",
+    )

@@ -1276,3 +1276,73 @@ def win_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("live") * 100000000000 - F.unix_timestamp("t"),
         ).alias("peak_at_epoch"),
     )
+
+
+@register(
+    "win_since_last_error",
+    survey_row=31,
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, event_id, event_type, rn,
+               max(CASE WHEN event_type = 'error' THEN rn END)
+                   OVER (PARTITION BY user_id ORDER BY rn
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS last_err_rn
+        FROM seq
+    )
+    SELECT user_id, event_id,
+           (rn - coalesce(last_err_rn, 0))::BIGINT
+               AS events_since_error,
+           last_err_rn IS NULL AS never_errored
+    FROM marked
+    """,
+)
+def win_since_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENTS-SINCE-LAST-ERROR running counter — the reset-counter
+    idiom (the "days since last incident" sign, per key, per
+    event): a counter that RESETS at each marker has no direct
+    window aggregate, but composes from two: the running max of
+    marker POSITIONS (carried forward over the preceding frame)
+    subtracted from the current position. Rows before any error
+    count from the stream start and carry the never_errored flag —
+    the distinction MTBF denominators must respect (censored, not
+    zero).
+
+    Two stacked windows over ONE (user, time) sort — the same
+    shared-sort contract as CUSUM (plan-asserted there); pure
+    integer rank arithmetic, no state, no fold — the cheapest
+    member of the sequential-state family precisely because the
+    reset structure happens to be prefix-expressible."""
+    ev = load_table(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.row_number().over(w_seq).alias("rn"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = seq.withColumn(
+        "last_err_rn",
+        F.max(
+            F.when(F.col("event_type") == "error", F.col("rn"))
+        ).over(w_prev),
+    )
+    return marked.select(
+        "user_id",
+        "event_id",
+        (F.col("rn") - F.coalesce("last_err_rn", F.lit(0)))
+        .cast("long")
+        .alias("events_since_error"),
+        F.col("last_err_rn").isNull().alias("never_errored"),
+    )

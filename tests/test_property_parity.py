@@ -233,6 +233,12 @@ EVENT_OPS = [
     "fn_json_contract_check",
     # all five name classes on tiny id domains
     "cat_naming_lint",
+    # error-first streams, all-error users, never-errored users —
+    # every censoring class
+    "win_since_last_error",
+    # entities present in one source only; all-null attribute
+    # columns within the winning priority
+    "cat_golden_record",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
