@@ -1742,3 +1742,72 @@ def pipeline_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == F.col("canonical")).alias("is_canonical"),
         (F.col("grp_lic") == 2).alias("cluster_restricted"),
     )
+
+
+@register(
+    "pipeline_temporal_split",
+    survey_row=67,
+    oracle="""
+    WITH stamped AS (
+        SELECT doc_id, lang,
+               (doc_id * 2654435761) % 100000 AS crawl_tick
+        FROM documents
+    ),
+    cut AS (
+        SELECT CAST(quantile_disc(crawl_tick, 0.9) AS BIGINT) AS c
+        FROM stamped
+    )
+    SELECT CASE WHEN s.crawl_tick <= cut.c THEN 'train'
+                ELSE 'eval' END AS split,
+           count(*)::BIGINT AS n_docs,
+           min(s.crawl_tick)::BIGINT AS tick_min,
+           max(s.crawl_tick)::BIGINT AS tick_max,
+           max(cut.c)::BIGINT AS boundary_tick
+    FROM stamped s, cut
+    GROUP BY 1
+    """,
+)
+def pipeline_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL train/eval split — the leakage-free split policy
+    random splits cannot give (a random split of a crawl lets the
+    model "predict" the past from the future and inflates eval;
+    time-based splits train strictly on the past): documents carry
+    a synthesized crawl tick (Knuth-hash of doc_id — the fixture
+    has no crawl time; a real corpus uses its fetch timestamp),
+    the boundary is the exact 90th-percentile tick (quantile_disc —
+    DISCRETE, an actual data value, so the boundary is a member of
+    the train side by the ≤ rule, pinned on both sides), and the
+    report carries each side's tick range — tick_max(train) ≤
+    tick_min(eval) IS the no-leakage proof, visible in the output.
+
+    One percentile reduce + a broadcast scalar + one pass; at 100
+    TB the boundary comes from approx_percentile and the split
+    predicate pushes into the scan, the stratified-sample
+    discipline applied to time."""
+    docs = load_table(spark, sf_dir, "documents")
+    stamped = docs.select(
+        "doc_id",
+        ((F.col("doc_id") * 2654435761) % 100000).alias("crawl_tick"),
+    )
+    cut = stamped.agg(
+        F.expr("percentile_approx(crawl_tick, 0.9, 2147483647)")
+        .cast("long")
+        .alias("c")
+    )
+    j = stamped.crossJoin(F.broadcast(cut))
+    return (
+        j.select(
+            F.when(F.col("crawl_tick") <= F.col("c"), "train")
+            .otherwise("eval")
+            .alias("split"),
+            "crawl_tick",
+            "c",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("crawl_tick").cast("long").alias("tick_min"),
+            F.max("crawl_tick").cast("long").alias("tick_max"),
+            F.max("c").cast("long").alias("boundary_tick"),
+        )
+    )

@@ -2244,3 +2244,101 @@ def text_stem_vocab_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.countDistinct("stem") / F.countDistinct("word"), 6
         ).alias("reduction"),
     )
+
+
+@register(
+    "text_code_lang_classify",
+    survey_row=72,
+    oracle="""
+    WITH code AS (
+        SELECT doc_id,
+               CASE doc_id % 4
+                 WHEN 0 THEN 'def f_' || doc_id ||
+                      '(x): return x  # ' || text
+                 WHEN 1 THEN 'function f' || doc_id ||
+                      '(x) { const y = x; return y; } // ' || text
+                 WHEN 2 THEN 'public static int f' || doc_id ||
+                      '(int x) { return x; } /* ' || text || ' */'
+                 ELSE text
+               END AS src
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, src,
+               len(regexp_extract_all(src,
+                   '(def |return |import |# )')) AS py_hits,
+               len(regexp_extract_all(src,
+                   '(function |const |=> |// )')) AS js_hits,
+               len(regexp_extract_all(src,
+                   '(public |static |int |; )')) AS java_hits
+        FROM code
+    )
+    SELECT doc_id, py_hits::BIGINT AS py_hits,
+           js_hits::BIGINT AS js_hits,
+           java_hits::BIGINT AS java_hits,
+           CASE
+             WHEN py_hits = 0 AND js_hits = 0 AND java_hits = 0
+                 THEN 'prose'
+             WHEN py_hits >= js_hits AND py_hits >= java_hits
+                 THEN 'python'
+             WHEN js_hits >= java_hits THEN 'javascript'
+             ELSE 'java'
+           END AS lang_class
+    FROM scored
+    """,
+)
+def text_code_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODE-language classification — the routing layer after
+    `text_code_detect` says "this is code" (each code language goes
+    to its own dedup thresholds, comment-stripping rules, and
+    tokenizer-fertility budget): keyword-evidence counts for three
+    language profiles with an argmax whose tie PRECEDENCE is pinned
+    (python ≥ js ≥ java — ties are real: `return ` scores for
+    python while `; ` scores for java in the same snippet). Code is
+    synthesized around the fixture text on residue classes, with a
+    prose control class that must score zero everywhere.
+
+    Three regexp counts + a CASE ladder, map-only codegen; at
+    corpus scale this rides the same ingest projection as the
+    quality/structure profilers."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    src = (
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit("def f_"), did.cast("string"),
+                F.lit("(x): return x  # "), F.col("text"),
+            ),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(
+                F.lit("function f"), did.cast("string"),
+                F.lit("(x) { const y = x; return y; } // "), F.col("text"),
+            ),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(
+                F.lit("public static int f"), did.cast("string"),
+                F.lit("(int x) { return x; } /* "), F.col("text"), F.lit(" */"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    code = docs.select("doc_id", src.alias("src"))
+    py = F.size(F.expr("regexp_extract_all(src, '(def |return |import |# )', 0)"))
+    js = F.size(F.expr("regexp_extract_all(src, '(function |const |=> |// )', 0)"))
+    jv = F.size(F.expr("regexp_extract_all(src, '(public |static |int |; )', 0)"))
+    return code.select(
+        "doc_id",
+        py.cast("long").alias("py_hits"),
+        js.cast("long").alias("js_hits"),
+        jv.cast("long").alias("java_hits"),
+        F.when((py == 0) & (js == 0) & (jv == 0), "prose")
+        .when((py >= js) & (py >= jv), "python")
+        .when(js >= jv, "javascript")
+        .otherwise("java")
+        .alias("lang_class"),
+    )

@@ -369,6 +369,12 @@ DOC_OPS = [
     # precedence on multi-fault docs (restricted AND duplicate AND
     # short); all-unique corpora (everyone canonical)
     "pipeline_curation_verdict",
+    # docs whose own text contains keyword tokens shift all three
+    # scores identically; the prose class zero-check
+    "text_code_lang_classify",
+    # tiny corpora where the p90 tick IS the max (eval side empty —
+    # must vanish identically)
+    "pipeline_temporal_split",
     # docs whose own text contains ``` or markdown tokens add to
     # the synthesized counts identically on both sides
     "text_markdown_profile",
