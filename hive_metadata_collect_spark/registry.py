@@ -99,6 +99,14 @@ _SAMPLE_ORDER = [
     "tpch_q3_shipping_priority",
     "fn_string_suite",
     "fn_json_extract",
+    # round-6 session flagships (5): the sequential-state fold, the
+    # lakehouse GC read, a native sketch, and two curation closers —
+    # driver-side confirmation for the newest surface
+    "stream_token_bucket",
+    "cat_vacuum_plan",
+    "agg_countmin_heavy",
+    "cat_funnel_strict",
+    "pipeline_curation_verdict",
     # streaming batch-equivalents (4)
     "stream_tumbling_counts",
     "stream_session_windows",
@@ -109,7 +117,6 @@ _SAMPLE_ORDER = [
     "cat_column_profile",
     "cat_partition_freshness",
     "cat_table_heat",
-    "cat_lineage_2hop",
     "cat_metastore_denorm",
     "cat_lineage_closure",
     "cat_lineage_sql",
@@ -124,7 +131,6 @@ _SAMPLE_ORDER = [
     "dedup_exact",
     "dedup_near_minhash",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
     "dedup_components",
     "pipeline_clean_corpus",
     "pipeline_decontaminate",
@@ -132,14 +138,11 @@ _SAMPLE_ORDER = [
     "sim_topk_cosine",
     "sim_knn_batch",
     "pipeline_decontaminate_embed",
-    # text analysis (4)
+    # text analysis (2)
     "text_wordcount",
-    "text_lang_id",
     "text_bigram_logprob",
-    "pipeline_pack_sequences",
-    # multimodal (2)
+    # multimodal (1)
     "mm_audio_rms",
-    "mm_image_phash",
     # custom source (1)
     "src_python_datasource",
 ]
