@@ -1202,3 +1202,64 @@ def fn_json_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("has_k") & F.col("k_is_int") & F.col("has_required_v2")
         ).alias("passes_v2"),
     )
+
+
+@register(
+    "fn_three_valued_logic",
+    survey_row=45,
+    oracle="""
+    WITH vals AS (
+        SELECT i, j,
+               CASE i WHEN 0 THEN TRUE WHEN 1 THEN FALSE END AS a,
+               CASE j WHEN 0 THEN TRUE WHEN 1 THEN FALSE END AS b
+        FROM range(3) t(i), range(3) s(j)
+    )
+    SELECT i::BIGINT AS i, j::BIGINT AS j,
+           (a AND b) AS and_r,
+           (a OR b) AS or_r,
+           (NOT a) AS not_a,
+           (a = b) AS eq_r,
+           (a IS NOT DISTINCT FROM b) AS null_safe_eq,
+           coalesce(a AND b, FALSE) AS where_would_keep
+    FROM vals
+    """,
+)
+def fn_three_valued_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-VALUED LOGIC as a complete truth table — the 9-cell
+    (T/F/NULL)² reference every NULL bug traces back to
+    (`sub_not_in_null_trap` and `fn_explode_outer_nulls` are
+    downstream casualties of exactly these cells): AND/OR/NOT under
+    NULL (NULL AND FALSE is FALSE, NULL AND TRUE is NULL — the
+    asymmetry people forget), `=` versus null-safe equality (`<=>`
+    ≡ IS NOT DISTINCT FROM — the only equality where NULL = NULL
+    is TRUE), and the WHERE-clause coercion column (filters keep
+    only TRUE — the reason a NULL-yielding predicate silently
+    drops rows rather than erroring).
+
+    The 9 rows are generated, not stored; every cell is gated
+    cross-engine, making this the executable spec the other trap
+    ops reference. Zero data touched."""
+    r = spark.range(3).select(F.col("id").cast("int").alias("i"))
+    s = spark.range(3).select(F.col("id").cast("int").alias("j"))
+    vals = r.crossJoin(s).select(
+        "i",
+        "j",
+        F.when(F.col("i") == 0, True)
+        .when(F.col("i") == 1, False)
+        .alias("a"),
+        F.when(F.col("j") == 0, True)
+        .when(F.col("j") == 1, False)
+        .alias("b"),
+    )
+    return vals.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        (F.col("a") & F.col("b")).alias("and_r"),
+        (F.col("a") | F.col("b")).alias("or_r"),
+        (~F.col("a")).alias("not_a"),
+        (F.col("a") == F.col("b")).alias("eq_r"),
+        F.col("a").eqNullSafe(F.col("b")).alias("null_safe_eq"),
+        F.coalesce(F.col("a") & F.col("b"), F.lit(False)).alias(
+            "where_would_keep"
+        ),
+    )

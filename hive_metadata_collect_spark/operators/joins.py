@@ -1509,3 +1509,63 @@ def join_role_playing_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("od_month") == F.col("sd_month")).alias("same_month"),
         )
     )
+
+
+@register(
+    "join_or_condition_rewrite",
+    survey_row=16,
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey,
+           (o.o_custkey = c.c_custkey) AS matched_on_key,
+           (o.o_orderkey % 1000 = c.c_custkey % 1000
+            AND o.o_custkey <> c.c_custkey) AS matched_on_bucket_only
+    FROM orders o JOIN customer c
+      ON o.o_custkey = c.c_custkey
+      OR o.o_orderkey % 1000 = c.c_custkey % 1000
+    WHERE o.o_orderkey % 97 = 0
+    """,
+)
+def join_or_condition_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-condition join DECOMPOSED — the optimizer rewrite engines
+    don't do for you (a join on `a=x OR b=y` has no single hash
+    key, so every engine falls back to nested-loop over the pair
+    space; at fact×dim scale that's the difference between seconds
+    and never): rewrite as the UNION of the two equi-joins, with
+    the second branch ANTI-filtered by the first's predicate so
+    rows matching both conditions aren't double-counted — the
+    textbook disjunctive-join decomposition, made concrete. The
+    match-provenance flags are part of the output, so the
+    dedup-correctness of the rewrite is itself hash-gated against
+    the oracle's naive OR join.
+
+    Each branch is an ordinary broadcast/hash equi-join; the fact
+    side streams twice (two scans beat one nested loop by orders
+    of magnitude — and AQE reuses the exchange where plans allow).
+    tests/test_plans.py asserts NO BroadcastNestedLoopJoin
+    survives."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select("o_orderkey", "o_custkey")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    eq = o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey",
+        "c_custkey",
+        F.lit(True).alias("matched_on_key"),
+        F.lit(False).alias("matched_on_bucket_only"),
+    )
+    bucket = (
+        o.join(
+            c,
+            (F.col("o_orderkey") % 1000 == F.col("c_custkey") % 1000)
+            & (F.col("o_custkey") != F.col("c_custkey")),
+        )
+        .select(
+            "o_orderkey",
+            "c_custkey",
+            F.lit(False).alias("matched_on_key"),
+            F.lit(True).alias("matched_on_bucket_only"),
+        )
+    )
+    return eq.unionAll(bucket)

@@ -632,3 +632,13 @@ def test_join_size_estimate_sketch_join_broadcasts(spark, sf_dir):
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_or_join_rewrite_no_nested_loop(spark, sf_dir):
+    """The disjunctive-join decomposition must produce two hash/
+    broadcast equi-joins — the nested-loop fallback the rewrite
+    exists to eliminate must be absent."""
+    df = OPS["join_or_condition_rewrite"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") >= 2
