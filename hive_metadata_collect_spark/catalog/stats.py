@@ -6023,3 +6023,104 @@ def cat_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         "email_source",
         "email",
     )
+
+
+@register(
+    "cat_txn_conflict_detect",
+    survey_row=61,
+    oracle="""
+    WITH txns AS (
+        SELECT event_id % 60 AS txn_id,
+               min(event_id) AS start_seq,
+               min(event_id) + 40 + min(event_id) % 25 AS commit_seq,
+               list_sort(list(DISTINCT 'p' || (event_id % 11)))
+                   AS write_set
+        FROM events WHERE event_id % 4 = 0
+        GROUP BY event_id % 60
+    ),
+    pairs AS (
+        SELECT a.txn_id AS txn_a, b.txn_id AS txn_b,
+               a.commit_seq AS commit_a, b.commit_seq AS commit_b,
+               len(list_intersect(a.write_set, b.write_set))
+                   AS n_overlap
+        FROM txns a JOIN txns b
+          ON a.txn_id < b.txn_id
+         AND a.start_seq < b.commit_seq
+         AND b.start_seq < a.commit_seq
+    )
+    SELECT txn_a::BIGINT AS txn_a, txn_b::BIGINT AS txn_b,
+           n_overlap::BIGINT AS n_overlap,
+           (n_overlap > 0) AS write_write_conflict,
+           CASE WHEN n_overlap > 0 AND commit_a < commit_b
+                THEN txn_b
+                WHEN n_overlap > 0 THEN txn_a END AS must_retry
+    FROM pairs
+    WHERE n_overlap > 0
+    """,
+)
+def cat_txn_conflict_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMISTIC-CONCURRENCY conflict detection — the commit
+    protocol underneath every lakehouse table format (Delta/Iceberg
+    writers don't lock; they validate at commit time that no
+    concurrent transaction touched the same partitions, and the
+    LATER committer retries): transactions synthesized with
+    lifetimes and partition write-sets; candidate pairs are
+    TIME-OVERLAPPING transactions (the interval-overlap join — a
+    serial pair can't conflict by definition); a conflict is a
+    non-empty write-set intersection; the later committer carries
+    the must_retry verdict — exactly Delta's
+    ConcurrentAppendException decision.
+
+    Write-sets stay as sorted arrays on |txn| metadata rows;
+    overlap is array_intersect on the pair frame, which the
+    interval predicate bounds (never txn²); at real scale the same
+    check runs once per commit against open snapshots — this op is
+    the batch-audit form that finds HISTORICAL races in a commit
+    log."""
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    txns = (
+        ev.filter(eid % 4 == 0)
+        .groupBy((eid % 60).alias("txn_id"))
+        .agg(
+            F.min("event_id").alias("start_seq"),
+            (F.min("event_id") + 40 + F.min("event_id") % 25).alias(
+                "commit_seq"
+            ),
+            F.sort_array(
+                F.collect_set(
+                    F.concat(F.lit("p"), (eid % 11).cast("string"))
+                )
+            ).alias("write_set"),
+        )
+    )
+    b = txns.select(
+        F.col("txn_id").alias("txn_b"),
+        F.col("start_seq").alias("start_b"),
+        F.col("commit_seq").alias("commit_b"),
+        F.col("write_set").alias("write_b"),
+    )
+    pairs = txns.join(
+        F.broadcast(b),
+        (F.col("txn_id") < F.col("txn_b"))
+        & (F.col("start_seq") < F.col("commit_b"))
+        & (F.col("start_b") < F.col("commit_seq")),
+    ).select(
+        F.col("txn_id").alias("txn_a"),
+        "txn_b",
+        F.col("commit_seq").alias("commit_a"),
+        "commit_b",
+        F.size(F.array_intersect("write_set", "write_b")).alias("n_overlap"),
+    )
+    return pairs.filter(F.col("n_overlap") > 0).select(
+        F.col("txn_a").cast("long").alias("txn_a"),
+        F.col("txn_b").cast("long").alias("txn_b"),
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        (F.col("n_overlap") > 0).alias("write_write_conflict"),
+        F.when(
+            (F.col("n_overlap") > 0) & (F.col("commit_a") < F.col("commit_b")),
+            F.col("txn_b"),
+        )
+        .when(F.col("n_overlap") > 0, F.col("txn_a"))
+        .alias("must_retry"),
+    )

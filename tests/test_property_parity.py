@@ -239,6 +239,9 @@ EVENT_OPS = [
     # entities present in one source only; all-null attribute
     # columns within the winning priority
     "cat_golden_record",
+    # single-txn logs (no pairs); disjoint write-sets on
+    # overlapping lifetimes (time overlap alone must NOT conflict)
+    "cat_txn_conflict_detect",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
