@@ -6124,3 +6124,144 @@ def cat_txn_conflict_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("n_overlap") > 0, F.col("txn_a"))
         .alias("must_retry"),
     )
+
+
+@register(
+    "cat_audit_chain_verify",
+    survey_row=61,
+    oracle="""
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_id,
+               'ev' || event_id AS payload,
+               CASE WHEN event_id % 83 = 7
+                    THEN 'evX' || event_id ELSE 'ev' || event_id
+               END AS stored_payload,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_id) AS rn
+        FROM events
+    ),
+    chain AS (
+        SELECT user_id, rn,
+               md5('genesis|' || payload) AS h_true,
+               md5('genesis|' || stored_payload) AS h_stored
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.user_id, s.rn,
+               md5(c.h_true || '|' || s.payload),
+               md5(c.h_stored || '|' || s.stored_payload)
+        FROM chain c JOIN seq s
+          ON s.user_id = c.user_id AND s.rn = c.rn + 1
+    )
+    SELECT user_id,
+           count(*)::BIGINT AS chain_len,
+           bool_and(h_true = h_stored) AS chain_valid,
+           min(CASE WHEN h_true <> h_stored THEN rn END)::BIGINT
+               AS first_break
+    FROM chain GROUP BY user_id
+    """,
+)
+def cat_audit_chain_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAMPER-EVIDENT audit-chain verification — the integrity
+    property compliance regimes demand of audit logs: each record's
+    hash covers the previous record's hash, so editing ANY
+    historical row changes every later link hash, and comparing the
+    stored chain against a recomputation over trusted payloads
+    localizes the tamper at the FIRST hash divergence (the cascade
+    is the feature — one byte edited at rn=k diverges links k..n,
+    and min(divergent rn) is the forensic cursor). Tampering is
+    seeded on an 83-residue so the detector provably fires; clean
+    keys must verify end-to-end.
+
+    Both chains build in ONE per-key fold (h_true and h_stored
+    advance together — the token-bucket automaton pattern with md5
+    inside the lambda; state is O(1) per key regardless of chain
+    length), and the oracle single-steps the identical double
+    recurrence by recursive CTE. Sequential per key, parallel
+    across keys."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = ev.select(
+        "user_id",
+        F.concat(F.lit("ev"), F.col("event_id").cast("string")).alias(
+            "payload"
+        ),
+        F.when(
+            F.col("event_id") % 83 == 7,
+            F.concat(F.lit("evX"), F.col("event_id").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("ev"), F.col("event_id").cast("string")))
+        .alias("stored_payload"),
+        F.row_number().over(w).alias("rn"),
+    )
+    folded = (
+        seq.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("rn", "payload", "stored_payload"))
+            ).alias("links")
+        )
+        .select(
+            "user_id",
+            F.size("links").alias("chain_len"),
+            F.aggregate(
+                "links",
+                F.struct(
+                    F.lit("genesis").alias("h_true"),
+                    F.lit("genesis").alias("h_stored"),
+                    F.lit(True).alias("ok"),
+                    F.lit(None).cast("int").alias("first_break"),
+                ),
+                lambda st, e: F.struct(
+                    F.md5(
+                        F.concat(st["h_true"], F.lit("|"), e["payload"])
+                    ).alias("h_true"),
+                    F.md5(
+                        F.concat(
+                            st["h_stored"], F.lit("|"), e["stored_payload"]
+                        )
+                    ).alias("h_stored"),
+                    (
+                        st["ok"]
+                        & (
+                            F.md5(
+                                F.concat(
+                                    st["h_true"], F.lit("|"), e["payload"]
+                                )
+                            )
+                            == F.md5(
+                                F.concat(
+                                    st["h_stored"],
+                                    F.lit("|"),
+                                    e["stored_payload"],
+                                )
+                            )
+                        )
+                    ).alias("ok"),
+                    F.coalesce(
+                        st["first_break"],
+                        F.when(
+                            F.md5(
+                                F.concat(
+                                    st["h_true"], F.lit("|"), e["payload"]
+                                )
+                            )
+                            != F.md5(
+                                F.concat(
+                                    st["h_stored"],
+                                    F.lit("|"),
+                                    e["stored_payload"],
+                                )
+                            ),
+                            e["rn"],
+                        ),
+                    ).alias("first_break"),
+                ),
+            ).alias("st"),
+        )
+    )
+    return folded.select(
+        "user_id",
+        F.col("chain_len").cast("long").alias("chain_len"),
+        F.col("st.ok").alias("chain_valid"),
+        F.col("st.first_break").cast("long").alias("first_break"),
+    )

@@ -242,6 +242,9 @@ EVENT_OPS = [
     # single-txn logs (no pairs); disjoint write-sets on
     # overlapping lifetimes (time overlap alone must NOT conflict)
     "cat_txn_conflict_detect",
+    # 1-link chains; tamper at the FIRST link (cascade from rn=1);
+    # untampered users valid end-to-end
+    "cat_audit_chain_verify",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
