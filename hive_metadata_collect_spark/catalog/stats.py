@@ -6265,3 +6265,106 @@ def cat_audit_chain_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.ok").alias("chain_valid"),
         F.col("st.first_break").cast("long").alias("first_break"),
     )
+
+
+@register(
+    "cat_partition_path_codec",
+    survey_row=63,
+    oracle="""
+    WITH parts AS (
+        SELECT event_id,
+               CASE WHEN event_id % 13 = 4 THEN NULL
+                    ELSE 'team ' || (event_id % 7) || '/x' END AS team,
+               CAST(date_trunc('day', ts) AS DATE) AS dt
+        FROM events WHERE event_id % 9 = 0
+    ),
+    encoded AS (
+        SELECT event_id, team, dt,
+               'team=' ||
+               coalesce(replace(replace(replace(team, '%', '%25'),
+                                        '/', '%2F'), ' ', '%20'),
+                        '__HIVE_DEFAULT_PARTITION__')
+               || '/dt=' || dt AS path
+        FROM parts
+    )
+    SELECT event_id, path,
+           CASE WHEN regexp_extract(path, 'team=([^/]*)', 1)
+                     = '__HIVE_DEFAULT_PARTITION__' THEN NULL
+                ELSE replace(replace(replace(
+                         regexp_extract(path, 'team=([^/]*)', 1),
+                         '%20', ' '), '%2F', '/'), '%25', '%')
+           END AS team_decoded,
+           CAST(regexp_extract(path, 'dt=([0-9-]+)', 1) AS DATE)
+               AS dt_decoded,
+           (CASE WHEN regexp_extract(path, 'team=([^/]*)', 1)
+                      = '__HIVE_DEFAULT_PARTITION__' THEN NULL
+                 ELSE replace(replace(replace(
+                          regexp_extract(path, 'team=([^/]*)', 1),
+                          '%20', ' '), '%2F', '/'), '%25', '%')
+            END IS NOT DISTINCT FROM team) AS roundtrip_ok
+    FROM encoded
+    """,
+)
+def cat_partition_path_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIVE partition-path CODEC — the encoding contract every
+    metastore tool must honor byte-for-byte (partition VALUES
+    become directory NAMES: special characters percent-escape with
+    %25 escaped FIRST on encode and LAST on decode — the order is
+    the bug farm — and NULL becomes the literal
+    `__HIVE_DEFAULT_PARTITION__` sentinel): values with spaces,
+    slashes, and NULLs round-trip through encode → path →
+    regexp-decode, with the null-safe roundtrip_ok comparison
+    (`<=>`) gated — a codec that drops the escape ordering or
+    conflates NULL with the sentinel string breaks the hash.
+
+    Map-only string codegen; this is the exact transform
+    cat_partition_listing and MSCK-style discovery sit on top
+    of."""
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    parts = ev.filter(eid % 9 == 0).select(
+        "event_id",
+        F.when(
+            eid % 13 == 4, F.lit(None).cast("string")
+        ).otherwise(
+            F.concat(F.lit("team "), (eid % 7).cast("string"), F.lit("/x"))
+        ).alias("team"),
+        F.col("ts").cast("date").alias("dt"),
+    )
+    enc = F.concat(
+        F.lit("team="),
+        F.coalesce(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("team"), "%", "%25"), "/", "%2F"
+                ),
+                " ",
+                "%20",
+            ),
+            F.lit("__HIVE_DEFAULT_PARTITION__"),
+        ),
+        F.lit("/dt="),
+        F.col("dt").cast("string"),
+    )
+    encoded = parts.select("event_id", "team", "dt", enc.alias("path"))
+    raw = F.regexp_extract("path", "team=([^/]*)", 1)
+    dec = F.when(
+        raw == "__HIVE_DEFAULT_PARTITION__", F.lit(None).cast("string")
+    ).otherwise(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(raw, "%20", " "), "%2F", "/"
+            ),
+            "%25",
+            "%",
+        )
+    )
+    return encoded.select(
+        "event_id",
+        "path",
+        dec.alias("team_decoded"),
+        F.regexp_extract("path", "dt=([0-9-]+)", 1)
+        .cast("date")
+        .alias("dt_decoded"),
+        dec.eqNullSafe(F.col("team")).alias("roundtrip_ok"),
+    )

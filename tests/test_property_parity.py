@@ -245,6 +245,9 @@ EVENT_OPS = [
     # 1-link chains; tamper at the FIRST link (cascade from rn=1);
     # untampered users valid end-to-end
     "cat_audit_chain_verify",
+    # NULL partitions, escape-ordering on values containing literal
+    # percent signs, empty-ish selections
+    "cat_partition_path_codec",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
