@@ -6368,3 +6368,150 @@ def cat_partition_path_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dt_decoded"),
         dec.eqNullSafe(F.col("team")).alias("roundtrip_ok"),
     )
+
+
+@register(
+    "cat_benford_audit",
+    survey_row=64,
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(round(o_totalprice, 2) * 100
+                        + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+                   AS d
+        FROM orders
+        WHERE o_totalprice > 0
+    ),
+    obs AS (
+        SELECT d, count(*) AS n,
+               sum(count(*)) OVER () AS total
+        FROM digits GROUP BY d
+    )
+    SELECT d,
+           n::BIGINT AS n,
+           round(n * 1.0 / total, 6) AS observed_p,
+           round(log10(1 + 1.0 / d), 6) AS benford_p,
+           round(abs(n * 1.0 / total - log10(1 + 1.0 / d)), 6)
+               AS abs_dev
+    FROM obs
+    """,
+)
+def cat_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW first-digit audit — the forensic screen
+    accountants and data-quality teams run on any naturally-grown
+    monetary column (organic amounts follow P(d) = log₁₀(1+1/d) —
+    30 % leading 1s; fabricated, capped, or unit-mangled data
+    doesn't, and the per-digit deviation table is the forensic
+    lead): leading digits extracted from exact integer cents (string
+    head of an int — no float log tricks on the extraction path),
+    observed shares against the closed-form Benford expectation,
+    deviation per digit.
+
+    One 9-row group-agg with map-side combine; the expectation is
+    nine fixed log10 calls on constants (engine-identical). The
+    fixture's synthetic prices need NOT follow Benford — the gate
+    checks the AUDIT's arithmetic, and the deviation column is
+    exactly what flags synthetic data in real life (a
+    nicely self-referential property)."""
+    o = load_table(spark, sf_dir, "orders")
+    digits = o.filter(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.floor(F.round("o_totalprice", 2) * 100 + 0.5)
+            .cast("long")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    total = Window.partitionBy()
+    benford = F.log10(1 + 1.0 / F.col("d"))
+    return obs.select(
+        "d",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(total), 6).alias("observed_p"),
+        F.round(benford, 6).alias("benford_p"),
+        F.round(
+            F.abs(F.col("n") / F.sum("n").over(total) - benford), 6
+        ).alias("abs_dev"),
+    )
+
+
+@register(
+    "cat_rle_compressibility",
+    survey_row=62,
+    oracle="""
+    WITH natural_runs AS (
+        SELECT count(*) + 1 AS n_rows,
+               1 + count(*) FILTER (WHERE changed) AS runs
+        FROM (
+            SELECT o_orderstatus <> lag(o_orderstatus) OVER (
+                       ORDER BY o_orderkey) AS changed
+            FROM orders
+        ) t WHERE changed IS NOT NULL
+    ),
+    sorted_runs AS (
+        SELECT 1 + count(*) FILTER (WHERE changed) AS runs
+        FROM (
+            SELECT o_orderstatus <> lag(o_orderstatus) OVER (
+                       ORDER BY o_orderstatus, o_orderkey) AS changed
+            FROM orders
+        ) t WHERE changed IS NOT NULL
+    )
+    SELECT 'o_orderstatus' AS column_name,
+           n.n_rows::BIGINT AS n_rows,
+           n.runs::BIGINT AS natural_runs,
+           s.runs::BIGINT AS sorted_runs,
+           round(n.runs * 1.0 / s.runs, 2) AS sort_benefit_x
+    FROM natural_runs n, sorted_runs s
+    """,
+)
+def cat_rle_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLE COMPRESSIBILITY probe — the storage-advisor measurement
+    behind "sort this table by X before writing" (parquet
+    run-length/dictionary encoding compresses RUNS; a low-card
+    column scattered by insertion order encodes near row-count
+    runs, the same column sorted encodes |distinct| runs — often a
+    10-100× size difference on the encoded pages): run counts for
+    the status column under natural order vs sorted order, and
+    their ratio IS the advisor's expected benefit multiplier for
+    adding it to the write sort key (`sink_cluster_zorder`'s
+    single-column cousin).
+
+    Runs count as value-change events via one lag() per ordering —
+    the natural-order pass rides the existing key sort, the sorted
+    pass is the one extra sort the measurement is ABOUT; both
+    reduce to 2-row frames. At scale the sorted-run count is
+    |distinct| by definition (no second sort needed — countDistinct
+    suffices), which is exactly how the advisor runs it; the
+    explicit two-pass form here makes the gate self-verifying."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def runs(order_cols):
+        w = Window.orderBy(*order_cols)
+        changed = (
+            F.col("o_orderstatus") != F.lag("o_orderstatus").over(w)
+        ).alias("changed")
+        t = o.select(changed).filter(F.col("changed").isNotNull())
+        return t.agg(
+            F.count(F.lit(1)).alias("n_nonfirst"),
+            (1 + F.count(F.when(F.col("changed"), 1))).alias("runs"),
+        )
+
+    nat = runs(["o_orderkey"]).select(
+        (F.col("n_nonfirst") + 1).alias("n_rows"),
+        F.col("runs").alias("natural_runs"),
+    )
+    srt = runs(["o_orderstatus", "o_orderkey"]).select(
+        F.col("runs").alias("sorted_runs")
+    )
+    return nat.crossJoin(srt).select(
+        F.lit("o_orderstatus").alias("column_name"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("natural_runs").cast("long").alias("natural_runs"),
+        F.col("sorted_runs").cast("long").alias("sorted_runs"),
+        F.round(F.col("natural_runs") / F.col("sorted_runs"), 2).alias(
+            "sort_benefit_x"
+        ),
+    )

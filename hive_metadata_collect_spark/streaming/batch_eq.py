@@ -776,3 +776,60 @@ def stream_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "displaced_frac"
         ),
     )
+
+
+@register(
+    "stream_state_size_estimate",
+    survey_row=54,
+    oracle="""
+    WITH windows_ AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win,
+               count(DISTINCT user_id) AS keys_alive,
+               count(*) AS n_events
+        FROM events GROUP BY 1
+    )
+    SELECT count(*)::BIGINT AS n_windows,
+           max(keys_alive)::BIGINT AS peak_state_keys,
+           round(avg(keys_alive), 2) AS mean_state_keys,
+           (max(keys_alive) * 72)::BIGINT AS peak_state_bytes_est,
+           max_by(win, keys_alive * 100000000
+                       - CAST(floor(epoch(win)) AS BIGINT) / 3600)
+               AS peak_window
+    FROM windows_
+    """,
+)
+def stream_state_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming STATE-SIZE estimation — the capacity-planning
+    number every stateful-streaming deployment needs BEFORE launch
+    (dedup/session state lives per key until the watermark expires
+    it; undersized state stores spill or OOM mid-incident): replay
+    the stream in 1-hour TTL windows, count keys alive per window
+    (= the dedup-state population under a 1h watermark), and report
+    the peak/mean population plus a bytes estimate at ~72 bytes per
+    RocksDB dedup entry (key + timestamp + store overhead — the
+    sizing constant, not a measurement). Earliest peak window
+    pinned via the scalar-composite tie rule.
+
+    One per-window distinct-count aggregate — the batch-eq mirror
+    of what StreamingQueryProgress's stateOperators.numRowsTotal
+    reports live, and the deterministic oracle for it (the same
+    relationship stream_late_drop_accounting has to
+    numDroppedRows)."""
+    ev = load_table(spark, sf_dir, "events")
+    windows_ = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("win")
+    ).agg(
+        F.countDistinct("user_id").alias("keys_alive"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return windows_.agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.max("keys_alive").cast("long").alias("peak_state_keys"),
+        F.round(F.avg("keys_alive"), 2).alias("mean_state_keys"),
+        (F.max("keys_alive") * 72).cast("long").alias("peak_state_bytes_est"),
+        F.max_by(
+            "win",
+            F.col("keys_alive") * 100000000
+            - F.floor(F.unix_timestamp("win") / 3600).cast("long"),
+        ).alias("peak_window"),
+    )

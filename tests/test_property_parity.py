@@ -248,6 +248,9 @@ EVENT_OPS = [
     # NULL partitions, escape-ordering on values containing literal
     # percent signs, empty-ish selections
     "cat_partition_path_codec",
+    # single-hour tables (1 window, peak == mean); distinct-user
+    # populations across tied windows pick the earliest
+    "stream_state_size_estimate",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
@@ -508,6 +511,11 @@ ORDER_OPS = [
     # tiny cubes where every level has < 3 entities; revenue ties
     # across cube levels decided by custkey
     "agg_cube_topk",
+    # already-sorted tiny tables (benefit 1.0); single-status tables
+    # (1 run both ways)
+    "cat_rle_compressibility",
+    # zero-price guard rows; digit sets missing most of 1-9
+    "cat_benford_audit",
     # < 10 rows: some bands empty (vanish identically); heavy price
     # ties split only by the orderkey tie-break
     "cat_equidepth_histogram",
