@@ -1263,3 +1263,71 @@ def fn_three_valued_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "where_would_keep"
         ),
     )
+
+
+@register(
+    "fn_unicode_width_fold",
+    survey_row=42,
+    oracle="""
+    WITH synth AS (
+        SELECT event_id,
+               'id' || chr(CAST(65296 + event_id % 10 AS INT))
+                    || chr(CAST(65296 + (event_id * 3) % 10 AS INT))
+                    || chr(CAST(65345 + event_id % 26 AS INT))
+                    || ' v' || (event_id % 100) AS raw
+        FROM events
+    )
+    SELECT event_id, raw,
+           translate(raw,
+               chr(65296)||chr(65297)||chr(65298)||chr(65299)||chr(65300)
+               ||chr(65301)||chr(65302)||chr(65303)||chr(65304)||chr(65305)
+               ||chr(65345)||chr(65346)||chr(65347)||chr(65348)||chr(65349),
+               '0123456789abcde') AS folded,
+           raw <> translate(raw,
+               chr(65296)||chr(65297)||chr(65298)||chr(65299)||chr(65300)
+               ||chr(65301)||chr(65302)||chr(65303)||chr(65304)||chr(65305)
+               ||chr(65345)||chr(65346)||chr(65347)||chr(65348)||chr(65349),
+               '0123456789abcde') AS was_widened
+    FROM synth
+    """,
+)
+def fn_unicode_width_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-WIDTH → ASCII folding — the CJK-corpus normalization
+    without which joins and dedups silently fragment (ＩＤ１２３
+    typed on a Japanese IME and ID123 from a web form are DIFFERENT
+    strings to every hash and equality in the engine; crawled
+    Chinese/Japanese text mixes both freely): full-width digits
+    (U+FF10..) and latin (U+FF41..) translate to their ASCII
+    counterparts via one translate() map — the NFKC slice that
+    matters for identifiers, dependency-free. Synthesized
+    identifiers embed full-width chars by residue; the was_widened
+    flag marks rows normalization actually changed (the audit count
+    for "how much of this corpus is IME-mangled").
+
+    Single translate() — codegen, map-only; both engines build the
+    map from identical codepoints so the fold is byte-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    # Spark's chr() is ASCII-only (n % 256) — index literal
+    # full-width alphabets instead (substring is character-based)
+    fw_digits = F.lit("０１２３４５６７８９")
+    fw_letters = F.lit("ａｂｃｄｅｆｇｈｉｊｋｌｍｎｏｐｑｒｓｔｕｖｗｘｙｚ")
+    raw = F.concat(
+        F.lit("id"),
+        F.substring(fw_digits, (eid % 10 + 1).cast("int"), 1),
+        F.substring(fw_digits, ((eid * 3) % 10 + 1).cast("int"), 1),
+        F.substring(fw_letters, (eid % 26 + 1).cast("int"), 1),
+        F.lit(" v"),
+        (eid % 100).cast("string"),
+    )
+    src_map = "".join(chr(c) for c in range(65296, 65306)) + "".join(
+        chr(c) for c in range(65345, 65350)
+    )
+    folded = F.translate(F.col("raw"), src_map, "0123456789abcde")
+    synth = ev.select("event_id", raw.alias("raw"))
+    return synth.select(
+        "event_id",
+        "raw",
+        folded.alias("folded"),
+        (F.col("raw") != folded).alias("was_widened"),
+    )

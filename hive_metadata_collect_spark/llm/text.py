@@ -2342,3 +2342,101 @@ def text_code_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("java")
         .alias("lang_class"),
     )
+
+
+@register(
+    "text_char_entropy_score",
+    survey_row=72,
+    oracle="""
+    WITH classes AS (
+        SELECT doc_id,
+               length(text) AS n_chars_total,
+               len(regexp_extract_all(text, '[a-z]')) AS c_lower,
+               len(regexp_extract_all(text, '[A-Z]')) AS c_upper,
+               len(regexp_extract_all(text, '[0-9]')) AS c_digit,
+               len(regexp_extract_all(text, ' ')) AS c_space
+        FROM documents WHERE length(text) > 0
+    ),
+    with_other AS (
+        SELECT *, n_chars_total - c_lower - c_upper - c_digit - c_space
+                   AS c_other
+        FROM classes
+    )
+    SELECT doc_id,
+           round(
+             - (CASE WHEN c_lower > 0 THEN (c_lower * 1.0 / n_chars_total)
+                      * ln(c_lower * 1.0 / n_chars_total) ELSE 0 END)
+             - (CASE WHEN c_upper > 0 THEN (c_upper * 1.0 / n_chars_total)
+                      * ln(c_upper * 1.0 / n_chars_total) ELSE 0 END)
+             - (CASE WHEN c_digit > 0 THEN (c_digit * 1.0 / n_chars_total)
+                      * ln(c_digit * 1.0 / n_chars_total) ELSE 0 END)
+             - (CASE WHEN c_space > 0 THEN (c_space * 1.0 / n_chars_total)
+                      * ln(c_space * 1.0 / n_chars_total) ELSE 0 END)
+             - (CASE WHEN c_other > 0 THEN (c_other * 1.0 / n_chars_total)
+                      * ln(c_other * 1.0 / n_chars_total) ELSE 0 END),
+             6) AS class_entropy,
+           round(c_space * 1.0 / n_chars_total, 6) AS space_ratio,
+           (c_space = 0 AND n_chars_total > 40) AS suspect_unbroken
+    FROM with_other
+    """,
+)
+def text_char_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER-CLASS entropy — the gibberish/keyboard-mash signal
+    word-level quality scores miss (a 2000-char run of base64 or
+    minified JS has excellent word-length stats after splitting but
+    a character mix no natural prose has): each document's
+    distribution over five character classes (lower/upper/digit/
+    space/other) reduced to Shannon entropy, plus the space ratio
+    and the no-spaces-in-long-text flag (the cheapest unbroken-blob
+    detector — base64 and hashes hit it immediately).
+
+    Five regexp counts + a fixed five-term entropy expression:
+    each term is (exact-ratio)·ln(exact-ratio) with ln on
+    engine-identical IEEE arguments (the established logprob
+    contract), zero-count classes contributing exactly 0 by the
+    guard, summed in FIXED textual order — no accumulation
+    variance. Map-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.filter(F.length("text") > 0)
+    n = F.length("text")
+    c_lower = F.size(F.expr("regexp_extract_all(text, '[a-z]', 0)"))
+    c_upper = F.size(F.expr("regexp_extract_all(text, '[A-Z]', 0)"))
+    c_digit = F.size(F.expr("regexp_extract_all(text, '[0-9]', 0)"))
+    c_space = F.size(F.expr("regexp_extract_all(text, ' ', 0)"))
+    classes = d.select(
+        "doc_id",
+        n.alias("n_chars_total"),
+        c_lower.alias("c_lower"),
+        c_upper.alias("c_upper"),
+        c_digit.alias("c_digit"),
+        c_space.alias("c_space"),
+    ).withColumn(
+        "c_other",
+        F.col("n_chars_total")
+        - F.col("c_lower")
+        - F.col("c_upper")
+        - F.col("c_digit")
+        - F.col("c_space"),
+    )
+
+    def term(c):
+        p = F.col(c) / F.col("n_chars_total")
+        return F.when(F.col(c) > 0, p * F.log(p)).otherwise(F.lit(0.0))
+
+    entropy = -(
+        term("c_lower")
+        + term("c_upper")
+        + term("c_digit")
+        + term("c_space")
+        + term("c_other")
+    )
+    return classes.select(
+        "doc_id",
+        F.round(entropy, 6).alias("class_entropy"),
+        F.round(F.col("c_space") / F.col("n_chars_total"), 6).alias(
+            "space_ratio"
+        ),
+        ((F.col("c_space") == 0) & (F.col("n_chars_total") > 40)).alias(
+            "suspect_unbroken"
+        ),
+    )

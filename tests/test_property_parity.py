@@ -251,6 +251,8 @@ EVENT_OPS = [
     # single-hour tables (1 window, peak == mean); distinct-user
     # populations across tied windows pick the earliest
     "stream_state_size_estimate",
+    # width folding over every digit/letter residue on tiny ids
+    "fn_unicode_width_fold",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
@@ -387,6 +389,9 @@ DOC_OPS = [
     # tiny corpora where the p90 tick IS the max (eval side empty —
     # must vanish identically)
     "pipeline_temporal_split",
+    # single-class docs (entropy exactly 0); the >40-char unbroken
+    # flag boundary
+    "text_char_entropy_score",
     # docs whose own text contains ``` or markdown tokens add to
     # the synthesized counts identically on both sides
     "text_markdown_profile",
