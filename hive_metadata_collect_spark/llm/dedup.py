@@ -1811,3 +1811,86 @@ def pipeline_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c").cast("long").alias("boundary_tick"),
         )
     )
+
+
+@register(
+    "pipeline_calibration_ece",
+    survey_row=67,
+    oracle="""
+    WITH preds AS (
+        SELECT doc_id,
+               ((doc_id * 37) % 100) AS conf_pct,
+               CASE WHEN CAST(('0x' || substr(md5('lbl:' || doc_id), 1, 8))
+                         AS BIGINT) % 100 < (doc_id * 37) % 100
+                    THEN 1 ELSE 0 END AS correct
+        FROM documents
+    ),
+    binned AS (
+        SELECT conf_pct // 10 AS bin,
+               count(*) AS n,
+               sum(correct) AS n_correct,
+               sum(conf_pct) AS conf_sum
+        FROM preds GROUP BY conf_pct // 10
+    ),
+    tot AS (SELECT sum(n) AS total FROM binned)
+    SELECT bin::BIGINT AS bin,
+           n::BIGINT AS n,
+           round(n_correct * 1.0 / n, 6) AS bin_accuracy,
+           round(conf_sum * 1.0 / (100 * n), 6) AS bin_confidence,
+           round(abs(n_correct * 1.0 / n - conf_sum * 1.0 / (100 * n))
+                 * n / tot.total, 6) AS ece_term
+    FROM binned, tot
+    """,
+)
+def pipeline_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPECTED CALIBRATION ERROR — the model-confidence audit every
+    classifier-in-a-pipeline needs before its scores gate anything
+    (a quality filter whose "0.9 confidence" is right 60 % of the
+    time silently reshapes the corpus; ECE is THE number that
+    catches it): predictions binned by confidence decile, per-bin
+    accuracy vs mean confidence, and the n-weighted |gap| terms
+    whose sum IS the ECE. Confidences and outcomes are synthesized
+    so the model is calibrated BY CONSTRUCTION in expectation
+    (outcome drawn under its own confidence via an md5 uniform) —
+    so the per-bin gaps show honest sampling noise, exactly what a
+    calibrated model's ECE report looks like in production.
+
+    One decile contingency agg (integer division binning, exact
+    counts), ratios as single IEEE divisions; the weighted terms
+    expose the full report, the scalar ECE is one further sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    conf = (did * 37) % 100
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("lbl:"), did.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    preds = docs.select(
+        conf.alias("conf_pct"),
+        F.when(u < conf, 1).otherwise(0).alias("correct"),
+    )
+    binned = preds.groupBy(
+        F.floor(F.col("conf_pct") / 10).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("correct").alias("n_correct"),
+        F.sum("conf_pct").alias("conf_sum"),
+    )
+    total = Window.partitionBy()
+    acc = F.col("n_correct") / F.col("n")
+    cf = F.col("conf_sum") / (100 * F.col("n"))
+    return binned.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n").cast("long").alias("n"),
+        F.round(acc, 6).alias("bin_accuracy"),
+        F.round(cf, 6).alias("bin_confidence"),
+        F.round(
+            F.abs(acc - cf) * F.col("n") / F.sum("n").over(total), 6
+        ).alias("ece_term"),
+    )

@@ -331,3 +331,121 @@ def udf_pandas_iter_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("double"), F.col("bucket")
         ).alias("score"),
     )
+
+
+@register(
+    "pipeline_feature_store_pit",
+    survey_row=18,
+    oracle="""
+    WITH spine AS (
+        SELECT user_id, event_id AS example_id, ts AS label_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    feat_act AS (  -- activity feature, refreshed on view events
+        SELECT user_id, ts AS feat_ts,
+               event_id % 100 AS activity_score
+        FROM events WHERE event_type = 'view'
+    ),
+    feat_err AS (  -- reliability feature, refreshed on error events
+        SELECT user_id, ts AS feat_ts,
+               event_id % 7 AS error_level
+        FROM events WHERE event_type = 'error'
+    ),
+    j1 AS (
+        SELECT s.example_id, s.user_id, s.label_ts,
+               max_by(f.activity_score,
+                      CAST(floor(epoch(f.feat_ts)) AS BIGINT) * 100000
+                      + f.activity_score) AS activity_score
+        FROM spine s LEFT JOIN feat_act f
+          ON f.user_id = s.user_id AND f.feat_ts <= s.label_ts
+        GROUP BY s.example_id, s.user_id, s.label_ts
+    )
+    SELECT j1.example_id, j1.user_id,
+           j1.activity_score::BIGINT AS activity_score,
+           max_by(e.error_level,
+                  CAST(floor(epoch(e.feat_ts)) AS BIGINT) * 100000
+                  + e.error_level)::BIGINT AS error_level,
+           (j1.activity_score IS NULL) AS missing_activity,
+           (max(e.feat_ts) IS NULL) AS missing_error_history
+    FROM j1 LEFT JOIN feat_err e
+      ON e.user_id = j1.user_id AND e.feat_ts <= j1.label_ts
+    GROUP BY j1.example_id, j1.user_id, j1.activity_score
+    """,
+)
+def pipeline_feature_store_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE-STORE point-in-time join — the training-set
+    construction rule ML platforms exist to enforce (every feature
+    value must be the latest AS OF the label's timestamp; joining
+    current features onto historical labels is the leakage that
+    makes offline metrics lie): a label spine (purchases) joins TWO
+    independently-refreshed feature tables (activity from views,
+    reliability from errors), each resolved to its own most-recent
+    value ≤ label time, with missing-history flags (a new user has
+    NO feature history — the imputation decision belongs
+    downstream, not silently here).
+
+    Each feature resolve is the as-of reduce (max_by over a
+    time-composite key — ties at identical timestamps pinned by
+    value, same convention both sides); features chain LEFT so
+    spine rows never drop. At scale each resolve is one
+    user-keyed shuffle, and the resolved spine — not the raw
+    feature logs — is what a training job reads; this op is the
+    leakage-free oracle the `join_asof` family generalizes to N
+    tables."""
+    ev = load_table(spark, sf_dir, "events")
+    spine = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("example_id"),
+        F.col("ts").alias("label_ts"),
+    )
+    feat_act = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+        (F.col("event_id") % 100).alias("activity_score"),
+    )
+    feat_err = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        (F.col("event_id") % 7).alias("error_level"),
+    )
+    j1 = (
+        spine.join(
+            feat_act,
+            (F.col("user_id") == F.col("a_user"))
+            & (F.col("a_ts") <= F.col("label_ts")),
+            "left_outer",
+        )
+        .groupBy("example_id", "user_id", "label_ts")
+        .agg(
+            F.max_by(
+                "activity_score",
+                F.unix_timestamp("a_ts") * 100000 + F.col("activity_score"),
+            ).alias("activity_score")
+        )
+    )
+    return (
+        j1.join(
+            feat_err,
+            (F.col("user_id") == F.col("e_user"))
+            & (F.col("e_ts") <= F.col("label_ts")),
+            "left_outer",
+        )
+        .groupBy("example_id", "user_id", "activity_score")
+        .agg(
+            F.max_by(
+                "error_level",
+                F.unix_timestamp("e_ts") * 100000 + F.col("error_level"),
+            )
+            .cast("long")
+            .alias("error_level"),
+            F.max("e_ts").isNull().alias("missing_error_history"),
+        )
+        .select(
+            "example_id",
+            "user_id",
+            F.col("activity_score").cast("long").alias("activity_score"),
+            "error_level",
+            F.col("activity_score").isNull().alias("missing_activity"),
+            "missing_error_history",
+        )
+    )

@@ -253,6 +253,9 @@ EVENT_OPS = [
     "stream_state_size_estimate",
     # width folding over every digit/letter residue on tiny ids
     "fn_unicode_width_fold",
+    # purchase-only users (no feature history — both missing flags);
+    # feature events AT the label timestamp (<= boundary)
+    "pipeline_feature_store_pit",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
@@ -392,6 +395,8 @@ DOC_OPS = [
     # single-class docs (entropy exactly 0); the >40-char unbroken
     # flag boundary
     "text_char_entropy_score",
+    # empty confidence deciles vanish identically; single-doc bins
+    "pipeline_calibration_ece",
     # docs whose own text contains ``` or markdown tokens add to
     # the synthesized counts identically on both sides
     "text_markdown_profile",
