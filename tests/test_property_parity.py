@@ -905,3 +905,84 @@ def test_skyline_matches_bruteforce(spark, pts):
         assert got == want
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# Ops whose oracle reads only `embeddings` — the generator produces
+# tiny vector sets with adversarial structure: zero vectors, exact
+# duplicates, negated pairs, and single-label corpora. Components are
+# multiples of 1/64 so float32 storage is EXACT (no widening noise).
+EMBEDDING_OPS = [
+    # zero vectors hit the near-zero counter and the cosine guard
+    "sim_embedding_audit",
+    # single-parity halves make one centroid side empty (inner join
+    # drops the label); duplicate vectors give zero drift
+    "sim_centroid_drift",
+    # constant dimensions zero the centered covariance exactly
+    "sim_covariance_top_pairs",
+    # duplicate top scores exercise the (metric, vec_id) tie-break
+    "sim_mips_maxdot",
+    "sim_rank_fusion",
+]
+
+
+@st.composite
+def embeddings_tables(draw):
+    n = draw(st.integers(min_value=6, max_value=12))
+    dim = 64
+    rows = []
+    for i in range(n):
+        kind = draw(st.sampled_from(["zero", "basis", "grid", "dup0"]))
+        if kind == "zero":
+            vec = [0.0] * dim
+        elif kind == "basis":
+            d = draw(st.integers(min_value=0, max_value=dim - 1))
+            vec = [0.0] * dim
+            vec[d] = draw(st.sampled_from([1.0, -1.0, 0.5]))
+        elif kind == "dup0" and rows:
+            vec = rows[0][1]
+        else:
+            vec = [
+                draw(st.integers(min_value=-8, max_value=8)) / 64.0
+                for _ in range(dim)
+            ]
+        rows.append((i, vec, draw(st.integers(min_value=0, max_value=2))))
+    return rows
+
+
+def _write_embeddings(rows) -> str:
+    tmp = tempfile.mkdtemp(prefix="hmcs_prop_")
+    table = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(table, os.path.join(tmp, "embeddings.parquet"))
+    return tmp
+
+
+@pytest.mark.parametrize("name", EMBEDDING_OPS)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=embeddings_tables())
+def test_embedding_op_parity_on_generated_data(spark, name, rows):
+    op = OPS[name]
+    for t in ("events", "orders", "lineitem", "documents", "customer"):
+        assert t not in op.oracle, f"{name} oracle needs more than embeddings"
+    tmp = _write_embeddings(rows)
+    try:
+        con = duckdb.connect()
+        con.execute("SET timezone='UTC'")
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{tmp}/embeddings.parquet')"
+        )
+        compare_frames(op.fn(spark, tmp), con, op.oracle)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
