@@ -6515,3 +6515,125 @@ def cat_rle_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sort_benefit_x"
         ),
     )
+
+
+@register(
+    "cat_consistent_hash_ring",
+    survey_row=63,
+    oracle="""
+    WITH nodes AS (
+        SELECT 'node' || i AS node,
+               CAST(('0x' || substr(md5('ring:node' || i), 1, 8))
+                    AS BIGINT) AS pos
+        FROM range(8) t(i)
+    ),
+    keys_ AS (
+        SELECT DISTINCT 'p' || (event_id % 500) AS pkey,
+               CAST(('0x' || substr(md5('key:p' || (event_id % 500)), 1, 8))
+                    AS BIGINT) AS kpos
+        FROM events
+    ),
+    owner AS (
+        SELECT k.pkey, k.kpos,
+               coalesce(
+                   min(n.node) FILTER (WHERE n.pos >= k.kpos
+                       AND n.pos = (SELECT min(n2.pos) FROM nodes n2
+                                    WHERE n2.pos >= k.kpos)),
+                   (SELECT min_by(n3.node, n3.pos) FROM nodes n3)
+               ) AS owner_full
+        FROM keys_ k CROSS JOIN nodes n
+        GROUP BY k.pkey, k.kpos
+    ),
+    owner7 AS (
+        SELECT k.pkey,
+               coalesce(
+                   min(n.node) FILTER (WHERE n.pos >= k.kpos
+                       AND n.pos = (SELECT min(n2.pos) FROM nodes n2
+                                    WHERE n2.pos >= k.kpos
+                                      AND n2.node <> 'node3')),
+                   (SELECT min_by(n3.node, n3.pos) FROM nodes n3
+                    WHERE n3.node <> 'node3')
+               ) AS owner_without3
+        FROM keys_ k CROSS JOIN nodes n
+        WHERE n.node <> 'node3'
+        GROUP BY k.pkey, k.kpos
+    )
+    SELECT o.owner_full AS node,
+           count(*)::BIGINT AS n_keys,
+           count(*) FILTER (WHERE o.owner_full <> w.owner_without3)
+               ::BIGINT AS n_moved_if_node3_lost,
+           bool_and(CASE WHEN o.owner_full = 'node3'
+                         THEN o.owner_full <> w.owner_without3
+                         ELSE o.owner_full = w.owner_without3 END)
+               AS only_node3_keys_move
+    FROM owner o JOIN owner7 w ON w.pkey = o.pkey
+    GROUP BY o.owner_full
+    """,
+)
+def cat_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSISTENT-HASH ring assignment — the shard-placement
+    algorithm under every distributed metastore cache and
+    partitioned service (keys and nodes hash onto one ring; a key
+    belongs to the first node clockwise; losing a node moves ONLY
+    that node's keys — the 1/n-disruption property that naive
+    `hash % n` placement catastrophically lacks, since `% (n-1)`
+    reshuffles nearly everything): 500 partitions assigned across 8
+    ring nodes, then re-assigned with node3 removed, and the
+    per-node report gates BOTH distributions AND the membership
+    invariant itself (keys that move are exactly node3's — the
+    only_node3_keys_move column is the theorem, hash-checked).
+
+    The ring is a broadcast |nodes| dim; ownership is the
+    min-position-≥-key reduce with wraparound coalesce; both
+    assignments share one pass. At scale this IS how the collector
+    assigns partitions to collector workers."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def h(prefix, col):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), col)), 1, 8), 16, 10
+        ).cast("long")
+
+    nodes = spark.range(8).select(
+        F.concat(F.lit("node"), F.col("id").cast("string")).alias("node"),
+    )
+    nodes = nodes.select(
+        "node", h("ring:", F.col("node")).alias("pos")
+    ).cache()
+    keys_ = (
+        ev.select(
+            F.concat(F.lit("p"), (F.col("event_id") % 500).cast("string")).alias(
+                "pkey"
+            )
+        )
+        .distinct()
+        .select("pkey", h("key:", F.col("pkey")).alias("kpos"))
+    )
+
+    def assign(node_df, out_col):
+        j = keys_.crossJoin(F.broadcast(node_df))
+        return j.groupBy("pkey", "kpos").agg(
+            F.coalesce(
+                F.min_by(
+                    "node",
+                    F.when(F.col("pos") >= F.col("kpos"), F.col("pos")),
+                ),
+                F.min_by("node", F.col("pos")),
+            ).alias(out_col)
+        )
+
+    full = assign(nodes, "owner_full")
+    reduced = assign(
+        nodes.filter(F.col("node") != "node3"), "owner_without3"
+    ).select("pkey", "owner_without3")
+    j = full.join(reduced, "pkey")
+    moved = F.col("owner_full") != F.col("owner_without3")
+    return j.groupBy(F.col("owner_full").alias("node")).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.count(F.when(moved, 1)).alias("n_moved_if_node3_lost"),
+        # bool_and via min(): node3's keys must ALL move, every other
+        # node's keys must ALL stay — the 1/n-disruption theorem
+        F.min(
+            F.when(F.col("owner_full") == "node3", moved).otherwise(~moved)
+        ).alias("only_node3_keys_move"),
+    )

@@ -1894,3 +1894,73 @@ def pipeline_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(acc - cf) * F.col("n") / F.sum("n").over(total), 6
         ).alias("ece_term"),
     )
+
+
+@register(
+    "pipeline_weighted_sample_es",
+    survey_row=67,
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, lang,
+               least(greatest(n_chars / 2000.0, 0.05), 0.95) AS w,
+               (CAST(('0x' || substr(md5('es:' || doc_id), 1, 8))
+                     AS BIGINT) + 1) / 4294967297.0 AS u
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang, w,
+               round(-ln(u) / w, 6) AS es_key,
+               row_number() OVER (
+                   ORDER BY -ln(u) / w ASC, doc_id) AS rk
+        FROM keyed
+    )
+    SELECT doc_id, lang, round(w, 6) AS weight, es_key
+    FROM ranked WHERE rk <= 100
+    """,
+)
+def pipeline_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sampling WITHOUT replacement (Efraimidis-Spirakis) —
+    the missing member of the sampling family
+    (`pipeline_quality_resample` keeps each doc independently at
+    probability p, so the output SIZE varies; training-set builders
+    usually need EXACTLY k docs, weight-proportionally, no
+    duplicates): each doc draws key = −ln(u)/w with a deterministic
+    md5 uniform, and the k SMALLEST keys are precisely a weighted
+    sample without replacement — the one-pass, fully-parallel
+    algorithm (keys are independent per row; the only coordination
+    is a top-k), which is why it's THE distributed weighted sampler.
+
+    u is (h+1)/2³³ so it is never 0 (ln(0) = −∞ would tie all
+    zero-u rows); keys are deterministic functions of doc_id, the
+    top-k is TakeOrdered with a doc_id tie-break, and the emitted
+    es_key makes the selection auditable. ln on engine-identical
+    IEEE arguments, the logprob contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.least(
+        F.greatest(F.col("n_chars") / 2000.0, F.lit(0.05)), F.lit(0.95)
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("es:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / 4294967297.0
+    keyed = docs.select(
+        "doc_id", "lang", w.alias("w"), (-F.log(u) / w).alias("key_raw")
+    )
+    return (
+        keyed.orderBy(F.col("key_raw").asc(), F.col("doc_id"))
+        .limit(100)
+        .select(
+            "doc_id",
+            "lang",
+            F.round("w", 6).alias("weight"),
+            F.round("key_raw", 6).alias("es_key"),
+        )
+    )

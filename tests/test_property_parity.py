@@ -253,6 +253,9 @@ EVENT_OPS = [
     "stream_state_size_estimate",
     # width folding over every digit/letter residue on tiny ids
     "fn_unicode_width_fold",
+    # tiny rings still satisfy the 1/n-disruption theorem; wraparound
+    # keys (kpos above every node) exercise the coalesce
+    "cat_consistent_hash_ring",
     # purchase-only users (no feature history — both missing flags);
     # feature events AT the label timestamp (<= boundary)
     "pipeline_feature_store_pit",
@@ -397,6 +400,8 @@ DOC_OPS = [
     "text_char_entropy_score",
     # empty confidence deciles vanish identically; single-doc bins
     "pipeline_calibration_ece",
+    # corpora smaller than k (everything sampled); weight-floor docs
+    "pipeline_weighted_sample_es",
     # docs whose own text contains ``` or markdown tokens add to
     # the synthesized counts identically on both sides
     "text_markdown_profile",
