@@ -6637,3 +6637,103 @@ def cat_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("owner_full") == "node3", moved).otherwise(~moved)
         ).alias("only_node3_keys_move"),
     )
+
+
+@register(
+    "cat_lineage_weighted_paths",
+    survey_row=66,
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT src, dst, 5 + len(src) + 2 * len(dst) AS minutes
+        FROM (
+            SELECT DISTINCT prev_type AS src, event_type AS dst FROM (
+                SELECT event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                           AS prev_type
+                FROM events)
+            WHERE prev_type IS NOT NULL AND prev_type <> event_type
+        )
+    ),
+    walk AS (
+        SELECT src, dst, minutes AS total_min, 1 AS hops FROM edges
+        UNION ALL
+        SELECT w.src, e.dst, w.total_min + e.minutes, w.hops + 1
+        FROM walk w JOIN edges e ON e.src = w.dst
+        WHERE w.hops < 8
+    )
+    SELECT src, dst,
+           min(total_min)::BIGINT AS fastest_min,
+           min_by(hops, total_min * 100 + hops)::BIGINT AS hops_on_fastest
+    FROM walk GROUP BY src, dst
+    """,
+)
+def cat_lineage_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED shortest paths over the lineage graph — the
+    end-to-end REFRESH LATENCY question the unweighted closure
+    cannot answer ("how long until a change in raw lands in the
+    mart?" needs edge costs, not hop counts): each edge carries a
+    synthesized refresh duration, and the min-PLUS doubling that
+    computes hop-closure computes cost-closure unchanged — the
+    semiring swap (min/+ over costs instead of min/+ over hop
+    counts) is the entire diff, which is the point: one algebraic
+    family covers reachability, girth, AND latency. Fastest total
+    minutes per (src, dst) with the hop count of the fastest route
+    (ties to fewer hops via the scalar composite).
+
+    Same log₂-rounds broadcast self-joins over the |V|²-bounded
+    pair frame, min-cost deduped per round; oracle walks
+    hop-at-a-time by recursive CTE — the closure-family rule, with
+    WEIGHTS this time."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        F.lag("event_type").over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+    )
+    edges = (
+        trans.filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+        .select(
+            "src",
+            "dst",
+            (5 + F.length("src") + 2 * F.length("dst")).alias("minutes"),
+        )
+        .cache()
+    )
+    paths = edges.select(
+        "src", "dst", F.col("minutes").alias("total_min"), F.lit(1).alias("hops")
+    )
+    for _ in range(3):  # 1 -> 2 -> 4 -> 8 hop paths
+        squared = (
+            paths.join(
+                F.broadcast(
+                    paths.select(
+                        F.col("src").alias("m"),
+                        F.col("dst").alias("dst2"),
+                        F.col("total_min").alias("min2"),
+                        F.col("hops").alias("hops2"),
+                    )
+                ),
+                F.col("dst") == F.col("m"),
+            )
+            .select(
+                "src",
+                F.col("dst2").alias("dst"),
+                (F.col("total_min") + F.col("min2")).alias("total_min"),
+                (F.col("hops") + F.col("hops2")).alias("hops"),
+            )
+        )
+        paths = (
+            paths.unionAll(squared)
+            .groupBy("src", "dst", "hops")
+            .agg(F.min("total_min").alias("total_min"))
+            .select("src", "dst", "total_min", "hops")
+            .localCheckpoint(eager=False)
+        )
+    return paths.groupBy("src", "dst").agg(
+        F.min("total_min").cast("long").alias("fastest_min"),
+        F.min_by("hops", F.col("total_min") * 100 + F.col("hops"))
+        .cast("long")
+        .alias("hops_on_fastest"),
+    )

@@ -256,6 +256,9 @@ EVENT_OPS = [
     # tiny rings still satisfy the 1/n-disruption theorem; wraparound
     # keys (kpos above every node) exercise the coalesce
     "cat_consistent_hash_ring",
+    # cyclic tiny graphs under the weighted doubling; equal-cost
+    # paths of different lengths decide by the fewer-hops composite
+    "cat_lineage_weighted_paths",
     # purchase-only users (no feature history — both missing flags);
     # feature events AT the label timestamp (<= boundary)
     "pipeline_feature_store_pit",
