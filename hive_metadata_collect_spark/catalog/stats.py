@@ -6737,3 +6737,99 @@ def cat_lineage_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hops_on_fastest"),
     )
+
+
+@register(
+    "cat_crdt_counter_merge",
+    survey_row=61,
+    oracle="""
+    WITH truth AS (
+        SELECT event_type, user_id % 4 AS node, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    replicas AS (
+        -- each replica has a STALE view of the other nodes: it saw
+        -- only a deterministic prefix fraction of their counts, but
+        -- ALL of its own
+        SELECT t.event_type, r.replica, t.node,
+               CASE WHEN t.node = r.replica THEN t.n
+                    ELSE t.n - (t.n * ((t.node + r.replica) % 3)) // 4
+               END AS seen
+        FROM truth t CROSS JOIN range(4) r(replica)
+    ),
+    merged AS (
+        SELECT event_type, node, max(seen) AS merged_n
+        FROM replicas GROUP BY event_type, node
+    )
+    SELECT m.event_type,
+           sum(m.merged_n)::BIGINT AS merged_total,
+           sum(t.n)::BIGINT AS true_total,
+           bool_and(m.merged_n = t.n) AS converged
+    FROM merged m JOIN truth t
+      ON t.event_type = m.event_type AND t.node = m.node
+    GROUP BY m.event_type
+    """,
+)
+def cat_crdt_counter_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRDT G-COUNTER merge — the replication semantics under every
+    eventually-consistent metric pipeline (four collector replicas
+    each count their own node's events completely but hold STALE
+    views of the others; naive averaging or last-write-wins both
+    corrupt the total): the grow-only counter's merge is
+    per-(key, node) MAX across replica views, then sum — and
+    because every node's own view is authoritative and max is the
+    join of the lattice, the merged total provably equals the true
+    total, which the `converged` column gates per key. Staleness is
+    seeded deterministically (each replica missing a residue-derived
+    fraction of foreign counts) so the merge genuinely repairs
+    divergent states rather than passing through equal inputs.
+
+    One |keys|×|nodes|×|replicas| metadata frame; merge = one max
+    agg + one sum — commutative, associative, idempotent (the CRDT
+    laws ARE the mergeable-aggregate properties every sketch op
+    here relies on, stated at their source)."""
+    ev = load_table(spark, sf_dir, "events")
+    truth = ev.groupBy(
+        "event_type", (F.col("user_id") % 4).alias("node")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    replicas = (
+        truth.crossJoin(
+            F.broadcast(
+                spark.range(4).select(F.col("id").cast("long").alias("replica"))
+            )
+        )
+        .select(
+            "event_type",
+            "replica",
+            "node",
+            F.when(F.col("node") == F.col("replica"), F.col("n"))
+            .otherwise(
+                F.col("n")
+                - F.floor(
+                    (F.col("n") * ((F.col("node") + F.col("replica")) % 3)) / 4
+                )
+            )
+            .alias("seen"),
+        )
+    )
+    merged = replicas.groupBy("event_type", "node").agg(
+        F.max("seen").alias("merged_n")
+    )
+    t = truth.select(
+        F.col("event_type").alias("t_type"),
+        F.col("node").alias("t_node"),
+        F.col("n"),
+    )
+    return (
+        merged.join(
+            t,
+            (F.col("event_type") == F.col("t_type"))
+            & (F.col("node") == F.col("t_node")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("merged_n").cast("long").alias("merged_total"),
+            F.sum("n").cast("long").alias("true_total"),
+            F.min(F.col("merged_n") == F.col("n")).alias("converged"),
+        )
+    )

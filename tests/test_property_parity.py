@@ -259,6 +259,9 @@ EVENT_OPS = [
     # cyclic tiny graphs under the weighted doubling; equal-cost
     # paths of different lengths decide by the fewer-hops composite
     "cat_lineage_weighted_paths",
+    # tiny counts where the stale fraction floors to 0 (replicas
+    # already equal — merge must still converge, idempotently)
+    "cat_crdt_counter_merge",
     # purchase-only users (no feature history — both missing flags);
     # feature events AT the label timestamp (<= boundary)
     "pipeline_feature_store_pit",
