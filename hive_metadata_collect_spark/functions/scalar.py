@@ -1024,7 +1024,8 @@ def fn_explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream rollup; explode_outer preserves them with one NULL
     element. Arrays are synthesized with both degenerate classes
     (empty on a 5-residue, NULL on a 7-residue — and their overlap
-    at 35k, hitting the NULL branch first); the output keeps
+    at 35k, where the EMPTY branch wins because the %5 test comes
+    first in both engines' CASE chain); the output keeps
     was_null/was_empty markers so the preserved rows' provenance is
     itself gated.
 

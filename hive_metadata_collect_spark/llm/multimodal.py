@@ -1291,9 +1291,15 @@ def mm_audio_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     clipping comparison are all hash-gated.
 
     All three stats are integers or a single IEEE division
-    (sum/n), so no accumulation-order risk. Arrow batch decode →
-    per-doc reduce; embarrassingly parallel at scale, like every
-    mm_* decode stage."""
+    (sum/n), so no accumulation-order risk. The UDF returns the RAW
+    sum/n double and F.round(…, 4) applies JVM-side in the output
+    projection — Python's round() is correctly-rounded decimal
+    (banker's) while both engines' SQL round is half-up via float
+    scaling, so rounding must happen engine-side to stay
+    oracle-parallel (the discipline mm_av_sync_check documents;
+    ADVICE r6 #2). Arrow batch decode → per-doc reduce;
+    embarrassingly parallel at scale, like every mm_* decode
+    stage."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         dec = DECODERS["audio"]
@@ -1306,16 +1312,21 @@ def mm_audio_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "doc_id": int(doc_id),
                         "peak": feats["peak"],
                         "n_clipped": feats["n_clipped"],
-                        "dc_offset": round(
-                            feats["sum_samples"] / max(feats["n_samples"], 1), 4
-                        ),
+                        "dc_raw": feats["sum_samples"]
+                        / max(feats["n_samples"], 1),
                     }
                 )
             yield pd.DataFrame(rows)
 
     d = load_table(spark, sf_dir, "documents")
-    return _synth_wav_payloads(d).mapInPandas(
-        batches, schema="doc_id long, peak long, n_clipped long, dc_offset double"
+    decoded = _synth_wav_payloads(d).mapInPandas(
+        batches, schema="doc_id long, peak long, n_clipped long, dc_raw double"
+    )
+    return decoded.select(
+        "doc_id",
+        "peak",
+        "n_clipped",
+        F.round("dc_raw", 4).alias("dc_offset"),
     )
 
 

@@ -533,11 +533,24 @@ def test_token_bucket_single_exchange(spark, sf_dir):
 def test_cusum_windows_share_one_sort_order(spark, sf_dir):
     """CUSUM's prefix-sum + running-min must reuse ONE (grp, day)
     sort — two stacked Window nodes, not two independent sorts of
-    the series."""
+    the series. Exact counts (ADVICE r6 #4: the old `<=1 or <=2`
+    disjunction was vacuous): the known-good plan has exactly two
+    Sort nodes total — one (grp) sort for the whole-series mean
+    window, one (grp, day) sort shared by BOTH running windows —
+    and exactly two day-ordered Window nodes above that single
+    day-ordered Sort."""
     df = OPS["win_cusum_alarm"].fn(spark, sf_dir)
     plan = physical_plan(df)
-    # the series frame is sorted once; both running windows run over it
-    assert plan.count("Sort [grp") <= 1 or plan.count("Sort ") <= 2
+    sort_lines = [ln for ln in plan.splitlines() if "Sort [" in ln]
+    assert len(sort_lines) == 2, plan[:2000]
+    day_sorts = [ln for ln in sort_lines if "day#" in ln]
+    assert len(day_sorts) == 1, sort_lines
+    day_windows = [
+        ln
+        for ln in plan.splitlines()
+        if "Window [" in ln and "day#" in ln
+    ]
+    assert len(day_windows) == 2, plan[:2000]
 
 
 def test_vocab_scoring_join_broadcasts(spark, sf_dir):
@@ -589,12 +602,25 @@ def test_nested_schema_pruning_reaches_scan(spark, sf_dir):
 
 def test_twopass_median_within_bucket_sort_only(spark, sf_dir):
     """Pass 2 must rank only the located bucket — the plan carries a
-    bucket filter below the window sort, never a full-column sort."""
+    bucket filter BELOW the window sort and pushes it into the scan,
+    never a full-column sort (ADVICE r6 #4: assert structure, not
+    just the substring)."""
     df = OPS["agg_exact_median_twopass"].fn(spark, sf_dir)
     plan = physical_plan(df)
-    assert "Window" in plan
-    # the within-bucket filter reaches the scan side
-    assert "FLOOR" in plan.upper() or "floor" in plan
+    lines = plan.splitlines()
+    win_idx = [i for i, ln in enumerate(lines) if "Window [row_number()" in ln]
+    flt_idx = [
+        i for i, ln in enumerate(lines) if "Filter (FLOOR" in ln.replace("+- ", "")
+        or ("Filter" in ln and "FLOOR" in ln)
+    ]
+    assert win_idx and flt_idx, plan[:2000]
+    # the bucket filter sits below (after, in toString order) the rank window
+    assert min(flt_idx) > min(win_idx), plan[:2000]
+    # and it reaches the parquet scan as a data filter
+    scan_lines = [ln for ln in lines if "FileScan parquet" in ln]
+    assert scan_lines and any(
+        "DataFilters: [" in ln and "FLOOR" in ln for ln in scan_lines
+    ), scan_lines
 
 
 def test_sweep_line_single_keyed_window(spark, sf_dir):
@@ -642,3 +668,19 @@ def test_or_join_rewrite_no_nested_loop(spark, sf_dir):
     plan = physical_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") >= 2
+
+
+def test_hard_negatives_one_pass_no_union(spark, sf_dir):
+    """Hard-negative mining must be ONE broadcast-join + window
+    plan — not a per-anchor Python loop of unioned TakeOrdered
+    branches (round-6 verdict "What's wrong" #2). The label
+    inequality forces a broadcast nested-loop join; top-1 per
+    anchor is a single window rank."""
+    df = OPS["sim_hard_negatives"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Union" not in plan, plan[:2000]
+    assert "TakeOrderedAndProject" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert plan.count("Window [row_number()") == 1, plan[:2000]
+    # anchors + candidates: exactly two scans of the embeddings table
+    assert plan.count("FileScan parquet") == 2, plan[:2000]

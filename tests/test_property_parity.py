@@ -180,7 +180,8 @@ EVENT_OPS = [
     # dedup on duplicate keys, lexicographic-max cast semantics
     "cat_params_eav_pivot",
     # the 5- and 7-residue degenerate classes and their 35-overlap
-    # (NULL branch wins); tiny tables with no normal arrays at all
+    # (EMPTY branch wins — the %5 test comes first in both engines'
+    # CASE chain); tiny tables with no normal arrays at all
     "fn_explode_outer_nulls",
     # graphs where an MV is its own upstream's upstream; fresh MVs
     # (is_stale false everywhere) on single-type tables
