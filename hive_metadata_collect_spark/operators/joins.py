@@ -103,7 +103,10 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_row=9,
     oracle="""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                          (CAST(1 AS DECIMAL(5,4)) -
+                           CAST(l_discount AS DECIMAL(5,4)))), 2)
+                AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -141,7 +144,15 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side into an isin filter + literal map (_region_nations) —
     their values are constants of the catalog, not data, so no
     broadcast wave is spent on them and the ASIA filter pushes down
-    into the customer parquet scan."""
+    into the customer parquet scan.
+
+    Revenue accumulates in exact DECIMAL(18,4) on both engines (like
+    join_agg_pushdown and agg_decimal_money): a double sum over a
+    ~3.9e9 accumulation at sf1 diverged by one ULP in the 2nd
+    decimal between engines (round-6 verdict "What's wrong" #1);
+    decimal addition is associative, so the gate is scale-stable at
+    any accumulation length. Cast back to DOUBLE after the final
+    round so the output schema is unchanged."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -161,8 +172,17 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (
+                        F.lit(1).cast("decimal(5,4)")
+                        - F.col("l_discount").cast("decimal(5,4)")
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
