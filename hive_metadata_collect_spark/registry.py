@@ -72,79 +72,86 @@ def load_all() -> dict[str, Op]:
 
 
 # The driver's CORRECTNESS check samples the FIRST 50 entries of
-# ``queries()`` (dict insertion order). With module-import ordering that
-# sample was scans/filters/joins/aggregates for five straight rounds and
-# the catalog/LLM surface — the actual product — never received
-# driver-side confirmation (round-5 verdict, "Next round" item 1). The
-# list below pins a 50-query cross-section to the front: ~15 relational
-# representatives, the catalog domain, dedup/similarity/text pipelines,
-# streaming batch-equivalents, multimodal decode, and the Python data
-# source. Every name carries a full DuckDB oracle (no rows-only entries)
-# so the sampled 50 are all hash-checkable. Remaining operators follow
-# in registration (module) order — nothing is dropped, only reordered.
+# ``queries()`` (dict insertion order). Rounds 1-6 confirmed 93
+# distinct operators driver-side; the round-6 verdict ("Next round"
+# item 1) asks each round to rotate the front of the ordering to 50
+# NEVER-sampled operators so driver-side confirmation sweeps the whole
+# 398-op inventory over successive rounds. The round-7 cross-section
+# below is drawn entirely from operators absent from
+# CORRECTNESS_r01-r06: the TPC-H composite suite, the lakehouse
+# tx-log/time-travel ops, exact LSH twins, multimodal parsers beyond
+# audio, the window/sequential-state family, the sub_* subquery traps,
+# and this round's two rewritten ops (sim_hard_negatives,
+# mm_audio_quality_audit). Every name carries a full DuckDB oracle (no
+# rows-only entries) so the sampled 50 are all hash-checkable.
+# Remaining operators follow in registration (module) order — nothing
+# is dropped, only reordered.
 _SAMPLE_ORDER = [
-    # relational representatives (15)
-    "scan_full",
-    "scan_project",
-    "sink_parquet_roundtrip",
-    "filter_range_pred",
-    "join_inner_equi",
-    "join_multiway_star",
-    "join_asof",
-    "join_agg_pushdown",
-    "agg_pricing_summary",
-    "agg_grouping_sets",
-    "win_topk_per_group",
-    "win_distinct_running",
-    "tpch_q3_shipping_priority",
-    "fn_string_suite",
-    "fn_json_extract",
-    # round-6 session flagships (5): the sequential-state fold, the
-    # lakehouse GC read, a native sketch, and two curation closers —
-    # driver-side confirmation for the newest surface
-    "stream_token_bucket",
-    "cat_vacuum_plan",
-    "agg_countmin_heavy",
-    "cat_funnel_strict",
-    "pipeline_curation_verdict",
-    # streaming batch-equivalents (4)
-    "stream_tumbling_counts",
-    "stream_session_windows",
-    "stream_watermark_late",
-    "stream_stream_join",
-    # data-catalog domain (12)
-    "cat_table_stats",
-    "cat_column_profile",
-    "cat_partition_freshness",
-    "cat_table_heat",
-    "cat_metastore_denorm",
-    "cat_lineage_closure",
-    "cat_lineage_sql",
-    "cat_lineage_sql_columns",
-    "cat_merge_upsert",
-    "cat_scd2_apply",
-    "cat_query_fingerprint",
+    # scan/source machinery (3)
+    "scan_dynamic_partition_pruning",
+    "scan_corrupt_records",
+    "scan_nested_schema_pruning",
+    # subquery traps (3)
+    "sub_in_any_all",
+    "sub_not_in_null_trap",
+    "sub_count_bug",
+    # join strategies (3)
+    "join_runtime_bloom_filter",
+    "join_asof_tolerance",
+    "join_or_condition_rewrite",
+    # aggregates (3)
+    "agg_exact_median_twopass",
+    "agg_kmv_sketch",
+    "agg_welch_ttest",
+    # window / sequential-state family (4)
+    "win_cusum_alarm",
+    "win_gap_fill",
+    "win_streak_longest",
+    "win_peak_concurrency",
+    # set ops (1)
+    "sort_skyline_2d",
+    # TPC-H composite suite (7)
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q12_shipmode",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    # scalar-function suites (2)
+    "fn_variant_json",
+    "fn_try_cast_messy",
+    # streaming batch-equivalents (3)
+    "stream_cdc_apply",
+    "stream_late_drop_accounting",
+    "stream_sliding_topk",
+    # data-catalog / lakehouse domain (6)
+    "cat_tx_log_snapshot",
+    "cat_time_travel_read",
+    "cat_bitemporal_asof",
+    "cat_audit_chain_verify",
+    "cat_golden_record",
+    "cat_equidepth_histogram",
     # UDF surface (2)
-    "udf_pandas_scalar",
-    "udtf_split_props",
-    # dedup / training pipelines (7)
-    "dedup_exact",
-    "dedup_near_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_components",
-    "pipeline_clean_corpus",
-    "pipeline_decontaminate",
-    # similarity (3)
-    "sim_topk_cosine",
-    "sim_knn_batch",
-    "pipeline_decontaminate_embed",
-    # text analysis (2)
-    "text_wordcount",
-    "text_bigram_logprob",
-    # multimodal (1)
-    "mm_audio_rms",
-    # custom source (1)
-    "src_python_datasource",
+    "udf_cogrouped_asof",
+    "udf_pandas_iter_model",
+    # dedup / training pipelines (4)
+    "dedup_simhash",
+    "dedup_containment",
+    "pipeline_incremental_dedup",
+    "pipeline_preference_pairs",
+    # similarity — this round's broadcast-batch rewrite (1)
+    "sim_hard_negatives",
+    # text analysis (4)
+    "text_hashed_features",
+    "text_pii_redact",
+    "pipeline_pack_sequences",
+    "text_zipf_fit",
+    # multimodal — parsers beyond audio + this round's rounding fix (4)
+    "mm_image_phash",
+    "mm_video_stats",
+    "mm_format_sniff",
+    "mm_audio_quality_audit",
 ]
 
 
