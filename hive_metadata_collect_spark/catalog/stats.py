@@ -2037,6 +2037,166 @@ def cat_tx_log_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Golden REAL-format Delta transaction log (round-6 verdict item 7):
+#: hand-written but spec-conformant `_delta_log/%020d.json` files
+#: (public Delta protocol — newline-delimited JSON actions: protocol,
+#: metaData, commitInfo, add with embedded `stats` JSON, remove
+#: tombstones; the VERSION lives in the FILE NAME, not the action).
+#: Checked in under fixtures/ so the replay parses the actual action
+#: schema, not a home-grown shape.
+import pathlib as _pathlib
+
+_DELTA_LOG_DIR = str(
+    _pathlib.Path(__file__).resolve().parents[2]
+    / "fixtures"
+    / "delta_table"
+    / "_delta_log"
+)
+
+
+@register(
+    "cat_delta_log_replay",
+    survey_row=61,
+    oracle=f"""
+    WITH raw AS (
+        SELECT regexp_extract(filename, '(\\d{{20}})\\.json', 1)::BIGINT
+                   AS v,
+               line
+        FROM read_csv('{_DELTA_LOG_DIR}/*.json',
+                      columns={{'line': 'VARCHAR'}}, delim=chr(1),
+                      quote='', header=false, filename=true)
+    ),
+    acts AS (
+        SELECT v,
+               coalesce(json_extract_string(line, '$.add.path'),
+                        json_extract_string(line, '$.remove.path'))
+                   AS path,
+               json_extract_string(line, '$.add.path') IS NOT NULL
+                   AS is_add,
+               CAST(json_extract(line, '$.add.size') AS BIGINT) AS fsize,
+               CAST(json_extract(
+                        json_extract_string(line, '$.add.stats'),
+                        '$.numRecords') AS BIGINT) AS frows
+        FROM raw
+        WHERE json_extract_string(line, '$.add.path') IS NOT NULL
+           OR json_extract_string(line, '$.remove.path') IS NOT NULL
+    ),
+    ops AS (
+        SELECT v, json_extract_string(line, '$.commitInfo.operation')
+                   AS operation
+        FROM raw
+        WHERE json_extract_string(line, '$.commitInfo.operation')
+              IS NOT NULL
+    ),
+    snaps AS (SELECT DISTINCT v AS snap FROM raw),
+    winners AS (
+        SELECT s.snap, a.path, a.is_add, a.fsize, a.frows,
+               row_number() OVER (
+                   PARTITION BY s.snap, a.path
+                   ORDER BY a.v DESC,
+                            (CASE WHEN a.is_add THEN 0 ELSE 1 END) DESC)
+                   AS rn
+        FROM acts a JOIN snaps s ON a.v <= s.snap
+    )
+    SELECT w.snap AS snapshot_version,
+           o.operation,
+           (count(*) FILTER (WHERE w.is_add))::BIGINT AS n_files,
+           coalesce(sum(w.fsize) FILTER (WHERE w.is_add), 0)::BIGINT
+               AS total_bytes,
+           coalesce(sum(w.frows) FILTER (WHERE w.is_add), 0)::BIGINT
+               AS total_rows
+    FROM winners w JOIN ops o ON w.snap = o.v
+    WHERE w.rn = 1
+    GROUP BY w.snap, o.operation
+    """,
+)
+def cat_delta_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-FORMAT Delta log replay (round-6 verdict item 7) — the
+    golden-fixture twin of `cat_tx_log_snapshot`: that op gates the
+    replay REDUCE on a synthesized log; this one pins the PARSE
+    against the actual public Delta protocol, from checked-in
+    `_delta_log/%020d.json` files written by hand to spec. What the
+    spec makes the parser handle that the synthesized shape did not:
+    (a) the commit VERSION is encoded in the file NAME, not the
+    action (input_file_name + regexp, exactly how a real log reader
+    derives it); (b) heterogeneous action lines — protocol /
+    metaData / commitInfo / add / remove — share one file, so
+    non-file actions must be filtered structurally, not assumed
+    away; (c) per-file row counts live in `add.stats`, a JSON
+    document EMBEDDED AS A STRING inside the action JSON (two-level
+    get_json_object); (d) commitInfo carries the operation name
+    joined back per snapshot. The replay itself is the
+    last-writer-wins reduce shared with the synthesized gate:
+    snapshots × actions range join on v <= snap, max_by over
+    (version, add-beats-remove-inverted) per (snap, path), rollup
+    of surviving adds. Scale: a real table's checkpoint parquet
+    replaces the full-history JSON walk, but the per-(snap, path)
+    reduce is identical; everything here is |files|-bounded — no
+    data file is ever opened."""
+    raw = (
+        spark.read.text(_DELTA_LOG_DIR + "/*.json")
+        .select(
+            F.regexp_extract(F.input_file_name(), r"(\d{20})\.json", 1)
+            .cast("long")
+            .alias("v"),
+            F.col("value").alias("line"),
+        )
+    )
+    add_path = F.get_json_object("line", "$.add.path")
+    rm_path = F.get_json_object("line", "$.remove.path")
+    acts = raw.filter(add_path.isNotNull() | rm_path.isNotNull()).select(
+        "v",
+        F.coalesce(add_path, rm_path).alias("path"),
+        add_path.isNotNull().alias("is_add"),
+        F.get_json_object("line", "$.add.size").cast("long").alias("fsize"),
+        F.get_json_object(
+            F.get_json_object("line", "$.add.stats"), "$.numRecords"
+        )
+        .cast("long")
+        .alias("frows"),
+    )
+    ops = raw.select(
+        "v",
+        F.get_json_object("line", "$.commitInfo.operation").alias(
+            "operation"
+        ),
+    ).filter(F.col("operation").isNotNull())
+    snaps = raw.select(F.col("v").alias("snap")).distinct()
+    winners = (
+        acts.join(F.broadcast(snaps), acts["v"] <= F.col("snap"))
+        .groupBy("snap", "path")
+        .agg(
+            F.max_by(
+                F.struct("is_add", "fsize", "frows"),
+                F.struct(
+                    F.col("v"),
+                    F.when(F.col("is_add"), 0).otherwise(1).alias("rm"),
+                ),
+            ).alias("w")
+        )
+    )
+    return (
+        winners.filter(F.col("w.is_add"))
+        .groupBy(F.col("snap").alias("snapshot_version"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("w.fsize").alias("total_bytes"),
+            F.sum("w.frows").alias("total_rows"),
+        )
+        .join(
+            F.broadcast(ops.withColumnRenamed("v", "snapshot_version")),
+            "snapshot_version",
+        )
+        .select(
+            "snapshot_version",
+            "operation",
+            "n_files",
+            "total_bytes",
+            "total_rows",
+        )
+    )
+
+
 @register(
     "cat_time_travel_read",
     survey_row=61,

@@ -627,3 +627,22 @@ def test_lineage_sql_qualified_and_quoted_identifiers(spark, sf_dir):
         if r.src_table.startswith("base_"):
             assert r.src_db == "default", r
         assert not r.src_table.startswith("cte_"), r
+
+
+def test_delta_log_replay_golden_values(spark, sf_dir):
+    """The checked-in spec-conformant _delta_log fixture replays to
+    hand-computed snapshots: v0 WRITE adds 3 files; v1 MERGE removes
+    one and adds two; v2 OPTIMIZE compacts two into one (net file
+    count back to 3, row count unchanged — compaction moves bytes,
+    not rows)."""
+    rows = {
+        r.snapshot_version: r
+        for r in OPS["cat_delta_log_replay"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    assert (rows[0].operation, rows[0].n_files, rows[0].total_bytes,
+            rows[0].total_rows) == ("WRITE", 3, 30720, 355)
+    assert (rows[1].operation, rows[1].n_files, rows[1].total_bytes,
+            rows[1].total_rows) == ("MERGE", 4, 35840, 405)
+    assert (rows[2].operation, rows[2].n_files, rows[2].total_bytes,
+            rows[2].total_rows) == ("OPTIMIZE", 3, 34816, 405)
