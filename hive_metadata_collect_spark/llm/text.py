@@ -1186,6 +1186,148 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_ROUNDS = 4
+_BPE_SYM_PAT = r"\(([^)]+)\)"
+
+
+def _bpe_learn_oracle() -> str:
+    """Chained-CTE DuckDB oracle for the iterated BPE merge loop: one
+    (pairs → argmax → replace → recount) block per merge round, the
+    relational unrolling of the driver loop."""
+    syms = "regexp_extract_all(sym, '\\(([^)]+)\\)', 1)"
+    sql = """
+    WITH w0 AS (
+        SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS sym,
+               count(*)::BIGINT AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE regexp_full_match(w, '[a-z]{2,}')
+        GROUP BY 1
+    )"""
+    for r in range(1, _BPE_ROUNDS + 1):
+        sql += f""",
+    p{r} AS (
+        SELECT pr AS pair, sum(cnt)::BIGINT AS n
+        FROM (
+            SELECT cnt,
+                   unnest(list_transform(range(1, len(s)),
+                       i -> '(' || s[i] || ')(' || s[i + 1] || ')')) AS pr
+            FROM (SELECT cnt, {syms} AS s FROM w{r - 1})
+        ) GROUP BY pr
+    ),
+    m{r} AS (SELECT pair, n FROM p{r} ORDER BY n DESC, pair ASC LIMIT 1),
+    w{r} AS (
+        SELECT replace(sym, (SELECT pair FROM m{r}),
+                       replace((SELECT pair FROM m{r}), ')(', '')) AS sym,
+               cnt
+        FROM w{r - 1}
+    ),
+    t{r} AS (
+        SELECT sum(cnt * len({syms}))::BIGINT AS tokens_after FROM w{r}
+    )"""
+    sql += "\n    " + "\n    UNION ALL\n    ".join(
+        f"""SELECT {r}::BIGINT AS merge_rank,
+           regexp_extract(m{r}.pair, '^\\(([^)]+)\\)', 1) AS left_sym,
+           regexp_extract(m{r}.pair, '\\(([^)]+)\\)$', 1) AS right_sym,
+           translate(m{r}.pair, '()', '') AS merged,
+           m{r}.n AS n_pair,
+           t{r}.tokens_after
+    FROM m{r}, t{r}"""
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return sql
+
+
+@register("text_bpe_learn", survey_row=71, oracle=_bpe_learn_oracle())
+def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction, the ITERATED merge loop (round-6
+    verdict item 8 — `text_bpe_pair_counts` is one pair-count step;
+    this learns the actual merge table the tokenizer ships): 4
+    rounds of (corpus-wide weighted pair count → argmax merge under
+    the (count desc, pair asc) total order → non-overlapping
+    left-to-right merge application → recount), emitting one row per
+    learned merge with its pair count at merge time and the
+    post-merge corpus token count.
+
+    The two design moves that make this Spark-shaped:
+
+    * **Vocab collapse.** The corpus folds to (word, count) ONCE;
+      every subsequent round runs over |vocab| rows, never |corpus|
+      — the standard BPE-at-scale trick (pair counts are weighted
+      sums over word frequencies). At 100 TB the word-histogram
+      shuffle happens once; the 4 iterated jobs touch megabytes.
+    * **Parenthesized symbol strings.** A word's symbol sequence is
+      `(h)(e)(l)(l)(o)`; applying merge (l,l) is
+      `replace(sym, '(l)(l)', '(ll)')`. Because the wrapping makes
+      symbol boundaries unshareable, both engines' plain `replace`
+      — all occurrences, left-to-right, non-overlapping — IS the
+      BPE merge rule (`(a)(a)(a)` + merge (a,a) → `(aa)(a)`, never
+      `(aa)(aa)`-style double consumption), all inside whole-stage
+      codegen with no UDF.
+
+    The driver loop is the cat_lineage_closure architecture: each
+    round collects ONE argmax row (bounded), rewrites the vocab
+    frame, and localCheckpoints to keep lineage flat. tokens_after
+    is a real recount, not tokens_before - n_pair, because
+    overlapping pair occurrences merge fewer times than they count
+    ((a,a) in 'aaa' counts 2, merges once)."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]{2,}$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.regexp_replace("w", "(.)", r"($1)").alias("sym"), "cnt"
+        )
+    )
+    cur = vocab.localCheckpoint()
+    sym_pat = F.lit(_BPE_SYM_PAT)
+    merges = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        with_syms = cur.withColumn(
+            "s", F.regexp_extract_all("sym", sym_pat, 1)
+        ).filter(F.size("s") >= 2)
+        pairs = with_syms.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(s) - 2),"
+                    " i -> concat('(', s[i], ')(', s[i + 1], ')'))"
+                )
+            ).alias("pair"),
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        left, right = top["pair"][1:-1].split(")(")
+        cur = cur.select(
+            F.replace(
+                F.col("sym"), F.lit(top["pair"]), F.lit(f"({left}{right})")
+            ).alias("sym"),
+            "cnt",
+        ).localCheckpoint()
+        tokens_after = cur.select(
+            F.sum(
+                F.col("cnt")
+                * F.size(F.regexp_extract_all("sym", sym_pat, 1))
+            )
+        ).collect()[0][0]
+        merges.append(
+            (r, left, right, left + right, int(top["n"]), int(tokens_after))
+        )
+    return spark.createDataFrame(
+        merges,
+        schema=(
+            "merge_rank long, left_sym string, right_sym string,"
+            " merged string, n_pair long, tokens_after long"
+        ),
+    )
+
+
 @register(
     "text_hashed_features",
     survey_row=73,
