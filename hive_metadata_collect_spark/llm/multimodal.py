@@ -1330,6 +1330,142 @@ def mm_audio_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_corrupt_wav_payloads(df: DataFrame) -> DataFrame:
+    """The _synth_wav_payloads feed with DETERMINISTIC corruption
+    seeded by doc_id residue — the mixed-quality crawl a real ingest
+    sees: %7==1 bad magic (first four bytes stomped), %7==3 truncated
+    to the bare RIFF/WAVE preamble (no chunks survive), %7==5 a
+    non-PCM codec tag (IEEE-float fmt=3). Each class drives a
+    DIFFERENT error path in the decoder, and each is closed-form in
+    doc_id, so the quarantine reason is oracle-derivable."""
+    import struct
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 64 + doc_id % 128
+                samples = (
+                    (doc_id * 31 + np.arange(n, dtype=np.int64) * 7) % 65536
+                    - 32768
+                ).astype("<i2")
+                data = samples.tobytes()
+                codec = 3 if doc_id % 7 == 5 else 1
+                fmt = struct.pack("<HHIIHH", codec, 1, 16000, 32000, 2, 16)
+                payload = (
+                    b"RIFF"
+                    + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<I", len(fmt))
+                    + fmt
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                    + data
+                )
+                if doc_id % 7 == 1:
+                    payload = b"JUNK" + payload[4:]
+                elif doc_id % 7 == 3:
+                    payload = payload[:12]
+                rows.append({"doc_id": doc_id, "payload": payload})
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )
+
+
+@register(
+    "mm_corrupt_quarantine",
+    survey_row=74,
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               ((doc_id * 31 + unnest(generate_series(0,
+                    64 + doc_id % 128 - 1)) * 7) % 65536) - 32768 AS v
+        FROM documents
+    ),
+    pk AS (
+        SELECT doc_id, count(*)::BIGINT AS n, max(abs(v))::BIGINT AS peak
+        FROM s GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 7 IN (1, 3, 5) THEN 'quarantined'
+                ELSE 'ok' END AS status,
+           CASE WHEN d.doc_id % 7 = 1 THEN 'not a RIFF/WAVE container'
+                WHEN d.doc_id % 7 = 3 THEN 'missing fmt/data chunk'
+                WHEN d.doc_id % 7 = 5
+                THEN 'only PCM16 supported, got fmt=3 bits=16'
+           END AS reason,
+           CASE WHEN d.doc_id % 7 IN (1, 3, 5) THEN NULL
+                ELSE pk.n END AS n_samples,
+           CASE WHEN d.doc_id % 7 IN (1, 3, 5) THEN NULL
+                ELSE pk.peak END AS peak
+    FROM documents d JOIN pk ON d.doc_id = pk.doc_id
+    """,
+)
+def mm_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRUPT-CONTAINER QUARANTINE (round-6 verdict item 9) — the
+    PERMISSIVE-mode analog of scan_corrupt_records for the binary
+    decode path: the mm_* parsers RAISE on malformed payloads, which
+    is right for a gated fixture and wrong for ingest, where one bad
+    crawl byte must never fail a 10k-row Arrow batch. The feed seeds
+    three deterministic corruption classes (bad magic / truncated
+    preamble / non-PCM codec tag); the decode stage try/excepts PER
+    ROW inside the batch, routing failures to (status='quarantined',
+    reason=<decoder message>) and successes to the decoded stats —
+    and ACCOUNTS FOR EVERY INPUT ROW (|out| == |in| by construction,
+    the invariant a lossy quarantine silently breaks). Because each
+    corruption class drives a different error path in the real
+    chunk-walking parser, the reason STRINGS are part of the gate:
+    the oracle re-derives which ValueError fired from doc_id alone,
+    so a parser refactor that reorders its validation breaks the
+    hash, not just a test. Scale: identical to every mm_* decode —
+    Arrow mapInPandas, map-only, embarrassingly parallel; quarantined
+    rows keep their payload-free metadata so the reject stream can be
+    re-crawled or triaged without touching the hot path."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = DECODERS["audio"]
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    feats = dec(bytes(payload))
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "status": "ok",
+                            "reason": None,
+                            "n_samples": feats["n_samples"],
+                            "peak": feats["peak"],
+                        }
+                    )
+                except Exception as e:  # noqa: BLE001 — quarantine ALL
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "status": "quarantined",
+                            "reason": str(e),
+                            "n_samples": None,
+                            "peak": None,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    d = load_table(spark, sf_dir, "documents")
+    return _synth_corrupt_wav_payloads(d).mapInPandas(
+        batches,
+        schema=(
+            "doc_id long, status string, reason string,"
+            " n_samples long, peak long"
+        ),
+    )
+
+
 @register(
     "mm_av_sync_check",
     survey_row=74,

@@ -646,3 +646,29 @@ def test_delta_log_replay_golden_values(spark, sf_dir):
             rows[1].total_rows) == ("MERGE", 4, 35840, 405)
     assert (rows[2].operation, rows[2].n_files, rows[2].total_bytes,
             rows[2].total_rows) == ("OPTIMIZE", 3, 34816, 405)
+
+
+def test_corrupt_quarantine_accounts_for_every_row(spark, sf_dir):
+    """One bad payload must never fail the batch: every input row
+    appears exactly once in the output, corrupt rows carry the exact
+    decoder message for their error path, and clean rows decode."""
+    docs_n = load_table(spark, sf_dir, "documents").count()
+    rows = OPS["mm_corrupt_quarantine"].fn(spark, sf_dir).collect()
+    assert len(rows) == docs_n  # total accounting
+    assert len({r.doc_id for r in rows}) == docs_n  # exactly once
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r.status, []).append(r)
+        expect_bad = r.doc_id % 7 in (1, 3, 5)
+        assert (r.status == "quarantined") == expect_bad, r
+        if expect_bad:
+            assert r.n_samples is None and r.peak is None, r
+        else:
+            assert r.reason is None and r.n_samples == 64 + r.doc_id % 128
+    assert set(by_status) == {"ok", "quarantined"}
+    reasons = {r.reason for r in by_status["quarantined"]}
+    assert reasons == {
+        "not a RIFF/WAVE container",
+        "missing fmt/data chunk",
+        "only PCM16 supported, got fmt=3 bits=16",
+    }, reasons
