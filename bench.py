@@ -70,6 +70,18 @@ HEADLINE = {
     # natural form) — Spark's fold beats it 21x at sf0.1, which
     # would flatter the suite ratio dishonestly.
     "q_vocab": "text_vocab_coverage",
+    # Round-7 (r6 verdict item 3): the LLM-pipeline path with real
+    # compute on the bench — banding-join dedup, shingle
+    # decontamination, sequence packing, feature hashing.
+    # q_minhash_lsh is UNPAIRED (no oracle by design — DuckDB has no
+    # seeded xxhash64, and timing a different algorithm against it
+    # would be the dishonest pairing the q_token_bucket precedent
+    # bans); the other three pair against oracles that ARE DuckDB's
+    # natural formulation of the same task.
+    "q_minhash_lsh": "dedup_near_minhash_lsh",
+    "q_decontaminate": "pipeline_decontaminate",
+    "q_pack": "pipeline_pack_sequences",
+    "q_hashed_features": "text_hashed_features",
 }
 
 #: Queries that get a per-stage breakdown in the output (the ones
@@ -82,6 +94,8 @@ BREAKDOWN = [
     "q_sessions",
     "q_funnel",
     "q_bigrams",
+    "q_minhash_lsh",
+    "q_decontaminate",
 ]
 
 
@@ -123,6 +137,14 @@ def _parse_stage_windows(event_dir: str) -> list[dict]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    # SPARK_GRAFT_ONLY=q_a,q_b restricts the suite (the sf10
+    # scaling-point runs time only the compute-carrying subset).
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    headline = (
+        {k: v for k, v in HEADLINE.items() if k in set(only.split(","))}
+        if only
+        else HEADLINE
+    )
     # 16 shuffle partitions measured fastest for the sf0.1 suite on
     # local[32] (AQE coalesces further at runtime); env-overridable.
     shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "16"))
@@ -148,12 +170,12 @@ def main() -> None:
     # sub-ms; Spark's Python DAG rebuild + re-analysis is 50–270 ms of
     # driver overhead that no served query pays twice). Protocol change
     # vs rounds ≤3, which rebuilt the frame inside the timed region.
-    for op_name in HEADLINE.values():
+    for op_name in headline.values():
         if op_name in ops:
             registry.prepared_frame(spark, op_name, sf_dir).count()
 
     timings: dict[str, float] = {}
-    for key, op_name in HEADLINE.items():
+    for key, op_name in headline.items():
         if op_name not in ops:
             continue
         best = None
@@ -172,7 +194,7 @@ def main() -> None:
     # (round-4 verdict item 4 / advice: the prepared-only headline
     # conflated engine speed with the protocol change).
     timings_cold: dict[str, float] = {}
-    for key, op_name in HEADLINE.items():
+    for key, op_name in headline.items():
         if op_name not in ops:
             continue
         best = None
@@ -235,7 +257,9 @@ def main() -> None:
     )
     windows: dict[str, tuple[float, float]] = {}  # best run's epoch-ms span
     for key in BREAKDOWN:
-        op_name = HEADLINE.get(key)
+        if key not in headline:
+            continue
+        op_name = headline.get(key)
         if op_name not in ops:
             continue
         df = registry.prepared_frame(spark, op_name, sf_dir)

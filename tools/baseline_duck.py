@@ -25,7 +25,13 @@ from hive_metadata_collect_spark import registry
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = list(sys.argv[1:])
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
     con = duckdb.connect()
     con.execute("SET timezone='UTC'")
     for t in [
@@ -42,6 +48,8 @@ def main() -> None:
     total = 0.0
     print(f"# DuckDB {duckdb.__version__} @ {sf_dir}")
     for key, op_name in HEADLINE.items():
+        if only is not None and key not in only:
+            continue
         sql = ops[op_name].oracle
         if sql is None:
             print(f"{key:<22} (no oracle)")

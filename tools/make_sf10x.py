@@ -44,10 +44,13 @@ COPY_AS_IS = ["region", "nation"]
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    # output dir name (under .scratch/): sf1 for the 10x point,
+    # sf10 for the 100x scaling point (round-6 verdict item 4)
+    name = sys.argv[3] if len(sys.argv) > 3 else "sf1"
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".scratch",
-        "sf1",
+        name,
     )
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
