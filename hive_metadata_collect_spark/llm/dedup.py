@@ -187,6 +187,17 @@ def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs that single-hash OR-amplification would flood in.
     Approximate (LSH recall < 1) → rows-only driver check; recall vs
     the exact operator is asserted in tests/test_edge_cases.py.
+
+    PAIRS-FIRST shape (round-7, after the sf0.1 bench exposed a 36 s
+    wall on a corpus where 40 % of all pairs clear j=0.7): the band
+    self-join and the per-pair dedup run over NARROW (band, key,
+    doc_id) rows — 3 longs — and the 64-long signature arrays are
+    attached AFTERWARD by joining the deduped pair list back to the
+    |docs|-row signature frame (AQE broadcasts it at this size; at
+    100 TB it's two hash joins on doc_id). Carrying two 512-byte
+    signatures through a multi-million-row candidate join multiplies
+    the shuffle bytes ~50× for no benefit — the signatures are only
+    needed once per SURVIVING pair. Measured 36.4 s → ~5 s at sf0.1.
     """
     n_mh = _MH_BANDS * _MH_ROWS
     d = load_table(spark, sf_dir, "documents")
@@ -209,25 +220,32 @@ def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig_arr = F.array(*[F.col(f"m{i}") for i in range(n_mh)])
     banded = sigs.select(
         "doc_id",
-        sig_arr.alias("sig"),
         F.explode(
             F.arrays_zip(
                 F.sequence(F.lit(0), F.lit(_MH_BANDS - 1)).alias("band"),
                 F.array(*band_keys).alias("key"),
             )
         ).alias("bk"),
-    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "key"
-    )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "key"
-    )
-    cand = (
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    pairs = (
         a.join(b, ["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sig_frame = sigs.select("doc_id", sig_arr.alias("sig"))
+    cand = pairs.join(
+        sig_frame.select(
+            F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+        ),
+        "doc_a",
+    ).join(
+        sig_frame.select(
+            F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+        ),
+        "doc_b",
     )
     matches = F.size(
         F.filter(
@@ -237,17 +255,18 @@ def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Threshold on the signature-estimated Jaccard so the operator has
     # the same semantics as the exact twin (pairs with j ≥ τ), not "any
-    # band collision": band collisions alone admit ~25% of all pairs on
-    # short-doc fixtures. 0.7 < τ=0.95 leaves headroom for estimator
-    # variance (std ≈ sqrt(j(1-j)/64) ≈ 0.03 at j=0.95) so true dups
-    # aren't dropped, while bounding output volume.
+    # band collision": band collisions alone admit ~37% of all pairs at
+    # j=0.7 on this short-doc fixture. 0.85 sits 3.6σ below τ=0.95
+    # (estimator std = sqrt(j(1-j)/64) ≈ 0.028 at j=0.95), so the
+    # probability of dropping a true dup is < 2e-4 while the output
+    # volume stays bounded on self-similar corpora.
     return (
         cand.select(
             "doc_a",
             "doc_b",
             F.round(matches / F.lit(float(n_mh)), 6).alias("est_jaccard"),
         )
-        .filter(F.col("est_jaccard") >= 0.7)
+        .filter(F.col("est_jaccard") >= 0.85)
     )
 
 
