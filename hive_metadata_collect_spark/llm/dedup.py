@@ -801,19 +801,34 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the contaminated id set; docs shorter than the shingle
     width produce no shingles, are never contaminated, and survive
     through the anti-join unharmed.
+
+    Shingle construction (round-7, after the first paired bench put
+    this op 11× over DuckDB): the token array is materialized ONCE
+    as a projection column — embedding split() inside the transform
+    lambda re-tokenized the text per shingle position — and the
+    shingle key is xxhash64 over the 8 token values directly
+    (element_at composition) instead of hashing a rebuilt joined
+    string; same fingerprint semantics (tuple hashing is
+    delimiter-unambiguous), 3× less per-position work. Measured
+    1.43 s → 0.45 s for the shingle stage at sf0.1.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n_sh = F.size(toks) - (_DECON_N - 1)
+    base = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    n_sh = F.size(F.col("t")) - (_DECON_N - 1)
     idx = F.when(n_sh > 0, F.sequence(F.lit(1), n_sh)).otherwise(
         F.array().cast("array<int>")
     )
-    shingles = docs.select(
+    shingles = base.select(
         "doc_id",
         F.explode(
             F.transform(
                 idx,
-                lambda i: F.xxhash64(F.array_join(F.slice(toks, i, _DECON_N), " ")),
+                lambda i: F.xxhash64(
+                    *[
+                        F.element_at(F.col("t"), i + j)
+                        for j in range(_DECON_N)
+                    ]
+                ),
             )
         ).alias("sh"),
     )
