@@ -152,10 +152,19 @@ def main() -> None:
 
     master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
 
+    # Driver heap: Spark's local-mode default is 1g, which starves 32
+    # executor threads (the sf1 LSH candidate set OOMs a 1g heap while
+    # the machine has 128 GiB idle; DuckDB meanwhile uses all machine
+    # memory by default). 32g ≈ 1g/thread — the per-executor sizing a
+    # real cluster would run.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+
     # ---- pass 1: timed, UNinstrumented (event logging costs ~7% of
     # suite wall, so the reported numbers come from a clean session) --
     spark = configure(
-        SparkSession.builder.appName("hmcs-bench").master(master),
+        SparkSession.builder.appName("hmcs-bench")
+        .master(master)
+        .config("spark.driver.memory", mem),
         shuffle_partitions=shuffle,
     ).getOrCreate()
     ops = registry.load_all()
@@ -247,7 +256,9 @@ def main() -> None:
     event_dir = tempfile.mkdtemp(prefix="hmcs-bench-events-")
     spark = (
         configure(
-            SparkSession.builder.appName("hmcs-bench-stages").master(master),
+            SparkSession.builder.appName("hmcs-bench-stages")
+            .master(master)
+            .config("spark.driver.memory", mem),
             shuffle_partitions=shuffle,
         )
         .config("spark.eventLog.enabled", "true")

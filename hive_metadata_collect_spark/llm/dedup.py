@@ -188,16 +188,29 @@ def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Approximate (LSH recall < 1) → rows-only driver check; recall vs
     the exact operator is asserted in tests/test_edge_cases.py.
 
-    PAIRS-FIRST shape (round-7, after the sf0.1 bench exposed a 36 s
-    wall on a corpus where 40 % of all pairs clear j=0.7): the band
-    self-join and the per-pair dedup run over NARROW (band, key,
-    doc_id) rows — 3 longs — and the 64-long signature arrays are
-    attached AFTERWARD by joining the deduped pair list back to the
-    |docs|-row signature frame (AQE broadcasts it at this size; at
-    100 TB it's two hash joins on doc_id). Carrying two 512-byte
-    signatures through a multi-million-row candidate join multiplies
-    the shuffle bytes ~50× for no benefit — the signatures are only
-    needed once per SURVIVING pair. Measured 36.4 s → ~5 s at sf0.1.
+    SIGNATURE-COLLAPSE shape (round-7, after the sf1 bench exposed
+    minutes-long band joins): boilerplate families — docs with the
+    IDENTICAL distinct-token set, hence the identical signature —
+    collide in ALL b bands, so a g-member family costs b·g² join work
+    for pairs the signature already proves are duplicates (the sf1
+    fixture has a 2,480-doc family → 8×3.07M redundant band-join
+    rows; real web corpora have worse). The fix mirrors the
+    production exact-before-fuzzy discipline: group docs by
+    ``xxhash64(m0..m63)`` (64-bit signature key; a cross-family
+    collision needs ~2³² distinct signatures to be likely), band-join
+    only the DISTINCT signatures, score the estimated Jaccard once
+    per signature PAIR, then expand back to doc pairs with two hash
+    joins on the signature key — within-family pairs are emitted
+    directly at est_jaccard=1.0 with no band join at all. Candidate
+    work becomes quadratic in DISTINCT signatures, linear in family
+    sizes except the final unavoidable pair output. Family expansion
+    is one hash-join task per family; at web scale a >10⁶-member
+    boilerplate family would additionally shard its member list (or
+    feed exact-dedup first), which this operator documents as the
+    next lever rather than implementing. Measured at sf1: 36-task
+    straggler stages → seconds; the narrow pairs-first layout
+    (signatures never ride the candidate shuffle) is kept from the
+    previous revision.
     """
     n_mh = _MH_BANDS * _MH_ROWS
     d = load_table(spark, sf_dir, "documents")
@@ -211,45 +224,42 @@ def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(n_mh)
         ]
     )
+    mh_cols = [F.col(f"m{i}") for i in range(n_mh)]
+    keyed = sigs.select("doc_id", F.xxhash64(*mh_cols).alias("sig_key"))
+    members = keyed.select("sig_key", "doc_id")
+    # One row per DISTINCT signature; the band join runs over these
+    # only (first() is safe: equal sig_key ⇒ equal signature).
+    reps = sigs.select(F.xxhash64(*mh_cols).alias("sig_key"), *mh_cols).groupBy(
+        "sig_key"
+    ).agg(*[F.first(f"m{i}").alias(f"m{i}") for i in range(n_mh)])
     band_keys = [
         F.xxhash64(
             *[F.col(f"m{b * _MH_ROWS + r}") for r in range(_MH_ROWS)]
         ).alias(f"b{b}")
         for b in range(_MH_BANDS)
     ]
-    sig_arr = F.array(*[F.col(f"m{i}") for i in range(n_mh)])
-    banded = sigs.select(
-        "doc_id",
+    banded = reps.select(
+        "sig_key",
         F.explode(
             F.arrays_zip(
                 F.sequence(F.lit(0), F.lit(_MH_BANDS - 1)).alias("band"),
                 F.array(*band_keys).alias("key"),
             )
         ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "key")
-    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "key")
-    pairs = (
+    ).select("sig_key", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select(F.col("sig_key").alias("sig_a"), "band", "key")
+    b = banded.select(F.col("sig_key").alias("sig_b"), "band", "key")
+    rep_pairs = (
         a.join(b, ["band", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("sig_a") < F.col("sig_b"))
+        .select("sig_a", "sig_b")
+        .dropDuplicates(["sig_a", "sig_b"])
     )
-    sig_frame = sigs.select("doc_id", sig_arr.alias("sig"))
-    cand = pairs.join(
-        sig_frame.select(
-            F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
-        ),
-        "doc_a",
-    ).join(
-        sig_frame.select(
-            F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
-        ),
-        "doc_b",
-    )
+    sig_arr = F.array(*mh_cols)
+    rep_sigs = reps.select("sig_key", sig_arr.alias("sig"))
     matches = F.size(
         F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            F.zip_with(F.col("arr_a"), F.col("arr_b"), lambda x, y: x == y),
             lambda eq: eq,
         )
     )
@@ -260,14 +270,56 @@ def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (estimator std = sqrt(j(1-j)/64) ≈ 0.028 at j=0.95), so the
     # probability of dropping a true dup is < 2e-4 while the output
     # volume stays bounded on self-similar corpora.
-    return (
-        cand.select(
-            "doc_a",
-            "doc_b",
+    scored = (
+        rep_pairs.join(
+            rep_sigs.select(
+                F.col("sig_key").alias("sig_a"), F.col("sig").alias("arr_a")
+            ),
+            "sig_a",
+        )
+        .join(
+            rep_sigs.select(
+                F.col("sig_key").alias("sig_b"), F.col("sig").alias("arr_b")
+            ),
+            "sig_b",
+        )
+        .select(
+            "sig_a",
+            "sig_b",
             F.round(matches / F.lit(float(n_mh)), 6).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= 0.85)
     )
+    cross = (
+        scored.join(
+            members.select(
+                F.col("sig_key").alias("sig_a"), F.col("doc_id").alias("da")
+            ),
+            "sig_a",
+        )
+        .join(
+            members.select(
+                F.col("sig_key").alias("sig_b"), F.col("doc_id").alias("db")
+            ),
+            "sig_b",
+        )
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "est_jaccard",
+        )
+    )
+    within = (
+        members.alias("x")
+        .join(members.alias("y"), "sig_key")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("est_jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 @register(
