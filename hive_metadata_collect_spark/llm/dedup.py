@@ -166,6 +166,7 @@ def _word_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MH_BANDS = 8  # b bands of r rows: P(candidate) = 1-(1-j^r)^b
 _MH_ROWS = 8  # at j=0.95 → 0.9998 recall; at j=0.5 → 0.03 false-cand
+_LSH_FAMILY_SHARDS = 16  # salted triangle expansion of dup families
 
 
 @register("dedup_near_minhash_lsh", survey_row=68, oracle=None)
@@ -204,13 +205,18 @@ def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly at est_jaccard=1.0 with no band join at all. Candidate
     work becomes quadratic in DISTINCT signatures, linear in family
     sizes except the final unavoidable pair output. Family expansion
-    is one hash-join task per family; at web scale a >10⁶-member
-    boilerplate family would additionally shard its member list (or
-    feed exact-dedup first), which this operator documents as the
-    next lever rather than implementing. Measured at sf1: 36-task
-    straggler stages → seconds; the narrow pairs-first layout
-    (signatures never ride the candidate shuffle) is kept from the
-    previous revision.
+    itself parallelized by SALTED TRIANGLE EXPANSION: members shard
+    into S=16 buckets by doc-id hash and within-family pairs join on
+    (sig_key, shard_a, shard_b), so a g-member family's g²/2 output
+    rows spread over S(S+1)/2 = 136 tasks instead of one hot key
+    (sf10's 25k-doc family → 3×10⁸ pairs would otherwise be a
+    single-task straggler; each member rides the shuffle ≤S times as
+    a 3-long row). Measured at sf1: 36-task straggler stages →
+    seconds; the narrow pairs-first layout (signatures never ride
+    the candidate shuffle) is kept from the previous revision. The
+    remaining quadratic term is the OUTPUT itself — pair semantics
+    are inherently g² per family; cluster semantics
+    (dedup_components) is the volume answer at web scale.
     """
     n_mh = _MH_BANDS * _MH_ROWS
     d = load_table(spark, sf_dir, "documents")
@@ -309,13 +315,24 @@ def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_jaccard",
         )
     )
+    # Salted triangle expansion: shard(doc) = hash(doc) mod S; the
+    # x side targets every shard ≥ its own, the y side accepts every
+    # shard ≤ its own, so each unordered pair meets in exactly one
+    # (sa, sb) bucket (same-shard buckets keep doc_x < doc_y).
+    s = _LSH_FAMILY_SHARDS
+    shard = F.pmod(F.xxhash64(F.lit(-1), F.col("doc_id")), F.lit(s)).cast("int")
+    xm = members.select(
+        "sig_key", F.col("doc_id").alias("dx"), shard.alias("sa")
+    ).withColumn("sb", F.explode(F.sequence(F.col("sa"), F.lit(s - 1))))
+    ym = members.select(
+        "sig_key", F.col("doc_id").alias("dy"), shard.alias("sb")
+    ).withColumn("sa", F.explode(F.sequence(F.lit(0), F.col("sb"))))
     within = (
-        members.alias("x")
-        .join(members.alias("y"), "sig_key")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        xm.join(ym, ["sig_key", "sa", "sb"])
+        .filter((F.col("sa") < F.col("sb")) | (F.col("dx") < F.col("dy")))
         .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
+            F.least("dx", "dy").alias("doc_a"),
+            F.greatest("dx", "dy").alias("doc_b"),
             F.lit(1.0).alias("est_jaccard"),
         )
     )
