@@ -2067,3 +2067,188 @@ def pipeline_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("key_raw", 6).alias("es_key"),
         )
     )
+
+
+@register(
+    "pipeline_fuzzy_dedup_keep_best",
+    survey_row=68,
+    # Components CTE shared with dedup_components (see the note
+    # there on MATERIALIZED pair CTEs); keep-best layered on top.
+    oracle=f"""
+    WITH RECURSIVE tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM tok a JOIN tok b USING (w)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ), pairs AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i::DOUBLE / (sa.n + sb.n - i) >= {_JACCARD_TAU}
+    ), edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), reach(node, r) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT reach.node, edges.dst
+        FROM reach JOIN edges ON reach.r = edges.src
+    ), labels AS (
+        SELECT node AS doc_id, least(node, min(r)) AS canonical_id
+        FROM reach GROUP BY node
+    ), ranked AS (
+        SELECT l.canonical_id, l.doc_id, d.n_chars,
+               row_number() OVER (
+                   PARTITION BY l.canonical_id
+                   ORDER BY d.n_chars DESC, l.doc_id ASC) AS rn,
+               count(*) OVER (PARTITION BY l.canonical_id) AS sz
+        FROM labels l JOIN documents d USING (doc_id)
+    )
+    SELECT canonical_id AS cluster_id, doc_id AS kept_doc,
+           sz, n_chars AS kept_chars
+    FROM ranked WHERE rn = 1
+    """,
+)
+def pipeline_fuzzy_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup survivorship: near-dup clusters (from
+    dedup_components' min-label propagation) each keep their
+    HIGHEST-QUALITY member — longest text, ties to the lowest
+    doc_id — not the arbitrary minimum-id canonical. This is the
+    other half of the production dedup contract: exact dedup keeps
+    any copy (they're identical), but fuzzy clusters contain
+    *different* docs, and dropping all but the min-id one throws
+    away the best-quality variant about half the time
+    (dedup_exact_keep_best is the exact-dup twin; this is the fuzzy
+    form RefinedWeb-class pipelines run after MinHash clustering).
+
+    Shape: cluster labels (|clustered docs| rows, tiny vs corpus)
+    hash-join the corpus for the quality column, then ONE window
+    over canonical_id computes rank and cluster size in a single
+    sort — no second aggregation pass, no self-join. Quality here
+    is n_chars; a real pipeline swaps in the composite score
+    (text_quality_score) without touching the plan shape.
+    """
+    labels = dedup_components(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    wsz = Window.partitionBy("canonical_id")
+    return (
+        labels.join(d, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("sz", F.count(F.lit(1)).over(wsz))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("canonical_id").alias("cluster_id"),
+            F.col("doc_id").alias("kept_doc"),
+            "sz",
+            F.col("n_chars").alias("kept_chars"),
+        )
+    )
+
+
+@register(
+    "text_contamination_report",
+    survey_row=67,
+    oracle=f"""
+    WITH sh AS MATERIALIZED (
+        SELECT doc_id,
+               array_to_string(
+                   (string_split(text, ' '))[i:i+{_DECON_N - 1}], ' ') AS sh
+        FROM documents,
+             unnest(range(1, len(string_split(text, ' ')) - {_DECON_N} + 2))
+                 AS r(i)
+    ),
+    eval_sh AS (SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id % 20 = 0),
+    train_sh AS (SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id % 20 <> 0),
+    tot AS (
+        SELECT doc_id, count(DISTINCT sh) AS n_shingles
+        FROM sh WHERE doc_id % 20 = 0 GROUP BY doc_id
+    ),
+    hits AS (
+        SELECT e.doc_id,
+               count(DISTINCT t.doc_id) AS n_train_docs,
+               count(DISTINCT e.sh) AS n_shared
+        FROM eval_sh e JOIN train_sh t USING (sh)
+        GROUP BY e.doc_id
+    )
+    SELECT tot.doc_id AS eval_doc,
+           coalesce(h.n_train_docs, 0) AS n_train_docs,
+           coalesce(h.n_shared, 0) AS n_shared_shingles,
+           tot.n_shingles,
+           round(coalesce(h.n_shared, 0) * 1.0 / tot.n_shingles, 6)
+               AS leak_frac
+    FROM tot LEFT JOIN hits h ON h.doc_id = tot.doc_id
+    """,
+)
+def text_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-leakage severity report — the AUDIT side of
+    pipeline_decontaminate (which silently drops): for every eval
+    doc (doc_id % 20 == 0), how many train docs share an 8-token
+    shingle with it, how many of its own shingles leak, and the
+    leaked fraction. This is the per-benchmark table an eval owner
+    reads to decide whether a benchmark is compromised, as opposed
+    to the train-side filter the pretraining run applies.
+
+    Scale shape mirrors the decontaminate twin: shingles are
+    xxhash64 tuples (8-byte keys on the shuffle, never text), the
+    eval side is the ~5 % split, and the inverted-index join fans
+    out per shared shingle before two count-distincts collapse it
+    per eval doc. On a web corpus the high-document-frequency
+    shingles (boilerplate) dominate this fan-out; the production
+    lever is dropping shingles above a train-DF cap before the join
+    — they identify no specific leak — which changes this plan by
+    one filter. Short eval docs (< 8 tokens) produce no shingles
+    and are absent from the report by construction in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    n_sh = F.size(F.col("t")) - (_DECON_N - 1)
+    idx = F.when(n_sh > 0, F.sequence(F.lit(1), n_sh)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingles = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.xxhash64(
+                    *[F.element_at(F.col("t"), i + j) for j in range(_DECON_N)]
+                ),
+            )
+        ).alias("sh"),
+    ).distinct()
+    is_eval = F.col("doc_id") % 20 == 0
+    eval_sh = shingles.filter(is_eval)
+    train_sh = shingles.filter(~is_eval)
+    tot = eval_sh.groupBy("doc_id").agg(
+        F.countDistinct("sh").alias("n_shingles")
+    )
+    hits = (
+        eval_sh.join(
+            train_sh.select(F.col("doc_id").alias("train_doc"), "sh"), "sh"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("train_doc").alias("n_train_docs"),
+            F.countDistinct("sh").alias("n_shared"),
+        )
+    )
+    return (
+        tot.join(hits, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("eval_doc"),
+            F.coalesce("n_train_docs", F.lit(0)).alias("n_train_docs"),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared_shingles"),
+            "n_shingles",
+            F.round(
+                F.coalesce("n_shared", F.lit(0)) / F.col("n_shingles"), 6
+            ).alias("leak_frac"),
+        )
+    )

@@ -1589,3 +1589,114 @@ def join_or_condition_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return eq.unionAll(bucket)
+
+
+@register(
+    "join_asof_nearest",
+    survey_row=18,
+    oracle="""
+    WITH c AS (
+        SELECT e.event_id, e.user_id, e.ts,
+               (SELECT max(v.ts) FROM events v
+                WHERE v.user_id = e.user_id
+                  AND v.event_type = 'view'
+                  AND v.ts <= e.ts) AS prior_ts,
+               (SELECT min(v.ts) FROM events v
+                WHERE v.user_id = e.user_id
+                  AND v.event_type = 'view'
+                  AND v.ts > e.ts) AS next_ts
+        FROM events e
+        WHERE e.event_type = 'click'
+    ), d AS (
+        SELECT event_id, user_id, ts, prior_ts, next_ts,
+               (prior_ts IS NOT NULL AND
+                epoch(ts) - epoch(prior_ts) <= 1800) AS prior_ok,
+               (next_ts IS NOT NULL AND
+                epoch(next_ts) - epoch(ts) <= 1800) AS next_ok,
+               epoch(ts) - epoch(prior_ts) AS back_delta,
+               epoch(next_ts) - epoch(ts) AS fwd_delta
+        FROM c
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN prior_ok AND (NOT next_ok OR back_delta <= fwd_delta)
+                     THEN prior_ts
+                WHEN next_ok THEN next_ts
+           END AS nearest_view_ts,
+           CASE WHEN prior_ok AND (NOT next_ok OR back_delta <= fwd_delta)
+                     THEN 'backward'
+                WHEN next_ok THEN 'forward'
+           END AS direction
+    FROM d
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST-in-either-direction with tolerance: each
+    click matches the closest 'view' of the same user within ±30
+    minutes — backward wins ties (the kdb/QuestDB `asof nearest`
+    semantics; sensor fusion and trade/quote alignment both want
+    "closest reading", not "latest prior", when clocks jitter both
+    ways).
+
+    Completes the as-of family (#18 backward, forward, tolerance):
+    the SAME one-shuffle union-sort idiom, now with BOTH frame
+    directions over a single (user_id, ts) sort — last(ignorenulls)
+    over the preceding frame gives the latest prior-or-equal view,
+    first(ignorenulls) over the following frame gives the earliest
+    strictly-later view (ts-equal views sort before clicks, so they
+    land in the preceding frame — '<=' backward / '>' forward, same
+    tie rule as the oracle's correlated subqueries). Catalyst plans
+    both windows over ONE Sort node; the nearest/tolerance pick is a
+    free projection. No join, no argmin, scales as a single
+    user-keyed shuffle regardless of click:view ratio."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "view", F.col("ts")).alias("view_ts"),
+        F.when(F.col("event_type") == "view", F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("type_order"),
+    )
+    order = [
+        F.col("ts").asc(),
+        F.col("type_order").asc(),
+        F.col("event_id").asc(),
+    ]
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    tol = 1800
+    back_delta = F.col("ts").cast("long") - F.col("prior_ts").cast("long")
+    fwd_delta = F.col("next_ts").cast("long") - F.col("ts").cast("long")
+    prior_ok = F.col("prior_ts").isNotNull() & (back_delta <= tol)
+    next_ok = F.col("next_ts").isNotNull() & (fwd_delta <= tol)
+    pick_back = prior_ok & (~next_ok | (back_delta <= fwd_delta))
+    return (
+        tagged.withColumn(
+            "prior_ts", F.last("view_ts", ignorenulls=True).over(w_back)
+        )
+        .withColumn("next_ts", F.first("view_ts", ignorenulls=True).over(w_fwd))
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(pick_back, F.col("prior_ts"))
+            .when(next_ok, F.col("next_ts"))
+            .alias("nearest_view_ts"),
+            F.when(pick_back, F.lit("backward"))
+            .when(next_ok, F.lit("forward"))
+            .alias("direction"),
+        )
+    )
