@@ -2252,3 +2252,91 @@ def text_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("leak_frac"),
         )
     )
+
+
+@register(
+    "pipeline_dedup_rate_curve",
+    survey_row=68,
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), lv AS (
+        SELECT n FROM (VALUES (1), (2), (3), (4)) v(n)
+    ), digs AS (
+        SELECT lv.n, t.doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   list_transform(generate_series(1, len(w) - lv.n + 1),
+                       i -> array_to_string(w[i:i+lv.n-1], ' ')))),
+                   chr(31))) AS dig
+        FROM t, lv WHERE len(w) >= lv.n
+    ), g AS (
+        SELECT n, dig, count(*) AS c FROM digs GROUP BY 1, 2
+    )
+    SELECT n, sum(c)::BIGINT AS total_docs,
+           sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS dup_docs,
+           round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 6)
+               AS dup_rate
+    FROM g GROUP BY n
+    """,
+)
+def pipeline_dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-sensitivity curve: the duplicate-doc rate at shingle
+    widths n = 1..4, where a doc is a duplicate iff its SORTED
+    DISTINCT n-gram set digests identically to another doc's. n=1 is
+    bag-of-words dedup (order-blind, most aggressive), rising n
+    converges on exact-text dedup — the curve a dataset card shows
+    to justify WHERE the fuzzy-dedup threshold was set (a corpus
+    whose rate collapses between n=1 and n=2 is template spam; one
+    whose curve is flat duplicates whole passages).
+
+    One corpus scan serves all four granularities: the four digests
+    are computed in a single projection (shared token split), stacked
+    with explode into (n, digest) rows, and reduced by one
+    map-side-combinable groupBy — the shuffle carries 4 × 16-byte
+    digests per doc, never grams or text, so adding a granularity
+    costs a projection column, not a pass. Docs shorter than n
+    tokens are excluded from level n in both engines (a NULL digest
+    dropped before the stack), not lumped into a shared
+    empty-digest bucket.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+
+    def dig(n: int):
+        grams = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - n + 1),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(F.col("t"), i + j) for j in range(n)]
+                ),
+            )
+        )
+        return F.when(
+            F.size("t") >= n,
+            F.md5(F.array_join(F.array_sort(grams), "\x1f")),
+        )
+
+    stacked = (
+        d.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(n).alias("n"), dig(n).alias("dig")
+                        )
+                        for n in (1, 2, 3, 4)
+                    ]
+                )
+            ).alias("s")
+        )
+        .select(F.col("s.n").alias("n"), F.col("s.dig").alias("dig"))
+        .filter(F.col("dig").isNotNull())
+    )
+    g = stacked.groupBy("n", "dig").agg(F.count(F.lit(1)).alias("c"))
+    dup = F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+    return g.groupBy("n").agg(
+        F.sum("c").alias("total_docs"),
+        dup.alias("dup_docs"),
+        F.round(dup / F.sum("c"), 6).alias("dup_rate"),
+    )

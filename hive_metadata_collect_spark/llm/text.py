@@ -1270,6 +1270,21 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a real recount, not tokens_before - n_pair, because
     overlapping pair occurrences merge fewer times than they count
     ((a,a) in 'aaa' counts 2, merges once)."""
+    _vocab, merges = _bpe_loop(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        schema=(
+            "merge_rank long, left_sym string, right_sym string,"
+            " merged string, n_pair long, tokens_after long"
+        ),
+    )
+
+
+def _bpe_loop(spark: SparkSession, sf_dir: str):
+    """Shared BPE merge loop: returns (final vocab frame with
+    (w, sym, cnt) after _BPE_ROUNDS merges, merge-table rows).
+    text_bpe_learn emits the merge table; text_bpe_apply tokenizes
+    the corpus with the final vocab."""
     d = load_table(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
@@ -1277,7 +1292,7 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
-            F.regexp_replace("w", "(.)", r"($1)").alias("sym"), "cnt"
+            "w", F.regexp_replace("w", "(.)", r"($1)").alias("sym"), "cnt"
         )
     )
     cur = vocab.localCheckpoint()
@@ -1305,6 +1320,7 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         left, right = top["pair"][1:-1].split(")(")
         cur = cur.select(
+            "w",
             F.replace(
                 F.col("sym"), F.lit(top["pair"]), F.lit(f"({left}{right})")
             ).alias("sym"),
@@ -1319,13 +1335,7 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges.append(
             (r, left, right, left + right, int(top["n"]), int(tokens_after))
         )
-    return spark.createDataFrame(
-        merges,
-        schema=(
-            "merge_rank long, left_sym string, right_sym string,"
-            " merged string, n_pair long, tokens_after long"
-        ),
-    )
+    return cur, merges
 
 
 @register(
@@ -2581,4 +2591,97 @@ def text_char_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("c_space") == 0) & (F.col("n_chars_total") > 40)).alias(
             "suspect_unbroken"
         ),
+    )
+
+
+def _bpe_apply_oracle() -> str:
+    """Chained-CTE oracle for BPE application: the same unrolled merge
+    rounds as _bpe_learn_oracle but carrying the source word through
+    each round, then an inverted tokenize join over the corpus."""
+    syms = "regexp_extract_all(sym, '\\(([^)]+)\\)', 1)"
+    sql = """
+    WITH v0 AS (
+        SELECT w, regexp_replace(w, '(.)', '(\\1)', 'g') AS sym,
+               count(*)::BIGINT AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE regexp_full_match(w, '[a-z]{2,}')
+        GROUP BY 1
+    )"""
+    for r in range(1, _BPE_ROUNDS + 1):
+        sql += f""",
+    p{r} AS (
+        SELECT pr AS pair, sum(cnt)::BIGINT AS n
+        FROM (
+            SELECT cnt,
+                   unnest(list_transform(range(1, len(s)),
+                       i -> '(' || s[i] || ')(' || s[i + 1] || ')')) AS pr
+            FROM (SELECT cnt, {syms} AS s FROM v{r - 1})
+        ) GROUP BY pr
+    ),
+    m{r} AS (SELECT pair FROM p{r} ORDER BY n DESC, pair ASC LIMIT 1),
+    v{r} AS (
+        SELECT w, replace(sym, (SELECT pair FROM m{r}),
+                          replace((SELECT pair FROM m{r}), ')(', '')) AS sym,
+               cnt
+        FROM v{r - 1}
+    )"""
+    sql += f""",
+    tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), j AS (
+        SELECT t.doc_id,
+               len({syms.replace("sym", "v.sym")}) AS n_sym,
+               length(v.w) AS n_chars
+        FROM tok t JOIN v{_BPE_ROUNDS} v USING (w)
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_words,
+           sum(n_chars)::BIGINT AS chars_total,
+           sum(n_sym)::BIGINT AS tokens_bpe,
+           round(sum(n_chars) * 1.0 / sum(n_sym), 6) AS compression
+    FROM j GROUP BY doc_id"""
+    return sql
+
+
+@register("text_bpe_apply", survey_row=71, oracle=_bpe_apply_oracle())
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization APPLY — the other half of text_bpe_learn's
+    induction (learn emits the merge table; this op runs the learned
+    tokenizer over the corpus): per document, eligible word count,
+    character total (= token count before any merge), post-merge BPE
+    token count, and the realized compression ratio — the number a
+    tokenizer owner actually tracks per corpus slice (fertility's
+    cost twin: how many tokens a GB of text becomes decides the
+    training budget).
+
+    Scale shape: the merge loop runs over the collapsed (word, sym,
+    cnt) vocab exactly as in text_bpe_learn (shared _bpe_loop, 4
+    bounded-collect rounds over |vocab| rows); application to the
+    corpus is then ONE inverted join — the exploded word stream
+    joins the |vocab|-row symbol table (AQE broadcasts it) and the
+    per-doc rollup is a plain map-side-combinable agg. The corpus
+    never re-tokenizes per round; words outside the [a-z]{2,}
+    eligibility regex take no part (docs with no eligible words are
+    absent, both engines' inner join)."""
+    vocab, _merges = _bpe_loop(spark, sf_dir)
+    word_cost = vocab.select(
+        "w",
+        F.size(F.regexp_extract_all("sym", F.lit(_BPE_SYM_PAT), 1)).alias(
+            "n_sym"
+        ),
+        F.length("w").alias("n_chars"),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    return (
+        tok.join(word_cost, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chars").alias("chars_total"),
+            F.sum("n_sym").alias("tokens_bpe"),
+            F.round(F.sum("n_chars") / F.sum("n_sym"), 6).alias(
+                "compression"
+            ),
+        )
     )
