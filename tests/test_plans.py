@@ -684,3 +684,24 @@ def test_hard_negatives_one_pass_no_union(spark, sf_dir):
     assert plan.count("Window [row_number()") == 1, plan[:2000]
     # anchors + candidates: exactly two scans of the embeddings table
     assert plan.count("FileScan parquet") == 2, plan[:2000]
+
+
+def test_asof_nearest_single_sort(spark, sf_dir):
+    """join_asof_nearest's backward + forward windows must share ONE
+    (user_id, ts) sort — the docstring's claim that the nearest pick
+    is a free projection over the backward twin's plan. Exactly one
+    Sort node, no join of any kind."""
+    plan = physical_plan(OPS["join_asof_nearest"].fn(spark, sf_dir))
+    sort_lines = [ln for ln in plan.splitlines() if "Sort [" in ln]
+    assert len(sort_lines) == 1, sort_lines
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_dedup_rate_curve_no_python_single_scan(spark, sf_dir):
+    """The four-granularity digest stack must stay JVM-side and read
+    the corpus ONCE (four digests are projection columns, not four
+    passes)."""
+    df = OPS["pipeline_dedup_rate_curve"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("FileScan") == 1, plan[:2000]
