@@ -37,6 +37,7 @@ _OP_MODULES = [
     "hive_metadata_collect_spark.llm.text",
     "hive_metadata_collect_spark.llm.multimodal",
     "hive_metadata_collect_spark.sources.pydatasource",
+    "hive_metadata_collect_spark.sources.connectors",
 ]
 
 

@@ -15,6 +15,9 @@ parallelism follows topic partitions.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_metadata_collect_spark.registry import register
 
 # The public Hive metastore schema tables a collector reads
 # (Apache Hive metastore DDL — public knowledge; SURVEY.md §1.1).
@@ -100,3 +103,97 @@ def write_report(
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save()
+
+
+_DERBY_DIRS: dict[str, str] = {}
+
+
+@register(
+    "src_jdbc_embedded_metastore",
+    survey_row=1,
+    oracle="""
+    SELECT r.r_name AS db_name,
+           count(*)::BIGINT AS n_tables,
+           min(n.n_name) AS first_table,
+           max(n.n_name) AS last_table
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def src_jdbc_embedded_metastore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JDBC metastore round-trip, offline: the partitioned-read
+    connector above exercised end-to-end against an EMBEDDED Apache
+    Derby database (the Derby jars ship inside every Spark
+    distribution — the same engine Spark's own Hive support embeds),
+    so the codepath a production deployment points at MySQL/Postgres
+    is executed, not stubbed: JDBC table CREATE via df.write.jdbc
+    (explicit VARCHAR DDL — Derby's default String mapping is CLOB,
+    which no metastore schema uses), then a 4-way PARTITIONED
+    spark.read.jdbc on TBL_ID (the predicate-striped parallel read
+    that keeps a 10M-row TBLS from funneling through one task), a
+    broadcast-sized DBS lookup, and the DB-level rollup.
+
+    The seeded content derives from the nation/region fixtures
+    (nation rows as TBLS, regions as DBS), so the DuckDB oracle
+    recomputes the expected result from the SAME parquet inputs
+    without needing to read Derby — the hash gate covers the whole
+    write→read→join→agg loop. The Derby directory is per-process
+    temp (embedded Derby is single-process by design; a second
+    session seeds its own copy deterministically)."""
+    import os
+    import tempfile
+
+    key = sf_dir.rstrip("/")
+    if key not in _DERBY_DIRS:
+        _DERBY_DIRS[key] = os.path.join(
+            tempfile.mkdtemp(prefix="hmcs-derby-"), "ms"
+        )
+    url = f"jdbc:derby:{_DERBY_DIRS[key]};create=true"
+    from hive_metadata_collect_spark.sources.fixtures import load_table
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("TBL_ID"),
+        F.col("n_name").alias("TBL_NAME"),
+        F.col("n_regionkey").alias("DB_ID"),
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("DB_ID"),
+        F.col("r_name").alias("NAME"),
+    )
+    (
+        nation.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "TBLS")
+        .option("createTableColumnTypes", "TBL_NAME VARCHAR(128)")
+        .mode("overwrite")
+        .save()
+    )
+    (
+        region.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "DBS")
+        .option("createTableColumnTypes", "NAME VARCHAR(128)")
+        .mode("overwrite")
+        .save()
+    )
+    tbls = read_metastore_table(
+        spark,
+        url,
+        "TBLS",
+        partition_column="TBL_ID",
+        lower_bound=0,
+        upper_bound=32,
+        num_partitions=4,
+    )
+    dbs = read_metastore_table(spark, url, "DBS").select(
+        "DB_ID", F.col("NAME").alias("db_name")
+    )
+    return (
+        tbls.join(dbs, "DB_ID")
+        .groupBy("db_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_tables"),
+            F.min("TBL_NAME").alias("first_table"),
+            F.max("TBL_NAME").alias("last_table"),
+        )
+    )

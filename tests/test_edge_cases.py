@@ -672,3 +672,24 @@ def test_corrupt_quarantine_accounts_for_every_row(spark, sf_dir):
         "missing fmt/data chunk",
         "only PCM16 supported, got fmt=3 bits=16",
     }, reasons
+
+
+def test_jdbc_embedded_metastore_partitioned_read(spark, sf_dir):
+    """The Derby-backed JDBC connector must exercise the PARTITIONED
+    read path: re-reading TBLS through read_metastore_table with
+    bounds yields the configured 4 input partitions (the predicate
+    striping that keeps a big metastore table off one task), and the
+    op itself survives a re-run (overwrite semantics)."""
+    from hive_metadata_collect_spark import registry
+    from hive_metadata_collect_spark.sources import connectors
+
+    ops = registry.load_all()
+    out = ops["src_jdbc_embedded_metastore"].fn(spark, sf_dir)
+    assert out.count() > 0
+    url = f"jdbc:derby:{connectors._DERBY_DIRS[sf_dir.rstrip('/')]};create=true"
+    tbls = connectors.read_metastore_table(
+        spark, url, "TBLS",
+        partition_column="TBL_ID", lower_bound=0, upper_bound=32,
+        num_partitions=4,
+    )
+    assert tbls.rdd.getNumPartitions() == 4
