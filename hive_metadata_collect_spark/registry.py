@@ -116,7 +116,6 @@ _SAMPLE_ORDER = [
     "tpch_q6_forecast_revenue",
     "tpch_q12_shipmode",
     "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_global_sales_opportunity",
     # scalar-function suites (2)
@@ -153,6 +152,10 @@ _SAMPLE_ORDER = [
     "mm_video_stats",
     "mm_format_sniff",
     "mm_audio_quality_audit",
+    # round-7 additions: the de-stubbed JDBC connector round-trip
+    # (displaces one of the seven TPC-H rows — q18 — so the sample
+    # stays at 50 with a live-connector representative)
+    "src_jdbc_embedded_metastore",
 ]
 
 
