@@ -7098,3 +7098,121 @@ def cat_crdt_counter_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.col("merged_n") == F.col("n")).alias("converged"),
         )
     )
+
+
+_ICEBERG_META_DIR = str(
+    _pathlib.Path(__file__).resolve().parents[2]
+    / "fixtures"
+    / "iceberg_table"
+    / "metadata"
+)
+
+_ICEBERG_SNAP_SCHEMA = (
+    "array<struct<`snapshot-id`:bigint,`parent-snapshot-id`:bigint,"
+    "`sequence-number`:bigint,`timestamp-ms`:bigint,"
+    "summary:map<string,string>,`manifest-list`:string,"
+    "`schema-id`:bigint>>"
+)
+
+
+@register(
+    "cat_iceberg_metadata_replay",
+    survey_row=61,
+    oracle=f"""
+    WITH raw AS (
+        SELECT line,
+               regexp_extract(filename, 'v(\\d+)\\.metadata\\.json', 1)
+                   ::BIGINT AS v
+        FROM read_csv('{_ICEBERG_META_DIR}/*.metadata.json',
+                      columns={{'line': 'VARCHAR'}}, delim=chr(1),
+                      quote='', header=false, filename=true)
+    ),
+    latest AS (
+        SELECT line FROM raw WHERE v = (SELECT max(v) FROM raw)
+    ),
+    snaps AS (
+        SELECT json_extract(line, '$.snapshots[' || i || ']') AS s,
+               (line->>'current-snapshot-id')::BIGINT AS cur
+        FROM latest,
+             unnest(range(0,
+                 json_array_length(line->'snapshots')::BIGINT)) r(i)
+    )
+    SELECT (s->>'snapshot-id')::BIGINT AS snapshot_id,
+           (s->>'parent-snapshot-id')::BIGINT AS parent_id,
+           (s->>'sequence-number')::BIGINT AS sequence_number,
+           s->'summary'->>'operation' AS operation,
+           (s->'summary'->>'added-records')::BIGINT AS added_records,
+           (s->'summary'->>'deleted-records')::BIGINT AS deleted_records,
+           (sum((s->'summary'->>'added-records')::BIGINT
+                - (s->'summary'->>'deleted-records')::BIGINT)
+              OVER (ORDER BY (s->>'sequence-number')::BIGINT))::BIGINT
+               AS net_records_cum,
+           (s->>'snapshot-id')::BIGINT = cur AS is_current,
+           (s->>'schema-id')::BIGINT AS schema_id
+    FROM snaps
+    """,
+)
+def cat_iceberg_metadata_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-format Apache Iceberg table-metadata replay — the Iceberg
+    twin of cat_delta_log_replay, over a checked-in spec-conformant
+    `metadata/v{{N}}.metadata.json` lineage (format-version 2: schemas
+    with ids, snapshots with sequence numbers, parent chain, STRING
+    summary counters per the spec, snapshot-log): resolve the LATEST
+    metadata version from the file name (Iceberg metadata files are
+    self-contained supersets — the version-hint resolution rule),
+    explode its snapshot list, and emit the commit history with
+    per-snapshot operation, record deltas, the running net record
+    count along the sequence-number order, and the current-snapshot
+    flag.
+
+    Parsing is the Delta twin's architecture: spark.read.text +
+    input_file_name() version regex, then ONE from_json against an
+    explicit snapshot-array schema (dashes in Iceberg's field names
+    make schema-by-DDL with backticks the precise tool; summary is a
+    map<string,string> exactly as the spec types it). Metadata files
+    are few by construction (one per commit, compacted), so the
+    global max-version window is a metadata-sized operation; the
+    DATA-side scale lives in manifests, which need Avro — named as
+    the boundary, not faked."""
+    raw = spark.read.text(_ICEBERG_META_DIR + "/*.metadata.json").select(
+        "value",
+        F.regexp_extract(
+            F.input_file_name(), r"v(\d+)\.metadata\.json", 1
+        )
+        .cast("long")
+        .alias("v"),
+    )
+    latest = (
+        raw.withColumn("maxv", F.max("v").over(Window.partitionBy()))
+        .filter(F.col("v") == F.col("maxv"))
+    )
+    snaps = latest.select(
+        F.explode(
+            F.from_json(
+                F.get_json_object("value", "$.snapshots"),
+                _ICEBERG_SNAP_SCHEMA,
+            )
+        ).alias("s"),
+        F.get_json_object("value", "$['current-snapshot-id']")
+        .cast("long")
+        .alias("cur"),
+    )
+    net = F.col("s.summary")["added-records"].cast("long") - F.col(
+        "s.summary"
+    )["deleted-records"].cast("long")
+    w = Window.orderBy(F.col("s.`sequence-number`")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return snaps.select(
+        F.col("s.`snapshot-id`").alias("snapshot_id"),
+        F.col("s.`parent-snapshot-id`").alias("parent_id"),
+        F.col("s.`sequence-number`").alias("sequence_number"),
+        F.col("s.summary")["operation"].alias("operation"),
+        F.col("s.summary")["added-records"].cast("long").alias("added_records"),
+        F.col("s.summary")["deleted-records"]
+        .cast("long")
+        .alias("deleted_records"),
+        F.sum(net).over(w).alias("net_records_cum"),
+        (F.col("s.`snapshot-id`") == F.col("cur")).alias("is_current"),
+        F.col("s.`schema-id`").alias("schema_id"),
+    )

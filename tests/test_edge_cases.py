@@ -693,3 +693,23 @@ def test_jdbc_embedded_metastore_partitioned_read(spark, sf_dir):
         num_partitions=4,
     )
     assert tbls.rdd.getNumPartitions() == 4
+
+
+def test_iceberg_metadata_replay_golden_values(spark, sf_dir):
+    """The Iceberg metadata replay must reproduce the hand-computed
+    commit history of the checked-in v2-format fixture: 3 snapshots
+    in the latest metadata file, parent chain intact, running net
+    records 100 -> 250 -> 280 (overwrite deletes 50, adds 80), only
+    the head snapshot current, schema evolution 0 -> 1 at s2."""
+    rows = {
+        r["sequence_number"]: r
+        for r in OPS["cat_iceberg_metadata_replay"].fn(spark, sf_dir).collect()
+    }
+    assert len(rows) == 3
+    assert rows[1]["parent_id"] is None
+    assert rows[2]["parent_id"] == rows[1]["snapshot_id"]
+    assert rows[3]["parent_id"] == rows[2]["snapshot_id"]
+    assert [rows[i]["net_records_cum"] for i in (1, 2, 3)] == [100, 250, 280]
+    assert [rows[i]["is_current"] for i in (1, 2, 3)] == [False, False, True]
+    assert rows[3]["operation"] == "overwrite"
+    assert (rows[1]["schema_id"], rows[2]["schema_id"]) == (0, 1)
