@@ -80,7 +80,8 @@ def load_all() -> dict[str, Op]:
 # 398-op inventory over successive rounds. The round-7 cross-section
 # below is drawn entirely from operators absent from
 # CORRECTNESS_r01-r06: the TPC-H composite suite, the lakehouse
-# tx-log/time-travel ops, exact LSH twins, multimodal parsers beyond
+# real-format replays (Delta log + Iceberg metadata) and this round's
+# de-stubbed JDBC connector, exact LSH twins, multimodal parsers beyond
 # audio, the window/sequential-state family, the sub_* subquery traps,
 # and this round's two rewritten ops (sim_hard_negatives,
 # mm_audio_quality_audit). Every name carries a full DuckDB oracle (no
@@ -126,8 +127,8 @@ _SAMPLE_ORDER = [
     "stream_late_drop_accounting",
     "stream_sliding_topk",
     # data-catalog / lakehouse domain (6)
-    "cat_tx_log_snapshot",
-    "cat_time_travel_read",
+    "cat_delta_log_replay",
+    "cat_iceberg_metadata_replay",
     "cat_bitemporal_asof",
     "cat_audit_chain_verify",
     "cat_golden_record",
