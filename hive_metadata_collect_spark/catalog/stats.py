@@ -7120,12 +7120,10 @@ _ICEBERG_SNAP_SCHEMA = (
     survey_row=61,
     oracle=f"""
     WITH raw AS (
-        SELECT line,
+        SELECT content AS line,
                regexp_extract(filename, 'v(\\d+)\\.metadata\\.json', 1)
                    ::BIGINT AS v
-        FROM read_csv('{_ICEBERG_META_DIR}/*.metadata.json',
-                      columns={{'line': 'VARCHAR'}}, delim=chr(1),
-                      quote='', header=false, filename=true)
+        FROM read_text('{_ICEBERG_META_DIR}/*.metadata.json')
     ),
     latest AS (
         SELECT line FROM raw WHERE v = (SELECT max(v) FROM raw)
@@ -7145,7 +7143,9 @@ _ICEBERG_SNAP_SCHEMA = (
            (s->'summary'->>'deleted-records')::BIGINT AS deleted_records,
            (sum((s->'summary'->>'added-records')::BIGINT
                 - (s->'summary'->>'deleted-records')::BIGINT)
-              OVER (ORDER BY (s->>'sequence-number')::BIGINT))::BIGINT
+              OVER (ORDER BY (s->>'sequence-number')::BIGINT
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               )::BIGINT
                AS net_records_cum,
            (s->>'snapshot-id')::BIGINT = cur AS is_current,
            (s->>'schema-id')::BIGINT AS schema_id
@@ -7165,16 +7165,22 @@ def cat_iceberg_metadata_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     count along the sequence-number order, and the current-snapshot
     flag.
 
-    Parsing is the Delta twin's architecture: spark.read.text +
+    Parsing is the Delta twin's architecture adapted to Iceberg's
+    file shape: real v{{N}}.metadata.json files are PRETTY-PRINTED
+    multi-line JSON (one document per file, not NDJSON), so the read
+    is spark.read.text(wholetext=True) — one row per FILE — plus an
     input_file_name() version regex, then ONE from_json against an
     explicit snapshot-array schema (dashes in Iceberg's field names
     make schema-by-DDL with backticks the precise tool; summary is a
-    map<string,string> exactly as the spec types it). Metadata files
-    are few by construction (one per commit, compacted), so the
-    global max-version window is a metadata-sized operation; the
-    DATA-side scale lives in manifests, which need Avro — named as
-    the boundary, not faked."""
-    raw = spark.read.text(_ICEBERG_META_DIR + "/*.metadata.json").select(
+    map<string,string> exactly as the spec types it); the oracle
+    mirrors with DuckDB read_text() (whole-file, not read_csv).
+    Metadata files are few by construction (one per commit,
+    compacted), so the global max-version window is a metadata-sized
+    operation; the DATA-side scale lives in manifests, which need
+    Avro — named as the boundary, not faked."""
+    raw = spark.read.text(
+        _ICEBERG_META_DIR + "/*.metadata.json", wholetext=True
+    ).select(
         "value",
         F.regexp_extract(
             F.input_file_name(), r"v(\d+)\.metadata\.json", 1

@@ -73,90 +73,88 @@ def load_all() -> dict[str, Op]:
 
 
 # The driver's CORRECTNESS check samples the FIRST 50 entries of
-# ``queries()`` (dict insertion order). Rounds 1-6 confirmed 93
+# ``queries()`` (dict insertion order). Rounds 1-7 confirmed 143
 # distinct operators driver-side; the round-6 verdict ("Next round"
 # item 1) asks each round to rotate the front of the ordering to 50
 # NEVER-sampled operators so driver-side confirmation sweeps the whole
-# 398-op inventory over successive rounds. The round-7 cross-section
-# below is drawn entirely from operators absent from
-# CORRECTNESS_r01-r06: the TPC-H composite suite, the lakehouse
-# real-format replays (Delta log + Iceberg metadata) and this round's
-# de-stubbed JDBC connector, exact LSH twins, multimodal parsers beyond
-# audio, the window/sequential-state family, the sub_* subquery traps,
-# and this round's two rewritten ops (sim_hard_negatives,
-# mm_audio_quality_audit). Every name carries a full DuckDB oracle (no
-# rows-only entries) so the sampled 50 are all hash-checkable.
-# Remaining operators follow in registration (module) order — nothing
-# is dropped, only reordered.
+# 408-op inventory (402 oracle-gated + 6 rows-only) over successive
+# rounds. The round-8 cross-section below is drawn entirely from the
+# 265 operators absent from CORRECTNESS_r01-r07: deeper TPC-H
+# (q5/q8/q9/q15), the tx-log/time-travel pair, lineage graph
+# analytics (PageRank), spatial and interval joins, the classic
+# window surface plus financial windows (EWMA, max-drawdown), set
+# operations, scalar-function suites, streaming batch-equivalents
+# including the stream-stream outer join, and the round-7 additions
+# (BPE learn, corrupt-container quarantine). Every name carries a
+# full DuckDB oracle (no rows-only entries) so the sampled 50 are all
+# hash-checkable. Remaining operators follow in registration (module)
+# order — nothing is dropped, only reordered.
 _SAMPLE_ORDER = [
-    # scan/source machinery (3)
-    "scan_dynamic_partition_pruning",
-    "scan_corrupt_records",
-    "scan_nested_schema_pruning",
-    # subquery traps (3)
-    "sub_in_any_all",
-    "sub_not_in_null_trap",
-    "sub_count_bug",
-    # join strategies (3)
-    "join_runtime_bloom_filter",
-    "join_asof_tolerance",
-    "join_or_condition_rewrite",
-    # aggregates (3)
-    "agg_exact_median_twopass",
-    "agg_kmv_sketch",
-    "agg_welch_ttest",
-    # window / sequential-state family (4)
-    "win_cusum_alarm",
-    "win_gap_fill",
-    "win_streak_longest",
-    "win_peak_concurrency",
-    # set ops (1)
-    "sort_skyline_2d",
-    # TPC-H composite suite (7)
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q12_shipmode",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales_opportunity",
-    # scalar-function suites (2)
-    "fn_variant_json",
-    "fn_try_cast_messy",
+    # scan/sink machinery (3)
+    "scan_agg_pushdown_footer",
+    "scan_position_deletes",
+    "sink_cluster_zorder",
+    # join strategies (4)
+    "join_interval_overlap",
+    "join_null_skew_split",
+    "join_spatial_nearest",
+    "join_asof_forward",
+    # aggregates (4)
+    "agg_approx_percentiles",
+    "agg_entropy",
+    "agg_bitmap_distinct",
+    "agg_regression_normal_eq",
+    # window surface: classic + financial (4)
+    "win_range_frame",
+    "win_ignore_nulls",
+    "win_ewma_smoothed",
+    "win_max_drawdown",
+    # set operations (2)
+    "set_except_all",
+    "set_union_by_name",
+    # sort / limit (2)
+    "sort_multikey_nulls",
+    "limit_topk_global",
+    # TPC-H composite suite — the deep-join quartet (4)
+    "tpch_q5_local_supplier_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q15_top_supplier",
+    # scalar-function suites (3)
+    "fn_array_hof",
+    "fn_regexp_suite",
+    "fn_three_valued_logic",
     # streaming batch-equivalents (3)
-    "stream_cdc_apply",
-    "stream_late_drop_accounting",
-    "stream_sliding_topk",
+    "stream_dedup_keys",
+    "stream_stream_left_outer",
+    "stream_disorder_profile",
     # data-catalog / lakehouse domain (6)
-    "cat_delta_log_replay",
-    "cat_iceberg_metadata_replay",
-    "cat_bitemporal_asof",
-    "cat_audit_chain_verify",
-    "cat_golden_record",
-    "cat_equidepth_histogram",
+    "cat_tx_log_snapshot",
+    "cat_time_travel_read",
+    "cat_lineage_pagerank",
+    "cat_fk_inference",
+    "cat_benford_audit",
+    "cat_psi_drift",
     # UDF surface (2)
-    "udf_cogrouped_asof",
-    "udf_pandas_iter_model",
+    "udf_arrow_scalar",
+    "udaf_pandas_grouped",
     # dedup / training pipelines (4)
-    "dedup_simhash",
-    "dedup_containment",
-    "pipeline_incremental_dedup",
-    "pipeline_preference_pairs",
-    # similarity — this round's broadcast-batch rewrite (1)
-    "sim_hard_negatives",
-    # text analysis (4)
-    "text_hashed_features",
-    "text_pii_redact",
-    "pipeline_pack_sequences",
-    "text_zipf_fit",
-    # multimodal — parsers beyond audio + this round's rounding fix (4)
-    "mm_image_phash",
-    "mm_video_stats",
-    "mm_format_sniff",
-    "mm_audio_quality_audit",
-    # round-7 additions: the de-stubbed JDBC connector round-trip
-    # (displaces one of the seven TPC-H rows — q18 — so the sample
-    # stays at 50 with a live-connector representative)
-    "src_jdbc_embedded_metastore",
+    "dedup_levenshtein",
+    "dedup_url_canonical",
+    "pipeline_feature_store_pit",
+    "pipeline_stratified_sample",
+    # similarity (2)
+    "sim_mips_maxdot",
+    "sim_rank_fusion",
+    # text analysis incl. round-7 BPE induction (4)
+    "text_lang_id",
+    "text_bpe_learn",
+    "text_html_strip",
+    "text_readability_score",
+    # multimodal incl. round-7 corrupt quarantine (3)
+    "mm_corrupt_quarantine",
+    "mm_video_scene_cuts",
+    "mm_webdataset_shard_plan",
 ]
 
 
