@@ -1068,3 +1068,180 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("cntrycode")
     )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    survey_row=9,
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               min(l_extendedprice / l_quantity) AS ps_supplycost
+        FROM lineitem
+        GROUP BY 1, 2
+    ),
+    eu AS (
+        SELECT ps.ps_partkey, ps.ps_supplycost,
+               s.s_name, s.s_acctbal, n.n_name
+        FROM ps
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    m AS (
+        SELECT *, min(ps_supplycost) OVER (PARTITION BY ps_partkey) AS mc
+        FROM eu
+    )
+    SELECT round(m.s_acctbal, 2) AS s_acctbal, m.s_name, m.n_name,
+           p.p_partkey, p.p_name,
+           floor(m.ps_supplycost * 10000) / 10000 AS supply_cost
+    FROM m
+    JOIN part p ON p.p_partkey = m.ps_partkey
+    WHERE m.ps_supplycost = m.mc
+      AND p.p_size BETWEEN 10 AND 25
+      AND p.p_type = 'STANDARD'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape, completing the 22-query suite (Q1 is
+    agg_pricing_summary): for every mid-size STANDARD part, the
+    EUROPE supplier quoting the minimum supply cost. The fixture has
+    no partsupp table, so the supply relation is DERIVED from
+    lineitem — min observed unit price per (part, supplier) — the
+    same adaptation tpch_q16/q20 use. The correlated min-cost
+    subquery of spec Q2 becomes a window min over the part partition
+    (one shuffle on partkey instead of a rejoin); region→nation→
+    supplier is a broadcast chain onto the derived supply relation;
+    top-100 compiles to TakeOrderedAndProject. Doubles stay RAW
+    through the min and the equality compare (per-row division and
+    min are bitwise-deterministic on both engines); the displayed
+    cost is TRUNCATED (floor·10⁴) rather than rounded — floor over
+    identical doubles is bitwise-deterministic, where decimal-string
+    HALF_UP rounding can differ between engines exactly at .5
+    boundaries."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "ps_supplycost"
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_sup = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu = ps.join(F.broadcast(eu_sup), ps.ps_suppkey == eu_sup.s_suppkey)
+    w = Window.partitionBy("ps_partkey")
+    m = eu.withColumn("mc", F.min("ps_supplycost").over(w)).filter(
+        F.col("ps_supplycost") == F.col("mc")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 25) & (F.col("p_type") == "STANDARD")
+    )
+    return (
+        m.join(F.broadcast(p), m.ps_partkey == p.p_partkey)
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            (F.floor(F.col("ps_supplycost") * 10000) / 10000).alias(
+                "supply_cost"
+            ),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    survey_row=9,
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               min(l_extendedprice / l_quantity) AS ps_supplycost,
+               sum(l_quantity) AS ps_availqty
+        FROM lineitem
+        GROUP BY 1, 2
+    ),
+    val AS (
+        SELECT ps.ps_partkey,
+               sum(CAST(round(ps.ps_supplycost * ps.ps_availqty, 4)
+                        AS DECIMAL(18,4))) AS v
+        FROM ps
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name IN ('NATION_3', 'NATION_7', 'NATION_12')
+        GROUP BY ps.ps_partkey
+    ),
+    tot AS (SELECT sum(v) AS s, count(*) AS cnt FROM val)
+    SELECT val.ps_partkey AS p_partkey,
+           round(CAST(val.v AS DOUBLE), 2) AS part_value
+    FROM val, tot
+    WHERE val.v * tot.cnt > 2 * tot.s
+    ORDER BY part_value DESC, p_partkey
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose inventory value at the target
+    nations' suppliers exceeds a global threshold. Spec Q11's
+    FRACTION scales with 1/SF; here the threshold is scale-INVARIANT
+    — value > 2× the mean part value — so the query is meaningful at
+    every fixture SF and at 100 TB without retuning. The supply
+    relation is derived from lineitem (no partsupp in the fixture;
+    availqty = total quantity supplied, cost = min unit price). The
+    inventory products are rounded to 4 digits then accumulated in
+    DECIMAL(18,4) on BOTH engines: decimal sums are associative, so
+    the per-part values and the grand total are exact regardless of
+    partition order — the threshold compare (v·cnt > 2·Σv, all
+    decimal/integer math) cannot flicker at any scale. The 1-row
+    total broadcasts; the only wide exchanges are the two groupBys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "ps_supplycost"
+        ),
+        F.sum("l_quantity").alias("ps_availqty"),
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_12")
+    )
+    sup = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey"
+    )
+    val = (
+        ps.join(F.broadcast(sup), ps.ps_suppkey == sup.s_suppkey)
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("ps_supplycost") * F.col("ps_availqty"), 4
+                ).cast("decimal(18,4)")
+            ).alias("v")
+        )
+    )
+    tot = val.agg(F.sum("v").alias("s"), F.count("*").alias("cnt"))
+    return (
+        val.join(F.broadcast(tot))
+        .filter(F.col("v") * F.col("cnt") > 2 * F.col("s"))
+        .select(
+            F.col("ps_partkey").alias("p_partkey"),
+            F.round(F.col("v").cast("double"), 2).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
