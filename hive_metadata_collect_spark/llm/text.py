@@ -2685,3 +2685,341 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_gopher_quality_rules",
+    survey_row=72,
+    oracle="""
+    WITH deco AS (
+        SELECT doc_id,
+               text ||
+               coalesce(CASE WHEN doc_id % 5 = 0
+                    THEN ' ## ### #' END, '') ||
+               coalesce(CASE WHEN doc_id % 7 = 2
+                    THEN ' 12345 67890 42' END, '') ||
+               coalesce(CASE WHEN doc_id % 13 = 4
+                    THEN ' a a a a a a a a a a' END, '') AS t
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id,
+               string_split(t, ' ') AS words,
+               len(string_split(t, ' '))::BIGINT AS n_words,
+               list_sum(list_transform(string_split(t, ' '),
+                        x -> len(x)))::BIGINT AS sum_wlen
+        FROM deco
+    ),
+    c AS (
+        SELECT doc_id, n_words, sum_wlen,
+               len(list_filter(words,
+                   x -> regexp_matches(x, '^[#…]+$')))::BIGINT
+                   AS n_symbol,
+               len(list_filter(words,
+                   x -> regexp_matches(x, '[a-zA-Z]')))::BIGINT AS n_alpha,
+               len(list_filter(words,
+                   x -> x IN ('the','a','of','and','to','in')))::BIGINT
+                   AS n_stop
+        FROM w
+    )
+    SELECT doc_id, n_words, n_symbol, n_alpha, n_stop,
+           n_words BETWEEN 30 AND 10000 AS r_word_count,
+           sum_wlen BETWEEN 3 * n_words AND 10 * n_words
+               AS r_mean_word_len,
+           10 * n_symbol <= n_words AS r_symbol_ratio,
+           5 * n_alpha >= 4 * n_words AS r_alpha_ratio,
+           n_stop >= 2 AS r_stopwords,
+           (n_words BETWEEN 30 AND 10000)
+               AND sum_wlen BETWEEN 3 * n_words AND 10 * n_words
+               AND 10 * n_symbol <= n_words
+               AND 5 * n_alpha >= 4 * n_words
+               AND n_stop >= 2 AS keep
+    FROM c
+    """,
+)
+def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-filter battery (Rae et al. 2021, App. A —
+    public) as one map-only pass: word-count bounds, mean-word-length
+    bounds, symbol-to-word ratio, alphabetic-word ratio, minimum
+    stopword count, and the conjunctive keep verdict. Failure modes
+    the fixture text lacks (symbol runs, numeric tokens, 1-char
+    padding) are synthesized on doc_id residue classes, the
+    text_markdown_profile pattern, so every rule has both outcomes.
+
+    Every threshold is evaluated in INTEGER arithmetic (mean length
+    in [3,10] becomes 3n <= sumlen <= 10n; ratio <= 0.1 becomes
+    10*n_sym <= n; ratio >= 0.8 becomes 5*n_alpha >= 4n) — no float
+    division anywhere, so the verdicts are exact at any scale and
+    the op stays in whole-stage codegen. At 100 TB this is the
+    cheapest possible shape: narrow scan, no shuffle, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.coalesce(F.when(did % 5 == 0, F.lit(" ## ### #")), F.lit("")),
+        F.coalesce(
+            F.when(did % 7 == 2, F.lit(" 12345 67890 42")), F.lit("")
+        ),
+        F.coalesce(
+            F.when(did % 13 == 4, F.lit(" a a a a a a a a a a")), F.lit("")
+        ),
+    )
+    words = F.split(t, " ")
+    n_words = F.size(words).cast("long")
+    sum_wlen = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_symbol = F.size(
+        F.filter(words, lambda x: x.rlike("^[#…]+$"))
+    ).cast("long")
+    n_alpha = F.size(F.filter(words, lambda x: x.rlike("[a-zA-Z]"))).cast(
+        "long"
+    )
+    n_stop = F.size(
+        F.filter(words, lambda x: x.isin("the", "a", "of", "and", "to", "in"))
+    ).cast("long")
+    base = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        sum_wlen.alias("sum_wlen"),
+        n_symbol.alias("n_symbol"),
+        n_alpha.alias("n_alpha"),
+        n_stop.alias("n_stop"),
+    )
+    r_wc = F.col("n_words").between(30, 10000)
+    r_mwl = F.col("sum_wlen").between(
+        3 * F.col("n_words"), 10 * F.col("n_words")
+    )
+    r_sym = 10 * F.col("n_symbol") <= F.col("n_words")
+    r_alpha = 5 * F.col("n_alpha") >= 4 * F.col("n_words")
+    r_stop = F.col("n_stop") >= 2
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_symbol",
+        "n_alpha",
+        "n_stop",
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_sym.alias("r_symbol_ratio"),
+        r_alpha.alias("r_alpha_ratio"),
+        r_stop.alias("r_stopwords"),
+        (r_wc & r_mwl & r_sym & r_alpha & r_stop).alias("keep"),
+    )
+
+
+@register(
+    "text_c4_cleaning_rules",
+    survey_row=72,
+    oracle="""
+    WITH built AS (
+        SELECT doc_id,
+               'Reference corpora motivate this cleaning pass today.'
+               || chr(10) || text ||
+               coalesce(CASE WHEN doc_id % 3 = 0
+                    THEN chr(10) || 'short line' END, '') ||
+               coalesce(CASE WHEN doc_id % 4 = 1
+                    THEN chr(10) ||
+                         'This line has more than enough words.' END, '') ||
+               coalesce(CASE WHEN doc_id % 6 = 2
+                    THEN chr(10) || 'lorem ipsum dolor sit amet.' END, '') ||
+               coalesce(CASE WHEN doc_id % 9 = 5
+                    THEN chr(10) || 'function() { return 1; }' END, '')
+                   AS t
+        FROM documents
+    ),
+    split AS (
+        SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM built
+    ),
+    kept AS (
+        SELECT doc_id, t, lines,
+               list_filter(lines,
+                   l -> regexp_matches(l, '[.!?]$')
+                        AND len(string_split(l, ' ')) >= 5) AS keep_lines
+        FROM split
+    )
+    SELECT doc_id,
+           len(lines)::BIGINT AS n_lines,
+           len(keep_lines)::BIGINT AS n_kept,
+           round(coalesce(list_sum(list_transform(keep_lines,
+                     l -> len(l))), 0)::DOUBLE / len(t), 6)
+               AS retained_char_ratio,
+           contains(t, 'lorem ipsum') AS has_lorem,
+           contains(t, '{') AS has_brace,
+           len(keep_lines) >= 2
+               AND NOT contains(t, 'lorem ipsum')
+               AND NOT contains(t, '{') AS doc_kept
+    FROM kept
+    """,
+)
+def text_c4_cleaning_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning pass (Raffel et al. 2020 §2.2 — public):
+    line-level retention (keep only lines ending in terminal
+    punctuation with >= 5 words) plus the document-level drop rules
+    ('lorem ipsum' placeholder text, curly braces as a code signal)
+    and a minimum-retained-lines gate. The fixture text is one
+    unpunctuated line, so multi-line structure is synthesized on
+    residue classes: a always-kept lead sentence, the raw soup line
+    (dropped by the punctuation rule), a short line, a kept long
+    sentence, a lorem-ipsum line, a brace line.
+
+    Line filtering is an array higher-order filter — per-document,
+    no explode, no shuffle, pure codegen. retained_char_ratio is the
+    one float (ratio of two exact ints, rounded at the edge). The
+    same pass at 100 TB is scan-bound; rules evaluate in one
+    projection."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    nl = F.lit("\n")
+    t = F.concat(
+        F.lit("Reference corpora motivate this cleaning pass today."),
+        nl,
+        F.col("text"),
+        F.coalesce(
+            F.when(did % 3 == 0, F.concat(nl, F.lit("short line"))),
+            F.lit(""),
+        ),
+        F.coalesce(
+            F.when(
+                did % 4 == 1,
+                F.concat(
+                    nl, F.lit("This line has more than enough words.")
+                ),
+            ),
+            F.lit(""),
+        ),
+        F.coalesce(
+            F.when(
+                did % 6 == 2,
+                F.concat(nl, F.lit("lorem ipsum dolor sit amet.")),
+            ),
+            F.lit(""),
+        ),
+        F.coalesce(
+            F.when(
+                did % 9 == 5,
+                F.concat(nl, F.lit("function() { return 1; }")),
+            ),
+            F.lit(""),
+        ),
+    )
+    built = d.select("doc_id", t.alias("t"))
+    lines = F.split(F.col("t"), "\n")
+    keep_lines = F.filter(
+        lines,
+        lambda l: l.rlike("[.!?]$") & (F.size(F.split(l, " ")) >= 5),
+    )
+    kept_chars = F.coalesce(
+        F.aggregate(
+            keep_lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l)
+        ),
+        F.lit(0).cast("long"),
+    )
+    has_lorem = F.col("t").contains("lorem ipsum")
+    has_brace = F.col("t").contains("{")
+    return built.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(keep_lines).cast("long").alias("n_kept"),
+        F.round(
+            kept_chars.cast("double") / F.length("t"), 6
+        ).alias("retained_char_ratio"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        (
+            (F.size(keep_lines) >= 2) & ~has_lorem & ~has_brace
+        ).alias("doc_kept"),
+    )
+
+
+@register(
+    "text_dup_line_fraction",
+    survey_row=72,
+    oracle="""
+    WITH built AS (
+        SELECT doc_id,
+               'alpha beta gamma' || chr(10) || text ||
+               coalesce(CASE WHEN doc_id % 2 = 0
+                    THEN chr(10) || 'alpha beta gamma' END, '') ||
+               coalesce(CASE WHEN doc_id % 5 = 1
+                    THEN chr(10) || 'delta epsilon'
+                         || chr(10) || 'delta epsilon' END, '') AS t
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, u.line
+        FROM built, unnest(string_split(t, chr(10))) AS u(line)
+    ),
+    counted AS (
+        SELECT doc_id, line, count(*) AS cnt, len(line) AS chars
+        FROM lines GROUP BY doc_id, line
+    )
+    SELECT doc_id,
+           sum(cnt)::BIGINT AS n_lines,
+           sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::BIGINT AS dup_lines,
+           round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE
+                 / sum(cnt), 6) AS dup_line_fraction,
+           round(sum(CASE WHEN cnt > 1 THEN cnt * chars ELSE 0 END)::DOUBLE
+                 / sum(cnt * chars), 6) AS dup_char_fraction
+    FROM counted
+    GROUP BY doc_id
+    """,
+)
+def text_dup_line_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals (Rae et al. 2021, App. A — public)
+    at line granularity: fraction of lines that are duplicates of
+    another line in the SAME document, and the fraction of characters
+    those lines account for — the two cheapest structural-repetition
+    filters a crawl pipeline applies before any n-gram work.
+    Duplicate structure is synthesized on residue classes (the
+    fixture is single-line).
+
+    Shape: explode lines → count per (doc, line) → re-aggregate per
+    doc. Both aggregations key on doc_id (the second is a prefix of
+    the first's key), so at 100 TB this is ONE repartition by doc
+    with map-side partial counts collapsing identical lines before
+    the exchange — the line dimension never travels unaggregated.
+    Counts are integers; the two ratios divide exact ints at the
+    output edge."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    nl = F.lit("\n")
+    t = F.concat(
+        F.lit("alpha beta gamma"),
+        nl,
+        F.col("text"),
+        F.coalesce(
+            F.when(did % 2 == 0, F.concat(nl, F.lit("alpha beta gamma"))),
+            F.lit(""),
+        ),
+        F.coalesce(
+            F.when(
+                did % 5 == 1,
+                F.concat(
+                    nl, F.lit("delta epsilon"), nl, F.lit("delta epsilon")
+                ),
+            ),
+            F.lit(""),
+        ),
+    )
+    lines = (
+        d.select("doc_id", F.explode(F.split(t, "\n")).alias("line"))
+        .groupBy("doc_id", "line")
+        .agg(F.count("*").alias("cnt"), F.length("line").alias("chars"))
+    )
+    dup = F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))
+    dupchars = F.when(
+        F.col("cnt") > 1, F.col("cnt") * F.col("chars")
+    ).otherwise(F.lit(0))
+    return lines.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_lines"),
+        F.sum(dup).cast("long").alias("dup_lines"),
+        F.round(
+            F.sum(dup).cast("double") / F.sum("cnt"), 6
+        ).alias("dup_line_fraction"),
+        F.round(
+            F.sum(dupchars).cast("double")
+            / F.sum(F.col("cnt") * F.col("chars")),
+            6,
+        ).alias("dup_char_fraction"),
+    )

@@ -2095,3 +2095,52 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_clamped"),
     )
+
+
+@register(
+    "agg_reservoir_sample",
+    survey_row=20,
+    oracle="""
+    SELECT o_orderpriority, sample_rank, o_orderkey, o_totalprice
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY md5(CAST(o_orderkey AS VARCHAR))
+               ) AS sample_rank
+        FROM orders
+    )
+    WHERE sample_rank <= 5
+    ORDER BY o_orderpriority, sample_rank
+    """,
+)
+def agg_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group uniform sample — the DISTRIBUTED form
+    of reservoir sampling: rank rows inside each group by a uniform
+    hash of a unique key (md5 — identical on both engines; Spark's
+    own hash() is engine-specific) and keep the bottom k. Bottom-k by
+    uniform hash is distributionally a uniform sample WITHOUT
+    replacement, but unlike rand()-based sampling it is reproducible,
+    merge-safe (the bottom-k of a union is the bottom-k of the
+    parts' bottom-k's — each executor can pre-trim to k before the
+    exchange), and re-runnable on changed data with minimal sample
+    churn — the properties that matter when sampling 100 TB for eval
+    sets. The plan is one shuffle on the group key; row_number is a
+    running operator, no full materialization per group."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string"))
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("sample_rank"),
+        )
+        .filter(F.col("sample_rank") <= 5)
+        .select(
+            "o_orderpriority", "sample_rank", "o_orderkey", "o_totalprice"
+        )
+        .orderBy("o_orderpriority", "sample_rank")
+    )

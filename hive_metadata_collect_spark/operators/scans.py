@@ -581,3 +581,59 @@ def scan_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("live_price"),
         )
     )
+
+
+@register(
+    "scan_file_metadata_accounting",
+    survey_row=1,
+    oracle="""
+    SELECT o_orderstatus AS part_value,
+           count(*) AS n_rows,
+           1 AS n_files,
+           true AS all_files_nonempty
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY part_value
+    """,
+)
+def scan_file_metadata_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level ingest accounting via Spark's hidden `_metadata`
+    struct (file_path / file_size — the public metadata-column API on
+    file sources): write orders Hive-partitioned by status, then
+    account for every file WITHOUT trusting the data columns — the
+    partition value is parsed back out of `_metadata.file_path`, rows
+    are counted per file, and file sizes are checked positive. This
+    is the audit a 100 TB ingest runs after landing: does the
+    directory layout agree with the data, is any file empty, how many
+    files per partition. The oracle states the invariant (per-status
+    counts from the source table, one file per partition, none
+    empty); the Spark side must reconstruct it purely from file
+    metadata. repartition(1, status) before partitionBy keeps exactly
+    one file per partition so the accounting is deterministic."""
+    target = os.path.join(_SCRATCH, "meta_accounting_orders")
+    (
+        load_table(spark, sf_dir, "orders")
+        .repartition(1, F.col("o_orderstatus"))
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(target)
+    )
+    read = spark.read.parquet(target).select(
+        F.regexp_extract(
+            F.col("_metadata.file_path"), r"o_orderstatus=([^/]+)/", 1
+        ).alias("part_value"),
+        F.col("_metadata.file_path").alias("fp"),
+        F.col("_metadata.file_size").alias("fsize"),
+    )
+    per_file = read.groupBy("part_value", "fp", "fsize").agg(
+        F.count("*").alias("rows_in_file")
+    )
+    return (
+        per_file.groupBy("part_value")
+        .agg(
+            F.sum("rows_in_file").cast("long").alias("n_rows"),
+            F.count("*").cast("int").alias("n_files"),
+            F.min(F.col("fsize") > 0).alias("all_files_nonempty"),
+        )
+        .orderBy("part_value")
+    )

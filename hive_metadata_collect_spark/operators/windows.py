@@ -1346,3 +1346,105 @@ def win_since_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("events_since_error"),
         F.col("last_err_rn").isNull().alias("never_errored"),
     )
+
+
+@register(
+    "win_autocorr_profile",
+    survey_row=29,
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               round(value * 100)::BIGINT AS x,
+               lag(round(value * 100)::BIGINT, 1) OVER w AS l1,
+               lag(round(value * 100)::BIGINT, 2) OVER w AS l2,
+               lag(round(value * 100)::BIGINT, 3) OVER w AS l3
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY event_id)
+    ),
+    pairs AS (
+        SELECT event_type, u.p.lg AS lg, s.x, u.p.y AS y
+        FROM s, unnest([{'lg': 1, 'y': l1},
+                        {'lg': 2, 'y': l2},
+                        {'lg': 3, 'y': l3}]) AS u(p)
+        WHERE u.p.y IS NOT NULL
+    ),
+    m AS (
+        SELECT event_type, lg,
+               count(*)::DOUBLE AS n,
+               sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
+               sum(x * y)::DOUBLE AS sxy,
+               sum(x * x)::DOUBLE AS sxx, sum(y * y)::DOUBLE AS syy
+        FROM pairs GROUP BY event_type, lg
+    )
+    SELECT event_type, lg AS lag,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                 6) AS acf
+    FROM m
+    ORDER BY event_type, lag
+    """,
+)
+def win_autocorr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..3 autocorrelation of the event value per event type —
+    the seasonality/persistence profile a metrics pipeline computes
+    before choosing a forecasting model. One window pass produces all
+    three lagged series (single sort per type), the lag columns pivot
+    to rows via explode (no re-scan, no self-join — the naive
+    formulation joins events to itself once per lag), and the
+    Pearson terms come from INTEGER moment sums: values are
+    cents-scaled to exact BIGINTs first, so every sum is
+    order-independent and engine-exact; the only float math is the
+    final closed-form correlation over those exact integers (cast to
+    double, < 2^53 at fixture scales, identical on both engines).
+    At 100 TB: one shuffle on event_type for the window, then a
+    6-sum partial aggregate — corr() built-ins accumulate
+    order-dependent doubles, this shape does not."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    s = ev.select(
+        "event_type",
+        x.alias("x"),
+        F.lag(x, 1).over(w).alias("l1"),
+        F.lag(x, 2).over(w).alias("l2"),
+        F.lag(x, 3).over(w).alias("l3"),
+    )
+    pairs = s.select(
+        "event_type",
+        "x",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("lg"), F.col("l1").alias("y")
+                ),
+                F.struct(
+                    F.lit(2).alias("lg"), F.col("l2").alias("y")
+                ),
+                F.struct(
+                    F.lit(3).alias("lg"), F.col("l3").alias("y")
+                ),
+            )
+        ).alias("p"),
+    ).select(
+        "event_type", F.col("p.lg").alias("lg"), "x", F.col("p.y").alias("y")
+    ).filter(F.col("y").isNotNull())
+    m = pairs.groupBy("event_type", "lg").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    acf = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return (
+        m.select(
+            "event_type",
+            F.col("lg").alias("lag"),
+            F.round(acf, 6).alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )
