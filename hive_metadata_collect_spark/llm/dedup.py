@@ -224,12 +224,21 @@ def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w"),
     )
+    # The signature table feeds SIX downstream branches (band-join
+    # sides, two signature-attach joins, two member expansions); with
+    # no common-subplan materialization in Catalyst, each branch
+    # would re-run the token explode + 64-min aggregation — measured
+    # at sf0.1 that recomputation was ~⅔ of the operator's wall (6
+    # parquet scans, 16 HashAggregates, 0 ReusedExchanges in the
+    # uncached plan). One narrow row per doc (65 longs) makes this
+    # the textbook persist() point — same discipline the iterative
+    # catalog ops use.
     sigs = tok.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("w"))).alias(f"m{i}")
             for i in range(n_mh)
         ]
-    )
+    ).persist()
     mh_cols = [F.col(f"m{i}") for i in range(n_mh)]
     keyed = sigs.select("doc_id", F.xxhash64(*mh_cols).alias("sig_key"))
     members = keyed.select("sig_key", "doc_id")

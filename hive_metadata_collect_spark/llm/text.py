@@ -2975,10 +2975,12 @@ def text_dup_line_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture is single-line).
 
     Shape: explode lines → count per (doc, line) → re-aggregate per
-    doc. Both aggregations key on doc_id (the second is a prefix of
-    the first's key), so at 100 TB this is ONE repartition by doc
-    with map-side partial counts collapsing identical lines before
-    the exchange — the line dimension never travels unaggregated.
+    doc. Two keyed exchanges, but NEITHER carries raw lines: map-side
+    partial aggregation collapses identical lines before the first
+    shuffle, and the second shuffle moves one already-counted row per
+    (doc, line). (A single doc_id-only repartition would make the
+    aggregations co-located but would ship every exploded line raw —
+    strictly worse at 100 TB than two partial-agg'd exchanges.)
     Counts are integers; the two ratios divide exact ints at the
     output edge."""
     d = load_table(spark, sf_dir, "documents")

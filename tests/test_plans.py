@@ -705,3 +705,81 @@ def test_dedup_rate_curve_no_python_single_scan(spark, sf_dir):
     plan = physical_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("FileScan") == 1, plan[:2000]
+
+
+def test_gopher_rules_map_only(spark, sf_dir):
+    """The Gopher filter battery is one projection over one scan — no
+    Exchange, no Python, integer-only rule math."""
+    df = OPS["text_gopher_quality_rules"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Exchange" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("FileScan") == 1, plan[:2000]
+
+
+def test_c4_rules_map_only(spark, sf_dir):
+    """C4 line retention runs via array higher-order filters — one
+    scan, no explode-shuffle, no Python."""
+    df = OPS["text_c4_cleaning_rules"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Exchange" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("FileScan") == 1, plan[:2000]
+
+
+def test_dup_line_fraction_partial_agg_exchanges(spark, sf_dir):
+    """Two keyed exchanges, both keyed on doc_id(+line), and BOTH fed
+    by map-side partial HashAggregates — raw exploded lines never ride
+    a shuffle."""
+    df = OPS["text_dup_line_fraction"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(exchanges) == 2, exchanges
+    assert all("doc_id" in ln for ln in exchanges)
+    assert plan.count("HashAggregate") == 4  # partial+final × two aggs
+
+
+def test_tpch_q2_shape(spark, sf_dir):
+    """Q2: the correlated min-cost subquery must be a window min (no
+    self-join of the supply relation), dimensions broadcast, top-100
+    via TakeOrderedAndProject."""
+    df = OPS["tpch_q2_min_cost_supplier"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert plan.count("Window [min(") == 1, plan[:2000]
+
+
+def test_tpch_q11_threshold_broadcast(spark, sf_dir):
+    """Q11's global threshold is a 1-row broadcast onto the per-part
+    values — no second scan-side shuffle, no cartesian of any width
+    beyond the nested-loop against one row."""
+    df = OPS["tpch_q11_important_stock"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_reservoir_sample_single_exchange(spark, sf_dir):
+    """Bottom-k-by-hash sampling is one shuffle on the group key and a
+    running row_number — no global sort, no second exchange."""
+    df = OPS["agg_reservoir_sample"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(exchanges) == 1, exchanges
+    assert "o_orderpriority" in exchanges[0]
+
+
+def test_autocorr_no_self_join(spark, sf_dir):
+    """All three lags come from ONE window pass pivoted by explode —
+    the plan may not contain any join, and only the window sort plus
+    the moment aggregation shuffle."""
+    df = OPS["win_autocorr_profile"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert plan.count("Window [") == 1, plan[:2000]
