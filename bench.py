@@ -82,6 +82,15 @@ HEADLINE = {
     "q_decontaminate": "pipeline_decontaminate",
     "q_pack": "pipeline_pack_sequences",
     "q_hashed_features": "text_hashed_features",
+    # Round-8: the completed TPC-H suite's new deep shape (Q2: derived
+    # supply relation + window-min decorrelation), the Gopher curation
+    # battery (map-only integer rules — the filter pass a 100 TB crawl
+    # pays per document), and the autocorrelation profile (window +
+    # explode-pivot + exact integer moments). All three pair against
+    # oracles that are DuckDB's natural formulation.
+    "q_tpch_q2": "tpch_q2_min_cost_supplier",
+    "q_gopher": "text_gopher_quality_rules",
+    "q_autocorr": "win_autocorr_profile",
 }
 
 #: Queries that get a per-stage breakdown in the output (the ones

@@ -1316,3 +1316,108 @@ def sim_covariance_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("_ord")
     )
+
+
+@register(
+    "sim_power_iteration_top_pc",
+    survey_row=75,
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> round(CAST(x AS DOUBLE) * 1000)::BIGINT) AS qv
+        FROM embeddings
+    ),
+    rows_i AS (
+        SELECT vec_id, i.i - 1 AS i, qv[i.i] AS qi, qv
+        FROM q, unnest(range(1, len(qv) + 1)) AS i(i)
+    ),
+    cells AS (
+        SELECT vec_id, i, j.j - 1 AS j, qi, qv[j.j] AS qj
+        FROM rows_i, unnest(range(1, len(qv) + 1)) AS j(j)
+    ),
+    c AS (
+        SELECT i, j, sum(qi * qj) AS c FROM cells GROUP BY i, j
+    ),
+    v1 AS (SELECT i, sum(c) AS v FROM c GROUP BY i),
+    v2 AS (
+        SELECT c.i, sum(c.c * v1.v) AS v
+        FROM c JOIN v1 ON v1.i = c.j GROUP BY c.i
+    ),
+    v3 AS (
+        SELECT c.i, sum(c.c * v2.v) AS v
+        FROM c JOIN v2 ON v2.i = c.j GROUP BY c.i
+    ),
+    m AS (SELECT max(abs(v)) AS vmax FROM v3)
+    SELECT v3.i AS dim,
+           round(CAST(v3.v AS DOUBLE) / CAST(m.vmax AS DOUBLE), 6)
+               AS component_ratio
+    FROM v3, m
+    ORDER BY dim
+    """,
+)
+def sim_power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by POWER
+    ITERATION over the Gram matrix — the iterative-linear-algebra
+    shape (drift/collapse diagnostics, whitening, spectral init) run
+    natively on the engine with NO float accumulation anywhere:
+
+      1. quantize embeddings to exact integers (×1000, round),
+      2. Gram matrix C = Σ_docs q qᵀ via two posexplodes → one
+         (i,j)-keyed aggregate — 64² = 4,096 cells regardless of
+         corpus size; map-side partials collapse each task's
+         contribution to ≤4,096 rows before the one shuffle,
+      3. three power steps v ← C·v from v₀ = 1, each a broadcast join
+         of the 64-row vector onto the 4,096-cell matrix; integer
+         products accumulate in DECIMAL(38,0) (magnitudes reach
+         ~10²⁸ by v₃ — bigint would overflow, decimal sums stay
+         exact and order-free; DuckDB's HUGEINT mirrors),
+      4. report each dimension's component as a ratio to the max
+         |component| (eigenvectors are scale/sign-free; ratio-to-max
+         is the canonical exact-friendly normalization — L2 would
+         square 10²⁸ past any exact type).
+
+    The one float division happens on exact decimals at the output
+    edge. At 100 TB the corpus appears ONLY in step 2's partial
+    aggregate — iterations cost O(d²) independent of data size, so
+    the convergence loop is free at scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000).cast("long"),
+    )
+    rows_i = e.select(q.alias("qv")).select(
+        F.posexplode("qv").alias("i", "qi"), F.col("qv")
+    )
+    cells = rows_i.select(
+        "i", "qi", F.posexplode("qv").alias("j", "qj")
+    )
+    c = cells.groupBy("i", "j").agg(
+        F.sum(F.col("qi") * F.col("qj")).alias("c")
+    )
+    cd = c.select("i", "j", F.col("c").cast("decimal(38,0)").alias("c"))
+    v = c.groupBy("i").agg(
+        F.sum("c").cast("decimal(38,0)").alias("v")
+    )
+    for _ in range(2):
+        v = (
+            cd.join(
+                F.broadcast(
+                    v.select(F.col("i").alias("j"), F.col("v").alias("vj"))
+                ),
+                "j",
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("vj")).alias("v"))
+        )
+    m = v.agg(F.max(F.abs(F.col("v"))).alias("vmax"))
+    return (
+        v.join(F.broadcast(m))
+        .select(
+            F.col("i").alias("dim"),
+            F.round(
+                F.col("v").cast("double") / F.col("vmax").cast("double"), 6
+            ).alias("component_ratio"),
+        )
+        .orderBy("dim")
+    )

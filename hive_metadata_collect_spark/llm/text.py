@@ -3025,3 +3025,115 @@ def text_dup_line_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_char_fraction"),
     )
+
+
+@register(
+    "text_rake_keywords",
+    survey_row=72,
+    oracle="""
+    WITH marked AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                   w -> CASE WHEN w IN ('the','a','of','and','to','in')
+                        THEN '|' ELSE w END) AS mk
+        FROM documents
+    ),
+    ph AS (
+        SELECT trim(p.p) AS phrase
+        FROM marked,
+             unnest(string_split(array_to_string(mk, ' '), '|')) AS p(p)
+        WHERE trim(p.p) <> ''
+    ),
+    pc AS (SELECT phrase, count(*) AS cnt FROM ph GROUP BY phrase),
+    pw AS (
+        SELECT phrase, cnt,
+               len(string_split(phrase, ' ')) AS plen, w.w AS word
+        FROM pc, unnest(string_split(phrase, ' ')) AS w(w)
+    ),
+    ws AS (
+        SELECT word, sum(cnt)::BIGINT AS freq,
+               sum(cnt * plen)::BIGINT AS deg
+        FROM pw GROUP BY word
+    ),
+    wq AS (
+        SELECT word, round(1000000.0 * deg / freq)::BIGINT AS sq FROM ws
+    ),
+    psc AS (
+        SELECT pw.phrase, pw.cnt, pw.plen, sum(wq.sq)::BIGINT AS sqsum
+        FROM pw JOIN wq USING (word)
+        GROUP BY pw.phrase, pw.cnt, pw.plen
+    )
+    SELECT phrase, cnt AS n_occurrences, plen AS n_words,
+           round(sqsum / 1000000.0, 6) AS rake_score
+    FROM psc
+    ORDER BY rake_score DESC, phrase
+    LIMIT 20
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010 — public): candidate
+    phrases are maximal stopword-free word runs; each word scores
+    degree/frequency (degree = total length of phrases it appears
+    in); a phrase scores the sum of its member words — corpus-level
+    top-20. The classic no-model keyphrase baseline a corpus profiler
+    runs before any embedding work.
+
+    Distributed shape: phrase segmentation is pure array code
+    (stopwords map to a delimiter, split, trim — no explode until
+    phrases exist), then occurrences collapse FIRST (groupBy phrase —
+    map-side partials make the shuffle |distinct phrases|), word
+    stats aggregate over the collapsed phrase table weighted by
+    count, and the phrase-score join fans out only |distinct
+    phrases| × words-per-phrase. Word scores are quantized to exact
+    micro-units (round(1e6·deg/freq) — deg·1e6 stays < 2⁵³ far past
+    sf10) so the per-phrase score sum is an INTEGER sum — order-free
+    on both engines; the one float division is at the output edge.
+    Top-20 compiles to TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    marked = F.transform(
+        words,
+        lambda w: F.when(
+            w.isin("the", "a", "of", "and", "to", "in"), F.lit("|")
+        ).otherwise(w),
+    )
+    phrase_arr = F.filter(
+        F.transform(
+            F.split(F.array_join(marked, " "), "\\|"),
+            lambda p: F.trim(p),
+        ),
+        lambda p: p != "",
+    )
+    ph = d.select(F.explode(phrase_arr).alias("phrase"))
+    pc = ph.groupBy("phrase").agg(F.count(F.lit(1)).alias("cnt"))
+    pw = pc.select(
+        "phrase",
+        "cnt",
+        F.size(F.split(F.col("phrase"), " ")).alias("plen"),
+        F.explode(F.split(F.col("phrase"), " ")).alias("word"),
+    )
+    ws = pw.groupBy("word").agg(
+        F.sum("cnt").cast("long").alias("freq"),
+        F.sum(F.col("cnt") * F.col("plen")).cast("long").alias("deg"),
+    )
+    wq = ws.select(
+        "word",
+        F.round(F.lit(1000000.0) * F.col("deg") / F.col("freq"))
+        .cast("long")
+        .alias("sq"),
+    )
+    psc = (
+        pw.join(wq, "word")
+        .groupBy("phrase", "cnt", "plen")
+        .agg(F.sum("sq").cast("long").alias("sqsum"))
+    )
+    return (
+        psc.select(
+            "phrase",
+            F.col("cnt").alias("n_occurrences"),
+            F.col("plen").alias("n_words"),
+            F.round(F.col("sqsum") / 1000000.0, 6).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), "phrase")
+        .limit(20)
+    )
