@@ -449,3 +449,64 @@ def pipeline_feature_store_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "missing_error_history",
         )
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    survey_row=58,
+    oracle="""
+    SELECT vec_id,
+           floor(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * 1e6 + 0.5) / 1e6 AS l2_norm,
+           len(list_filter(embedding, x -> x < 0))::BIGINT AS n_negative
+    FROM embeddings
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mapInArrow` — the LOWEST-overhead Python escape hatch in the
+    Spark 4 surface: the UDF receives raw `pyarrow.RecordBatch`es
+    (no pandas materialization, no per-column Series boxing) and
+    yields RecordBatches back. The right tier when the Python work is
+    itself Arrow/NumPy-native — here an embedding audit (L2 norm +
+    negative-component count) computed by zero-copy NumPy over the
+    Arrow buffers. Per-batch float64 reduction over float32 inputs in
+    ascending index order matches DuckDB's list_transform/list_sum
+    fold exactly, so the gate is hash-exact (same trick as the
+    F.aggregate ops: identical fold order ⇒ identical doubles).
+    At 100 TB: map-only, no shuffle; the Arrow tier saves the
+    ~2× pandas conversion tax mapInPandas pays per batch."""
+    import pyarrow as pa
+    import numpy as np
+
+    def audit(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            vec_ids = tbl.column("vec_id").to_numpy()
+            embs = tbl.column("embedding").to_pylist()
+            norms = np.empty(len(embs), dtype=np.float64)
+            negs = np.empty(len(embs), dtype=np.int64)
+            for k, v in enumerate(embs):
+                a = np.asarray(v, dtype=np.float32).astype(np.float64)
+                # sequential left-to-right fold == the SQL list_sum
+                acc = 0.0
+                for x in a:
+                    acc += x * x
+                # explicit half-UP at 1e-6 (Python round() is
+                # banker's; DuckDB/Spark round is half-away — norms
+                # are positive so floor(x·1e6 + 0.5) matches both)
+                norms[k] = float(np.floor(np.sqrt(acc) * 1e6 + 0.5) / 1e6)
+                negs[k] = int((a < 0).sum())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(vec_ids, type=pa.int64()),
+                    pa.array(norms, type=pa.float64()),
+                    pa.array(negs, type=pa.int64()),
+                ],
+                names=["vec_id", "l2_norm", "n_negative"],
+            )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.mapInArrow(
+        audit, "vec_id long, l2_norm double, n_negative long"
+    )

@@ -1448,3 +1448,67 @@ def win_autocorr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "lag")
     )
+
+
+@register(
+    "win_ohlc_resample",
+    survey_row=29,
+    oracle="""
+    WITH k AS (
+        SELECT event_type,
+               time_bucket(INTERVAL 15 MINUTE, ts) AS bucket,
+               value,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                   || lpad(CAST(event_id AS VARCHAR), 10, '0') AS ord,
+               round(value * 100)::BIGINT AS cents
+        FROM events
+    )
+    SELECT event_type, bucket,
+           arg_min(value, ord) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, ord) AS close,
+           count(*)::BIGINT AS n_events,
+           round(sum(cents) / 100.0, 2) AS volume
+    FROM k
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def win_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick resample — the canonical time-series
+    downsampling (metrics dashboards, market data): per (event type,
+    15-minute bucket), the opening/high/low/closing value plus count
+    and exact volume. ONE aggregation pass: open/close are
+    min_by/max_by over a FIXED-WIDTH string sort key (ISO-microsecond
+    timestamp + zero-padded event id — lexicographic ≡ chronological
+    and unique, so first/last are engine-deterministic without any
+    window sort); volume accumulates cents-scaled INTEGERS, never
+    doubles. At 100 TB this is a single partial-aggregated shuffle of
+    one row per (type, bucket) — the windowed-sort formulation
+    (row_number ASC/DESC twice) pays a full sort for the same answer
+    and is rejected in-plan (no Window, no Sort before the agg)."""
+    ev = load_table(spark, sf_dir, "events")
+    ord_key = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.window("ts", "15 minutes").start.alias("bucket"),
+            "value",
+            ord_key.alias("ord"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.min_by("value", F.col("ord")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.col("ord")).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("cents") / 100.0, 2).alias("volume"),
+        )
+        .orderBy("event_type", "bucket")
+    )
