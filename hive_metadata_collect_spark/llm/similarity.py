@@ -1392,8 +1392,14 @@ def sim_power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = rows_i.select(
         "i", "qi", F.posexplode("qv").alias("j", "qj")
     )
-    c = cells.groupBy("i", "j").agg(
-        F.sum(F.col("qi") * F.col("qj")).alias("c")
+    # The Gram matrix feeds the v₀ init and both C·v steps; persist
+    # its 4,096 rows so the corpus-sized aggregation runs ONCE (the
+    # docstring's "corpus appears only in step 2" claim, made true in
+    # the plan — without this, each branch re-scans the embeddings).
+    c = (
+        cells.groupBy("i", "j")
+        .agg(F.sum(F.col("qi") * F.col("qj")).alias("c"))
+        .persist()
     )
     cd = c.select("i", "j", F.col("c").cast("decimal(38,0)").alias("c"))
     v = c.groupBy("i").agg(

@@ -3105,7 +3105,11 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda p: p != "",
     )
     ph = d.select(F.explode(phrase_arr).alias("phrase"))
-    pc = ph.groupBy("phrase").agg(F.count(F.lit(1)).alias("cnt"))
+    # The collapsed phrase table feeds both the word-stats aggregate
+    # and the phrase-score join-back; persist it so the corpus scan +
+    # segmentation runs once (it is the algorithm's working set —
+    # |distinct phrases| — either way).
+    pc = ph.groupBy("phrase").agg(F.count(F.lit(1)).alias("cnt")).persist()
     pw = pc.select(
         "phrase",
         "cnt",

@@ -786,3 +786,46 @@ def test_autocorr_no_self_join(spark, sf_dir):
     plan = physical_plan(df)
     assert "Join" not in plan, plan[:2000]
     assert plan.count("Window [") == 1, plan[:2000]
+
+
+def test_ohlc_no_window_sort(spark, sf_dir):
+    """OHLC is ONE partial-aggregated exchange — min_by/max_by over a
+    string sort key, never a windowed sort."""
+    df = OPS["win_ohlc_resample"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" not in plan, plan[:2000]
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(exchanges) == 1, exchanges
+    # min_by/max_by must run two-phase (map-side partial before the
+    # exchange); node flavor varies (ObjectHash/Sort aggregate)
+    assert "partial_min_by" in plan, plan[:2000]
+
+
+def test_power_iteration_corpus_touched_once(spark, sf_dir):
+    """The corpus appears only in the Gram-matrix stage: one FileScan
+    of embeddings; every v <- C.v step is a broadcast join (the 64-row
+    vector), never a shuffle of the matrix."""
+    df = OPS["sim_power_iteration_top_pc"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # the Gram matrix is persisted: every consumer reads the cache
+    # (InMemoryRelation prints its child FileScan, so count cache
+    # scans, not FileScan text)
+    assert plan.count("InMemoryTableScan") >= 3, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= 2  # the C·v steps
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rake_phrases_collapse_before_fanout(spark, sf_dir):
+    """RAKE's word fan-out runs over the COLLAPSED distinct-phrase
+    table (phrase counts aggregate first); top-20 is
+    TakeOrderedAndProject, and everything stays JVM-side."""
+    df = OPS["text_rake_keywords"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # phrase counts are persisted; both consumers (word stats, score
+    # join-back) read the cache instead of re-scanning the corpus
+    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
