@@ -450,6 +450,23 @@ DOC_OPS = [
     # 1-char words hit the length-2 guard; tie-heavy counts exercise
     # the (count desc, pair asc) deterministic top-30 cut
     "text_bpe_pair_counts",
+    # round 8 — generated docs are all BELOW the 30-word floor
+    # (r_word_count false everywhere) and the tiny vocab's 1-char 'x'
+    # drags mean word length toward the lower bound; residue-seeded
+    # symbol/number decorations still fire on the generated doc_ids
+    "text_gopher_quality_rules",
+    # generated docs have no terminal punctuation (the raw line always
+    # drops); residue classes decide every kept line, so 1-doc corpora
+    # exercise each branch in isolation
+    "text_c4_cleaning_rules",
+    # duplicate generated words do NOT duplicate lines (line identity
+    # is the whole line) — only the residue-seeded twins do; odd ids
+    # with no seeded dup must report 0.0 on both engines
+    "text_dup_line_fraction",
+    # the tiny vocab has NO stopwords → whole docs become single
+    # phrases (degree == phrase length for every word); duplicate
+    # generated docs collapse into one phrase row with cnt > 1
+    "text_rake_keywords",
 ]
 
 _WORDS = ["alpha", "beta", "gamma", "delta", "x"]
