@@ -3141,3 +3141,84 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rake_score"), "phrase")
         .limit(20)
     )
+
+
+@register(
+    "text_kneser_ney_bigram",
+    survey_row=72,
+    oracle="""
+    WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    bg AS (
+        SELECT z[1] AS w1, z[2] AS w2, count(*)::BIGINT AS c
+        FROM w, unnest(list_zip(ws[1:-2], ws[2:])) AS t(z)
+        GROUP BY w1, w2
+    ),
+    ctx AS (
+        SELECT w1, sum(c)::BIGINT AS ctx_total, count(*)::BIGINT AS nfw
+        FROM bg GROUP BY w1
+    ),
+    bwd AS (SELECT w2, count(*)::BIGINT AS nbw FROM bg GROUP BY w2),
+    tot AS (SELECT count(*)::BIGINT AS btot FROM bg)
+    SELECT bg.w1, bg.w2, bg.c,
+           round(((CAST(bg.c AS DOUBLE) - 0.75)
+                  + (0.75 * ctx.nfw)
+                    * (CAST(bwd.nbw AS DOUBLE) / tot.btot))
+                 / ctx.ctx_total, 6) AS p_kn
+    FROM bg
+    JOIN ctx USING (w1)
+    JOIN bwd USING (w2)
+    CROSS JOIN tot
+    ORDER BY p_kn DESC, w1, w2
+    LIMIT 30
+    """,
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram language model (Kneser & Ney
+    1995 / Chen & Goodman 1998 — public): the classic smoothed n-gram
+    estimate used for perplexity filtering and domain scoring before
+    neural LMs, with the CONTINUATION-count backoff that plain
+    add-discount smoothing lacks. P(w2|w1) = (c(w1w2) − D)/c(w1·) +
+    D·N₁₊(w1·)/c(w1·) · N₁₊(·w2)/|bigrams|, D = 0.75; top-30.
+
+    Everything derives from ONE bigram-count aggregate: context
+    totals and forward type-counts are a groupBy over the collapsed
+    bigram table (not the corpus), continuation counts a second, and
+    the grand type-total a 1-row broadcast. D = 0.75 is binary-exact,
+    counts are integers, and both engines evaluate the identically
+    parenthesized expression over identical inputs — deterministic
+    without any fixed-point tricks (max(c−D,0) is vacuous: c ≥ 1 ⇒
+    c−D ≥ 0.25, noted rather than computed). At 100 TB the corpus is
+    touched once; all model state is |observed bigrams|."""
+    ws = F.split(F.col("text"), " ")
+    pairs = F.arrays_zip(
+        F.slice(ws, 1, F.size(ws) - 1).alias("w1"),
+        F.slice(ws, 2, F.size(ws) - 1).alias("w2"),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    bg = (
+        d.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()  # feeds ctx, bwd, tot, and the final join
+    )
+    ctx = bg.groupBy("w1").agg(
+        F.sum("c").alias("ctx_total"), F.count(F.lit(1)).alias("nfw")
+    )
+    bwd = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("nbw"))
+    tot = bg.agg(F.count(F.lit(1)).alias("btot"))
+    p_kn = (
+        (F.col("c").cast("double") - F.lit(0.75))
+        + (F.lit(0.75) * F.col("nfw"))
+        * (F.col("nbw").cast("double") / F.col("btot"))
+    ) / F.col("ctx_total")
+    return (
+        bg.join(ctx, "w1")
+        .join(bwd, "w2")
+        .join(F.broadcast(tot))
+        .select(
+            "w1", "w2", "c", F.round(p_kn, 6).alias("p_kn")
+        )
+        .orderBy(F.desc("p_kn"), "w1", "w2")
+        .limit(30)
+    )

@@ -467,6 +467,10 @@ DOC_OPS = [
     # phrases (degree == phrase length for every word); duplicate
     # generated docs collapse into one phrase row with cnt > 1
     "text_rake_keywords",
+    # 1-word docs yield no bigrams (empty model must agree); the
+    # 5-word vocab forces dense continuation counts where the
+    # backoff term dominates ties
+    "text_kneser_ney_bigram",
 ]
 
 _WORDS = ["alpha", "beta", "gamma", "delta", "x"]
