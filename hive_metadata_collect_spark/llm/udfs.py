@@ -510,3 +510,55 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.mapInArrow(
         audit, "vec_id long, l2_norm double, n_negative long"
     )
+
+
+@register(
+    "udf_sql_declarative",
+    survey_row=57,
+    oracle="""
+    SELECT o_orderpriority,
+           CASE WHEN o_totalprice >= 200000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'low' END AS tier,
+           count(*)::BIGINT AS n,
+           round(sum(CAST(round(o_totalprice * 0.97 * 100)
+                     AS BIGINT)) / 100.0, 2) AS discounted_total
+    FROM orders
+    GROUP BY o_orderpriority, tier
+    ORDER BY o_orderpriority, tier
+    """,
+)
+def udf_sql_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language UDFs (Spark 4 `CREATE FUNCTION … RETURN expr` —
+    the ANSI SQL/PSM surface): a scalar tiering function and a
+    discount function declared IN SQL, then used in an aggregate
+    query. Unlike every Python UDF tier, SQL UDFs inline into the
+    Catalyst plan at analysis time — the optimized plan contains only
+    the expanded expressions (codegen, pushdown, no serialization
+    boundary), which is why they are the FIRST choice for shared
+    business logic at 100 TB. The oracle states the same logic
+    inlined by hand; the discounted sum is cents-quantized before
+    accumulation so the group totals are integer-exact."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION hmcs_price_tier(p DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN p >= 200000 THEN 'high' "
+        "WHEN p >= 100000 THEN 'mid' ELSE 'low' END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION hmcs_disc_cents(p DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(round(p * 0.97 * 100) AS BIGINT)"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("hmcs_sqludf_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               hmcs_price_tier(o_totalprice) AS tier,
+               count(*) AS n,
+               round(sum(hmcs_disc_cents(o_totalprice)) / 100.0, 2)
+                   AS discounted_total
+        FROM hmcs_sqludf_orders
+        GROUP BY o_orderpriority, tier
+        ORDER BY o_orderpriority, tier
+        """
+    )

@@ -1512,3 +1512,83 @@ def win_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+@register(
+    "win_bollinger_bands",
+    survey_row=29,
+    oracle="""
+    WITH c AS (
+        SELECT event_type, event_id, value,
+               round(value * 100)::BIGINT AS cents
+        FROM events
+    ),
+    f AS (
+        SELECT event_type, event_id, value,
+               count(*) OVER w AS n,
+               sum(cents) OVER w AS sx,
+               sum(cents * cents) OVER w AS sxx
+        FROM c
+        WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, event_id, value,
+           round(CAST(sx AS DOUBLE) / n / 100.0, 6) AS ma20,
+           round(sqrt((n * CAST(sxx AS DOUBLE) -
+                       CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * n)) / 100.0, 6) AS sigma20,
+           value * 100 > CAST(sx AS DOUBLE) / n
+               + 2 * sqrt((n * CAST(sxx AS DOUBLE) -
+                           CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * n)) AS above_upper,
+           value * 100 < CAST(sx AS DOUBLE) / n
+               - 2 * sqrt((n * CAST(sxx AS DOUBLE) -
+                           CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * n)) AS below_lower
+    FROM f
+    WHERE n >= 20
+    ORDER BY event_type, event_id
+    """,
+)
+def win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands per event type: trailing-20 moving average ±2σ
+    with breach flags — the volatility-envelope monitor (anomaly
+    detection on metered values, price channels). The rolling σ does
+    NOT use the engines' windowed stddev (both may reassociate float
+    sums over the frame — DuckDB's segment-tree window state vs
+    Spark's running frame would diverge): instead the frame carries
+    exact cents-scaled INTEGER sums (Σx, Σx²) and σ comes from the
+    closed population form over those integers — identical doubles on
+    both engines, flags that cannot flip. One shuffle (event_type),
+    one sort, three frame aggregates sharing the window."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    f = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(cents).over(w).alias("sx"),
+        F.sum(cents * cents).over(w).alias("sxx"),
+    ).filter(F.col("n") >= 20)
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    var_c2 = (F.col("n") * F.col("sxx").cast("double") - sxd * sxd) / (
+        nd * F.col("n")
+    )
+    sigma_c = F.sqrt(var_c2)
+    ma_c = sxd / F.col("n")
+    return f.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.round(ma_c / 100.0, 6).alias("ma20"),
+        F.round(sigma_c / 100.0, 6).alias("sigma20"),
+        (F.col("value") * 100 > ma_c + 2 * sigma_c).alias("above_upper"),
+        (F.col("value") * 100 < ma_c - 2 * sigma_c).alias("below_lower"),
+    ).orderBy("event_type", "event_id")
