@@ -637,3 +637,39 @@ def scan_file_metadata_accounting(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("part_value")
     )
+
+
+@register(
+    "sink_xml_roundtrip",
+    survey_row=4,
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier WHERE s_nationkey >= 20
+    """,
+)
+def sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a filtered result as XML (Spark 4's BUILT-IN xml source —
+    no external package), read it back with the writer's schema. XML
+    is the interchange format metastore exports and legacy feeds still
+    arrive in; the roundtrip must survive rowTag framing and type
+    re-binding (XML carries no types — the explicit read schema is
+    the losslessness rule, same as the CSV twin). Values are longs,
+    strings, and 2-decimal doubles, all of which print/parse
+    round-trip-exactly."""
+    src = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") >= 20
+    ).select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    target = os.path.join(_SCRATCH, "roundtrip_supplier_xml")
+    (
+        src.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "suppliers")
+        .option("rowTag", "supplier")
+        .save(target)
+    )
+    return (
+        spark.read.schema(src.schema)
+        .format("xml")
+        .option("rowTag", "supplier")
+        .load(target)
+    )
