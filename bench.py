@@ -192,6 +192,15 @@ def main() -> None:
         if op_name in ops:
             registry.prepared_frame(spark, op_name, sf_dir).count()
 
+    # Settle between warm and timed passes: the warm pass materializes
+    # every result set (the LSH pair query alone is tens of millions
+    # of rows at sf1), and that garbage otherwise bills a multi-second
+    # GC stall to whichever query is timed FIRST — observed as 0.2 s →
+    # 4.4 s best-of-3 spikes on q_pricing_summary that moved between
+    # runs. One explicit collection outside any timed region.
+    spark._jvm.System.gc()
+    time.sleep(1.0)
+
     timings: dict[str, float] = {}
     for key, op_name in headline.items():
         if op_name not in ops:

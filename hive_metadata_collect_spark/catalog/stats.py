@@ -3130,7 +3130,7 @@ def cat_lineage_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
         SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
                count(*) AS n_rows,
-               sum(length(props)) AS payload_bytes
+               CAST(sum(length(props)) AS BIGINT) AS payload_bytes
         FROM events GROUP BY 1
     ), wm AS (SELECT max(day) AS max_day FROM d)
     SELECT d.day, d.n_rows, d.payload_bytes,

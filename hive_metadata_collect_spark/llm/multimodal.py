@@ -1122,7 +1122,7 @@ def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(k % 3 AS BIGINT) AS channel,
-           sum((doc_id + k) % 256) AS sum_px,
+           CAST(sum((doc_id + k) % 256) AS BIGINT) AS sum_px,
            min((doc_id + k) % 256) AS min_px,
            max((doc_id + k) % 256) AS max_px
     FROM s

@@ -718,12 +718,12 @@ def pipeline_decontaminate_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFr
     )
     SELECT vec_id,
            CAST(floor(scale * 1e9 + 0.5) AS BIGINT) AS scale_nano,
-           list_sum(list_transform(embedding,
+           CAST(list_sum(list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5)
-                         AS BIGINT))) AS sum_q,
-           list_sum(list_transform(embedding,
+                         AS BIGINT))) AS BIGINT) AS sum_q,
+           CAST(list_sum(list_transform(embedding,
                x -> abs(CAST(floor(CAST(x AS DOUBLE) / scale + 0.5)
-                             AS BIGINT)))) AS sum_abs_q,
+                             AS BIGINT)))) AS BIGINT) AS sum_abs_q,
            CAST(floor(
                list_sum(list_transform(embedding,
                    x -> abs(CAST(x AS DOUBLE)

@@ -1354,7 +1354,7 @@ def _bpe_loop(spark: SparkSession, sf_dir: str):
     )
     SELECT doc_id,
            count(*) AS n_buckets,
-           sum(cnt * cnt) AS sq_norm,
+           CAST(sum(cnt * cnt) AS BIGINT) AS sq_norm,
            md5(string_agg(bucket || ':' || cnt, ',' ORDER BY bucket))
                AS vec_digest
     FROM b GROUP BY doc_id
