@@ -235,21 +235,38 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     total_cold = round(sum(timings_cold.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total_wall",
-                "value": total,
-                "unit": "sec",
-                "protocol": "prepared-v2",
-                "queries": timings,
-                "total_cold": total_cold,
-                "queries_cold": timings_cold,
-                "sf": sf,
-            }
-        )
+    # The headline JSON is printed at the END of main() (after the
+    # pass-2 sidecar work) so it is the LAST line of output: the
+    # grading driver merges stdout+stderr and parses the tail — any
+    # output after the JSON line breaks it (BENCH_r07 "parsed": null
+    # came from pass-2 console progress bars trailing the line).
+    # Pass 2 is wrapped in try/except for the same reason: its
+    # failure must neither prevent the print nor trail a traceback.
+    headline_json = json.dumps(
+        {
+            "metric": "headline_suite_total_wall",
+            "value": total,
+            "unit": "sec",
+            "protocol": "prepared-v2",
+            "queries": timings,
+            "total_cold": total_cold,
+            "queries_cold": timings_cold,
+            "sf": sf,
+        }
     )
+    try:
+        _stage_sidecar(headline, ops, sf_dir, sf, master, mem, shuffle, total)
+    except Exception as exc:  # pragma: no cover - diagnostic path
+        sys.stderr.write(f"bench: stage sidecar pass failed: {exc}\n")
+        sys.stderr.flush()
+    print(headline_json)
     sys.stdout.flush()
+
+
+def _stage_sidecar(headline, ops, sf_dir, sf, master, mem, shuffle, total):
+    """Pass 2: event-logged session over BREAKDOWN queries; writes the
+    per-stage wall breakdown to BENCH_STAGES.json (never stdout)."""
+    from pyspark.sql import SparkSession
 
     sidecar = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_STAGES.json"

@@ -58,6 +58,11 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int = 32):
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # No [Stage N] console progress bars: the grading driver merges
+        # stdout+stderr and parses bench.py's LAST line as JSON — the
+        # pass-2 (event-logged) session's progress bars trailed the
+        # JSON line and broke the parse (BENCH_r07 "parsed": null).
+        .config("spark.ui.showConsoleProgress", "false")
         .config(
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
