@@ -1143,21 +1143,30 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    # The EUROPE restriction is on a GROUP KEY (suppkey), so it
-    # commutes with the min-aggregation — semi-reduce lineitem through
-    # the broadcast supplier dim BEFORE the (part, supplier) agg and
-    # the expensive fact-width groupBy runs on ~1/5 of the rows
-    # (filter-below-agg, the eager-reduction twin of join_agg_pushdown;
-    # measured ~35 % faster at sf0.1, same rows).
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 25) & (F.col("p_type") == "STANDARD")
+    )
+    # BOTH dimension restrictions commute below the aggregation AND
+    # the window: EUROPE is on a group key (suppkey), and the part
+    # size/type predicate is on the WINDOW PARTITION key (partkey) —
+    # the per-part min cost is computed only over that part's own
+    # suppliers, so dropping other parts cannot change it. Semi-reduce
+    # lineitem through both broadcast dims BEFORE the (part, supplier)
+    # agg: the fact-width groupBy runs on the ~1/20 of rows that can
+    # reach the output (filter-below-agg + filter-below-window; the
+    # EUROPE-only form was already ~35 % faster at sf0.1). The shuffle
+    # carries ONLY (partkey, suppkey, cost) — supplier name/acctbal/
+    # nation are re-attached by broadcast AFTER the min-cost filter,
+    # keeping three strings out of every shuffled row.
     eu_li = li.join(
-        F.broadcast(eu_sup), li.l_suppkey == eu_sup.s_suppkey
+        F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey")
+    ).join(
+        F.broadcast(eu_sup.select("s_suppkey")),
+        li.l_suppkey == F.col("s_suppkey"),
     )
     eu = eu_li.groupBy(
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
-        "s_name",
-        "s_acctbal",
-        "n_name",
     ).agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
             "ps_supplycost"
@@ -1167,11 +1176,9 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = eu.withColumn("mc", F.min("ps_supplycost").over(w)).filter(
         F.col("ps_supplycost") == F.col("mc")
     )
-    p = load_table(spark, sf_dir, "part").filter(
-        F.col("p_size").between(10, 25) & (F.col("p_type") == "STANDARD")
-    )
     return (
-        m.join(F.broadcast(p), m.ps_partkey == p.p_partkey)
+        m.join(F.broadcast(eu_sup), m.ps_suppkey == eu_sup.s_suppkey)
+        .join(F.broadcast(p), m.ps_partkey == p.p_partkey)
         .select(
             F.round("s_acctbal", 2).alias("s_acctbal"),
             "s_name",
