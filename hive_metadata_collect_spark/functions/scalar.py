@@ -1332,3 +1332,123 @@ def fn_unicode_width_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         folded.alias("folded"),
         (F.col("raw") != folded).alias("was_widened"),
     )
+
+
+_GH_ALPHA = "0123456789bcdefghjkmnpqrstuvwxyz"
+# 20 bits per axis -> 40-bit z-value -> 8 base32 geohash chars.
+_GH_BITS = 20
+_GH_Z_TERMS_SQL = " + ".join(
+    f"(((ix >> {i}) & 1) << {2 * i + 1}) + (((iy >> {i}) & 1) << {2 * i})"
+    for i in range(_GH_BITS)
+)
+_GH_CHARS_SQL = " || ".join(
+    f"substr('{_GH_ALPHA}', CAST(((z >> {40 - 5 * (k + 1)}) & 31) + 1 "
+    "AS INTEGER), 1)"
+    for k in range(8)
+)
+
+
+@register(
+    "fn_geohash_encode",
+    survey_row=44,
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               ((c_custkey * 7919) % 18000) / 100.0 - 90.0  AS lat,
+               ((c_custkey * 104729) % 36000) / 100.0 - 180.0 AS lon
+        FROM customer
+    ), q AS (
+        SELECT c_custkey, lat, lon,
+               CAST(floor((lon + 180.0) / 360.0 * 1048576.0) AS BIGINT)
+                   AS ix,
+               CAST(floor((lat + 90.0) / 180.0 * 1048576.0) AS BIGINT)
+                   AS iy
+        FROM pts
+    ), z AS (
+        SELECT c_custkey, lat, lon, {_GH_Z_TERMS_SQL} AS z FROM q
+    ), g AS (
+        SELECT c_custkey,
+               CAST(floor(lat * 100 + 0.5) AS BIGINT) AS lat_centi,
+               CAST(floor(lon * 100 + 0.5) AS BIGINT) AS lon_centi,
+               {_GH_CHARS_SQL} AS geohash8
+        FROM z
+    )
+    SELECT c_custkey, lat_centi, lon_centi, geohash8,
+           substr(geohash8, 1, 4) AS cell4,
+           count(*) OVER (PARTITION BY substr(geohash8, 1, 4))
+               AS cell4_n
+    FROM g
+    """,
+)
+def fn_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash-8 encoding — the spatial INDEXING primitive the
+    grid-cell spatial joins (#17) bucket with, as a first-class
+    function: points (synthesized from custkey exactly like
+    join_spatial_radius) quantize each axis to 20 bits, bit-
+    interleave lon/lat MSB-first into a 40-bit z-value, and emit 8
+    base32 characters. The prefix property (shared prefix = nearby
+    cell) is what makes it a join/partition key at scale: cluster or
+    bucket a 100 TB point table by geohash prefix and range scans
+    become partition-pruned cell lookups. The op also emits the
+    4-char-cell occupancy count (window over the prefix — the skew
+    audit a geo-bucketed layout is sized with).
+
+    Pure integer bit arithmetic after one double quantization
+    (floor of an IEEE-identical expression; both engines fold it
+    the same), then base32 via indexed substring — no UDF, map-only
+    plus one window shuffle on the cell key, whole-stage codegen.
+    Geohash spec is public domain (Niemeyer 2008); the MSB-first
+    even-bit-longitude layout here matches it."""
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    lat = ((k * 7919) % 18000) / 100.0 - 90.0
+    lon = ((k * 104729) % 36000) / 100.0 - 180.0
+    ix = F.floor((lon + 180.0) / 360.0 * 1048576.0).cast("long")
+    iy = F.floor((lat + 90.0) / 180.0 * 1048576.0).cast("long")
+    q = c.select(
+        "c_custkey",
+        F.floor(lat * 100 + 0.5).cast("long").alias("lat_centi"),
+        F.floor(lon * 100 + 0.5).cast("long").alias("lon_centi"),
+        ix.alias("ix"),
+        iy.alias("iy"),
+    )
+    z = None
+    for i in range(_GH_BITS):
+        t = F.shiftleft(
+            F.shiftright(F.col("ix"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        ) + F.shiftleft(
+            F.shiftright(F.col("iy"), i).bitwiseAND(F.lit(1)), 2 * i
+        )
+        z = t if z is None else z + t
+    alpha = F.array(*[F.lit(ch) for ch in _GH_ALPHA])
+    zc = q.select("c_custkey", "lat_centi", "lon_centi", z.alias("z"))
+    gh = F.concat(
+        *[
+            F.element_at(
+                alpha,
+                (
+                    F.shiftright(F.col("z"), 40 - 5 * (kk + 1)).bitwiseAND(
+                        F.lit(31)
+                    )
+                    + 1
+                ).cast("int"),
+            )
+            for kk in range(8)
+        ]
+    )
+    g = zc.select(
+        "c_custkey", "lat_centi", "lon_centi", gh.alias("geohash8")
+    )
+    from pyspark.sql.window import Window as _W
+
+    cell4 = F.substring("geohash8", 1, 4)
+    return g.select(
+        "c_custkey",
+        "lat_centi",
+        "lon_centi",
+        "geohash8",
+        cell4.alias("cell4"),
+        F.count(F.lit(1))
+        .over(_W.partitionBy(cell4))
+        .alias("cell4_n"),
+    )
