@@ -829,3 +829,39 @@ def test_rake_phrases_collapse_before_fanout(spark, sf_dir):
     # phrase counts are persisted; both consumers (word stats, score
     # join-back) read the cache instead of re-scanning the corpus
     assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+
+
+def test_tpch_q2_semi_reduction_below_agg(spark, sf_dir):
+    """Q2 rewrite (round 8): BOTH broadcast dims must sit BELOW the
+    (partkey, suppkey) aggregate — the fact is semi-reduced before the
+    expensive groupBy — and the agg shuffle carries keys+cost only
+    (no supplier strings ride the exchange)."""
+    df = OPS["tpch_q2_min_cost_supplier"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    lines = plan.splitlines()
+    first_agg = next(
+        i for i, l in enumerate(lines) if "HashAggregate" in l
+    )
+    # Two broadcast joins (part keys + EUROPE suppliers) appear in the
+    # subtree BELOW the first (final-mode) aggregate.
+    below = "\n".join(lines[first_agg:])
+    assert below.count("BroadcastHashJoin") >= 2, plan[:3000]
+    for line in lines:
+        if "Exchange hashpartitioning" in line and "l_partkey" in line:
+            assert "s_name" not in line and "n_name" not in line, line
+
+
+def test_geohash_no_python_single_window_exchange(spark, sf_dir):
+    """Geohash encoding is pure JVM bit arithmetic: no Python/Arrow
+    eval nodes, and the only exchange is the cell-prefix window."""
+    df = OPS["fn_geohash_encode"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
+    assert "BatchEvalPython" not in plan, plan[:2000]
+    n_ex = sum(
+        1
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l
+    )
+    assert n_ex == 1, plan[:3000]
+    assert "Window" in plan
