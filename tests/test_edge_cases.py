@@ -713,3 +713,29 @@ def test_iceberg_metadata_replay_golden_values(spark, sf_dir):
     assert [rows[i]["is_current"] for i in (1, 2, 3)] == [False, False, True]
     assert rows[3]["operation"] == "overwrite"
     assert (rows[1]["schema_id"], rows[2]["schema_id"]) == (0, 1)
+
+
+def test_geohash_matches_independent_reference(spark, sf_dir):
+    """The op's bit-interleave is pinned against an independent pure-
+    Python geohash encoder (itself validated on the canonical
+    57.64911/10.40744 -> u4pruydq test vector), over every fixture
+    point."""
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+    def ref(lat, lon):
+        ix = int((lon + 180.0) / 360.0 * 1048576.0)
+        iy = int((lat + 90.0) / 180.0 * 1048576.0)
+        z = 0
+        for i in range(20):
+            z += ((ix >> i) & 1) << (2 * i + 1)
+            z += ((iy >> i) & 1) << (2 * i)
+        return "".join(
+            alpha[(z >> (40 - 5 * (k + 1))) & 31] for k in range(8)
+        )
+
+    assert ref(57.64911, 10.40744) == "u4pruydq"
+    for r in OPS["fn_geohash_encode"].fn(spark, sf_dir).collect():
+        k = r["c_custkey"]
+        lat = ((k * 7919) % 18000) / 100.0 - 90.0
+        lon = ((k * 104729) % 36000) / 100.0 - 180.0
+        assert r["geohash8"] == ref(lat, lon), (k, lat, lon)
