@@ -678,11 +678,18 @@ def win_median_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_vwap_running",
     survey_row=32,
     oracle="""
+    WITH c AS (
+        SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * CAST(floor(l_quantity + 0.5) AS BIGINT) AS pq_e2,
+               CAST(floor(l_quantity + 0.5) AS BIGINT) AS q_i
+        FROM lineitem
+        WHERE l_partkey % 40 = 0
+    )
     SELECT l_partkey, l_shipdate, l_linenumber,
-           round(sum(l_extendedprice * l_quantity) OVER w
-                 / sum(l_quantity) OVER w, 4) AS vwap
-    FROM lineitem
-    WHERE l_partkey % 40 = 0
+           CAST((200 * sum(pq_e2) OVER w + sum(q_i) OVER w)
+                // (2 * sum(q_i) OVER w) AS DOUBLE) / 10000.0 AS vwap
+    FROM c
     WINDOW w AS (PARTITION BY l_partkey
                  ORDER BY l_shipdate, l_orderkey, l_linenumber
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -699,23 +706,54 @@ def win_vwap_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     (l_orderkey, l_linenumber) so same-day shipments accumulate
     identically on both engines; quantities are positive so the
     denominator never vanishes. Monitor slice (1-in-40 parts), same
-    contract as the other exact-on-a-slice windows."""
+    contract as the other exact-on-a-slice windows.
+
+    Both running sums accumulate in exact INTEGER units (price·qty in
+    cents — price is cents-exact, quantity integer-valued): a double
+    running sum diverged by one ULP in the 4th decimal at sf0.1
+    (DuckDB's segment-tree window state associates the additions
+    differently than Spark's running frame; same class as the r6
+    join_multiway_star finding). Integer addition is associative, so
+    the gate is stable at any accumulation length — and the 4-decimal
+    HALF_UP rounding is ALSO integer ((200·Σpq + Σq) DIV (2·Σq)):
+    even on identical quotient doubles, Spark's BigDecimal-of-
+    shortest-repr round() and DuckDB's binary round() disagree at
+    .xxxx5 boundaries (5 rows at sf0.1). No float op happens before
+    the final exact-integer-to-double display cast."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_partkey") % 40 == 0
+    )
+    pq_e2 = (
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        * F.floor(F.col("l_quantity") + 0.5).cast("long")
+    )
+    q_i = F.floor(F.col("l_quantity") + 0.5).cast("long")
+    c = li.select(
+        "l_partkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        pq_e2.alias("pq_e2"),
+        q_i.alias("q_i"),
     )
     w = (
         Window.partitionBy("l_partkey")
         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return li.select(
+    s = c.select(
         "l_partkey",
         "l_shipdate",
         "l_linenumber",
-        F.round(
-            F.sum(F.col("l_extendedprice") * F.col("l_quantity")).over(w)
-            / F.sum("l_quantity").over(w),
-            4,
+        F.sum("pq_e2").over(w).alias("spq"),
+        F.sum("q_i").over(w).alias("sq"),
+    )
+    return s.select(
+        "l_partkey",
+        "l_shipdate",
+        "l_linenumber",
+        (
+            F.expr("(200 * spq + sq) DIV (2 * sq)").cast("double") / 10000.0
         ).alias("vwap"),
     )
 
