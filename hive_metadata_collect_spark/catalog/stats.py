@@ -7222,3 +7222,156 @@ def cat_iceberg_metadata_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s.`snapshot-id`") == F.col("cur")).alias("is_current"),
         F.col("s.`schema-id`").alias("schema_id"),
     )
+
+
+@register(
+    "cat_markov_transitions",
+    survey_row=64,
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS dst
+        FROM events
+    ),
+    t AS (
+        SELECT src, dst, count(*) AS n FROM seq
+        WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY src), 6) AS p
+    FROM t
+    ORDER BY src, dst
+    """,
+)
+def cat_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order MARKOV transition matrix over the per-user event
+    stream — the behavioral model behind next-action prediction,
+    anomaly scoring (improbable transition = alert), and the
+    user-journey graphs cat_user_paths_topk samples from. Each
+    user's timeline is linearized once (ts with event_id tiebreak —
+    a TOTAL order, so lead() is deterministic); transition counts
+    aggregate map-side; row probabilities are one window over the
+    |types|² MATRIX frame, never the data.
+
+    One user-keyed shuffle for the sequence window + one (src,dst)
+    aggregate. At 100 TB the matrix stays |types|²-sized regardless
+    of corpus — the model is a broadcast-able artifact the scoring
+    pass joins back onto the stream."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    t = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    return t.select(
+        "src",
+        "dst",
+        "n",
+        F.round(
+            F.col("n") * 1.0 / F.sum("n").over(Window.partitionBy("src")), 6
+        ).alias("p"),
+    ).orderBy("src", "dst")
+
+
+@register(
+    "cat_funnel_time_to_convert",
+    survey_row=64,
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS fv
+        FROM events GROUP BY user_id
+    ),
+    conv AS (
+        SELECT e.user_id,
+               min(epoch_us(e.ts) - epoch_us(p.fv)) AS delay_us
+        FROM events e JOIN per_user p ON e.user_id = p.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > p.fv
+        GROUP BY e.user_id
+    ),
+    ranked AS (
+        SELECT delay_us,
+               row_number() OVER (ORDER BY delay_us) AS rn,
+               count(*) OVER () AS n
+        FROM conv
+    )
+    SELECT max(n)::BIGINT AS n_converted,
+           min(delay_us)::BIGINT AS min_delay_us,
+           max(CASE WHEN rn = (n + 1) // 2 THEN delay_us END)::BIGINT
+               AS median_delay_us,
+           max(CASE WHEN rn = (9 * n + 9) // 10 THEN delay_us END)::BIGINT
+               AS p90_delay_us,
+           max(delay_us)::BIGINT AS max_delay_us
+    FROM ranked
+    """,
+)
+def cat_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-to-convert distribution — the funnel's missing axis
+    (cat_funnel_conversion counts WHO converts; product decisions
+    need HOW LONG): first view → first subsequent purchase delay
+    per user, with exact order-statistic summary (min / median /
+    p90 / max). Delays are integer MICROSECONDS (epoch_us on both
+    engines — second-truncating diffs disagree when sub-second
+    parts straddle a boundary), and the quantiles are integer-
+    position row picks ((n+1)//2, (9n+9)//10 — the
+    agg_percentile_disc_cont convention), so every output is an
+    exact int64.
+
+    Shape: one user-keyed aggregate for first-view, one fact-side
+    semi-reduce + min-aggregate for the conversion delay, then the
+    rank window runs over the CONVERTED-USER frame only (≪ events;
+    at 100 TB swap the exact rank for approx_percentile on the same
+    contract)."""
+    ev = load_table(spark, sf_dir, "events")
+    fv = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).alias("fv")
+        )
+        .filter(F.col("fv").isNotNull())
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") > F.col("fv"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.unix_micros("ts") - F.unix_micros("fv")
+            ).alias("delay_us")
+        )
+    )
+    ranked = conv.select(
+        "delay_us",
+        F.row_number().over(Window.orderBy("delay_us")).alias("rn"),
+        F.count(F.lit(1))
+        .over(
+            Window.orderBy("delay_us").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_converted"),
+        F.min("delay_us").cast("long").alias("min_delay_us"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("delay_us"))
+        )
+        .cast("long")
+        .alias("median_delay_us"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(9 * n + 9) div 10"),
+                F.col("delay_us"),
+            )
+        )
+        .cast("long")
+        .alias("p90_delay_us"),
+        F.max("delay_us").cast("long").alias("max_delay_us"),
+    )

@@ -3222,3 +3222,276 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("p_kn"), "w1", "w2")
         .limit(30)
     )
+
+
+@register(
+    "text_pmi_cooccurrence",
+    survey_row=73,
+    oracle="""
+    WITH wd AS (
+        SELECT DISTINCT doc_id, word
+        FROM (SELECT doc_id,
+                     unnest(string_split(lower(text), ' ')) AS word
+              FROM documents)
+    ),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM wd),
+    df AS (SELECT word, count(*) AS df FROM wd GROUP BY word),
+    pairs AS (
+        SELECT a.word AS w1, b.word AS w2, count(*) AS n12
+        FROM wd a JOIN wd b
+          ON a.doc_id = b.doc_id AND a.word < b.word
+        GROUP BY a.word, b.word
+    ),
+    scored AS (
+        SELECT w1, w2, n12,
+               CAST(floor(ln((n12 * 1.0 * n_docs)
+                             / (d1.df * 1.0 * d2.df)) * 1000000)
+                    AS BIGINT) AS pmi_micro
+        FROM pairs, nd
+        JOIN df d1 ON pairs.w1 = d1.word
+        JOIN df d2 ON pairs.w2 = d2.word
+        WHERE n12 * 10 >= n_docs
+    )
+    SELECT w1, w2, n12,
+           round(pmi_micro / 1000000.0, 6) AS pmi
+    FROM scored
+    ORDER BY pmi_micro DESC, w1 ASC, w2 ASC
+    LIMIT 20
+    """,
+)
+def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over document-level word
+    co-occurrence — the association measure behind collocation
+    mining, topic-seed discovery, and embedding-quality sanity
+    checks (word2vec's SGNS objective IS shifted PMI, Levy & 
+    Goldberg 2014). PMI(w1,w2) = ln(P(w1,w2)/(P(w1)P(w2))) with
+    document-level cooccurrence probabilities; support-floored at
+    n12 ≥ n_docs/10 so rare-pair noise (PMI's classic failure mode)
+    never ranks.
+
+    Pair generation is MAP-ONLY: each doc's distinct-word ARRAY
+    yields its i<j pairs via two posexplodes on the row — no
+    doc-keyed self-join shuffle (the oracle's formulation); the only
+    exchanges are the pair-count aggregate and two broadcast df
+    joins. The ln argument is one engine-identical double ratio of
+    exact int64 products, quantized to micro-units before ordering —
+    ties cannot flicker. At 100 TB the distinct-word arrays are
+    vocabulary-pruned first (top-V semi-join) so per-doc pair
+    fan-out is V-bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(F.split(F.lower(F.col("text")), " "))
+        ).alias("ws"),
+    )
+    wd = words.select("doc_id", F.explode("ws").alias("word"))
+    nd = wd.agg(F.countDistinct("doc_id").alias("n_docs"))
+    df = wd.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    pairs = (
+        words.select(
+            "doc_id",
+            F.posexplode("ws").alias("i", "w1"),
+            F.col("ws").alias("ws2"),
+        )
+        .select("doc_id", "i", "w1", F.posexplode("ws2").alias("j", "w2"))
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n12"))
+    )
+    d1 = df.select(F.col("word").alias("w1"), F.col("df").alias("df1"))
+    d2 = df.select(F.col("word").alias("w2"), F.col("df").alias("df2"))
+    scored = (
+        pairs.crossJoin(F.broadcast(nd))
+        .join(F.broadcast(d1), "w1")
+        .join(F.broadcast(d2), "w2")
+        .filter(F.col("n12") * 10 >= F.col("n_docs"))
+        .select(
+            "w1",
+            "w2",
+            "n12",
+            F.floor(
+                F.log(
+                    (F.col("n12") * 1.0 * F.col("n_docs"))
+                    / (F.col("df1") * 1.0 * F.col("df2"))
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("pmi_micro").desc(), F.col("w1").asc(), F.col("w2").asc()
+        )
+        .limit(20)
+        .select(
+            "w1",
+            "w2",
+            "n12",
+            F.round(F.col("pmi_micro") / 1000000.0, 6).alias("pmi"),
+        )
+    )
+
+
+@register(
+    "text_naive_bayes_lang",
+    survey_row=72,
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(string_split(lower(text), ' ')) AS word
+        FROM documents
+    ),
+    docw AS (
+        SELECT doc_id, word, count(*) AS m FROM toks
+        GROUP BY doc_id, word
+    ),
+    ntok AS (
+        SELECT doc_id, max(lang) AS true_lang, count(*) AS n_tokens
+        FROM toks GROUP BY doc_id
+    ),
+    cls AS (
+        SELECT lang, word, count(*) AS c FROM toks GROUP BY lang, word
+    ),
+    lnc AS (
+        SELECT lang, word,
+               CAST(floor(ln((c + 1) * 1.0) * 1000000) AS BIGINT) AS lnc1
+        FROM cls
+    ),
+    vocab AS (SELECT count(DISTINCT word) AS v FROM toks),
+    nd AS (SELECT count(*) AS n_docs FROM ntok),
+    langdim AS (
+        SELECT t.lang,
+               CAST(floor(ln(d_l * 1.0 / n_docs) * 1000000) AS BIGINT)
+                   AS prior_u,
+               CAST(floor(ln((n_l + v) * 1.0) * 1000000) AS BIGINT)
+                   AS lnnv_u
+        FROM (SELECT lang, sum(c) AS n_l FROM cls GROUP BY lang) t
+        JOIN (SELECT lang, count(DISTINCT doc_id) AS d_l
+              FROM toks GROUP BY lang) d ON t.lang = d.lang, vocab, nd
+    ),
+    obs AS (
+        SELECT docw.doc_id, lnc.lang, sum(docw.m * lnc.lnc1) AS s_obs
+        FROM docw JOIN lnc ON docw.word = lnc.word
+        GROUP BY docw.doc_id, lnc.lang
+    ),
+    scores AS (
+        SELECT ntok.doc_id, ntok.true_lang, langdim.lang AS cand,
+               langdim.prior_u + coalesce(obs.s_obs, 0)
+                   - ntok.n_tokens * langdim.lnnv_u AS score
+        FROM ntok CROSS JOIN langdim
+        LEFT JOIN obs ON obs.doc_id = ntok.doc_id
+                     AND obs.lang = langdim.lang
+    ),
+    pred AS (
+        SELECT doc_id, true_lang, cand AS pred_lang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cand ASC) AS rk
+        FROM scores
+    )
+    SELECT true_lang, pred_lang, count(*) AS n
+    FROM pred WHERE rk = 1
+    GROUP BY true_lang, pred_lang
+    ORDER BY true_lang, pred_lang
+    """,
+)
+def text_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial NAIVE BAYES language classifier — trained AND
+    applied in one distributed plan, confusion matrix out. The
+    classical supervised baseline for corpus routing (langid.py's
+    model family), expressed entirely as aggregates and joins:
+    train = per-(lang,word) counts with add-one smoothing; score =
+    prior + Σ_w m_w·ln(c_wl+1) − n_tokens·ln(N_l+V); the unseen-word
+    term needs NO dense (word × lang) cross — ln(0+1) = 0, so
+    absent pairs contribute nothing and the score join touches only
+    OBSERVED pairs (the sparsity that makes NB tractable at 100 TB
+    vocabularies).
+
+    Determinism: every log quantizes to integer micro-units (one
+    libm call per observed (lang,word) pair on an engine-identical
+    integer argument — the zipf_fit discipline), so per-doc scores
+    are exact int64 sums and the argmax (score DESC, lang ASC) is
+    tie-stable. Plan shape: token counts collapse map-side; the
+    model (|observed pairs| rows) broadcasts onto per-doc word
+    counts; the 5-row class dim broadcasts onto docs; one doc-keyed
+    shuffle carries the score reduction. Self-application on the
+    training corpus keeps the gate closed-form; a held-out variant
+    is pipeline_train_eval_split composed upstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    )
+    docw = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("m"))
+    ntok = toks.groupBy("doc_id").agg(
+        F.max("lang").alias("true_lang"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    cls = toks.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("c"))
+    lnc = cls.select(
+        "lang",
+        "word",
+        F.floor(F.log((F.col("c") + 1) * 1.0) * 1000000)
+        .cast("long")
+        .alias("lnc1"),
+    )
+    vocab = toks.agg(F.countDistinct("word").alias("v"))
+    nd = ntok.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_l = cls.groupBy("lang").agg(F.sum("c").alias("n_l"))
+    d_l = toks.groupBy("lang").agg(F.countDistinct("doc_id").alias("d_l"))
+    langdim = (
+        n_l.join(d_l, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "lang",
+            F.floor(
+                F.log(F.col("d_l") * 1.0 / F.col("n_docs")) * 1000000
+            )
+            .cast("long")
+            .alias("prior_u"),
+            F.floor(F.log((F.col("n_l") + F.col("v")) * 1.0) * 1000000)
+            .cast("long")
+            .alias("lnnv_u"),
+        )
+    )
+    obs = (
+        docw.join(F.broadcast(lnc), "word")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("m") * F.col("lnc1")).alias("s_obs"))
+    )
+    scores = (
+        ntok.crossJoin(F.broadcast(langdim))
+        .join(
+            obs.withColumnRenamed("lang", "cand_obs"),
+            (ntok.doc_id == obs.doc_id)
+            & (F.col("lang") == F.col("cand_obs")),
+            "left",
+        )
+        .select(
+            ntok.doc_id,
+            "true_lang",
+            F.col("lang").alias("cand"),
+            (
+                F.col("prior_u")
+                + F.coalesce(F.col("s_obs"), F.lit(0))
+                - F.col("n_tokens") * F.col("lnnv_u")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand").asc()
+    )
+    pred = scores.select(
+        "true_lang",
+        F.col("cand").alias("pred_lang"),
+        F.row_number().over(w).alias("rk"),
+    ).filter(F.col("rk") == 1)
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("true_lang", "pred_lang")
+    )

@@ -2144,3 +2144,363 @@ def agg_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "sample_rank")
     )
+
+
+@register(
+    "agg_ks_test",
+    survey_row=27,
+    oracle="""
+    WITH g AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS is_ctl,
+               CAST(floor(round(value, 1) * 10 + 0.5) AS BIGINT) AS v10
+        FROM events
+    ),
+    per_v AS (
+        SELECT v10, sum(is_ctl) AS k1,
+               sum(1 - is_ctl) AS k2
+        FROM g GROUP BY v10
+    ),
+    ecdf AS (
+        SELECT sum(k1) OVER (ORDER BY v10
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+               sum(k2) OVER (ORDER BY v10
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+               sum(k1) OVER () AS n1,
+               sum(k2) OVER () AS n2
+        FROM per_v
+    )
+    SELECT max(n1)::BIGINT AS n_control,
+           max(n2)::BIGINT AS n_treatment,
+           max(abs(c1 * n2 - c2 * n1))::BIGINT AS d_numer,
+           round(max(abs(c1 * n2 - c2 * n1))
+                 * 1.0 / (max(n1) * max(n2)), 6) AS ks_d,
+           max(abs(c1 * n2 - c2 * n1))
+               * 1.0 / (max(n1) * max(n2))
+               > 1.358 * sqrt((max(n1) + max(n2)) * 1.0
+                              / (max(n1) * max(n2))) AS reject_95
+    FROM ecdf
+    """,
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KOLMOGOROV-SMIRNOV test — the distribution-drift
+    gate (did the treatment arm / the new crawl / yesterday's shard
+    change the SHAPE of the metric, not just its mean — the question
+    Welch's t cannot answer). D = sup |F1 - F2| computed EXACTLY in
+    integers: per distinct integer-tenths value, the two running
+    counts c1,c2 give |c1·n2 - c2·n1| whose max over the domain is
+    D·n1·n2 — no per-row float ever exists; the single division and
+    the 95% critical-value compare (c(α)=1.358, Smirnov asymptote)
+    happen once on the final five integers.
+
+    Scale shape: rows collapse to the VALUE DOMAIN first (one
+    map-side-combined aggregate; |domain| = 4,901 integer tenths
+    here and bounded at any corpus size), so the ECDF window sorts
+    the domain, never the data — the same
+    aggregate-before-window discipline as win_ohlc_resample."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select(
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("is_ctl"),
+        F.floor(F.round("value", 1) * 10 + 0.5).cast("long").alias("v10"),
+    )
+    per_v = g.groupBy("v10").agg(
+        F.sum("is_ctl").alias("k1"),
+        F.sum(1 - F.col("is_ctl")).alias("k2"),
+    )
+    run = (
+        Window.orderBy("v10")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    everything = Window.orderBy("v10").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ecdf = per_v.select(
+        F.sum("k1").over(run).alias("c1"),
+        F.sum("k2").over(run).alias("c2"),
+        F.sum("k1").over(everything).alias("n1"),
+        F.sum("k2").over(everything).alias("n2"),
+    )
+    d = F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")))
+    n1, n2 = F.max("n1"), F.max("n2")
+    return ecdf.agg(
+        n1.cast("long").alias("n_control"),
+        n2.cast("long").alias("n_treatment"),
+        d.cast("long").alias("d_numer"),
+        F.round(d * 1.0 / (n1 * n2), 6).alias("ks_d"),
+        (
+            d * 1.0 / (n1 * n2)
+            > 1.358 * F.sqrt((n1 + n2) * 1.0 / (n1 * n2))
+        ).alias("reject_95"),
+    )
+
+
+@register(
+    "agg_mann_whitney_u",
+    survey_row=27,
+    oracle="""
+    WITH g AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS is_ctl,
+               CAST(floor(round(value, 1) * 10 + 0.5) AS BIGINT) AS v10
+        FROM events
+    ),
+    per_v AS (
+        SELECT v10, sum(is_ctl) AS k1, sum(1 - is_ctl) AS k2,
+               count(*) AS k
+        FROM g GROUP BY v10
+    ),
+    ranked AS (
+        SELECT k1, k2, k,
+               sum(k) OVER (ORDER BY v10
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - k AS c
+        FROM per_v
+    ),
+    s AS (
+        SELECT sum(k1) AS n1, sum(k2) AS n2, sum(k1 + k2) AS n,
+               sum(k1 * (2 * c + k + 1)) AS r1x2,
+               sum(k * k * k - k) AS ties
+        FROM ranked
+    )
+    SELECT n1::BIGINT AS n_control, n2::BIGINT AS n_treatment,
+           (r1x2 - n1 * (n1 + 1))::BIGINT AS u1_x2,
+           (2 * n1 * n2 - (r1x2 - n1 * (n1 + 1)))::BIGINT AS u2_x2,
+           round(((r1x2 - n1 * (n1 + 1)) - n1 * n2)
+                 / (2.0 * sqrt(n1 * 1.0 * n2 / 12.0
+                    * ((n + 1) - ties * 1.0 / (n * (n - 1))))), 6)
+               AS z_score
+    FROM s
+    """,
+)
+def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U (Wilcoxon rank-sum) — the nonparametric
+    two-sample test for ordinal/heavy-tailed metrics where means lie
+    (latency, revenue-per-user). The whole computation is INTEGER
+    until the final z: with ties handled by midranks, doubling the
+    rank scale makes every midrank integral — a tie group of size k
+    after c earlier observations contributes k1·(2c+k+1) to 2·R1 —
+    so 2·U1 = 2·R1 - n1(n1+1) is an exact int64, as is the tie
+    correction Σ(k³-k). The normal-approximation z (with tie-adjusted
+    variance) is one fixed IEEE sequence over six exact integers.
+
+    Same aggregate-before-window shape as agg_ks_test: rows collapse
+    to the bounded value domain first, the rank window sorts only
+    the domain, and every executor's partial tie counts merge
+    map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select(
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("is_ctl"),
+        F.floor(F.round("value", 1) * 10 + 0.5).cast("long").alias("v10"),
+    )
+    per_v = g.groupBy("v10").agg(
+        F.sum("is_ctl").alias("k1"),
+        F.sum(1 - F.col("is_ctl")).alias("k2"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    run = Window.orderBy("v10").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per_v.select(
+        "k1",
+        "k2",
+        "k",
+        (F.sum("k").over(run) - F.col("k")).alias("c"),
+    )
+    s = ranked.agg(
+        F.sum("k1").alias("n1"),
+        F.sum("k2").alias("n2"),
+        F.sum(F.col("k1") + F.col("k2")).alias("n"),
+        F.sum(
+            F.col("k1") * (2 * F.col("c") + F.col("k") + 1)
+        ).alias("r1x2"),
+        F.sum(
+            F.col("k") * F.col("k") * F.col("k") - F.col("k")
+        ).alias("ties"),
+    )
+    n1, n2, n = F.col("n1"), F.col("n2"), F.col("n")
+    u1x2 = F.col("r1x2") - n1 * (n1 + 1)
+    return s.select(
+        n1.cast("long").alias("n_control"),
+        n2.cast("long").alias("n_treatment"),
+        u1x2.cast("long").alias("u1_x2"),
+        (2 * n1 * n2 - u1x2).cast("long").alias("u2_x2"),
+        F.round(
+            (u1x2 - n1 * n2)
+            / (
+                2.0
+                * F.sqrt(
+                    n1 * 1.0 * n2 / 12.0
+                    * ((n + 1) - F.col("ties") * 1.0 / (n * (n - 1)))
+                )
+            ),
+            6,
+        ).alias("z_score"),
+    )
+
+
+@register(
+    "agg_percentile_disc_cont",
+    survey_row=21,
+    oracle="""
+    WITH ranked AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS q,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_quantity) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           max(n)::BIGINT AS n,
+           max(CASE WHEN rn = (n + 1) // 2 THEN q END)::BIGINT
+               AS median_disc,
+           round((max(CASE WHEN rn = (n + 1) // 2 THEN q END)
+                  + max(CASE WHEN rn = (n + 2) // 2 THEN q END))
+                 / 2.0, 6) AS median_cont,
+           max(CASE WHEN rn = (9 * n + 9) // 10 THEN q END)::BIGINT
+               AS p90_disc
+    FROM ranked
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_percentile_disc_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_DISC vs PERCENTILE_CONT semantics, both computed
+    from ONE rank pass — the quantile-definition trap spelled out
+    as an operator (engines disagree on builtin quantile edge
+    conventions: DuckDB's quantile_disc picks floor(q·(n-1)),
+    Spark's percentile interpolates at q·(n-1), SQL-standard
+    PERCENTILE_DISC takes the first row with cume_dist ≥ q — three
+    different answers on the same data). Neither engine's builtin
+    is used: both sides rank explicitly and pick by INTEGER
+    position ((n+1)//2 lower-median, (n+2)//2 upper, (9n+9)//10
+    p90 — ceil form), so disc picks are exact row values and cont
+    is one half-sum — engine-identical by construction.
+
+    The rank window is one shuffle on the group key; position picks
+    ride the same pass as conditional aggregates (no second scan,
+    no join-back). At 100 TB swap the exact rank for
+    approx_percentile and keep the same output contract."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wcnt = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("q"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wcnt).alias("n"),
+    )
+    lo = F.expr("(n + 1) div 2")
+    hi = F.expr("(n + 2) div 2")
+    p90 = F.expr("(9 * n + 9) div 10")
+    return (
+        ranked.groupBy("l_returnflag")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max(F.when(F.col("rn") == lo, F.col("q")))
+            .cast("long")
+            .alias("median_disc"),
+            F.round(
+                (
+                    F.max(F.when(F.col("rn") == lo, F.col("q")))
+                    + F.max(F.when(F.col("rn") == hi, F.col("q")))
+                )
+                / 2.0,
+                6,
+            ).alias("median_cont"),
+            F.max(F.when(F.col("rn") == p90, F.col("q")))
+            .cast("long")
+            .alias("p90_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_cramers_v",
+    survey_row=27,
+    oracle="""
+    WITH obs AS (
+        SELECT l_returnflag AS a, l_linestatus AS b, count(*) AS o
+        FROM lineitem GROUP BY a, b
+    ),
+    margins AS (
+        SELECT a, b, o,
+               sum(o) OVER (PARTITION BY a) AS ra,
+               sum(o) OVER (PARTITION BY b) AS cb,
+               sum(o) OVER () AS n
+        FROM obs
+    ),
+    chi AS (
+        SELECT max(n) AS n,
+               count(DISTINCT a) AS r, count(DISTINCT b) AS c,
+               sum(CAST(floor((o * 1.0 - ra * 1.0 * cb / n)
+                   * (o * 1.0 - ra * 1.0 * cb / n)
+                   / (ra * 1.0 * cb / n) * 1000000) AS BIGINT)) AS chi2u,
+               min(ra * 1.0 * cb / n) AS min_expected
+        FROM margins
+    )
+    SELECT n::BIGINT AS n, round(chi2u / 1000000.0, 6) AS chi2,
+           round(sqrt(chi2u / 1000000.0 / (n * least(r - 1, c - 1))), 6)
+               AS cramers_v,
+           min_expected >= 5.0 AS expected_valid
+    FROM chi
+    """,
+)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAMER'S V — the EFFECT SIZE the chi-square test
+    (cat_chi_square_assoc) is missing: at 100 TB every association
+    is "significant" because n is astronomical; V = sqrt(chi2 /
+    (n·min(r-1,c-1))) is the sample-size-free strength that decides
+    whether the association MATTERS. Ships with the
+    min-expected-count ≥ 5 validity flag (the textbook
+    applicability condition, checked not assumed).
+
+    Contingency cells are one map-side-combined aggregate (r·c
+    rows); margins are windows over the CELL frame, never the data;
+    each cell's chi2 term quantizes to integer micro-units before
+    an order-free int64 sum (parenthesization mirrored textually in
+    the oracle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = (
+        li.groupBy(
+            F.col("l_returnflag").alias("a"),
+            F.col("l_linestatus").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    margins = obs.select(
+        "a",
+        "b",
+        "o",
+        F.sum("o").over(Window.partitionBy("a")).alias("ra"),
+        F.sum("o").over(Window.partitionBy("b")).alias("cb"),
+        F.sum("o").over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    e = F.col("ra") * 1.0 * F.col("cb") / F.col("n")
+    # each cell's chi2 term quantizes to integer micro-units BEFORE the
+    # sum (one floor of an engine-identical double per cell), so the
+    # r*c-term accumulation is an order-free int64 sum on both engines
+    chi = margins.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("a").alias("r"),
+        F.countDistinct("b").alias("c"),
+        F.sum(
+            F.floor(
+                (F.col("o") * 1.0 - e) * (F.col("o") * 1.0 - e) / e * 1000000
+            ).cast("long")
+        ).alias("chi2u"),
+        F.min(e).alias("min_expected"),
+    )
+    return chi.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("chi2u") / 1000000.0, 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2u") / 1000000.0
+                / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+        (F.col("min_expected") >= 5.0).alias("expected_valid"),
+    )
