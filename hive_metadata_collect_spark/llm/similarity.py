@@ -1427,3 +1427,276 @@ def sim_power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+@register(
+    "sim_kmeans_lloyd",
+    survey_row=75,
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> round(CAST(x AS DOUBLE) * 1000)::BIGINT) AS qv
+        FROM embeddings
+    ),
+    ve AS (
+        SELECT vec_id, i.i - 1 AS dim, qv[i.i] AS val
+        FROM q, unnest(range(1, len(qv) + 1)) AS i(i)
+    ),
+    init AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS k
+        FROM q ORDER BY vec_id LIMIT 4
+    ),
+    c0 AS (
+        SELECT init.k, ve.dim, ve.val AS cv
+        FROM init JOIN ve ON init.vec_id = ve.vec_id
+    ),
+    d1 AS (
+        SELECT ve.vec_id, c0.k,
+               sum((ve.val - c0.cv) * (ve.val - c0.cv)) AS dist
+        FROM ve JOIN c0 ON ve.dim = c0.dim
+        GROUP BY ve.vec_id, c0.k
+    ),
+    a1 AS (
+        SELECT vec_id, k FROM (
+            SELECT vec_id, k, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, k) AS rk
+            FROM d1)
+        WHERE rk = 1
+    ),
+    c1 AS (
+        SELECT a1.k, ve.dim,
+               CAST(floor(sum(ve.val) * 1.0 / count(*)) AS BIGINT) AS cv
+        FROM a1 JOIN ve ON a1.vec_id = ve.vec_id
+        GROUP BY a1.k, ve.dim
+    ),
+    d2 AS (
+        SELECT ve.vec_id, c1.k,
+               sum((ve.val - c1.cv) * (ve.val - c1.cv)) AS dist
+        FROM ve JOIN c1 ON ve.dim = c1.dim
+        GROUP BY ve.vec_id, c1.k
+    ),
+    a2 AS (
+        SELECT vec_id, k FROM (
+            SELECT vec_id, k, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, k) AS rk
+            FROM d2)
+        WHERE rk = 1
+    ),
+    c2 AS (
+        SELECT a2.k, ve.dim,
+               CAST(floor(sum(ve.val) * 1.0 / count(*)) AS BIGINT) AS cv
+        FROM a2 JOIN ve ON a2.vec_id = ve.vec_id
+        GROUP BY a2.k, ve.dim
+    ),
+    sizes AS (SELECT k, count(*) AS n FROM a2 GROUP BY k)
+    SELECT c2.k AS k, max(sizes.n)::BIGINT AS n_members,
+           sum(abs(c2.cv))::BIGINT AS centroid_l1,
+           sum(abs(c2.cv - c1.cv))::BIGINT AS shift_l1
+    FROM c2 JOIN c1 ON c1.k = c2.k AND c1.dim = c2.dim
+    JOIN sizes ON sizes.k = c2.k
+    GROUP BY c2.k
+    ORDER BY k
+    """,
+)
+def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed LLOYD'S K-MEANS (K=4, two full iterations) — the
+    canonical iterative-ML shape (IVF list training, corpus
+    clustering for mixture control, semantic dedup seeds) run as
+    pure DataFrame algebra with NO float state: vectors quantize to
+    exact integer milli-units once; every distance is an int64 sum
+    of squared integer diffs; every centroid update floors an
+    engine-identical double (Σ/n) back to integers, so the
+    trajectory — assignments, centroids, shifts — is bit-identical
+    on both engines and any partitioning. Argmin ties break (dist,
+    k) ascending: total order, no flicker.
+
+    The scale architecture is the textbook one: the K×64-row
+    centroid frame BROADCASTS onto the corpus (assignment = map-side
+    join + per-vector aggregate, no corpus shuffle beyond the
+    (vec,k) reduce); the update aggregate collapses map-side to
+    ≤K×64 rows/task. Corpus cost is per-iteration linear;
+    iterations are driver-looped like cat_lineage_closure. Output:
+    per-cluster size, centroid L1 mass, and the iteration-2 shift
+    (the convergence telemetry a production trainer monitors).
+    Empty clusters (possible under adversarial seeds) drop from the
+    join identically on both engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1000).cast("long"),
+        ).alias("qv"),
+    )
+    ve = q.select(
+        "vec_id", F.posexplode("qv").alias("dim", "val")
+    ).persist()
+    init = (
+        q.orderBy("vec_id")
+        .limit(4)
+        .select(
+            "vec_id",
+            (
+                F.row_number().over(Window.orderBy("vec_id")) - 1
+            ).alias("k"),
+        )
+    )
+    cent = init.join(ve, "vec_id").select(
+        "k", "dim", F.col("val").alias("cv")
+    )
+    prev = None
+    for _ in range(2):
+        c = F.broadcast(cent)
+        d = (
+            ve.join(c, "dim")
+            .groupBy("vec_id", "k")
+            .agg(
+                F.sum(
+                    (F.col("val") - F.col("cv"))
+                    * (F.col("val") - F.col("cv"))
+                ).alias("dist")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "k")
+        a = (
+            d.select("vec_id", "k", F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+        )
+        prev = cent
+        cent = (
+            a.join(ve, "vec_id")
+            .groupBy("k", "dim")
+            .agg(
+                F.floor(F.sum("val") * 1.0 / F.count(F.lit(1)))
+                .cast("long")
+                .alias("cv")
+            )
+        )
+        last_assign = a
+    sizes = last_assign.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    p = prev.select("k", "dim", F.col("cv").alias("cv_prev"))
+    return (
+        cent.join(p, ["k", "dim"])
+        .join(F.broadcast(sizes), "k")
+        .groupBy("k")
+        .agg(
+            F.max("n").cast("long").alias("n_members"),
+            F.sum(F.abs(F.col("cv"))).cast("long").alias("centroid_l1"),
+            F.sum(F.abs(F.col("cv") - F.col("cv_prev")))
+            .cast("long")
+            .alias("shift_l1"),
+        )
+        .orderBy("k")
+    )
+
+
+@register(
+    "sim_centroid_silhouette",
+    survey_row=75,
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> round(CAST(x AS DOUBLE) * 1000)::BIGINT) AS qv
+        FROM embeddings
+    ),
+    ve AS (
+        SELECT vec_id, label, i.i - 1 AS dim, qv[i.i] AS val
+        FROM q, unnest(range(1, len(qv) + 1)) AS i(i)
+    ),
+    cents AS (
+        SELECT label AS k, dim,
+               CAST(floor(sum(val) * 1.0 / count(*)) AS BIGINT) AS cv
+        FROM ve GROUP BY label, dim
+    ),
+    dists AS (
+        SELECT ve.vec_id, ve.label, cents.k,
+               sum((ve.val - cents.cv) * (ve.val - cents.cv)) AS d2
+        FROM ve JOIN cents ON ve.dim = cents.dim
+        GROUP BY ve.vec_id, ve.label, cents.k
+    ),
+    ab AS (
+        SELECT vec_id, label,
+               max(CASE WHEN k = label THEN d2 END) AS a2,
+               min(CASE WHEN k <> label THEN d2 END) AS b2
+        FROM dists GROUP BY vec_id, label
+    ),
+    s AS (
+        SELECT label,
+               CAST(floor((b2 - a2) * 1000000.0
+                          / greatest(a2, b2)) AS BIGINT) AS s_u
+        FROM ab WHERE greatest(a2, b2) > 0
+    )
+    SELECT label, count(*) AS n,
+           round(sum(s_u) / 1000000.0 / count(*), 6)
+               AS mean_silhouette
+    FROM s GROUP BY label ORDER BY label
+    """,
+)
+def sim_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CENTROID silhouette — the cluster-quality audit for labeled
+    embedding spaces (is this taxonomy real in vector space, or did
+    the labeler hallucinate structure?): per vector, a² = squared
+    distance to OWN label centroid, b² = min squared distance to any
+    OTHER centroid, s = (b²−a²)/max(a²,b²) ∈ [−1,1]; per-label mean.
+    The simplified (medoid-free) silhouette — the full form's
+    all-pairs distances are exactly what cannot run at 100 TB, while
+    this one is two broadcast joins.
+
+    Determinism end to end: integer milli-unit vectors → integer
+    centroids (floored Σ/n, the sim_kmeans_lloyd rule) → int64
+    squared distances → per-vector s floored to micro-units →
+    per-label int64 sum. One corpus-keyed aggregate for distances
+    (|labels|×64 centroid frame broadcasts), one label-keyed
+    reduce."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ve = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * 1000).cast("long"),
+            )
+        ).alias("dim", "val"),
+    )
+    cents = ve.groupBy(F.col("label").alias("k"), F.col("dim")).agg(
+        F.floor(F.sum("val") * 1.0 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("cv")
+    )
+    dists = (
+        ve.join(F.broadcast(cents), "dim")
+        .groupBy("vec_id", "label", "k")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("cv")) * (F.col("val") - F.col("cv"))
+            ).alias("d2")
+        )
+    )
+    ab = dists.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("k") == F.col("label"), F.col("d2"))).alias("a2"),
+        F.min(F.when(F.col("k") != F.col("label"), F.col("d2"))).alias("b2"),
+    )
+    s = ab.filter(F.greatest("a2", "b2") > 0).select(
+        "label",
+        F.floor(
+            (F.col("b2") - F.col("a2"))
+            * 1000000.0
+            / F.greatest("a2", "b2")
+        )
+        .cast("long")
+        .alias("s_u"),
+    )
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum("s_u") / 1000000.0 / F.count(F.lit(1)), 6
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )

@@ -3495,3 +3495,102 @@ def text_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+@register(
+    "pipeline_perplexity_filter",
+    survey_row=72,
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               unnest(string_split(lower(text), ' ')) AS word
+        FROM documents
+    ),
+    cw AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
+    tot AS (SELECT sum(c) AS total FROM cw),
+    lm AS (
+        SELECT word,
+               CAST(floor(ln(c * 1.0 / total) * 1000000) AS BIGINT)
+                   AS lnp_u
+        FROM cw, tot
+    ),
+    per_doc AS (
+        SELECT toks.doc_id, toks.source,
+               count(*) AS n_tokens,
+               sum(lm.lnp_u) AS sum_lnp_u
+        FROM toks JOIN lm ON toks.word = lm.word
+        GROUP BY toks.doc_id, toks.source
+    ),
+    scored AS (
+        SELECT source,
+               CAST(floor(-sum_lnp_u * 1.0 / n_tokens) AS BIGINT)
+                   AS nll_u
+        FROM per_doc
+    )
+    SELECT source, count(*) AS n_docs,
+           sum(CASE WHEN nll_u <= 3600000 THEN 1 ELSE 0 END) AS n_keep,
+           round(sum(nll_u) / 1000000.0 / count(*), 6) AS mean_nll
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def pipeline_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERPLEXITY-based quality filtering (CCNet, Wenzek et al.
+    2020): score every document by its per-token negative
+    log-likelihood under a unigram LM trained on the corpus itself,
+    keep documents under a fluency threshold — the standard
+    pretraining-corpus gate (CCNet buckets on KenLM perplexity;
+    perplexity = e^nll is monotonic in the nll computed here, so
+    thresholding nll IS thresholding perplexity without ever
+    calling exp). Per-source keep rates + mean nll out — the
+    report that decides which crawl sources survive.
+
+    LM training and scoring share ONE token pass: word counts
+    collapse map-side, per-word ln(c/total) quantizes to integer
+    micro-units (one libm call per VOCAB word, not per token), so
+    each doc's Σ lnp is an exact int64 and the per-token nll an
+    engine-identical floored integer. The model join is a broadcast
+    (vocab-sized); no Python, no float accumulation, corpus touched
+    once. Self-trained LM keeps the gate closed-form; swapping in a
+    foreign LM is the same join against a different (word, lnp)
+    table."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    )
+    cw = toks.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = cw.agg(F.sum("c").alias("total"))
+    lm = cw.crossJoin(F.broadcast(tot)).select(
+        "word",
+        F.floor(F.log(F.col("c") * 1.0 / F.col("total")) * 1000000)
+        .cast("long")
+        .alias("lnp_u"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(lm), "word")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lnp_u").alias("sum_lnp_u"),
+        )
+    )
+    scored = per_doc.select(
+        "source",
+        F.floor(-F.col("sum_lnp_u") * 1.0 / F.col("n_tokens"))
+        .cast("long")
+        .alias("nll_u"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("nll_u") <= 3600000, 1).otherwise(0)
+            ).alias("n_keep"),
+            F.round(
+                F.sum("nll_u") / 1000000.0 / F.count(F.lit(1)), 6
+            ).alias("mean_nll"),
+        )
+        .orderBy("source")
+    )
