@@ -1577,8 +1577,9 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         last_assign = a
     sizes = last_assign.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
     p = prev.select("k", "dim", F.col("cv").alias("cv_prev"))
+    # both centroid frames are K×dim metadata — broadcast the join
     return (
-        cent.join(p, ["k", "dim"])
+        cent.join(F.broadcast(p), ["k", "dim"])
         .join(F.broadcast(sizes), "k")
         .groupBy("k")
         .agg(

@@ -865,3 +865,66 @@ def test_geohash_no_python_single_window_exchange(spark, sf_dir):
     )
     assert n_ex == 1, plan[:3000]
     assert "Window" in plan
+
+
+def test_ks_test_domain_collapse_before_window(spark, sf_dir):
+    """agg_ks_test's ECDF window must run over the collapsed value
+    DOMAIN, not the event rows: a HashAggregate sits below the Window,
+    and no Python node exists anywhere."""
+    df = OPS["agg_ks_test"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" in plan, plan[:2000]
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    # formatted plans list operators root-first: the Window consumes
+    # the aggregate, so the aggregate that builds the domain must
+    # appear BELOW (after) the window node in the printout
+    assert agg_pos != -1 and win_pos != -1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pmi_pairs_map_only_no_self_join(spark, sf_dir):
+    """text_pmi_cooccurrence generates word pairs via posexplodes on
+    the per-doc array — there must be NO doc-keyed SortMergeJoin; the
+    df joins are broadcasts and top-20 is TakeOrderedAndProject."""
+    df = OPS["text_pmi_cooccurrence"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Generate" in plan  # the posexplode pair fan-out
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_naive_bayes_model_broadcasts(spark, sf_dir):
+    """text_naive_bayes_lang's model tables (observed-pair log-counts,
+    5-row class dim) broadcast onto the doc frames — no SortMergeJoin
+    in the scoring path, no Python anywhere."""
+    df = OPS["text_naive_bayes_lang"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmeans_centroids_broadcast_assignment(spark, sf_dir):
+    """sim_kmeans_lloyd's assignment joins must broadcast the K-by-64
+    centroid frame onto the corpus (never shuffle the vectors into a
+    SortMergeJoin), and the exploded vector table is cache-reused
+    across iterations."""
+    df = OPS["sim_kmeans_lloyd"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "InMemoryTableScan" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_perplexity_filter_lm_broadcast_single_token_pass(spark, sf_dir):
+    """pipeline_perplexity_filter joins the vocab-sized LM back onto
+    tokens as a broadcast; no SortMergeJoin, no Python."""
+    df = OPS["pipeline_perplexity_filter"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
