@@ -2376,3 +2376,132 @@ def pipeline_dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup.alias("dup_docs"),
         F.round(dup / F.sum("c"), 6).alias("dup_rate"),
     )
+
+
+@register(
+    "pipeline_pretraining_e2e",
+    survey_row=67,
+    oracle="""
+    WITH s0 AS (
+        SELECT doc_id, text, n_chars,
+               len(string_split(lower(text), ' ')) AS n_tokens,
+               len(list_distinct(string_split(lower(text), ' ')))
+                   AS n_distinct
+        FROM documents
+    ),
+    s1 AS (
+        SELECT * FROM s0 WHERE n_chars >= 50 AND n_tokens >= 10
+    ),
+    s2 AS (
+        SELECT * FROM s1
+        WHERE doc_id = (
+            SELECT min(doc_id) FROM s1 i WHERE md5(i.text) = md5(s1.text)
+        )
+    ),
+    eval_set AS (
+        SELECT DISTINCT md5(text) AS d FROM documents WHERE doc_id % 97 = 0
+    ),
+    s3 AS (
+        SELECT * FROM s2 WHERE md5(text) NOT IN (SELECT d FROM eval_set)
+    ),
+    s4 AS (
+        SELECT * FROM s3 WHERE n_distinct * 2 > n_tokens
+    )
+    SELECT * FROM (
+        SELECT '1_length_clean' AS stage,
+               (SELECT count(*) FROM s0) AS rows_in,
+               (SELECT count(*) FROM s1) AS rows_out
+        UNION ALL
+        SELECT '2_exact_dedup',
+               (SELECT count(*) FROM s1), (SELECT count(*) FROM s2)
+        UNION ALL
+        SELECT '3_decontaminate',
+               (SELECT count(*) FROM s2), (SELECT count(*) FROM s3)
+        UNION ALL
+        SELECT '4_repetition_filter',
+               (SELECT count(*) FROM s3), (SELECT count(*) FROM s4)
+    ) ORDER BY stage
+    """,
+)
+def pipeline_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE pretraining-curation pipeline as ONE composed plan —
+    length/structure cleaning → exact dedup → eval-set
+    decontamination → repetition filtering — with the per-stage
+    funnel accounting (rows in/out) every dataset card reports. The
+    individual stages exist as standalone operators
+    (text_c4_cleaning_rules, dedup_exact, pipeline_decontaminate,
+    text_repetition_score); this operator is the INTEGRATION shape:
+    one logical plan through all four, so Catalyst sees the whole
+    DAG (the length predicate pushes into the scan; the dedup
+    window and the digest anti-join share the md5 computed once;
+    nothing materializes between stages).
+
+    Stage rules are closed-form: keep length (n_chars ≥ 50 AND
+    ≥ 10 tokens), dedup keeps the MIN doc_id per text digest
+    (window, not distinct — survivorship is auditable), the eval
+    set is the deterministic doc_id % 97 slice of the corpus
+    matched by digest anti-join, repetition keeps docs whose
+    distinct-token count exceeds half their token count. The
+    funnel counts collapse to four 1-row aggregates unioned — at
+    100 TB this report costs one corpus pass per stage boundary
+    with all counts map-side-combined."""
+    docs = load_table(spark, sf_dir, "documents")
+    s0 = docs.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        F.size(F.split(F.lower(F.col("text")), " ")).alias("n_tokens"),
+        F.size(
+            F.array_distinct(F.split(F.lower(F.col("text")), " "))
+        ).alias("n_distinct"),
+        F.md5(F.col("text")).alias("digest"),
+    )
+    s1 = s0.filter((F.col("n_chars") >= 50) & (F.col("n_tokens") >= 10))
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    s2 = (
+        s1.select("*", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    eval_set = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.md5(F.col("text")).alias("digest"))
+        .distinct()
+    )
+    s3 = s2.join(F.broadcast(eval_set), "digest", "left_anti")
+    s4 = s3.filter(F.col("n_distinct") * 2 > F.col("n_tokens"))
+
+    def n(df):
+        return df.agg(F.count(F.lit(1)).alias("n"))
+
+    c0, c1, c2, c3, c4 = n(s0), n(s1), n(s2), n(s3), n(s4)
+    report = (
+        c0.crossJoin(c1.withColumnRenamed("n", "n1"))
+        .select(
+            F.lit("1_length_clean").alias("stage"),
+            F.col("n").alias("rows_in"),
+            F.col("n1").alias("rows_out"),
+        )
+        .unionAll(
+            c1.crossJoin(c2.withColumnRenamed("n", "n2")).select(
+                F.lit("2_exact_dedup").alias("stage"),
+                F.col("n").alias("rows_in"),
+                F.col("n2").alias("rows_out"),
+            )
+        )
+        .unionAll(
+            c2.crossJoin(c3.withColumnRenamed("n", "n3")).select(
+                F.lit("3_decontaminate").alias("stage"),
+                F.col("n").alias("rows_in"),
+                F.col("n3").alias("rows_out"),
+            )
+        )
+        .unionAll(
+            c3.crossJoin(c4.withColumnRenamed("n", "n4")).select(
+                F.lit("4_repetition_filter").alias("stage"),
+                F.col("n").alias("rows_in"),
+                F.col("n4").alias("rows_out"),
+            )
+        )
+    )
+    return report.orderBy("stage")

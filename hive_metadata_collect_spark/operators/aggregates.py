@@ -2504,3 +2504,71 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cramers_v"),
         (F.col("min_expected") >= 5.0).alias("expected_valid"),
     )
+
+
+@register(
+    "agg_srm_check",
+    survey_row=27,
+    oracle="""
+    WITH assigned AS (
+        SELECT 'parity' AS scheme,
+               sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS a,
+               sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS b
+        FROM events
+        UNION ALL
+        SELECT 'lossy_treatment' AS scheme,
+               sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS a,
+               sum(CASE WHEN event_id % 2 = 1
+                         AND event_id % 10 < 8 THEN 1 ELSE 0 END) AS b
+        FROM events
+    )
+    SELECT scheme, a::BIGINT AS n_control, b::BIGINT AS n_treatment,
+           round((a - b) * (a - b) * 1.0 / (a + b), 6) AS chi2,
+           (a - b) * (a - b) * 1.0 / (a + b) > 3.841459 AS srm_detected
+    FROM assigned
+    ORDER BY scheme
+    """,
+)
+def agg_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-RATIO-MISMATCH check — the guardrail that runs BEFORE
+    any experiment readout (a 50/50 assignment that arrives 55/45
+    means the logging pipeline, not the treatment, caused whatever
+    difference the t-test shows; Microsoft reports ~6% of
+    experiments trip it): chi-square goodness-of-fit of observed arm
+    counts against the designed 50/50 split, which for two arms
+    collapses to (a−b)²/(a+b). Two assignment schemes ship so both
+    verdicts are exercised — clean parity, and a treatment arm that
+    silently drops 20% of its exposure logs (the classic SRM cause).
+
+    Counts are one map-side-combined aggregate; the statistic is a
+    single division over two exact int64s compared against the
+    χ²₁ 95% critical value 3.841459. Completes the experimentation
+    trio with agg_welch_ttest (means) and agg_ks_test /
+    agg_mann_whitney_u (distributions) — none of whose readouts may
+    be trusted when this one fires."""
+    ev = load_table(spark, sf_dir, "events")
+    even = (F.col("event_id") % 2 == 0).cast("int")
+    odd = (F.col("event_id") % 2 == 1).cast("int")
+    kept_odd = (
+        (F.col("event_id") % 2 == 1) & (F.col("event_id") % 10 < 8)
+    ).cast("int")
+    parity = ev.agg(
+        F.lit("parity").alias("scheme"),
+        F.sum(even).alias("a"),
+        F.sum(odd).alias("b"),
+    )
+    lossy = ev.agg(
+        F.lit("lossy_treatment").alias("scheme"),
+        F.sum(even).alias("a"),
+        F.sum(kept_odd).alias("b"),
+    )
+    assigned = parity.unionAll(lossy)
+    a, b = F.col("a"), F.col("b")
+    chi2 = (a - b) * (a - b) * 1.0 / (a + b)
+    return assigned.select(
+        "scheme",
+        a.cast("long").alias("n_control"),
+        b.cast("long").alias("n_treatment"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841459).alias("srm_detected"),
+    ).orderBy("scheme")
