@@ -91,6 +91,14 @@ HEADLINE = {
     "q_tpch_q2": "tpch_q2_min_cost_supplier",
     "q_gopher": "text_gopher_quality_rules",
     "q_autocorr": "win_autocorr_profile",
+    # Round-8 continuation: the trained-and-applied Naive Bayes
+    # classifier (broadcast model joins over two token passes) and
+    # distributed two-iteration Lloyd's k-means (broadcast-centroid
+    # assignment, integer trajectory) — the iterative-ML path on the
+    # bench. Both oracles are DuckDB's natural CTE formulation of the
+    # same integer-exact algorithm.
+    "q_nb_lang": "text_naive_bayes_lang",
+    "q_kmeans": "sim_kmeans_lloyd",
 }
 
 #: Queries that get a per-stage breakdown in the output (the ones

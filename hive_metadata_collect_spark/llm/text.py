@@ -3345,23 +3345,19 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ),
     docw AS (
-        SELECT doc_id, word, count(*) AS m FROM toks
+        SELECT doc_id, word, max(lang) AS lang, count(*) AS m FROM toks
         GROUP BY doc_id, word
     ),
-    ntok AS (
-        SELECT doc_id, max(lang) AS true_lang, count(*) AS n_tokens
-        FROM toks GROUP BY doc_id
-    ),
     cls AS (
-        SELECT lang, word, count(*) AS c FROM toks GROUP BY lang, word
+        SELECT lang, word, sum(m) AS c FROM docw GROUP BY lang, word
     ),
     lnc AS (
         SELECT lang, word,
                CAST(floor(ln((c + 1) * 1.0) * 1000000) AS BIGINT) AS lnc1
         FROM cls
     ),
-    vocab AS (SELECT count(DISTINCT word) AS v FROM toks),
-    nd AS (SELECT count(*) AS n_docs FROM ntok),
+    vocab AS (SELECT count(DISTINCT word) AS v FROM cls),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM docw),
     langdim AS (
         SELECT t.lang,
                CAST(floor(ln(d_l * 1.0 / n_docs) * 1000000) AS BIGINT)
@@ -3370,20 +3366,24 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS lnnv_u
         FROM (SELECT lang, sum(c) AS n_l FROM cls GROUP BY lang) t
         JOIN (SELECT lang, count(DISTINCT doc_id) AS d_l
-              FROM toks GROUP BY lang) d ON t.lang = d.lang, vocab, nd
+              FROM docw GROUP BY lang) d ON t.lang = d.lang, vocab, nd
     ),
-    obs AS (
-        SELECT docw.doc_id, lnc.lang, sum(docw.m * lnc.lnc1) AS s_obs
-        FROM docw JOIN lnc ON docw.word = lnc.word
-        GROUP BY docw.doc_id, lnc.lang
+    words AS (SELECT DISTINCT word FROM cls),
+    dense AS (
+        SELECT words.word, langdim.lang,
+               coalesce(lnc.lnc1, 0) AS lnc1,
+               langdim.prior_u, langdim.lnnv_u
+        FROM words CROSS JOIN langdim
+        LEFT JOIN lnc ON lnc.word = words.word
+                     AND lnc.lang = langdim.lang
     ),
     scores AS (
-        SELECT ntok.doc_id, ntok.true_lang, langdim.lang AS cand,
-               langdim.prior_u + coalesce(obs.s_obs, 0)
-                   - ntok.n_tokens * langdim.lnnv_u AS score
-        FROM ntok CROSS JOIN langdim
-        LEFT JOIN obs ON obs.doc_id = ntok.doc_id
-                     AND obs.lang = langdim.lang
+        SELECT docw.doc_id, max(docw.lang) AS true_lang,
+               dense.lang AS cand,
+               max(dense.prior_u) + sum(docw.m * dense.lnc1)
+                   - sum(docw.m) * max(dense.lnnv_u) AS score
+        FROM docw JOIN dense ON docw.word = dense.word
+        GROUP BY docw.doc_id, dense.lang
     ),
     pred AS (
         SELECT doc_id, true_lang, cand AS pred_lang,
@@ -3403,45 +3403,53 @@ def text_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     classical supervised baseline for corpus routing (langid.py's
     model family), expressed entirely as aggregates and joins:
     train = per-(lang,word) counts with add-one smoothing; score =
-    prior + Σ_w m_w·ln(c_wl+1) − n_tokens·ln(N_l+V); the unseen-word
-    term needs NO dense (word × lang) cross — ln(0+1) = 0, so
-    absent pairs contribute nothing and the score join touches only
-    OBSERVED pairs (the sparsity that makes NB tractable at 100 TB
-    vocabularies).
+    prior + Σ_w m_w·ln(c_wl+1) − n_tokens·ln(N_l+V). The model is
+    DENSIFIED over vocab × langs (model-sized — |V|·|langs| rows,
+    never docs × langs), which buys the scoring pass its shape: ONE
+    broadcast join of the dense model onto per-doc word counts, one
+    (doc, lang) aggregate that yields the score AND n_tokens
+    (Σm within a lang group IS the doc length) AND the true label in
+    the same reduction, and a min_by-struct argmax — no second
+    corpus pass, no doc×lang cross join, no window sort
+    (bench-measured: the sparse-model form with its ntok aggregate,
+    cross join, left join and rank window cost ~2× the wall).
 
     Determinism: every log quantizes to integer micro-units (one
-    libm call per observed (lang,word) pair on an engine-identical
-    integer argument — the zipf_fit discipline), so per-doc scores
-    are exact int64 sums and the argmax (score DESC, lang ASC) is
-    tie-stable. Plan shape: token counts collapse map-side; the
-    model (|observed pairs| rows) broadcasts onto per-doc word
-    counts; the 5-row class dim broadcasts onto docs; one doc-keyed
-    shuffle carries the score reduction. Self-application on the
-    training corpus keeps the gate closed-form; a held-out variant
-    is pipeline_train_eval_split composed upstream."""
+    libm call per vocab entry on an engine-identical integer
+    argument — the zipf_fit discipline), so per-doc scores are
+    exact int64 sums and the argmax (min_by over the (−score, lang)
+    struct ≡ the oracle's score DESC, lang ASC rank) is tie-stable.
+    The corpus explodes ONCE into a persisted per-(doc,word) count
+    frame from which every model statistic derives. Self-application
+    on the training corpus keeps the gate closed-form; a held-out
+    variant is pipeline_train_eval_split composed upstream."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    # ONE token pass: the corpus explodes exactly once into per-doc
+    # word counts (lang rides along — constant per doc); every model
+    # statistic (class counts, doc lengths, priors, vocab size)
+    # derives from this persisted frame, not from re-exploding text
+    docw = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.max("lang").alias("lang"), F.count(F.lit(1)).alias("m"))
+        .persist()
     )
-    docw = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("m"))
-    ntok = toks.groupBy("doc_id").agg(
-        F.max("lang").alias("true_lang"),
-        F.count(F.lit(1)).alias("n_tokens"),
-    )
-    cls = toks.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("c"))
+    cls = docw.groupBy("lang", "word").agg(F.sum("m").alias("c"))
     lnc = cls.select(
-        "lang",
-        "word",
+        F.col("lang").alias("l_lang"),
+        F.col("word").alias("l_word"),
         F.floor(F.log((F.col("c") + 1) * 1.0) * 1000000)
         .cast("long")
         .alias("lnc1"),
     )
-    vocab = toks.agg(F.countDistinct("word").alias("v"))
-    nd = ntok.agg(F.count(F.lit(1)).alias("n_docs"))
+    vocab = cls.agg(F.countDistinct("word").alias("v"))
+    nd = docw.agg(F.countDistinct("doc_id").alias("n_docs"))
     n_l = cls.groupBy("lang").agg(F.sum("c").alias("n_l"))
-    d_l = toks.groupBy("lang").agg(F.countDistinct("doc_id").alias("d_l"))
+    d_l = docw.groupBy("lang").agg(F.countDistinct("doc_id").alias("d_l"))
     langdim = (
         n_l.join(d_l, "lang")
         .crossJoin(F.broadcast(vocab))
@@ -3458,38 +3466,46 @@ def text_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lnnv_u"),
         )
     )
-    obs = (
-        docw.join(F.broadcast(lnc), "word")
-        .groupBy("doc_id", "lang")
-        .agg(F.sum(F.col("m") * F.col("lnc1")).alias("s_obs"))
-    )
-    scores = (
-        ntok.crossJoin(F.broadcast(langdim))
+    # dense model: vocab x langs with coalesce-0 for unseen pairs
+    # (ln(0+1) = 0) — model-sized, so the scoring pass is ONE
+    # broadcast join; lnc's columns carry fresh names (l_*) because
+    # dense and docw share cls/docw lineage
+    words = cls.select("word").distinct()
+    dense = (
+        words.crossJoin(F.broadcast(langdim))
         .join(
-            obs.withColumnRenamed("lang", "cand_obs"),
-            (ntok.doc_id == obs.doc_id)
-            & (F.col("lang") == F.col("cand_obs")),
+            F.broadcast(lnc),
+            (F.col("l_word") == F.col("word"))
+            & (F.col("l_lang") == F.col("lang")),
             "left",
         )
         .select(
-            ntok.doc_id,
-            "true_lang",
+            "word",
             F.col("lang").alias("cand"),
+            F.coalesce(F.col("lnc1"), F.lit(0)).alias("lnc1"),
+            "prior_u",
+            "lnnv_u",
+        )
+        .persist()  # the trained model: |V|x|langs| rows, built once
+    )
+    scores = (
+        docw.join(F.broadcast(dense), "word")
+        .groupBy("doc_id", "cand")
+        .agg(
             (
-                F.col("prior_u")
-                + F.coalesce(F.col("s_obs"), F.lit(0))
-                - F.col("n_tokens") * F.col("lnnv_u")
+                F.max("prior_u")
+                + F.sum(F.col("m") * F.col("lnc1"))
+                - F.sum("m") * F.max("lnnv_u")
             ).alias("score"),
+            F.max("lang").alias("true_lang"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("score").desc(), F.col("cand").asc()
+    pred = scores.groupBy("doc_id").agg(
+        F.max("true_lang").alias("true_lang"),
+        F.min_by(
+            "cand", F.struct((-F.col("score")).alias("ns"), F.col("cand"))
+        ).alias("pred_lang"),
     )
-    pred = scores.select(
-        "true_lang",
-        F.col("cand").alias("pred_lang"),
-        F.row_number().over(w).alias("rk"),
-    ).filter(F.col("rk") == 1)
     return (
         pred.groupBy("true_lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
