@@ -88,8 +88,15 @@ def load_all() -> dict[str, Op]:
 # including the stream-stream outer join, and the round-7 additions
 # (BPE learn, corrupt-container quarantine). Every name carries a
 # full DuckDB oracle (no rows-only entries) so the sampled 50 are all
-# hash-checkable. Remaining operators follow in registration (module)
-# order — nothing is dropped, only reordered.
+# hash-checkable. Round-8 continuation: four of this session's new
+# operators (KS test, Naive Bayes, Lloyd's k-means, the composed e2e
+# pipeline) swap in for four never-sampled peers of the same
+# categories (bitmap_distinct, html_strip, rank_fusion,
+# stratified_sample) so the newest flagship surface gets driver-side
+# confirmation the round it ships; the displaced four stay in the
+# never-sampled pool for a later rotation. Remaining operators follow
+# in registration (module) order — nothing is dropped, only
+# reordered.
 _SAMPLE_ORDER = [
     # scan/sink machinery (3)
     "scan_agg_pushdown_footer",
@@ -103,7 +110,7 @@ _SAMPLE_ORDER = [
     # aggregates (4)
     "agg_approx_percentiles",
     "agg_entropy",
-    "agg_bitmap_distinct",
+    "agg_ks_test",
     "agg_regression_normal_eq",
     # window surface: classic + financial (4)
     "win_range_frame",
@@ -143,14 +150,14 @@ _SAMPLE_ORDER = [
     "dedup_levenshtein",
     "dedup_url_canonical",
     "pipeline_feature_store_pit",
-    "pipeline_stratified_sample",
+    "pipeline_pretraining_e2e",
     # similarity (2)
     "sim_mips_maxdot",
-    "sim_rank_fusion",
+    "sim_kmeans_lloyd",
     # text analysis incl. round-7 BPE induction (4)
     "text_lang_id",
     "text_bpe_learn",
-    "text_html_strip",
+    "text_naive_bayes_lang",
     "text_readability_score",
     # multimodal incl. round-7 corrupt quarantine (3)
     "mm_corrupt_quarantine",
