@@ -739,3 +739,90 @@ def test_geohash_matches_independent_reference(spark, sf_dir):
         lat = ((k * 7919) % 18000) / 100.0 - 90.0
         lon = ((k * 104729) % 36000) / 100.0 - 180.0
         assert r["geohash8"] == ref(lat, lon), (k, lat, lon)
+
+
+def test_ks_statistic_matches_independent_reference(spark, sf_dir):
+    """agg_ks_test's D is pinned against a naive pure-Python
+    two-sample KS over the same integer-tenths samples (brute
+    ECDF difference at every pooled point), independent of both
+    engines' SQL."""
+    import duckdb as _dd
+
+    con = _dd.connect()
+    rows = con.execute(
+        f"SELECT user_id, CAST(floor(round(value,1)*10 + 0.5) AS BIGINT)"
+        f" FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    a = sorted(v for u, v in rows if u % 2 == 0)
+    b = sorted(v for u, v in rows if u % 2 == 1)
+    import bisect
+
+    d_num = max(
+        abs(bisect.bisect_right(a, x) * len(b)
+            - bisect.bisect_right(b, x) * len(a))
+        for x in set(a) | set(b)
+    )
+    got = OPS["agg_ks_test"].fn(spark, sf_dir).collect()[0]
+    assert got["n_control"] == len(a) and got["n_treatment"] == len(b)
+    assert got["d_numer"] == d_num
+    assert abs(got["ks_d"] - d_num / (len(a) * len(b))) < 1e-6
+
+
+def test_mann_whitney_matches_independent_reference(spark, sf_dir):
+    """agg_mann_whitney_u's 2U1 is pinned against the naive midrank
+    computation (sort the pooled sample, average ranks over each tie
+    run, sum control ranks)."""
+    import duckdb as _dd
+
+    con = _dd.connect()
+    rows = con.execute(
+        f"SELECT user_id, CAST(floor(round(value,1)*10 + 0.5) AS BIGINT)"
+        f" FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    pooled = sorted((v, u % 2 == 0) for u, v in rows)
+    n1 = sum(1 for _v, c in pooled if c)
+    # midranks on the doubled scale: tie run [i, j) gets 2*avg = i+j+1
+    r1x2 = 0
+    i = 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j][0] == pooled[i][0]:
+            j += 1
+        for k in range(i, j):
+            if pooled[k][1]:
+                r1x2 += i + j + 1  # ranks are 1-based: (i+1)+(j)
+        i = j
+    u1x2_ref = r1x2 - n1 * (n1 + 1)
+    got = OPS["agg_mann_whitney_u"].fn(spark, sf_dir).collect()[0]
+    assert got["u1_x2"] == u1x2_ref
+    assert got["u1_x2"] + got["u2_x2"] == 2 * got["n_control"] * got["n_treatment"]
+
+
+def test_kmeans_invariants(spark, sf_dir):
+    """sim_kmeans_lloyd structural invariants: cluster sizes cover the
+    corpus exactly once, every cluster id came from the K=4 seeding,
+    and the iteration-2 shift is bounded (integer centroids in
+    milli-units of a |x| <= ~0.6 embedding space)."""
+    rows = OPS["sim_kmeans_lloyd"].fn(spark, sf_dir).collect()
+    from hive_metadata_collect_spark.sources.fixtures import load_table
+
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_members"] for r in rows) == n_vecs
+    assert {r["k"] for r in rows} <= {0, 1, 2, 3}
+    for r in rows:
+        assert 0 <= r["shift_l1"] <= 64 * 1300
+
+
+def test_naive_bayes_beats_prior_baseline(spark, sf_dir):
+    """The trained classifier must beat always-predict-majority on its
+    own training corpus (a multinomial NB with per-class vocabularies
+    this separable should land far above it) — guards against the
+    scoring join silently degenerating to the prior term."""
+    rows = OPS["text_naive_bayes_lang"].fn(spark, sf_dir).collect()
+    total = sum(r["n"] for r in rows)
+    correct = sum(r["n"] for r in rows if r["true_lang"] == r["pred_lang"])
+    by_true = {}
+    for r in rows:
+        by_true[r["true_lang"]] = by_true.get(r["true_lang"], 0) + r["n"]
+    majority = max(by_true.values())
+    assert correct > majority, (correct, majority, total)
