@@ -1452,3 +1452,68 @@ def fn_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(_W.partitionBy(cell4))
         .alias("cell4_n"),
     )
+
+
+@register(
+    "fn_surrogate_key_mint",
+    survey_row=44,
+    oracle="""
+    WITH minted AS (
+        SELECT CAST(('0x' || substr(md5(
+                   CAST(l_orderkey AS VARCHAR) || ':'
+                   || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT)
+                   AS sk
+        FROM lineitem
+    )
+    SELECT count(*) AS n_rows,
+           count(DISTINCT sk) AS n_keys,
+           (count(*) - count(DISTINCT sk))::BIGINT AS n_collisions,
+           min(sk)::BIGINT AS min_key,
+           max(sk)::BIGINT AS max_key
+    FROM minted
+    """,
+)
+def fn_surrogate_key_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic SURROGATE-KEY minting — hash the composite
+    natural key into a 60-bit integer key (first 15 hex chars of
+    md5, the cat_duplicate_table_detect digest idiom) with the
+    collision audit run in the same pass. The warehouse-standard
+    alternative to sequences/identity columns at scale: sequences
+    serialize on a coordinator, hash keys mint anywhere,
+    re-mint identically on re-runs (idempotent loads), and join
+    without lookup tables. Birthday bound at 60 bits: ~1.15e18
+    keyspace means a 10¹⁰-row table expects ~0.04 collisions —
+    and the audit COUNTS them rather than trusting the math
+    (n_rows − n_distinct over the minted column; a nonzero value
+    routes to a salvage path in production).
+
+    Pure map-side expression (md5 + substring + hex cast — no UDF,
+    full codegen) followed by one count-distinct aggregate; min/max
+    keys pin cross-engine byte-for-byte hash agreement in the
+    output contract."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("l_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    minted = li.select(sk.alias("sk"))
+    return minted.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("sk").alias("n_keys"),
+        (F.count(F.lit(1)) - F.countDistinct("sk"))
+        .cast("long")
+        .alias("n_collisions"),
+        F.min("sk").cast("long").alias("min_key"),
+        F.max("sk").cast("long").alias("max_key"),
+    )

@@ -2572,3 +2572,242 @@ def agg_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2"),
         (chi2 > 3.841459).alias("srm_detected"),
     ).orderBy("scheme")
+
+
+@register(
+    "agg_market_basket_lift",
+    survey_row=21,
+    oracle="""
+    WITH baskets AS (
+        SELECT l_orderkey, list_sort(list(DISTINCT l_partkey % 50)) AS parts
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    nb AS (SELECT count(*) AS n_baskets FROM baskets),
+    item AS (
+        SELECT part, count(*) AS supp
+        FROM (SELECT l_orderkey, unnest(parts) AS part FROM baskets)
+        GROUP BY part
+    ),
+    pairs AS (
+        SELECT parts[i.i] AS p1, parts[j.j] AS p2, count(*) AS supp12
+        FROM baskets,
+             unnest(range(1, len(parts) + 1)) AS i(i),
+             unnest(range(1, len(parts) + 1)) AS j(j)
+        WHERE i.i < j.j
+        GROUP BY p1, p2
+    ),
+    scored AS (
+        SELECT p1, p2, supp12,
+               CAST(floor(supp12 * 1000000.0 * n_baskets
+                          / (i1.supp * 1.0 * i2.supp)) AS BIGINT)
+                   AS lift_micro,
+               CAST(floor(supp12 * 1000000.0 / i1.supp) AS BIGINT)
+                   AS conf_micro
+        FROM pairs, nb
+        JOIN item i1 ON pairs.p1 = i1.part
+        JOIN item i2 ON pairs.p2 = i2.part
+        WHERE supp12 * 50 >= n_baskets
+    )
+    SELECT p1, p2, supp12,
+           round(lift_micro / 1000000.0, 6) AS lift,
+           round(conf_micro / 1000000.0, 6) AS confidence
+    FROM scored
+    ORDER BY lift_micro DESC, p1 ASC, p2 ASC
+    LIMIT 20
+    """,
+)
+def agg_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET association rules — support / confidence / LIFT
+    over order baskets (the Apriori first pass: frequent pairs with a
+    support floor, ranked by lift), the relational sibling of
+    text_pmi_cooccurrence (lift = e^PMI on baskets). Items coarsen to
+    part % 50 families so pair support is meaningful at every sf;
+    the support floor (supp12 ≥ n_baskets/50) kills the rare-pair
+    noise that makes raw lift explode.
+
+    Same map-only pair architecture as PMI: each basket's sorted
+    DISTINCT item array emits its i<j pairs via two posexplodes —
+    no basket-keyed self-join; the exchanges are the pair-count
+    aggregate and two broadcast item-support joins. Lift and
+    confidence quantize to micro-units (one floor of an
+    engine-identical double each) before ordering. At 100 TB the
+    basket arrays are frequency-pruned first (drop items below the
+    item-support floor — Apriori's monotonicity makes that lossless
+    for qualifying pairs)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select(
+            "l_orderkey", (F.col("l_partkey") % 50).alias("part")
+        )
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("part")).alias("parts"))
+    )
+    nb = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    item = (
+        baskets.select(F.explode("parts").alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("supp"))
+    )
+    pairs = (
+        baskets.select(
+            F.posexplode("parts").alias("i", "p1"),
+            F.col("parts").alias("ps"),
+        )
+        .select("i", "p1", F.posexplode("ps").alias("j", "p2"))
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("supp12"))
+    )
+    i1 = item.select(F.col("part").alias("p1"), F.col("supp").alias("s1"))
+    i2 = item.select(F.col("part").alias("p2"), F.col("supp").alias("s2"))
+    scored = (
+        pairs.crossJoin(F.broadcast(nb))
+        .join(F.broadcast(i1), "p1")
+        .join(F.broadcast(i2), "p2")
+        .filter(F.col("supp12") * 50 >= F.col("n_baskets"))
+        .select(
+            "p1",
+            "p2",
+            "supp12",
+            F.floor(
+                F.col("supp12")
+                * 1000000.0
+                * F.col("n_baskets")
+                / (F.col("s1") * 1.0 * F.col("s2"))
+            )
+            .cast("long")
+            .alias("lift_micro"),
+            F.floor(F.col("supp12") * 1000000.0 / F.col("s1"))
+            .cast("long")
+            .alias("conf_micro"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("lift_micro").desc(), F.col("p1").asc(), F.col("p2").asc()
+        )
+        .limit(20)
+        .select(
+            "p1",
+            "p2",
+            "supp12",
+            F.round(F.col("lift_micro") / 1000000.0, 6).alias("lift"),
+            F.round(F.col("conf_micro") / 1000000.0, 6).alias("confidence"),
+        )
+    )
+
+
+@register(
+    "agg_hdr_percentile_estimate",
+    survey_row=22,
+    oracle="""
+    WITH v AS (
+        SELECT CAST(floor(round(value, 2) * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE value > 0
+    ),
+    b AS (
+        SELECT CAST(floor(ln(cents) / ln(1.1)) AS BIGINT) AS bucket,
+               count(*) AS n
+        FROM v GROUP BY bucket
+    ),
+    c AS (
+        SELECT bucket, n,
+               sum(n) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(n) OVER () AS total
+        FROM b
+    ),
+    hits AS (
+        SELECT min(CASE WHEN cum * 100 >= total * 50 THEN bucket END) AS b50,
+               min(CASE WHEN cum * 100 >= total * 99 THEN bucket END) AS b99
+        FROM c
+    ),
+    exact AS (
+        SELECT cents AS p99_exact FROM (
+            SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+                   count(*) OVER () AS n
+            FROM v)
+        WHERE rn = (99 * n + 99) // 100
+    )
+    SELECT round(exp(b50 * ln(1.1)) / 100.0, 6) AS p50_est_lo,
+           round(exp((b99 + 1) * ln(1.1)) / 100.0, 6) AS p99_est_hi,
+           round(p99_exact / 100.0, 6) AS p99_exact,
+           exp(b99 * ln(1.1)) <= p99_exact
+               AND p99_exact <= exp((b99 + 1) * ln(1.1)) AS p99_bounded
+    FROM hits, exact
+    """,
+)
+def agg_hdr_percentile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-HISTOGRAM percentile estimation — the MERGEABLE quantile
+    the exact rank pick (agg_percentile_disc_cont) cannot be at
+    100 TB: log-spaced buckets (base 1.1 ⇒ ≤10% relative error by
+    construction) reduce the corpus to ~150 counters that merge
+    across partitions, days, and clusters; the percentile is then a
+    cumulative walk over the BUCKET frame. Ships with its own audit:
+    the exact p99 (rank pick, affordable at gate scale) and a
+    THEOREM column asserting the estimate's bucket brackets it —
+    the error bound checked, not assumed.
+
+    Bucket index = floor(ln(cents)/ln(1.1)) on exact integer cents —
+    one engine-identical libm pair per row, no float accumulation;
+    the cumulative window sorts ~150 buckets, never the data. This
+    op + the exact twin state the standing trade: exact quantiles
+    cost a global sort, HDR costs 10% relative error and merges for
+    free."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    v = ev.select(
+        F.floor(F.round("value", 2) * 100 + 0.5).cast("long").alias("cents")
+    )
+    import math
+
+    ln11 = math.log(1.1)
+    b = v.groupBy(
+        F.floor(F.log("cents") / F.lit(ln11)).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    run = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = b.select(
+        "bucket",
+        F.sum("n").over(run).alias("cum"),
+        F.sum("n").over(tot).alias("total"),
+    )
+    hits = c.agg(
+        F.min(
+            F.when(
+                F.col("cum") * 100 >= F.col("total") * 50, F.col("bucket")
+            )
+        ).alias("b50"),
+        F.min(
+            F.when(
+                F.col("cum") * 100 >= F.col("total") * 99, F.col("bucket")
+            )
+        ).alias("b99"),
+    )
+    wr = Window.orderBy("cents")
+    wn = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    exact = (
+        v.select(
+            "cents",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(99 * n + 99) div 100"))
+        .select(F.col("cents").alias("p99_exact"))
+    )
+    return hits.crossJoin(exact).select(
+        F.round(F.exp(F.col("b50") * ln11) / 100.0, 6).alias("p50_est_lo"),
+        F.round(F.exp((F.col("b99") + 1) * ln11) / 100.0, 6).alias(
+            "p99_est_hi"
+        ),
+        F.round(F.col("p99_exact") / 100.0, 6).alias("p99_exact"),
+        (
+            (F.exp(F.col("b99") * ln11) <= F.col("p99_exact"))
+            & (F.col("p99_exact") <= F.exp((F.col("b99") + 1) * ln11))
+        ).alias("p99_bounded"),
+    )
