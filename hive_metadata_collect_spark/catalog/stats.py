@@ -7375,3 +7375,74 @@ def cat_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_delay_us"),
         F.max("delay_us").cast("long").alias("max_delay_us"),
     )
+
+
+@register(
+    "cat_dead_column_detect",
+    survey_row=62,
+    oracle="""
+    WITH inv AS (
+        SELECT table_name, column_name, ordinal_position AS ordinal
+        FROM information_schema.columns
+        WHERE table_name IN ('orders', 'customer', 'lineitem')
+    ),
+    refs AS (
+        SELECT DISTINCT
+               CASE event_id % 3 WHEN 0 THEN 'orders'
+                    WHEN 1 THEN 'customer' ELSE 'lineitem' END
+                   AS table_name,
+               CASE event_id % 3
+                    WHEN 0 THEN event_id % 4 + 1
+                    WHEN 1 THEN event_id % 2 + 1
+                    ELSE event_id % 6 + 1 END AS ordinal
+        FROM events
+    )
+    SELECT inv.table_name, inv.column_name, inv.ordinal::BIGINT AS ordinal
+    FROM inv
+    WHERE NOT EXISTS (
+        SELECT 1 FROM refs
+        WHERE refs.table_name = inv.table_name
+          AND refs.ordinal = inv.ordinal)
+    ORDER BY table_name, ordinal
+    """,
+)
+def cat_dead_column_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEAD-column detection — schema inventory ANTI-JOINED against
+    the columns the query log actually references: columns no query
+    has touched are the drop / stop-collecting-stats / tier-to-cold
+    candidates every catalog review hunts manually. The reference
+    set is synthesized from the audit-log stream on residue classes
+    (each table's low-ordinal columns are hot, its tail ordinals
+    never referenced — mirroring the real skew where audit logs hit
+    keys and timestamps while legacy columns rot).
+
+    The inventory side is metadata-only (parquet footers via the
+    cat_schema_inventory path — no data scan); the reference side
+    collapses to DISTINCT (table, ordinal) pairs map-side before a
+    broadcast anti-join against the |columns|-sized inventory. At
+    100 TB of query log the anti-join's build side is still just
+    the schema."""
+    rows = []
+    for t in ("orders", "customer", "lineitem"):
+        for i, f in enumerate(load_table(spark, sf_dir, t).schema.fields):
+            rows.append((t, f.name, i + 1))
+    inv = spark.createDataFrame(
+        rows, "table_name string, column_name string, ordinal long"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    refs = ev.select(
+        F.when(F.col("event_id") % 3 == 0, "orders")
+        .when(F.col("event_id") % 3 == 1, "customer")
+        .otherwise("lineitem")
+        .alias("table_name"),
+        F.when(F.col("event_id") % 3 == 0, F.col("event_id") % 4 + 1)
+        .when(F.col("event_id") % 3 == 1, F.col("event_id") % 2 + 1)
+        .otherwise(F.col("event_id") % 6 + 1)
+        .cast("long")
+        .alias("ordinal"),
+    ).distinct()
+    return (
+        inv.join(refs, ["table_name", "ordinal"], "left_anti")
+        .select("table_name", "column_name", "ordinal")
+        .orderBy("table_name", "ordinal")
+    )

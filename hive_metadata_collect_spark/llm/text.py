@@ -3610,3 +3610,120 @@ def pipeline_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_bm25_search",
+    survey_row=73,
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    corpus AS (
+        SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl
+    ),
+    q AS (SELECT unnest(['spark', 'join', 'window']) AS term),
+    tf AS (
+        SELECT doc_id, word AS term, count(*) AS tf
+        FROM toks WHERE word IN (SELECT term FROM q)
+        GROUP BY doc_id, word
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    contrib AS (
+        SELECT tf.doc_id,
+               CAST(floor(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (0.25 + 0.75 * dl.dl * n_docs
+                                          * 1.0 / total_len))
+                   * 1000000) AS BIGINT) AS c_u
+        FROM tf
+        JOIN df ON tf.term = df.term
+        JOIN dl ON tf.doc_id = dl.doc_id, corpus
+    ),
+    scored AS (
+        SELECT doc_id, sum(c_u) AS score_u FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, round(score_u / 1000000.0, 6) AS bm25
+    FROM scored
+    ORDER BY score_u DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Sparck Jones; k1=1.2, b=0.75)
+    for a fixed keyword query — the lexical search primitive every
+    catalog/doc-discovery surface ships, and the hybrid-search
+    partner of sim_topk_cosine. Scoring is the standard
+    idf · tf(k1+1)/(tf + k1(1−b+b·dl/avgdl)) with the +1 idf floor
+    (no negative idf at df > N/2).
+
+    Each (doc, term) contribution is ONE fixed IEEE expression over
+    five exact integers (tf, df, N, dl, Σdl) floored to micro-units,
+    so the per-doc score is an order-free int64 sum of ≤|query|
+    terms and the ranking cannot flicker. Plan: tokens filter to
+    query terms at the SCAN side (an IN over a 3-term list — the
+    inverted-index probe this op would become against a real index),
+    df and doc-length frames broadcast, top-10 is
+    TakeOrderedAndProject. The corpus-sized work is one filtered
+    aggregate; everything after runs on |matching docs|."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["spark", "join", "window"]
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    )
+    tf = (
+        toks.filter(F.col("word").isin(terms))
+        .groupBy("doc_id", F.col("word").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(dl.withColumnRenamed("doc_id", "dl_doc")),
+              F.col("doc_id") == F.col("dl_doc"))
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2
+                    * (
+                        0.25
+                        + 0.75
+                        * F.col("dl")
+                        * F.col("n_docs")
+                        * 1.0
+                        / F.col("total_len")
+                    )
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("c_u"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(F.sum("c_u").alias("score_u"))
+    return (
+        scored.orderBy(F.col("score_u").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select(
+            "doc_id",
+            F.round(F.col("score_u") / 1000000.0, 6).alias("bm25"),
+        )
+    )

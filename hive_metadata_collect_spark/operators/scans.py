@@ -673,3 +673,82 @@ def sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("rowTag", "supplier")
         .load(target)
     )
+
+
+@register(
+    "sink_dynamic_partition_overwrite",
+    survey_row=4,
+    oracle="""
+    WITH base AS (
+        SELECT event_type, count(*) AS n,
+               sum(CAST(floor(round(value, 2) * 100 + 0.5) AS BIGINT))
+                   AS value_cents
+        FROM events GROUP BY event_type
+    ),
+    clicks AS (
+        SELECT 'click' AS event_type, count(*) AS n,
+               sum(CAST(floor(round(value, 2) * 100 + 0.5) AS BIGINT)) * 2
+                   AS value_cents
+        FROM events WHERE event_type = 'click' AND event_id % 2 = 0
+    )
+    SELECT event_type, n::BIGINT AS n, value_cents::BIGINT AS value_cents,
+           event_type = 'click' AS was_overwritten
+    FROM (SELECT * FROM base WHERE event_type <> 'click'
+          UNION ALL SELECT * FROM clicks)
+    ORDER BY event_type
+    """,
+)
+def sink_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DYNAMIC partition overwrite — the lakehouse write semantic
+    backfills depend on: a second INSERT OVERWRITE touching only the
+    partitions present in its input replaces THOSE directories and
+    leaves every other partition byte-identical (static mode — the
+    default — would truncate the whole table first; the difference
+    is a production data-loss incident, which is why this op pins
+    the semantic). Sequence: write all events partitioned by type;
+    overwrite with a frame containing ONLY re-derived click rows
+    (even ids, value doubled); read back and account per partition.
+
+    The read-back totals prove both halves: the click partition
+    carries the second write's half-count/doubled-cents signature,
+    the other four partitions still carry the first write's exact
+    integer-cents sums. partitionOverwriteMode=dynamic is set on
+    the WRITER (Spark 3+ session conf or per-write option), the
+    per-write form used here so the op doesn't mutate session
+    state."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.round("value", 2) * 100 + 0.5).cast("long")
+    target = os.path.join(_SCRATCH, "events_dpo.parquet")
+    ev.select(
+        "event_id", "event_type", cents.alias("value_cents")
+    ).write.mode("overwrite").partitionBy("event_type").parquet(target)
+    patch = (
+        ev.filter(
+            (F.col("event_type") == "click") & (F.col("event_id") % 2 == 0)
+        )
+        .select(
+            "event_id",
+            "event_type",
+            (cents * 2).alias("value_cents"),
+        )
+    )
+    patch.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("event_type").parquet(target)
+    back = spark.read.parquet(target)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value_cents").alias("value_cents"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("value_cents").cast("long").alias("value_cents"),
+            (F.col("event_type") == "click").alias("was_overwritten"),
+        )
+        .orderBy("event_type")
+    )
