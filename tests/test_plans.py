@@ -928,3 +928,50 @@ def test_perplexity_filter_lm_broadcast_single_token_pass(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan[:2000]
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_basket_lift_map_only_pairs(spark, sf_dir):
+    """agg_market_basket_lift emits pairs via posexplodes over the
+    per-basket array (Generate nodes), never a basket-keyed
+    SortMergeJoin; support joins broadcast; top-20 is
+    TakeOrderedAndProject."""
+    df = OPS["agg_market_basket_lift"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "Generate" in plan and "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_term_filter_reaches_scan_side(spark, sf_dir):
+    """text_bm25_search's tf aggregate filters tokens to the 3-term
+    query before any join (an In predicate over the exploded words),
+    df/doclen broadcast, top-10 TakeOrderedAndProject, no Python."""
+    df = OPS["text_bm25_search"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "spark" in plan and "join" in plan  # the literal IN list
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dead_column_broadcast_anti_join(spark, sf_dir):
+    """cat_dead_column_detect's anti-join must broadcast (either
+    side of a schema-vs-distinct-refs join is tiny); no
+    SortMergeJoin, no Python nodes."""
+    df = OPS["cat_dead_column_detect"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hdr_buckets_collapse_before_window(spark, sf_dir):
+    """agg_hdr_percentile_estimate's cumulative window runs over the
+    ~150-row bucket frame (aggregate below the Window), and the op
+    stays JVM-side."""
+    df = OPS["agg_hdr_percentile_estimate"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" in plan and "HashAggregate" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
