@@ -2811,3 +2811,241 @@ def agg_hdr_percentile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("p99_exact") <= F.exp((F.col("b99") + 1) * ln11))
         ).alias("p99_bounded"),
     )
+
+
+@register(
+    "agg_two_proportion_z",
+    survey_row=27,
+    oracle="""
+    WITH tot AS (
+        SELECT count(*) AS n_p,
+               sum(CAST(floor(round(value, 2) * 100 + 0.5) AS BIGINT))
+                   AS s_p
+        FROM events WHERE event_type = 'purchase'
+    ),
+    per_user AS (
+        SELECT user_id,
+               CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS is_ctl,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(floor(round(value, 2) * 100 + 0.5)
+                                  AS BIGINT) ELSE 0 END) * max(n_p)
+                        > max(s_p) * sum(CASE WHEN event_type = 'purchase'
+                                         THEN 1 ELSE 0 END)
+                    THEN 1 ELSE 0 END AS converted
+        FROM events, tot GROUP BY user_id
+    ),
+    arms AS (
+        SELECT sum(is_ctl) AS n1, sum(is_ctl * converted) AS x1,
+               sum(1 - is_ctl) AS n2,
+               sum((1 - is_ctl) * converted) AS x2
+        FROM per_user
+    )
+    SELECT n1::BIGINT AS n_control, x1::BIGINT AS conv_control,
+           n2::BIGINT AS n_treatment, x2::BIGINT AS conv_treatment,
+           round((x1 * 1.0 / n1 - x2 * 1.0 / n2)
+                 / sqrt((x1 + x2) * 1.0 / (n1 + n2)
+                        * (1 - (x1 + x2) * 1.0 / (n1 + n2))
+                        * (1.0 / n1 + 1.0 / n2)), 6) AS z_score
+    FROM arms
+    """,
+)
+def agg_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-PROPORTION z-test on conversion — the binary-metric arm of
+    the experimentation battery (Welch handles means, KS/MWU handle
+    shapes, this handles did-they-or-didn't-they): pooled-variance z
+    over per-arm converter counts (conversion = the user's MEAN
+    purchase exceeds the global mean purchase — cross-multiplied to
+    the exact integer compare u_Σ·n > Σ·u_n, so the threshold is
+    data-derived, engine-exact, and splits every population near
+    50/50: the z is always defined). Units are USERS (the
+    randomization unit), not events — conversion collapses per user
+    FIRST so heavy users cannot double-count, the classic
+    unit-of-analysis error this formulation forbids by construction.
+
+    Two map-side-combined aggregates (per-user collapse, then four
+    arm counters); the z is one fixed IEEE sequence over four exact
+    int64s. The same four counters are what a sequential monitoring
+    dashboard maintains incrementally at 100 TB of event log."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.round("value", 2) * 100 + 0.5).cast("long")
+    tot = ev.filter(F.col("event_type") == "purchase").agg(
+        F.count(F.lit(1)).alias("n_p"), F.sum(cents).alias("s_p")
+    )
+    p_cents = F.when(F.col("event_type") == "purchase", cents).otherwise(0)
+    p_one = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    per_user = (
+        ev.crossJoin(F.broadcast(tot))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(p_cents) * F.max("n_p")
+                > F.max("s_p") * F.sum(p_one)
+            )
+            .cast("int")
+            .alias("converted")
+        )
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("is_ctl"),
+        "converted",
+    )
+    arms = per_user.agg(
+        F.sum("is_ctl").alias("n1"),
+        F.sum(F.col("is_ctl") * F.col("converted")).alias("x1"),
+        F.sum(1 - F.col("is_ctl")).alias("n2"),
+        F.sum((1 - F.col("is_ctl")) * F.col("converted")).alias("x2"),
+    )
+    n1, x1, n2, x2 = F.col("n1"), F.col("x1"), F.col("n2"), F.col("x2")
+    p_pool = (x1 + x2) * 1.0 / (n1 + n2)
+    return arms.select(
+        n1.cast("long").alias("n_control"),
+        x1.cast("long").alias("conv_control"),
+        n2.cast("long").alias("n_treatment"),
+        x2.cast("long").alias("conv_treatment"),
+        F.round(
+            (x1 * 1.0 / n1 - x2 * 1.0 / n2)
+            / F.sqrt(
+                p_pool * (1 - p_pool) * (1.0 / n1 + 1.0 / n2)
+            ),
+            6,
+        ).alias("z_score"),
+    )
+
+
+@register(
+    "agg_cuped_adjusted",
+    survey_row=27,
+    oracle="""
+    WITH bounds AS (
+        SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS tm_us
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS is_ctl,
+               CAST(floor(sum(CASE WHEN epoch_us(ts) < tm_us THEN
+                       CAST(floor(round(value, 1) * 10 + 0.5) AS BIGINT)
+                       ELSE 0 END) * 1000.0
+                   / nullif(sum(CASE WHEN epoch_us(ts) < tm_us
+                                THEN 1 ELSE 0 END), 0))
+                   AS BIGINT) AS x_u,
+               CAST(floor(sum(CASE WHEN epoch_us(ts) >= tm_us THEN
+                       CAST(floor(round(value, 1) * 10 + 0.5) AS BIGINT)
+                       ELSE 0 END) * 1000.0
+                   / nullif(sum(CASE WHEN epoch_us(ts) >= tm_us
+                                THEN 1 ELSE 0 END), 0))
+                   AS BIGINT) AS y_u
+        FROM events, bounds
+        GROUP BY user_id
+        HAVING x_u IS NOT NULL AND y_u IS NOT NULL
+    ),
+    mom AS (
+        SELECT count(*) AS n, sum(x_u) AS sx, sum(y_u) AS sy,
+               sum(x_u * x_u) AS sxx, sum(x_u * y_u) AS sxy,
+               sum(is_ctl) AS n1, sum(is_ctl * y_u) AS sy1,
+               sum(is_ctl * x_u) AS sx1
+        FROM per_user
+    )
+    SELECT n::BIGINT AS n_users,
+           round((n * sxy - sx * sy) * 1.0
+                 / nullif(n * sxx - sx * sx, 0), 6) AS theta,
+           round((sy1 * 1.0 / n1
+                  - (sy - sy1) * 1.0 / (n - n1)) / 1000.0, 6)
+               AS raw_diff,
+           round(((sy1 * 1.0 / n1 - (sy - sy1) * 1.0 / (n - n1))
+                  - (n * sxy - sx * sy) * 1.0
+                    / nullif(n * sxx - sx * sx, 0)
+                    * (sx1 * 1.0 / n1
+                       - (sx - sx1) * 1.0 / (n - n1))) / 1000.0,
+                 6) AS cuped_diff
+    FROM mom
+    """,
+)
+def agg_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) — the pre-period
+    covariate adjustment every mature experimentation platform
+    applies before reading an A/B test: Y_adj = Y − θ(X − E[X]) with
+    θ = cov(X,Y)/var(X), where X is each user's PRE-period mean and
+    Y the in-period mean (halved time range stands in for the
+    pre/post boundary). Reported: θ, the raw treatment-vs-control
+    difference, and the CUPED-adjusted difference (the θ·ΔX term
+    subtracts the imbalance the randomization left in the
+    covariate).
+
+    Determinism architecture: per-user means quantize to integer
+    MILLI-units (one floored division each — engine-identical; milli
+    not micro so the x² moment stays far inside int64 at any user
+    count the moments can hold), so
+    the covariance/variance sufficient statistics are order-free
+    int64 sums and θ one Cramer-style division at the edge —
+    regression discipline (agg_regression_normal_eq) applied to
+    inference. One user-keyed aggregate + one 1-row moment
+    reduction; the moments are incrementally maintainable at
+    100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.expr(
+            "(unix_micros(min(ts)) + unix_micros(max(ts))) div 2"
+        ).alias("tm_us")
+    )
+    v10 = F.floor(F.round("value", 1) * 10 + 0.5).cast("long")
+    is_pre = F.unix_micros("ts") < F.col("tm_us")
+    pre = F.when(is_pre, v10).otherwise(0)
+    pre_n = F.when(is_pre, 1).otherwise(0)
+    post = F.when(~is_pre, v10).otherwise(0)
+    post_n = F.when(~is_pre, 1).otherwise(0)
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.floor(
+                F.sum(pre) * 1000.0 / F.nullif(F.sum(pre_n), F.lit(0))
+            )
+            .cast("long")
+            .alias("x_u"),
+            F.floor(
+                F.sum(post) * 1000.0 / F.nullif(F.sum(post_n), F.lit(0))
+            )
+            .cast("long")
+            .alias("y_u"),
+        )
+        .filter(F.col("x_u").isNotNull() & F.col("y_u").isNotNull())
+        .select(
+            F.when(F.col("user_id") % 2 == 0, 1)
+            .otherwise(0)
+            .alias("is_ctl"),
+            "x_u",
+            "y_u",
+        )
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x_u").alias("sx"),
+        F.sum("y_u").alias("sy"),
+        F.sum(F.col("x_u") * F.col("x_u")).alias("sxx"),
+        F.sum(F.col("x_u") * F.col("y_u")).alias("sxy"),
+        F.sum("is_ctl").alias("n1"),
+        F.sum(F.col("is_ctl") * F.col("y_u")).alias("sy1"),
+        F.sum(F.col("is_ctl") * F.col("x_u")).alias("sx1"),
+    )
+    # theta's cross products reach n*sxy ~ 1.5e19 at sf1 — past
+    # int64. DECIMAL(38,0) keeps them exact (DuckDB's BIGINT sums
+    # promote to int128 natively, so the oracle needs nothing); the
+    # ratio's double conversion rounds the same integer value on
+    # both engines.
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    n, sx, sy = d("n"), d("sx"), d("sy")
+    sxx, sxy = d("sxx"), d("sxy")
+    n1, sy1, sx1 = F.col("n1"), F.col("sy1"), F.col("sx1")
+    theta = (
+        (n * sxy - sx * sy).cast("double")
+        / F.nullif((n * sxx - sx * sx).cast("double"), F.lit(0.0))
+    )
+    n, sy, sx = F.col("n"), F.col("sy"), F.col("sx")
+    dy = sy1 * 1.0 / n1 - (sy - sy1) * 1.0 / (n - n1)
+    dx = sx1 * 1.0 / n1 - (sx - sx1) * 1.0 / (n - n1)
+    return mom.select(
+        n.cast("long").alias("n_users"),
+        F.round(theta, 6).alias("theta"),
+        F.round(dy / 1000.0, 6).alias("raw_diff"),
+        F.round((dy - theta * dx) / 1000.0, 6).alias("cuped_diff"),
+    )
