@@ -2173,11 +2173,12 @@ def agg_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(n2)::BIGINT AS n_treatment,
            max(abs(c1 * n2 - c2 * n1))::BIGINT AS d_numer,
            round(max(abs(c1 * n2 - c2 * n1))
-                 * 1.0 / (max(n1) * max(n2)), 6) AS ks_d,
+                 * 1.0 / nullif(max(n1) * max(n2), 0), 6) AS ks_d,
            max(abs(c1 * n2 - c2 * n1))
-               * 1.0 / (max(n1) * max(n2))
+               * 1.0 / nullif(max(n1) * max(n2), 0)
                > 1.358 * sqrt((max(n1) + max(n2)) * 1.0
-                              / (max(n1) * max(n2))) AS reject_95
+                              / nullif(max(n1) * max(n2), 0))
+               AS reject_95
     FROM ecdf
     """,
 )
@@ -2221,14 +2222,18 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")))
     n1, n2 = F.max("n1"), F.max("n2")
+    # nullif guards: a degenerate population with an EMPTY arm
+    # (n1*n2 = 0) yields NULL statistics on both engines instead of
+    # an ANSI divide-by-zero here and an Infinity in DuckDB
+    nn = F.nullif((n1 * n2).cast("long"), F.lit(0))
     return ecdf.agg(
         n1.cast("long").alias("n_control"),
         n2.cast("long").alias("n_treatment"),
         d.cast("long").alias("d_numer"),
-        F.round(d * 1.0 / (n1 * n2), 6).alias("ks_d"),
+        F.round(d * 1.0 / nn, 6).alias("ks_d"),
         (
-            d * 1.0 / (n1 * n2)
-            > 1.358 * F.sqrt((n1 + n2) * 1.0 / (n1 * n2))
+            d * 1.0 / nn
+            > 1.358 * F.sqrt((n1 + n2) * 1.0 / nn)
         ).alias("reject_95"),
     )
 
@@ -2264,8 +2269,9 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
            (r1x2 - n1 * (n1 + 1))::BIGINT AS u1_x2,
            (2 * n1 * n2 - (r1x2 - n1 * (n1 + 1)))::BIGINT AS u2_x2,
            round(((r1x2 - n1 * (n1 + 1)) - n1 * n2)
-                 / (2.0 * sqrt(n1 * 1.0 * n2 / 12.0
-                    * ((n + 1) - ties * 1.0 / (n * (n - 1))))), 6)
+                 / nullif(2.0 * sqrt(n1 * 1.0 * n2 / 12.0
+                    * ((n + 1) - ties * 1.0
+                       / nullif(n * (n - 1), 0))), 0.0), 6)
                AS z_score
     FROM s
     """,
@@ -2324,12 +2330,18 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2 * n1 * n2 - u1x2).cast("long").alias("u2_x2"),
         F.round(
             (u1x2 - n1 * n2)
-            / (
+            / F.nullif(
                 2.0
                 * F.sqrt(
                     n1 * 1.0 * n2 / 12.0
-                    * ((n + 1) - F.col("ties") * 1.0 / (n * (n - 1)))
-                )
+                    * (
+                        (n + 1)
+                        - F.col("ties")
+                        * 1.0
+                        / F.nullif((n * (n - 1)).cast("long"), F.lit(0))
+                    )
+                ),
+                F.lit(0.0),
             ),
             6,
         ).alias("z_score"),

@@ -71,6 +71,15 @@ EVENT_OPS = [
     # a table with neither segment present forces the 0/0 Jaccard
     # edge (caught: ANSI division raised where the oracle NaN'd)
     "agg_audience_overlap",
+    # round 8 continuation — single-arm tables hit the nullif-guarded
+    # KS/MWU degenerate edges (empty arm, all-tied single value);
+    # purchase-free users hit the funnel's empty-conversion frame;
+    # 1-event users hit the lead-chain NULL in the transition matrix
+    "agg_ks_test",
+    "agg_mann_whitney_u",
+    "agg_srm_check",
+    "cat_markov_transitions",
+    "cat_funnel_time_to_convert",
     # single-bucket types exercise the leading-NULL edge; tiny tables
     # make every bucket a first-bucket
     "stream_threshold_alerts",
