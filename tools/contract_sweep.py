@@ -83,6 +83,15 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 - report and continue
             n_fail += 1
             tag = f"FAIL: {type(e).__name__}: {str(e)[:300]}"
+        finally:
+            # Isolate operators: several ops persist() model/token
+            # frames and a 446-op sweep in ONE plain (1g-heap)
+            # session accumulates all of them, starving execution
+            # memory until a wide shuffle OOMs mid-sweep at sf0.1
+            # (observed: 96 cascading failures after op ~350). Each
+            # op must stand alone, exactly as it does under the
+            # driver, so drop the cache between ops.
+            spark.catalog.clearCache()
         print(f"{name:36s} {time.time() - t0:6.2f}s  {tag}", flush=True)
 
     print(
