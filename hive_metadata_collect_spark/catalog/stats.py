@@ -7446,3 +7446,121 @@ def cat_dead_column_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("table_name", "column_name", "ordinal")
         .orderBy("table_name", "ordinal")
     )
+
+
+@register(
+    "cat_merkle_table_root",
+    survey_row=61,
+    oracle="""
+    WITH rowd AS (
+        SELECT CAST(('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|'
+                   || CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                   AS d,
+               o_orderkey % 16 AS bucket
+        FROM orders
+    ),
+    l0 AS (
+        SELECT bucket AS pos, md5(CAST(sum(d) AS VARCHAR)) AS digest
+        FROM rowd GROUP BY bucket
+    ),
+    l1 AS (
+        SELECT pos // 2 AS pos,
+               md5(min(CASE WHEN pos % 2 = 0 THEN digest END)
+                   || max(CASE WHEN pos % 2 = 1 THEN digest END))
+                   AS digest
+        FROM l0 GROUP BY pos // 2
+    ),
+    l2 AS (
+        SELECT pos // 2 AS pos,
+               md5(min(CASE WHEN pos % 2 = 0 THEN digest END)
+                   || max(CASE WHEN pos % 2 = 1 THEN digest END))
+                   AS digest
+        FROM l1 GROUP BY pos // 2
+    ),
+    l3 AS (
+        SELECT pos // 2 AS pos,
+               md5(min(CASE WHEN pos % 2 = 0 THEN digest END)
+                   || max(CASE WHEN pos % 2 = 1 THEN digest END))
+                   AS digest
+        FROM l2 GROUP BY pos // 2
+    ),
+    l4 AS (
+        SELECT pos // 2 AS pos,
+               md5(min(CASE WHEN pos % 2 = 0 THEN digest END)
+                   || max(CASE WHEN pos % 2 = 1 THEN digest END))
+                   AS digest
+        FROM l3 GROUP BY pos // 2
+    )
+    SELECT * FROM (
+        SELECT 0 AS level, pos::BIGINT AS pos, digest FROM l0
+        UNION ALL SELECT 1, pos::BIGINT, digest FROM l1
+        UNION ALL SELECT 2, pos::BIGINT, digest FROM l2
+        UNION ALL SELECT 3, pos::BIGINT, digest FROM l3
+        UNION ALL SELECT 4, pos::BIGINT, digest FROM l4
+    ) ORDER BY level, pos
+    """,
+)
+def cat_merkle_table_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERKLE tree over a table's content — the content-addressable
+    verification artifact replication and audit pipelines exchange
+    instead of data (equal roots ⇒ equal content; on mismatch the
+    tree localizes the divergent bucket in log steps instead of a
+    full re-scan — the rsync/Cassandra anti-entropy design). Leaves
+    are 16 key-bucketed digests where each bucket reduces its row
+    digests by a COMMUTATIVE int64 sum (order-free, partition-proof,
+    incrementally updatable on append — the cat_duplicate_table_detect
+    fingerprint discipline; the tradeoff vs sorted-concat leaves —
+    weaker adversarial collision resistance, no order proof — is the
+    standard one for warehouse anti-entropy and is taken knowingly).
+    Levels above pair (even,odd) children by md5 until the root.
+
+    Plan shape: ONE corpus pass (map-side-combined bucket sums);
+    the 4 pairing levels run on ≤16 rows each (driver-looped like
+    cat_lineage_closure — the tree height is log₂(buckets),
+    independent of table size). Output is all 31 nodes so the gate
+    pins every internal digest, not just the root."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit("|"),
+                    F.col("o_custkey").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    level = (
+        o.select(d.alias("d"), (F.col("o_orderkey") % 16).alias("pos"))
+        .groupBy("pos")
+        .agg(F.md5(F.sum("d").cast("string")).alias("digest"))
+    )
+    out = level.select(F.lit(0).alias("level"), "pos", "digest")
+    for lv in range(1, 5):
+        level = (
+            level.groupBy(F.expr("pos div 2").alias("pos"))
+            .agg(
+                F.md5(
+                    F.concat(
+                        F.min(
+                            F.when(F.col("pos") % 2 == 0, F.col("digest"))
+                        ),
+                        F.max(
+                            F.when(F.col("pos") % 2 == 1, F.col("digest"))
+                        ),
+                    )
+                ).alias("digest")
+            )
+        )
+        out = out.unionAll(
+            level.select(F.lit(lv).alias("level"), "pos", "digest")
+        )
+    return out.select(
+        "level", F.col("pos").cast("long").alias("pos"), "digest"
+    ).orderBy("level", "pos")
