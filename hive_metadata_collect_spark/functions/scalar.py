@@ -1517,3 +1517,130 @@ def fn_surrogate_key_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sk").cast("long").alias("min_key"),
         F.max("sk").cast("long").alias("max_key"),
     )
+
+
+@register(
+    "fn_luhn_check",
+    survey_row=44,
+    oracle="""
+    WITH payload AS (
+        SELECT 10000000 + o_orderkey % 89999999 AS p,
+               o_orderkey % 7 = 0 AS corrupted
+        FROM orders
+    ),
+    digits AS (
+        SELECT p, corrupted,
+               (p // 10000000) % 10 AS d7, (p // 1000000) % 10 AS d6,
+               (p // 100000) % 10 AS d5, (p // 10000) % 10 AS d4,
+               (p // 1000) % 10 AS d3, (p // 100) % 10 AS d2,
+               (p // 10) % 10 AS d1, p % 10 AS d0
+        FROM payload
+    ),
+    luhn AS (
+        SELECT p, corrupted,
+               (CASE WHEN d0 * 2 > 9 THEN d0 * 2 - 9 ELSE d0 * 2 END)
+             + d1
+             + (CASE WHEN d2 * 2 > 9 THEN d2 * 2 - 9 ELSE d2 * 2 END)
+             + d3
+             + (CASE WHEN d4 * 2 > 9 THEN d4 * 2 - 9 ELSE d4 * 2 END)
+             + d5
+             + (CASE WHEN d6 * 2 > 9 THEN d6 * 2 - 9 ELSE d6 * 2 END)
+             + d7 AS s
+        FROM digits
+    ),
+    minted AS (
+        SELECT p * 10 + (10 - s % 10) % 10
+                 + CASE WHEN corrupted THEN 1 ELSE 0 END AS card,
+               corrupted
+        FROM luhn
+    ),
+    redigit AS (
+        SELECT card, corrupted,
+               (card // 100000000) % 10 AS e8, (card // 10000000) % 10 AS e7,
+               (card // 1000000) % 10 AS e6, (card // 100000) % 10 AS e5,
+               (card // 10000) % 10 AS e4, (card // 1000) % 10 AS e3,
+               (card // 100) % 10 AS e2, (card // 10) % 10 AS e1,
+               card % 10 AS e0
+        FROM minted
+    ),
+    validated AS (
+        SELECT corrupted,
+               ((CASE WHEN e1 * 2 > 9 THEN e1 * 2 - 9 ELSE e1 * 2 END)
+              + e0
+              + (CASE WHEN e3 * 2 > 9 THEN e3 * 2 - 9 ELSE e3 * 2 END)
+              + e2
+              + (CASE WHEN e5 * 2 > 9 THEN e5 * 2 - 9 ELSE e5 * 2 END)
+              + e4
+              + (CASE WHEN e7 * 2 > 9 THEN e7 * 2 - 9 ELSE e7 * 2 END)
+              + e6 + e8) % 10 = 0 AS is_valid
+        FROM redigit
+    )
+    SELECT is_valid, corrupted, count(*) AS n
+    FROM validated
+    GROUP BY is_valid, corrupted
+    ORDER BY is_valid, corrupted
+    """,
+)
+def fn_luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LUHN check digits (ISO/IEC 7812) minted AND validated — the
+    checksum gate identifier ingestion runs on card/IMEI/NPI-like
+    fields before anything joins on them: mint a check digit onto an
+    8-digit payload, corrupt a deterministic residue class (+1 on
+    the check digit — exactly the single-digit error class Luhn is
+    DESIGNED to catch), and validate. The output contingency proves
+    the theorem operationally: every uncorrupted mint validates,
+    every corrupted one fails — n rows, zero escapes.
+
+    No strings anywhere: digits extract by div/mod (fixed 9-digit
+    width), the alternate-doubling fold is CASE arithmetic, so the
+    whole op is one map-side codegen projection plus a 4-row
+    aggregate — identical integer semantics on both engines by
+    construction."""
+    o = load_table(spark, sf_dir, "orders")
+    p = (10000000 + F.col("o_orderkey") % 89999999).alias("p")
+    corrupted = (F.col("o_orderkey") % 7 == 0).alias("corrupted")
+    base = o.select(p, corrupted)
+
+    def dig(col, i):
+        return (col / F.lit(10**i)).cast("long") % 10
+
+    def fold(dx):
+        return F.when(dx * 2 > 9, dx * 2 - 9).otherwise(dx * 2)
+
+    pcol = F.col("p")
+    s = (
+        fold(dig(pcol, 0))
+        + dig(pcol, 1)
+        + fold(dig(pcol, 2))
+        + dig(pcol, 3)
+        + fold(dig(pcol, 4))
+        + dig(pcol, 5)
+        + fold(dig(pcol, 6))
+        + dig(pcol, 7)
+    )
+    minted = base.select(
+        (
+            pcol * 10
+            + (10 - s % 10) % 10
+            + F.when(F.col("corrupted"), 1).otherwise(0)
+        ).alias("card"),
+        "corrupted",
+    )
+    c = F.col("card")
+    v = (
+        fold(dig(c, 1))
+        + dig(c, 0)
+        + fold(dig(c, 3))
+        + dig(c, 2)
+        + fold(dig(c, 5))
+        + dig(c, 4)
+        + fold(dig(c, 7))
+        + dig(c, 6)
+        + dig(c, 8)
+    )
+    return (
+        minted.select("corrupted", ((v % 10) == 0).alias("is_valid"))
+        .groupBy("is_valid", "corrupted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("is_valid", "corrupted")
+    )
