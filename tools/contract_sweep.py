@@ -9,7 +9,15 @@ CORRECTNESS_r{N}.json check enforces. Entries with no oracle get a
 rows-only smoke (runs and returns >= 0 rows).
 
 Usage: python tools/contract_sweep.py [sf_dir] [--only name1,name2]
-                                      [--max-rows N]
+                                      [--max-rows N] [--driver-mem 16g]
+
+--driver-mem SIZE (scale-sweep mode): raise the driver heap for the
+one JVM. The default stays Spark's plain 1g — the driver's protocol —
+which is fine at its sf0.01 gate; a FULL 448-op sweep at sf1 in one
+1g session dies of heap around op ~90 even with per-op cache clearing
+(ops that pass standalone at sf1 fail in sequence — broadcast blocks
+and shuffle buffers outlive clearCache). bench.py documents the same
+1g-starves-32-threads constant for its sf1 runs.
 
 --max-rows N (scale-sweep mode): before comparing, count the Spark
 side; if it exceeds N, record rows-only instead of collecting both
@@ -41,6 +49,11 @@ def main() -> int:
         i = args.index("--max-rows")
         max_rows = int(args[i + 1])
         del args[i : i + 2]
+    driver_mem = None
+    if "--driver-mem" in args:
+        i = args.index("--driver-mem")
+        driver_mem = args[i + 1]
+        del args[i : i + 2]
     if args:
         sf_dir = args[0]
 
@@ -52,11 +65,12 @@ def main() -> int:
         duck_connection,
     )
 
-    spark = (
-        SparkSession.builder.master("local[32]")
-        .appName("contract-sweep")
-        .getOrCreate()
+    builder = SparkSession.builder.master("local[32]").appName(
+        "contract-sweep"
     )
+    if driver_mem:
+        builder = builder.config("spark.driver.memory", driver_mem)
+    spark = builder.getOrCreate()
     con = duck_connection(sf_dir)
 
     queries = entry_mod.queries()
