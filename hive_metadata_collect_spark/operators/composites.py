@@ -339,7 +339,10 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_row=23,
     oracle="""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                          (CAST(1 AS DECIMAL(5,4)) -
+                           CAST(l_discount AS DECIMAL(5,4)))), 2)
+                AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -388,9 +391,21 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .groupBy("n_name")
         .agg(
+            # DECIMAL accumulation (the join_multiway_star r7 fix):
+            # round(sum(double),2) flips its last cent by one ULP at
+            # sf1 — caught by the full sf1 sweep this round
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (
+                        F.lit(1).cast("decimal(5,4)")
+                        - F.col("l_discount").cast("decimal(5,4)")
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
         .orderBy(F.desc("revenue"), "n_name")
     )
