@@ -242,7 +242,18 @@ def cat_cold_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cat_lineage_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lineage as an edge-list DataFrame (user→entity edges standing
     in for src-table→dst-table): 2-hop reachability + degree via one
-    self-join — no graph library, traversals stay relational."""
+    self-join — no graph library, traversals stay relational.
+
+    Fan-out parallelism (round-8 sf1 sweep finding): the edge frame
+    is tiny (|users|×|types| after distinct) so AQE coalesces it to
+    1-2 partitions — but the hub-keyed self-join EXPANDS it ~1500×,
+    leaving two tasks to generate ~11M rows and then sort them
+    through the double countDistinct's Expand (20+ min at sf1). A
+    fan-out join's probe side must be partitioned for its OUTPUT
+    size, not its input size: the explicit 32-way repartition on the
+    probe (user-keyed, AQE honors user-specified counts) restored
+    the stage to seconds. The same rule at 100 TB: size probe
+    parallelism to |edges|×avg-degree, never |edges|."""
     ev = load_table(spark, sf_dir, "events")
     edges = ev.select("user_id", "event_type").distinct()
     b = edges.select(
@@ -250,7 +261,8 @@ def cat_lineage_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("b_event_type"),
     )
     return (
-        edges.join(b, edges.event_type == b.b_event_type)
+        edges.repartition(32, "user_id")
+        .join(b, F.col("event_type") == b.b_event_type)
         .groupBy("user_id")
         .agg(
             F.countDistinct("event_type").alias("n_types"),
