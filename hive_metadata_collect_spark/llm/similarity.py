@@ -1701,3 +1701,168 @@ def sim_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "sim_semdedup",
+    survey_row=75,
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> round(CAST(x AS DOUBLE) * 1000)::BIGINT) AS qv
+        FROM embeddings
+    ),
+    ve AS (
+        SELECT vec_id, label, i.i - 1 AS dim, qv[i.i] AS val
+        FROM q, unnest(range(1, len(qv) + 1)) AS i(i)
+    ),
+    cents AS (
+        SELECT label, dim,
+               CAST(floor(sum(val) * 1.0 / count(*)) AS BIGINT) AS cv
+        FROM ve GROUP BY label, dim
+    ),
+    d2 AS (
+        SELECT ve.vec_id, ve.label,
+               sum((ve.val - cents.cv) * (ve.val - cents.cv)) AS d2
+        FROM ve JOIN cents
+            ON ve.label = cents.label AND ve.dim = cents.dim
+        GROUP BY ve.vec_id, ve.label
+    ),
+    m AS (
+        SELECT q.vec_id, q.label, q.qv,
+               CAST(list_dot_product(q.qv, q.qv) AS BIGINT) AS n2, d2.d2
+        FROM q JOIN d2 ON q.vec_id = d2.vec_id
+    ),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM m a JOIN m b ON a.label = b.label AND a.vec_id <> b.vec_id
+        WHERE (a.d2 < b.d2 OR (a.d2 = b.d2 AND a.vec_id < b.vec_id))
+          AND list_dot_product(a.qv, b.qv) > 0
+          AND CAST(list_dot_product(a.qv, b.qv) AS BIGINT)
+              * CAST(list_dot_product(a.qv, b.qv) AS BIGINT) * 100
+              > 9 * a.n2 * b.n2
+    ),
+    flags AS (
+        SELECT m.label,
+               CASE WHEN dropped.vec_id IS NULL THEN 0 ELSE 1 END AS is_drop
+        FROM m LEFT JOIN dropped ON m.vec_id = dropped.vec_id
+    )
+    SELECT label, count(*)::BIGINT AS n_members,
+           sum(is_drop)::BIGINT AS n_dropped,
+           (count(*) - sum(is_drop))::BIGINT AS n_kept,
+           round(sum(is_drop) * 1.0 / count(*), 6) AS drop_rate
+    FROM flags GROUP BY label ORDER BY label
+    """,
+)
+def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMDEDUP (Abbas et al. 2023, arXiv:2303.09540 — public):
+    semantic deduplication that restricts pairwise cosine to WITHIN
+    k-means cluster cells and, inside each near-duplicate pair, keeps
+    the member closest to its cluster centroid (the paper's
+    "keep low-cluster-distance" policy, made deterministic here with
+    (distance, vec_id) lexicographic priority). The fixture's `label`
+    column stands in for the trained cell assignment —
+    `sim_kmeans_lloyd` in this module is the trainer that would
+    produce it.
+
+    Everything is integer-exact: vectors quantize to milli-units
+    once; cos(u,v) > τ=0.3 is evaluated as dot>0 ∧ 100·dot² > 9·|u|²|v|²
+    (all int64 — max |dot| ≈ 5.8e6 on this fixture so 100·dot² ≈
+    3.4e15 ≪ 2⁶³), and centroid distance is the same Σ(val−cv)² int64
+    as sim_kmeans_lloyd/sim_centroid_silhouette, so both engines see
+    bit-identical drop decisions.
+
+    Scale shape — the reason SemDeDup exists: the pair join carries
+    the CLUSTER key, so candidate volume is Σ|cell|², not |corpus|²;
+    at 100 TB one raises K (the paper uses K≈10⁵ cells for ~10⁸
+    docs) so cells stay ~10³ and the quadratic term is bounded per
+    task. Parallelism comes from the cell count, the centroid frame
+    is K×dim metadata (broadcast), and only vec_id/priority — never
+    raw vectors — leave the pair stage. A vector is dropped iff a
+    strictly-better same-cell partner exceeds τ, so output accounting
+    (per-cell members/dropped/kept) is exactly the paper's dedup-rate
+    telemetry."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1000).cast("long"),
+        ).alias("qv"),
+    )
+    ve = q.select("vec_id", "label", F.posexplode("qv").alias("dim", "val"))
+    cents = ve.groupBy("label", "dim").agg(
+        F.floor(F.sum("val") * 1.0 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("cv")
+    )
+    d2 = (
+        ve.join(F.broadcast(cents), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("cv")) * (F.col("val") - F.col("cv"))
+            ).alias("d2")
+        )
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("qv_a"), F.col("qv_b"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n2 = F.aggregate(
+        F.transform(F.col("qv"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    m = q.join(d2, ["vec_id", "label"]).select(
+        "vec_id", "label", "qv", n2.alias("n2"), "d2"
+    )
+    a = m.select(
+        F.col("label"),
+        F.col("vec_id").alias("vid_a"),
+        F.col("qv").alias("qv_a"),
+        F.col("n2").alias("n2_a"),
+        F.col("d2").alias("d2_a"),
+    )
+    b = m.select(
+        F.col("label"),
+        F.col("vec_id").alias("vid_b"),
+        F.col("qv").alias("qv_b"),
+        F.col("n2").alias("n2_b"),
+        F.col("d2").alias("d2_b"),
+    )
+    better = (F.col("d2_a") < F.col("d2_b")) | (
+        (F.col("d2_a") == F.col("d2_b")) & (F.col("vid_a") < F.col("vid_b"))
+    )
+    pairs = a.join(b, "label").filter(
+        (F.col("vid_a") != F.col("vid_b")) & better
+    )
+    dot = idot
+    dropped = (
+        pairs.filter(
+            (dot > 0)
+            & (dot * dot * 100 > 9 * F.col("n2_a") * F.col("n2_b"))
+        )
+        .select(F.col("vid_b").alias("vec_id"))
+        .distinct()
+    )
+    flags = m.join(
+        dropped.withColumn("is_drop", F.lit(1)), "vec_id", "left"
+    ).select("label", F.coalesce("is_drop", F.lit(0)).alias("is_drop"))
+    return (
+        flags.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("is_drop").cast("long").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.sum("is_drop"))
+            .cast("long")
+            .alias("n_kept"),
+            F.round(F.sum("is_drop") * 1.0 / F.count(F.lit(1)), 6).alias(
+                "drop_rate"
+            ),
+        )
+        .orderBy("label")
+    )
