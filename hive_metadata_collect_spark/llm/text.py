@@ -3727,3 +3727,107 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("score_u") / 1000000.0, 6).alias("bm25"),
         )
     )
+
+
+@register(
+    "text_dup_ngram_coverage",
+    survey_row=72,
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source, string_split(lower(text), ' ') AS w
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, source, w, unnest(range(len(w) - 7)) AS i FROM d
+    ),
+    g AS (
+        SELECT doc_id, source,
+               w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+               || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]
+               || ' ' || w[i+8] AS g
+        FROM idx
+    ),
+    df AS (SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY g),
+    per_doc AS (
+        SELECT doc_id, source, count(*) AS n_grams,
+               sum(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS dup_grams
+        FROM g JOIN df USING (g) GROUP BY doc_id, source
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(n_grams)::BIGINT AS total_grams,
+           sum(dup_grams)::BIGINT AS dup_grams,
+           round(sum(dup_grams) * 1.0 / sum(n_grams), 6) AS dup_coverage,
+           sum(CASE WHEN 2 * dup_grams >= n_grams THEN 1 ELSE 0 END)::BIGINT
+               AS n_docs_majority_dup
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-DOCUMENT duplicate-n-gram coverage — the n-gram-granular
+    form of exact-substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — public): per doc,
+    the fraction of its 8-gram positions whose 8-gram also occurs in
+    ANOTHER document (distinct-doc df ≥ 2), rolled up per source as
+    micro-averaged coverage plus the count of majority-duplicated
+    docs (2·dup ≥ total, an exact integer compare — no float
+    threshold). Complements `text_repetition_score` (within-doc) and
+    `text_ngram_novelty` (first-occurrence direction): this is the
+    symmetric "how much of this source is boilerplate shared with
+    the rest of the corpus" curation signal.
+
+    Shape: one explode to 8-gram positions, a distinct-doc df
+    aggregate (gram-keyed, map-side combined — the same inverted
+    index every near-dup op builds), a gram-keyed join back, then
+    doc- and source-level integer rollups. The gram index is the
+    scale object: gram-keyed and bucketable; only counts cross the
+    later shuffles. Micro-averaging keeps every output an exact
+    integer ratio — no per-doc float ever sums."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split(F.lower(F.col("text")), " ").alias("w")
+    )
+    g = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) >= 8 THEN"
+                " transform(sequence(0, size(w) - 8),"
+                " i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],"
+                " w[i+4], w[i+5], w[i+6], w[i+7]))"
+                " ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    df = g.groupBy("g").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    per_doc = (
+        g.join(df, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).alias(
+                "dup_grams"
+            ),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_grams").cast("long").alias("total_grams"),
+            F.sum("dup_grams").cast("long").alias("dup_grams"),
+            F.round(
+                F.sum("dup_grams") * 1.0 / F.sum("n_grams"), 6
+            ).alias("dup_coverage"),
+            F.sum(
+                F.when(
+                    2 * F.col("dup_grams") >= F.col("n_grams"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_docs_majority_dup"),
+        )
+        .orderBy("source")
+    )
