@@ -2505,3 +2505,103 @@ def pipeline_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return report.orderBy("stage")
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    survey_row=68,
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               list_distinct(string_split(lower(text), ' ')) AS ws,
+               substr(lower(text), 1, 16) AS k,
+               string_split(lower(text), ' ')[1] AS bucket
+        FROM documents
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY bucket ORDER BY k, doc_id) AS rn
+        FROM d
+    ),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.ws, b.ws)) AS n_inter,
+               len(a.ws) + len(b.ws)
+                   - len(list_intersect(a.ws, b.ws)) AS n_union
+        FROM r a JOIN r b
+            ON a.bucket = b.bucket AND b.rn BETWEEN a.rn + 1 AND a.rn + 4
+    )
+    SELECT doc_a, doc_b, n_inter::BIGINT AS n_inter,
+           n_union::BIGINT AS n_union,
+           round(n_inter * 1.0 / n_union, 6) AS jaccard
+    FROM cand
+    WHERE n_inter * 10 >= 8 * n_union
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORTED-NEIGHBORHOOD entity resolution (Hernández & Stolfo
+    1995 — public): sort records on a blocking key, slide a window of
+    w=5, verify only window-adjacent candidates — the classic
+    alternative to hash blocking when near-duplicates share key
+    PREFIXES rather than exact block values. Candidates verify with
+    exact distinct-token Jaccard ≥ 0.8, compared as the integer
+    cross-product 10·|∩| ≥ 8·|∪| (no float threshold).
+
+    Distributed form: the sort window is PARTITIONED by the first
+    token (the key's own leading term), so ranking parallelizes
+    across buckets instead of collapsing to one range partition — the
+    standard multi-pass SNM deployment where cross-boundary misses
+    are recovered by a second pass under a rotated key (here, any of
+    this module's hash-blocked twins). Candidate volume is exactly
+    (w−1)·N — LINEAR in the corpus, the method's whole point — and
+    the verify step ships distinct-token arrays only for those ≤4·N
+    pairs. rn adjacency joins bucket-locally (equi-join on bucket +
+    range on rn), never across buckets."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(F.split(F.lower(F.col("text")), " ")).alias("ws"),
+        F.substring(F.lower(F.col("text")), 1, 16).alias("k"),
+        F.split(F.lower(F.col("text")), " ").getItem(0).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy("k", "doc_id")
+    r = d.select("doc_id", "ws", "bucket", F.row_number().over(w).alias("rn"))
+    a = r.select(
+        F.col("bucket"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("ws").alias("ws_a"),
+        F.col("rn").alias("rn_a"),
+    )
+    b = r.select(
+        F.col("bucket"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("ws").alias("ws_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    n_inter = F.size(F.array_intersect("ws_a", "ws_b"))
+    n_union = F.size("ws_a") + F.size("ws_b") - n_inter
+    return (
+        a.join(
+            b,
+            (a["bucket"] == b["bucket"])
+            & (F.col("rn_b") >= F.col("rn_a") + 1)
+            & (F.col("rn_b") <= F.col("rn_a") + 4),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            n_inter.cast("long").alias("n_inter"),
+            n_union.cast("long").alias("n_union"),
+        )
+        .filter(F.col("n_inter") * 10 >= 8 * F.col("n_union"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_union",
+            F.round(F.col("n_inter") * 1.0 / F.col("n_union"), 6).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

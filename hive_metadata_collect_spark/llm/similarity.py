@@ -1866,3 +1866,157 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+#: DCG position weights: floor-stable micro-unit quantization of
+#: 1/log2(i+1), i = 1..10, computed ONCE offline and embedded as
+#: integer literals so neither engine's libm log2 is in the hash path.
+_NDCG_W = [
+    (1, 1000000), (2, 630930), (3, 500000), (4, 430677), (5, 386853),
+    (6, 356207), (7, 333333), (8, 315465), (9, 301030), (10, 289065),
+]
+
+
+@register(
+    "sim_ndcg_eval",
+    survey_row=69,
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> round(CAST(x AS DOUBLE) * 1000)::BIGINT) AS qv
+        FROM embeddings
+    ),
+    qs AS (SELECT * FROM q WHERE vec_id < 5),
+    corpus AS (SELECT * FROM q WHERE vec_id >= 5),
+    w AS (
+        SELECT * FROM (VALUES {", ".join(f"({i}, {wt})" for i, wt in _NDCG_W)})
+            t(i, wt)
+    ),
+    scored AS (
+        SELECT qs.vec_id AS query_vec, qs.label AS qlabel,
+               c.vec_id AS cid, c.label AS clabel,
+               CAST(list_dot_product(qs.qv, c.qv) AS BIGINT) AS dot
+        FROM qs JOIN corpus c ON true
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_vec ORDER BY dot DESC, cid) AS rk
+        FROM scored
+    ),
+    dcg AS (
+        SELECT query_vec,
+               sum(CASE WHEN clabel = qlabel THEN wt ELSE 0 END) AS dcg_u,
+               sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END)
+                   AS rel_in_top10
+        FROM ranked JOIN w ON w.i = ranked.rk
+        WHERE rk <= 10 GROUP BY query_vec
+    ),
+    nrel AS (
+        SELECT qs.vec_id AS query_vec, count(*) AS n_rel
+        FROM qs JOIN corpus c ON c.label = qs.label GROUP BY 1
+    ),
+    idcg AS (
+        SELECT query_vec, sum(wt) AS idcg_u
+        FROM nrel JOIN w ON w.i <= least(10, n_rel) GROUP BY query_vec
+    )
+    SELECT dcg.query_vec, rel_in_top10::BIGINT AS rel_in_top10,
+           dcg_u::BIGINT AS dcg_u, idcg_u::BIGINT AS idcg_u,
+           round(dcg_u * 1.0 / idcg_u, 6) AS ndcg_at_10
+    FROM dcg JOIN idcg ON dcg.query_vec = idcg.query_vec
+    ORDER BY 1
+    """,
+)
+def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 RETRIEVAL EVALUATION — the ranking-quality readout
+    every retrieval stack (BM25, dense, fused) reports. Five query
+    vectors score against the rest of the corpus by exact integer
+    dot product (milli-quantized — ties impossible to flicker),
+    rank with a (score DESC, id) total order, and DCG accumulates
+    INTEGER micro-unit position weights (1/log2(i+1) pre-quantized
+    into `_NDCG_W` literals, so no libm call is in the comparison
+    path on either engine). Relevance is label match; IDCG sums the
+    first min(10, n_relevant) weights, making nDCG exact integer
+    arithmetic until one final rounded division.
+
+    Scale shape: queries BROADCAST onto the corpus (the sim_knn_batch
+    einsum architecture — corpus never shuffles); per-query top-10 is
+    a rank-k window on the query key, i.e. TakeOrdered per group, and
+    the weight/IDCG frames are ≤10-row metadata broadcasts. Eval
+    batches of 10⁴ queries against 10⁹ docs keep the same plan with
+    the query side still the broadcast relation."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1000).cast("long"),
+        ).alias("qv"),
+    )
+    qs = q.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_vec"),
+        F.col("label").alias("qlabel"),
+        F.col("qv").alias("qqv"),
+    )
+    corpus = q.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        F.col("qv").alias("cqv"),
+    )
+    wts = spark.createDataFrame(_NDCG_W, "i int, wt long")
+    dot = F.aggregate(
+        F.zip_with(F.col("qqv"), F.col("cqv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = corpus.join(F.broadcast(qs)).select(
+        "query_vec", "qlabel", "cid", "clabel", dot.alias("dot")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("query_vec").orderBy(
+            F.col("dot").desc(), F.col("cid")
+        )
+    )
+    top = scored.select("query_vec", "qlabel", "clabel", rk.alias("rk")).filter(
+        F.col("rk") <= 10
+    )
+    dcg = (
+        top.join(F.broadcast(wts), top["rk"] == wts["i"])
+        .groupBy("query_vec")
+        .agg(
+            F.sum(
+                F.when(F.col("clabel") == F.col("qlabel"), F.col("wt"))
+                .otherwise(0)
+            ).alias("dcg_u"),
+            F.sum(
+                F.when(F.col("clabel") == F.col("qlabel"), 1).otherwise(0)
+            ).alias("rel_in_top10"),
+        )
+    )
+    nrel = (
+        corpus.join(
+            F.broadcast(qs.select("query_vec", "qlabel")),
+            corpus["clabel"] == F.col("qlabel"),
+        )
+        .groupBy("query_vec")
+        .agg(F.count(F.lit(1)).alias("n_rel"))
+    )
+    idcg = (
+        nrel.join(F.broadcast(wts), wts["i"] <= F.least(F.lit(10), F.col("n_rel")))
+        .groupBy("query_vec")
+        .agg(F.sum("wt").alias("idcg_u"))
+    )
+    return (
+        dcg.join(idcg, "query_vec")
+        .select(
+            "query_vec",
+            F.col("rel_in_top10").cast("long").alias("rel_in_top10"),
+            F.col("dcg_u").cast("long").alias("dcg_u"),
+            F.col("idcg_u").cast("long").alias("idcg_u"),
+            F.round(F.col("dcg_u") * 1.0 / F.col("idcg_u"), 6).alias(
+                "ndcg_at_10"
+            ),
+        )
+        .orderBy("query_vec")
+    )
