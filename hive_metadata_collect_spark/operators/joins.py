@@ -1700,3 +1700,119 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("direction"),
         )
     )
+
+
+#: Polygon zone edges (zone, x1, y1, x2, y2) in the synthesized
+#: integer coordinate space px ∈ [0, 18000), py ∈ [0, 36000):
+#: zone 1 is a non-convex "L" ring, zone 2 a triangle. Closing edges
+#: included; literal integers so both engines share the exact rings.
+_PIP_EDGES = [
+    (1, 1000, 2000, 9000, 2000),
+    (1, 9000, 2000, 9000, 12000),
+    (1, 9000, 12000, 5000, 12000),
+    (1, 5000, 12000, 5000, 20000),
+    (1, 5000, 20000, 1000, 20000),
+    (1, 1000, 20000, 1000, 2000),
+    (2, 10000, 22000, 17000, 25000),
+    (2, 17000, 25000, 12000, 34000),
+    (2, 12000, 34000, 10000, 22000),
+]
+
+
+@register(
+    "join_point_in_polygon",
+    survey_row=17,
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey, c_acctbal,
+               (c_custkey * 7919) % 18000 AS px,
+               (c_custkey * 104729) % 36000 AS py
+        FROM customer
+    ),
+    edges AS (
+        SELECT * FROM (VALUES
+            {", ".join(f"({z}, {x1}, {y1}, {x2}, {y2})" for z, x1, y1, x2, y2 in _PIP_EDGES)}
+        ) t(zone, x1, y1, x2, y2)
+    ),
+    cross_tests AS (
+        SELECT p.c_custkey, p.c_acctbal, e.zone,
+               CASE WHEN (e.y1 > p.py) <> (e.y2 > p.py)
+                     AND (
+                       ((e.y2 - e.y1) > 0 AND
+                        (e.x1 - p.px) * (e.y2 - e.y1)
+                          + (e.x2 - e.x1) * (p.py - e.y1) > 0)
+                       OR
+                       ((e.y2 - e.y1) < 0 AND
+                        (e.x1 - p.px) * (e.y2 - e.y1)
+                          + (e.x2 - e.x1) * (p.py - e.y1) < 0)
+                     )
+                    THEN 1 ELSE 0 END AS crossed
+        FROM pts p JOIN edges e ON true
+    ),
+    inside AS (
+        SELECT c_custkey, c_acctbal, zone
+        FROM cross_tests
+        GROUP BY c_custkey, c_acctbal, zone
+        HAVING sum(crossed) % 2 = 1
+    )
+    SELECT zone, count(*)::BIGINT AS n_inside,
+           round(sum(c_acctbal), 2) AS acctbal_sum,
+           min(c_custkey) AS min_custkey,
+           max(c_custkey) AS max_custkey
+    FROM inside GROUP BY zone ORDER BY zone
+    """,
+)
+def join_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-POLYGON spatial join — the geofence/zone-assignment
+    primitive (which customers fall inside each sales territory),
+    completing the spatial trio beside `join_spatial_nearest` and
+    `join_spatial_radius`. Ray casting entirely in INTEGERS: points
+    live on the synthesized integer lattice, polygon rings are
+    literal integer vertices (`_PIP_EDGES` — one non-convex ring, one
+    triangle), and the +x ray-edge crossing test is the
+    cross-multiplied form sign((x1−px)·dy + (x2−x1)·(py−y1)) =
+    sign(dy) — no division, no float, so the odd-crossings parity is
+    bit-identical on both engines (max |product| ≈ 1.3e9 ≪ 2⁶³).
+
+    Scale shape: the edge table is O(vertices) metadata — BROADCAST;
+    the crossing evaluation is map-side per (point, edge) with the
+    parity reduce keyed on (point, zone), so points shuffle once in
+    partially-aggregated form and the plan is linear in the point
+    count. For polygon sets too big to broadcast, the standard
+    upgrade is a grid-cell prefilter (join on cell key, same
+    edge-parity verify) — noted, not needed for zone dims."""
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        "c_acctbal",
+        ((F.col("c_custkey") * 7919) % 18000).alias("px"),
+        ((F.col("c_custkey") * 104729) % 36000).alias("py"),
+    )
+    edges = spark.createDataFrame(
+        _PIP_EDGES, "zone int, x1 long, y1 long, x2 long, y2 long"
+    )
+    dy = F.col("y2") - F.col("y1")
+    expr = (F.col("x1") - F.col("px")) * dy + (F.col("x2") - F.col("x1")) * (
+        F.col("py") - F.col("y1")
+    )
+    straddle = (F.col("y1") > F.col("py")) != (F.col("y2") > F.col("py"))
+    crossed = F.when(
+        straddle & (((dy > 0) & (expr > 0)) | ((dy < 0) & (expr < 0))), 1
+    ).otherwise(0)
+    inside = (
+        pts.join(F.broadcast(edges))
+        .select("c_custkey", "c_acctbal", "zone", crossed.alias("crossed"))
+        .groupBy("c_custkey", "c_acctbal", "zone")
+        .agg(F.sum("crossed").alias("n_cross"))
+        .filter(F.col("n_cross") % 2 == 1)
+    )
+    return (
+        inside.groupBy("zone")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_inside"),
+            F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"),
+            F.min("c_custkey").alias("min_custkey"),
+            F.max("c_custkey").alias("max_custkey"),
+        )
+        .orderBy("zone")
+    )
