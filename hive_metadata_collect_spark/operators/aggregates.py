@@ -3061,3 +3061,108 @@ def agg_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dy / 1000.0, 6).alias("raw_diff"),
         F.round((dy - theta * dx) / 1000.0, 6).alias("cuped_diff"),
     )
+
+
+@register(
+    "agg_theil_sen_slope",
+    survey_row=27,
+    oracle="""
+    WITH monthly AS (
+        SELECT o_orderpriority AS priority,
+               (date_part('year', o_orderdate) - 1994) * 12
+                   + date_part('month', o_orderdate) - 1 AS month_x,
+               sum(CAST(floor(round(o_totalprice, 2) * 100 + 0.5)
+                        AS BIGINT)) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.priority,
+               (b.cents - a.cents) * 1.0 / (b.month_x - a.month_x) AS slope
+        FROM monthly a JOIN monthly b
+            ON a.priority = b.priority AND b.month_x > a.month_x
+    ),
+    ranked AS (
+        SELECT priority, slope,
+               row_number() OVER (PARTITION BY priority ORDER BY slope)
+                   AS rn,
+               count(*) OVER (PARTITION BY priority) AS m
+        FROM pairs
+    )
+    SELECT priority,
+           max(m)::BIGINT AS n_pairs,
+           round(avg(slope), 4) AS theil_sen_cents_per_month
+    FROM ranked
+    WHERE rn IN ((m + 1) // 2, m // 2 + 1)
+    GROUP BY priority
+    ORDER BY priority
+    """,
+)
+def agg_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL–SEN ROBUST SLOPE — the median of all pairwise slopes of
+    the monthly revenue series per priority class: breakdown point
+    29%, so a single crazy month (backfill, outage, currency bug)
+    cannot swing the trend estimate the way it swings OLS
+    (`win_rolling_regression_slope` is the fragile twin). Quadratic
+    in the SERIES length, which is why the series is domain-collapsed
+    FIRST: rows reduce to (priority, month) integer-cents totals
+    (map-side combined, calendar-bounded at any corpus size), so the
+    pair join is ~84²/2 metadata rows per priority, not corpus².
+
+    Exactness: each slope is ONE IEEE division of two exact int64s —
+    bit-identical on both engines; the median picks the middle
+    value(s) by row_number (ties share a value, so equal-slope order
+    ambiguity cannot change the selected VALUE), averaging the two
+    central elements for even counts — the agg_exact_median_twopass
+    convention."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.select(
+            F.col("o_orderpriority").alias("priority"),
+            (
+                (F.year("o_orderdate") - 1994) * 12
+                + F.month("o_orderdate")
+                - 1
+            ).alias("month_x"),
+            F.floor(F.round("o_totalprice", 2) * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("priority", "month_x")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    a = monthly.select(
+        "priority",
+        F.col("month_x").alias("xa"),
+        F.col("cents").alias("ya"),
+    )
+    b = monthly.select(
+        "priority",
+        F.col("month_x").alias("xb"),
+        F.col("cents").alias("yb"),
+    )
+    pairs = a.join(b, "priority").filter(F.col("xb") > F.col("xa")).select(
+        "priority",
+        (
+            (F.col("yb") - F.col("ya")) * 1.0 / (F.col("xb") - F.col("xa"))
+        ).alias("slope"),
+    )
+    wrank = Window.partitionBy("priority").orderBy("slope")
+    wall = Window.partitionBy("priority")
+    ranked = pairs.select(
+        "priority",
+        "slope",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("m") + 1) / 2))
+        | (F.col("rn") == F.floor(F.col("m") / 2) + 1)
+    )
+    return (
+        mid.groupBy("priority")
+        .agg(
+            F.max("m").cast("long").alias("n_pairs"),
+            F.round(F.avg("slope"), 4).alias("theil_sen_cents_per_month"),
+        )
+        .orderBy("priority")
+    )

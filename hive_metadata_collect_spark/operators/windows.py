@@ -1630,3 +1630,97 @@ def win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") * 100 > ma_c + 2 * sigma_c).alias("above_upper"),
         (F.col("value") * 100 < ma_c - 2 * sigma_c).alias("below_lower"),
     ).orderBy("event_type", "event_id")
+
+
+@register(
+    "win_rolling_regression_slope",
+    survey_row=33,
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS priority,
+               date_diff('day', DATE '1994-01-01',
+                         CAST(o_orderdate AS DATE)) AS day_x,
+               sum(CAST(floor(round(o_totalprice, 2) * 100 + 0.5)
+                        AS BIGINT)) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    roll AS (
+        SELECT priority, day_x,
+               count(*) OVER w AS n,
+               sum(day_x) OVER w AS sx,
+               sum(cents) OVER w AS sy,
+               sum(day_x * cents) OVER w AS sxy,
+               sum(day_x * day_x) OVER w AS sxx
+        FROM daily
+        WINDOW w AS (PARTITION BY priority ORDER BY day_x
+                     ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    )
+    SELECT priority, day_x, n::BIGINT AS n_days,
+           round((n * sxy - sx * sy) * 1.0
+                 / nullif(n * sxx - sx * sx, 0), 6)
+               AS slope_cents_per_day
+    FROM roll
+    ORDER BY priority, day_x
+    """,
+)
+def win_rolling_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING OLS TREND — per priority class, the 30-day
+    least-squares slope of daily revenue (the drift detector behind
+    "is this series trending or just noisy", sharper than a moving
+    average because it has units: cents/day). All four sufficient
+    statistics (Σx, Σy, Σxy, Σx²) are EXACT int64 running-frame sums
+    — x is days since 1994-01-01 (≤ ~2.5e3), y is daily revenue in
+    integer cents — so the closed-form slope (nΣxy − ΣxΣy)/(nΣx² −
+    (Σx)²) divides two exact integers once per row (max |n·Σxy| ≈
+    30·30·2.5e3·10¹¹-class products stay ≪ 2⁶³ because x is
+    epoch-rebased). Single-point frames yield NULL via nullif — no
+    divide-by-zero on either engine.
+
+    Scale shape: the aggregate-before-window discipline — rows
+    collapse to the (priority, day) DOMAIN first (map-side combined;
+    bounded by calendar length × priorities at ANY corpus size), so
+    the rolling window sorts thousands of domain rows, never the
+    fact table. The same plan at 100 TB moves only the daily frame
+    through the window exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1994-01-01").cast("date")
+            ).alias("day_x"),
+            F.floor(F.round("o_totalprice", 2) * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("priority", "day_x")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("day_x")
+        .rowsBetween(-29, Window.currentRow)
+    )
+    roll = daily.select(
+        "priority",
+        "day_x",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("day_x").over(w).alias("sx"),
+        F.sum("cents").over(w).alias("sy"),
+        F.sum(F.col("day_x") * F.col("cents")).over(w).alias("sxy"),
+        F.sum(F.col("day_x") * F.col("day_x")).over(w).alias("sxx"),
+    )
+    denom = F.nullif(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("long"),
+        F.lit(0),
+    )
+    return roll.select(
+        "priority",
+        "day_x",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1.0
+            / denom,
+            6,
+        ).alias("slope_cents_per_day"),
+    ).orderBy("priority", "day_x")
