@@ -7576,3 +7576,114 @@ def cat_merkle_table_root(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "level", F.col("pos").cast("long").alias("pos"), "digest"
     ).orderBy("level", "pos")
+
+
+@register(
+    "cat_bh_fdr",
+    survey_row=64,
+    oracle="""
+    WITH metrics AS (
+        SELECT * FROM (VALUES ('null_rate'), ('mean_shift'),
+                              ('p95_shift'), ('distinct_ratio')) t(metric)
+    ),
+    hyp AS (
+        SELECT n.n_name AS segment, m.metric,
+               CAST('0x' || substring(md5(n.n_name || ':' || m.metric),
+                                      1, 8) AS BIGINT) AS h
+        FROM nation n JOIN metrics m ON true
+    ),
+    pv AS (
+        SELECT segment, metric,
+               CASE WHEN h % 7 = 0 THEN h % 3000
+                    ELSE h % 1000000 END AS p_micro
+        FROM hyp
+    ),
+    ranked AS (
+        SELECT segment, metric, p_micro,
+               row_number() OVER (ORDER BY p_micro, segment, metric)
+                   AS rank_i,
+               count(*) OVER () AS m
+        FROM pv
+    ),
+    kmax AS (
+        SELECT max(CASE WHEN p_micro * m * 20 <= rank_i * 1000000
+                        THEN rank_i ELSE 0 END) AS k
+        FROM ranked
+    )
+    SELECT segment, metric, p_micro::BIGINT AS p_micro,
+           rank_i::BIGINT AS rank_i,
+           rank_i <= kmax.k AS rejected
+    FROM ranked, kmax
+    ORDER BY rank_i
+    """,
+)
+def cat_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENJAMINI–HOCHBERG FDR CORRECTION — the multiple-testing
+    control a drift monitor MUST apply before paging anyone: with
+    100 segment×metric drift tests at α=0.05, five "significant"
+    results are expected under pure noise; BH's step-up rule (reject
+    the k smallest p-values where k = max{i : p(i) ≤ α·i/m})
+    controls the false-discovery rate instead. Companion to this
+    module's per-test statistics (chi², PSI, Welch, KS) — they emit
+    the p-values, this op decides which survive as a BATTERY.
+
+    The test battery is synthesized per house convention (md5-uniform
+    micro-unit p-values per (segment, metric), with a deterministic
+    subfamily forced small to model real drift); the BH machinery is
+    the content: the step-up comparison is the exact integer
+    cross-multiplication 20·p_micro·m ≤ i·10⁶ (α = 1/20 — no float
+    threshold anywhere), and the step-UP subtlety (a non-significant
+    p can be rescued by a later rank satisfying the bound) is
+    preserved by taking k = max satisfying rank, then rejecting ALL
+    i ≤ k.
+
+    Scale shape: p-values are one row per hypothesis — metadata
+    scale by construction (the data-sized work happened in the
+    upstream tests). The global sort is |hypotheses| rows; m and k
+    are single-row broadcast aggregates."""
+    n = load_table(spark, sf_dir, "nation")
+    metrics = spark.createDataFrame(
+        [("null_rate",), ("mean_shift",), ("p95_shift",), ("distinct_ratio",)],
+        "metric string",
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("n_name"), F.col("metric"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    pv = n.crossJoin(F.broadcast(metrics)).select(
+        F.col("n_name").alias("segment"),
+        "metric",
+        F.when(h % 7 == 0, h % 3000).otherwise(h % 1000000).alias("p_micro"),
+    )
+    wrank = Window.orderBy("p_micro", "segment", "metric")
+    wall = Window.partitionBy()
+    ranked = pv.select(
+        "segment",
+        "metric",
+        "p_micro",
+        F.row_number().over(wrank).alias("rank_i"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    )
+    kmax = ranked.agg(
+        F.max(
+            F.when(
+                F.col("p_micro") * F.col("m") * 20
+                <= F.col("rank_i") * 1000000,
+                F.col("rank_i"),
+            ).otherwise(0)
+        ).alias("k")
+    )
+    return (
+        ranked.join(F.broadcast(kmax))
+        .select(
+            "segment",
+            "metric",
+            F.col("p_micro").cast("long").alias("p_micro"),
+            F.col("rank_i").cast("long").alias("rank_i"),
+            (F.col("rank_i") <= F.col("k")).alias("rejected"),
+        )
+        .orderBy("rank_i")
+    )
