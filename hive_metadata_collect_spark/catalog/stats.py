@@ -7687,3 +7687,202 @@ def cat_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank_i")
     )
+
+
+@register(
+    "cat_data_contract_check",
+    survey_row=62,
+    oracle="""
+    WITH checks AS (
+        SELECT 'orders.o_custkey not_null' AS check_name,
+               'orders' AS table_name,
+               count(*) AS n_rows,
+               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                   AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'orders.o_orderkey unique', 'orders',
+               count(*), count(*) - count(DISTINCT o_orderkey)
+        FROM orders
+        UNION ALL
+        SELECT 'orders.o_totalprice range[0,600000]', 'orders',
+               count(*),
+               sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 600000
+                        THEN 1 ELSE 0 END)
+        FROM orders
+        UNION ALL
+        SELECT 'orders.o_orderstatus in {O,F,P}', 'orders',
+               count(*),
+               sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                        THEN 1 ELSE 0 END)
+        FROM orders
+        UNION ALL
+        SELECT 'orders.o_custkey -> customer.c_custkey', 'orders',
+               count(*),
+               sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        UNION ALL
+        SELECT 'lineitem.l_quantity range[1,50]', 'lineitem',
+               count(*),
+               sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                        THEN 1 ELSE 0 END)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.(l_orderkey,l_linenumber) unique', 'lineitem',
+               count(*),
+               count(*) - count(DISTINCT l_orderkey * 100 + l_linenumber)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.l_returnflag in {A,N,R}', 'lineitem',
+               count(*),
+               sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                        THEN 1 ELSE 0 END)
+        FROM lineitem
+    )
+    SELECT check_name, table_name, n_rows::BIGINT AS n_rows,
+           n_violations::BIGINT AS n_violations,
+           n_violations = 0 AS passed
+    FROM checks ORDER BY check_name
+    """,
+)
+def cat_data_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-CONTRACT EXPECTATIONS battery — the dbt-test /
+    Great-Expectations surface a metadata collector runs on every
+    ingest: not_null, unique (single and composite key),
+    accepted_range, accepted_values, and referential relationship,
+    each reported as (rows scanned, violations, verdict) so a CI gate
+    can fail the pipeline on any non-zero violation count. Every
+    check is COUNTING, never sampling — the violation count is the
+    audit artifact.
+
+    Scale shape: each table is scanned ONCE per check family with
+    map-side-combined counting aggregates (uniqueness via
+    count−count(distinct), which Spark executes as a two-stage
+    partial/final distinct — no row-level sort); the referential
+    check is a left anti-ish join counted on the probe side with the
+    dim broadcastable. The union of eight 1-row results is metadata.
+    The composite-key check encodes (orderkey, linenumber) into one
+    int64 (linenumber < 100 by TPC-H construction) so distinct-count
+    stays a single-column hash on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def row(name, table, df_agg):
+        return df_agg.select(
+            F.lit(name).alias("check_name"),
+            F.lit(table).alias("table_name"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_violations").cast("long").alias("n_violations"),
+        )
+
+    checks = [
+        row(
+            "orders.o_custkey not_null",
+            "orders",
+            o.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
+                ).alias("n_violations"),
+            ),
+        ),
+        row(
+            "orders.o_orderkey unique",
+            "orders",
+            o.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+                    "n_violations"
+                ),
+            ),
+        ),
+        row(
+            "orders.o_totalprice range[0,600000]",
+            "orders",
+            o.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(
+                        (F.col("o_totalprice") < 0)
+                        | (F.col("o_totalprice") > 600000),
+                        1,
+                    ).otherwise(0)
+                ).alias("n_violations"),
+            ),
+        ),
+        row(
+            "orders.o_orderstatus in {O,F,P}",
+            "orders",
+            o.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(
+                        ~F.col("o_orderstatus").isin("O", "F", "P"), 1
+                    ).otherwise(0)
+                ).alias("n_violations"),
+            ),
+        ),
+        row(
+            "orders.o_custkey -> customer.c_custkey",
+            "orders",
+            o.join(
+                F.broadcast(cust.select("c_custkey")),
+                o["o_custkey"] == cust["c_custkey"],
+                "left",
+            ).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(F.col("c_custkey").isNull(), 1).otherwise(0)
+                ).alias("n_violations"),
+            ),
+        ),
+        row(
+            "lineitem.l_quantity range[1,50]",
+            "lineitem",
+            li.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(
+                        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+                        1,
+                    ).otherwise(0)
+                ).alias("n_violations"),
+            ),
+        ),
+        row(
+            "lineitem.(l_orderkey,l_linenumber) unique",
+            "lineitem",
+            li.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                (
+                    F.count(F.lit(1))
+                    - F.countDistinct(
+                        F.col("l_orderkey") * 100 + F.col("l_linenumber")
+                    )
+                ).alias("n_violations"),
+            ),
+        ),
+        row(
+            "lineitem.l_returnflag in {A,N,R}",
+            "lineitem",
+            li.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(
+                        ~F.col("l_returnflag").isin("A", "N", "R"), 1
+                    ).otherwise(0)
+                ).alias("n_violations"),
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out.select(
+        "check_name",
+        "table_name",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    ).orderBy("check_name")
