@@ -1724,3 +1724,133 @@ def win_rolling_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("slope_cents_per_day"),
     ).orderBy("priority", "day_x")
+
+
+@register(
+    "win_holt_linear",
+    survey_row=33,
+    oracle="""
+    WITH RECURSIVE monthly AS (
+        SELECT o_orderpriority AS priority,
+               (date_part('year', o_orderdate) - 1994) * 12
+                   + date_part('month', o_orderdate) - 1 AS month_x,
+               sum(CAST(floor(round(o_totalprice, 2) * 100 + 0.5)
+                        AS BIGINT)) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT priority, cents,
+               row_number() OVER (PARTITION BY priority ORDER BY month_x)
+                   AS rn
+        FROM monthly
+    ),
+    step AS (
+        SELECT priority, rn,
+               CAST(cents AS DOUBLE) AS lvl, 0.0::DOUBLE AS trend
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT q.priority, q.rn,
+               (CAST(q.cents AS DOUBLE) + s.lvl + s.trend) * 0.5 AS lvl,
+               ((CAST(q.cents AS DOUBLE) + s.lvl + s.trend) * 0.5
+                - s.lvl) * 0.25 + s.trend * 0.75 AS trend
+        FROM step s JOIN seq q
+          ON q.priority = s.priority AND q.rn = s.rn + 1
+    )
+    SELECT priority, max(rn)::BIGINT AS n_months,
+           round(max_by(lvl, rn), 4) AS level_end,
+           round(max_by(trend, rn), 4) AS trend_end,
+           round(max_by(lvl + 3 * trend, rn), 4) AS forecast_3m
+    FROM step GROUP BY priority ORDER BY priority
+    """,
+)
+def win_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT'S LINEAR-TREND exponential smoothing (double exponential
+    smoothing) over the monthly revenue series per priority — the
+    capacity-planning forecaster one notch above `win_ewma_smoothed`
+    (EWMA tracks level only and lags any trend; Holt carries an
+    explicit trend state and extrapolates). Smoothing constants are
+    DYADIC (α=1/2, β=1/4): every update is add + multiply-by-
+    exactly-representable-scale in a FIXED left-to-right order, so
+    both engines run the identical IEEE sequence — the
+    stream_token_bucket discipline for operators with no closed form
+    (the oracle single-steps the same recurrence by recursive CTE).
+    Init: level←y₁, trend←0; output is the end state plus the
+    3-month-ahead linear forecast level + 3·trend.
+
+    Scale shape: aggregate-before-fold — the corpus collapses
+    map-side to (priority, month) integer cents (calendar-bounded),
+    and the sequential fold runs over ≤|months| elements per key via
+    sort_array + F.aggregate, one exchange, keys parallel. The fold
+    is inherently ordered — this is the documented pattern for
+    sequential state at scale: bound the sequence domain first,
+    never fold raw events."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.select(
+            F.col("o_orderpriority").alias("priority"),
+            (
+                (F.year("o_orderdate") - 1994) * 12
+                + F.month("o_orderdate")
+                - 1
+            ).alias("month_x"),
+            F.floor(F.round("o_totalprice", 2) * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("priority", "month_x")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    series = monthly.groupBy("priority").agg(
+        F.sort_array(F.collect_list(F.struct("month_x", "cents"))).alias(
+            "ys"
+        ),
+        F.count(F.lit(1)).alias("n_months"),
+    )
+    init = F.struct(
+        F.lit(None).cast("double").alias("lvl"),
+        F.lit(0.0).alias("trend"),
+    )
+    fold = F.aggregate(
+        F.col("ys"),
+        init,
+        lambda s, y: F.when(
+            s["lvl"].isNull(),
+            F.struct(
+                y["cents"].cast("double").alias("lvl"),
+                F.lit(0.0).alias("trend"),
+            ),
+        ).otherwise(
+            F.struct(
+                (
+                    (y["cents"].cast("double") + s["lvl"] + s["trend"])
+                    * 0.5
+                ).alias("lvl"),
+                (
+                    (
+                        (y["cents"].cast("double") + s["lvl"] + s["trend"])
+                        * 0.5
+                        - s["lvl"]
+                    )
+                    * 0.25
+                    + s["trend"] * 0.75
+                ).alias("trend"),
+            )
+        ),
+    )
+    return (
+        series.select(
+            "priority",
+            F.col("n_months").cast("long").alias("n_months"),
+            fold.alias("st"),
+        )
+        .select(
+            "priority",
+            "n_months",
+            F.round(F.col("st.lvl"), 4).alias("level_end"),
+            F.round(F.col("st.trend"), 4).alias("trend_end"),
+            F.round(F.col("st.lvl") + 3 * F.col("st.trend"), 4).alias(
+                "forecast_3m"
+            ),
+        )
+        .orderBy("priority")
+    )
