@@ -2605,3 +2605,97 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "pipeline_mixture_epochs",
+    survey_row=67,
+    oracle="""
+    WITH plan AS (
+        SELECT doc_id, source, n_chars,
+               CASE CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 4
+                    WHEN 0 THEN 2500000
+                    WHEN 1 THEN 1000000
+                    WHEN 2 THEN 250000
+                    ELSE 1750000 END AS ep_micro,
+               CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':mix'),
+                                      1, 8) AS BIGINT) % 1000000 AS u
+        FROM documents
+    ),
+    copies AS (
+        SELECT source, n_chars,
+               ep_micro // 1000000
+                   + CASE WHEN u < ep_micro % 1000000 THEN 1 ELSE 0 END
+                   AS n_copies
+        FROM plan
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(n_copies)::BIGINT AS planned_copies,
+           round(sum(n_copies) * 1.0 / count(*), 6) AS effective_epochs,
+           sum(n_chars * n_copies)::BIGINT AS planned_chars
+    FROM copies GROUP BY source ORDER BY source
+    """,
+)
+def pipeline_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRACTIONAL-EPOCH MIXTURE PLAN — the up-sampling side of data
+    mixing ("2.5 epochs of src0, 0.25 of src2"), complementing
+    `pipeline_domain_mix`'s down-sampling quotas: every doc gets
+    ⌊ep⌋ guaranteed copies plus one more iff its md5-uniform draw
+    falls under frac(ep) — so the EXPECTED per-source volume hits the
+    target exactly while each individual doc's replication is
+    deterministic, append-stable, and identical across engines and
+    re-runs (the property that keeps resumed training runs sampling
+    the same corpus). Epoch targets live in micro-units (integers);
+    the comparison u < ep_micro mod 10⁶ never touches a float.
+
+    Output is the plan's accounting per source: docs, planned
+    copies, realized effective epochs, and the planned char volume
+    (n_chars-weighted) a token-budget check reads. Scale shape:
+    map-only per-doc arithmetic then one source-keyed
+    map-side-combined rollup; the actual materialization at 100 TB
+    is explode(sequence(1, n_copies)) on the SAME plan column —
+    accounting and materialization share the decision, so what this
+    op reports is exactly what the writer would emit."""
+    d = load_table(spark, sf_dir, "documents")
+    idx = F.regexp_extract("source", r"src(\d+)", 1).cast("int")
+    ep = (
+        F.when(idx % 4 == 0, 2500000)
+        .when(idx % 4 == 1, 1000000)
+        .when(idx % 4 == 2, 250000)
+        .otherwise(1750000)
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    copies = d.select(
+        "source",
+        "n_chars",
+        (
+            F.floor(ep / 1000000)
+            + F.when(u < ep % 1000000, 1).otherwise(0)
+        ).alias("n_copies"),
+    )
+    return (
+        copies.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_copies").cast("long").alias("planned_copies"),
+            F.round(
+                F.sum("n_copies") * 1.0 / F.count(F.lit(1)), 6
+            ).alias("effective_epochs"),
+            F.sum(F.col("n_chars") * F.col("n_copies"))
+            .cast("long")
+            .alias("planned_chars"),
+        )
+        .orderBy("source")
+    )
