@@ -2008,7 +2008,7 @@ def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("wt").alias("idcg_u"))
     )
     return (
-        dcg.join(idcg, "query_vec")
+        dcg.join(F.broadcast(idcg), "query_vec")
         .select(
             "query_vec",
             F.col("rel_in_top10").cast("long").alias("rel_in_top10"),

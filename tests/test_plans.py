@@ -975,3 +975,123 @@ def test_hdr_buckets_collapse_before_window(spark, sf_dir):
     plan = physical_plan(df)
     assert "Window" in plan and "HashAggregate" in plan, plan[:2000]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semdedup_pairs_cluster_keyed(spark, sf_dir):
+    """sim_semdedup's pair stage must join on the cluster key — no
+    CartesianProduct / BroadcastNestedLoopJoin (the all-pairs shape
+    SemDeDup exists to avoid), and no Python anywhere."""
+    df = OPS["sim_semdedup"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dup_ngram_coverage_gram_index_join(spark, sf_dir):
+    """text_dup_ngram_coverage: the 8-gram fan-out is a Generate and
+    the df index joins back gram-keyed — no Python, no cartesian."""
+    df = OPS["text_dup_ngram_coverage"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Generate" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sorted_neighborhood_bucketed_window(spark, sf_dir):
+    """dedup_sorted_neighborhood ranks inside bucket partitions (a
+    partitioned Window, never a single global sort partition) and the
+    neighbor join carries the bucket equi-key — no cartesian."""
+    df = OPS["dedup_sorted_neighborhood"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" in plan, plan[:2000]
+    assert "SinglePartition" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ndcg_queries_broadcast_corpus_stationary(spark, sf_dir):
+    """sim_ndcg_eval: the 5-query side broadcasts onto the corpus (no
+    SortMergeJoin anywhere — the corpus never shuffles for scoring;
+    the only exchanges are the per-query rank partitions)."""
+    df = OPS["sim_ndcg_eval"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_point_in_polygon_edges_broadcast(spark, sf_dir):
+    """join_point_in_polygon: the edge table is a broadcast metadata
+    relation; the parity reduce is a HashAggregate (map-side
+    combinable) and nothing shuffles the points into a sort-merge."""
+    df = OPS["join_point_in_polygon"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rolling_slope_domain_collapse_before_window(spark, sf_dir):
+    """win_rolling_regression_slope: the (priority, day) aggregate
+    sits below the rolling window — the window sorts the calendar
+    domain, never the order rows. No Python."""
+    df = OPS["win_rolling_regression_slope"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" in plan, plan[:2000]
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_theil_sen_pairs_after_monthly_collapse(spark, sf_dir):
+    """agg_theil_sen_slope: the quadratic pair join runs on the
+    calendar-collapsed monthly frame (HashAggregate below the join),
+    never on raw orders; no Python."""
+    df = OPS["agg_theil_sen_slope"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bh_fdr_single_rank_window(spark, sf_dir):
+    """cat_bh_fdr operates on hypothesis-count rows: one rank window,
+    a 1-row k aggregate broadcast back, no Python."""
+    df = OPS["cat_bh_fdr"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_contract_check_referential_broadcast(spark, sf_dir):
+    """cat_data_contract_check: the relationship expectation probes
+    orders against a broadcast customer key dim; counting aggregates
+    everywhere, no Python."""
+    df = OPS["cat_data_contract_check"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_holt_fold_window_free(spark, sf_dir):
+    """win_holt_linear folds the sorted monthly array per key — NO
+    Window operator (the sequential state lives in F.aggregate), no
+    Python, and the series is domain-collapsed before the fold."""
+    df = OPS["win_holt_linear"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" not in plan, plan[:2000]
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mixture_epochs_map_only_single_rollup(spark, sf_dir):
+    """pipeline_mixture_epochs is a projection plus ONE source-keyed
+    rollup: no joins of any kind, no Python."""
+    df = OPS["pipeline_mixture_epochs"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+              "BroadcastNestedLoopJoin"):
+        assert j not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
