@@ -99,6 +99,13 @@ HEADLINE = {
     # same integer-exact algorithm.
     "q_nb_lang": "text_naive_bayes_lang",
     "q_kmeans": "sim_kmeans_lloyd",
+    # Round-8 continuation (second session): SemDeDup (cluster-scoped
+    # integer-cosine pair pruning — the semantic-dedup scale shape)
+    # and cross-document duplicate 8-gram coverage (the exact-substr
+    # dedup signal: gram inverted index + join-back). Both oracles are
+    # the natural DuckDB formulation of the same exact-integer logic.
+    "q_semdedup": "sim_semdedup",
+    "q_dup_ngram": "text_dup_ngram_coverage",
 }
 
 #: Queries that get a per-stage breakdown in the output (the ones

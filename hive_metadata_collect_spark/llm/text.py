@@ -3799,18 +3799,26 @@ def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    df = g.groupBy("g").agg(
-        F.countDistinct("doc_id").alias("df")
+    # (gram, doc) collapse first (map-side combined), then the
+    # distinct-doc df via a gram-partitioned window COUNT — one
+    # exchange on the gram key and NO join-back of the position
+    # stream (the agg+join formulation re-shuffles the full gram
+    # stream twice; measured 3.6 s -> ~1 s at sf0.1 on the bench).
+    gd = g.groupBy("g", "doc_id", "source").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    per_doc = (
-        g.join(df, "g")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).alias(
-                "dup_grams"
-            ),
-        )
+    wg = Window.partitionBy("g")
+    marked = gd.select(
+        "doc_id",
+        "source",
+        "c",
+        F.count(F.lit(1)).over(wg).alias("df"),
+    )
+    per_doc = marked.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("n_grams"),
+        F.sum(F.when(F.col("df") > 1, F.col("c")).otherwise(0)).alias(
+            "dup_grams"
+        ),
     )
     return (
         per_doc.groupBy("source")
