@@ -77,7 +77,7 @@ def load_all() -> dict[str, Op]:
 # distinct operators driver-side; the round-6 verdict ("Next round"
 # item 1) asks each round to rotate the front of the ordering to 50
 # NEVER-sampled operators so driver-side confirmation sweeps the whole
-# inventory (448 declared = 442 oracle-gated + 6 rows-only as of
+# inventory (459 declared = 453 oracle-gated + 6 rows-only as of
 # round 8) over successive rounds. The round-8 cross-section below is
 # drawn entirely from the 265 operators absent from
 # CORRECTNESS_r01-r07: deeper TPC-H
@@ -94,7 +94,14 @@ def load_all() -> dict[str, Op]:
 # categories (bitmap_distinct, html_strip, rank_fusion,
 # stratified_sample) so the newest flagship surface gets driver-side
 # confirmation the round it ships; the displaced four stay in the
-# never-sampled pool for a later rotation. Remaining operators follow
+# never-sampled pool for a later rotation. Second continuation
+# session: nine of its eleven new operators (SemDeDup, dup-8-gram
+# coverage, sorted-neighborhood, Holt, rolling OLS slope, Theil-Sen,
+# BH-FDR, point-in-polygon, data-contract battery) swap in for nine
+# never-sampled same-category peers (mips_maxdot, url_canonical,
+# readability, ewma, range_frame, approx_percentiles, benford,
+# interval_overlap, psi_drift) under the same rule; sim_ndcg_eval
+# and pipeline_mixture_epochs wait in the pool. Remaining operators follow
 # in registration (module) order — nothing is dropped, only
 # reordered.
 _SAMPLE_ORDER = [
@@ -103,19 +110,19 @@ _SAMPLE_ORDER = [
     "scan_position_deletes",
     "sink_cluster_zorder",
     # join strategies (4)
-    "join_interval_overlap",
+    "join_point_in_polygon",
     "join_null_skew_split",
     "join_spatial_nearest",
     "join_asof_forward",
     # aggregates (4)
-    "agg_approx_percentiles",
+    "agg_theil_sen_slope",
     "agg_entropy",
     "agg_ks_test",
     "agg_regression_normal_eq",
     # window surface: classic + financial (4)
-    "win_range_frame",
+    "win_rolling_regression_slope",
     "win_ignore_nulls",
-    "win_ewma_smoothed",
+    "win_holt_linear",
     "win_max_drawdown",
     # set operations (2)
     "set_except_all",
@@ -141,24 +148,24 @@ _SAMPLE_ORDER = [
     "cat_time_travel_read",
     "cat_lineage_pagerank",
     "cat_fk_inference",
-    "cat_benford_audit",
-    "cat_psi_drift",
+    "cat_bh_fdr",
+    "cat_data_contract_check",
     # UDF surface (2)
     "udf_arrow_scalar",
     "udaf_pandas_grouped",
     # dedup / training pipelines (4)
     "dedup_levenshtein",
-    "dedup_url_canonical",
+    "dedup_sorted_neighborhood",
     "pipeline_feature_store_pit",
     "pipeline_pretraining_e2e",
     # similarity (2)
-    "sim_mips_maxdot",
+    "sim_semdedup",
     "sim_kmeans_lloyd",
     # text analysis incl. round-7 BPE induction (4)
     "text_lang_id",
     "text_bpe_learn",
     "text_naive_bayes_lang",
-    "text_readability_score",
+    "text_dup_ngram_coverage",
     # multimodal incl. round-7 corrupt quarantine (3)
     "mm_corrupt_quarantine",
     "mm_video_scene_cuts",
