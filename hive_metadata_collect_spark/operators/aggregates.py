@@ -3166,3 +3166,97 @@ def agg_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "agg_cross_correlation",
+    survey_row=27,
+    oracle="""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                   AS day_x,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS vx,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS py
+        FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(-3, 4)) AS lag),
+    paired AS (
+        SELECT l.lag, a.vx AS x, b.py AS y
+        FROM lags l
+        JOIN daily a ON true
+        JOIN daily b ON b.day_x = a.day_x + l.lag
+    ),
+    s AS (
+        SELECT lag, count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+               sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM paired GROUP BY lag
+    )
+    SELECT lag::BIGINT AS lag_days, n::BIGINT AS n_days,
+           round((n * sxy - sx * sy)
+                 / nullif(sqrt((n * sxx - sx * sx) * 1.0
+                               * (n * syy - sy * sy)), 0.0), 6)
+               AS pearson_r
+    FROM s ORDER BY lag
+    """,
+)
+def agg_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-CORRELATION at lags −3..+3 days between the daily view
+    and purchase series — the lead-lag detector ("do views predict
+    purchases k days later?") that `win_autocorr_profile` (self-lag)
+    cannot answer. All five moment sums (Σx, Σy, Σxy, Σx², Σy²) are
+    EXACT int64 over integer daily counts; Pearson r is one fixed
+    IEEE sequence (two products, one sqrt, one division) per lag on
+    exact integers, with zero-variance arms yielding NULL via nullif
+    on both engines.
+
+    Scale shape: the corpus collapses map-side to the daily-count
+    DOMAIN (calendar-bounded forever), the 7-row lag dim broadcasts,
+    and the shifted self-join is day-keyed over domain rows — so the
+    quadratic-looking lag sweep costs |days|·|lags| metadata rows,
+    independent of event volume. The same plan computes any lag set
+    by swapping the literal range."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(
+            F.to_date("ts"), F.lit("2024-01-01").cast("date")
+        ).alias("day_x")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "vx"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("py"),
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(F.col("day_x").alias("da"), F.col("vx").alias("x"))
+    b = daily.select(F.col("day_x").alias("db"), F.col("py").alias("y"))
+    paired = (
+        a.join(F.broadcast(lags))
+        .join(b, F.col("db") == F.col("da") + F.col("lag"))
+        .select("lag", "x", "y")
+    )
+    s = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    var_prod = (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * 1.0
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        F.col("lag").cast("long").alias("lag_days"),
+        F.col("n").cast("long").alias("n_days"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.nullif(F.sqrt(var_prod), F.lit(0.0)),
+            6,
+        ).alias("pearson_r"),
+    ).orderBy("lag_days")

@@ -1854,3 +1854,113 @@ def win_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "win_seasonal_decompose",
+    survey_row=33,
+    oracle="""
+    WITH monthly AS (
+        SELECT o_orderpriority AS priority,
+               (date_part('year', o_orderdate) - 1994) * 12
+                   + date_part('month', o_orderdate) - 1 AS month_x,
+               date_part('month', o_orderdate) AS month_of_year,
+               sum(CAST(floor(round(o_totalprice, 2) * 100 + 0.5)
+                        AS BIGINT)) AS cents
+        FROM orders GROUP BY 1, 2, 3
+    ),
+    trended AS (
+        SELECT priority, month_x, month_of_year, cents,
+               sum(cents) OVER w13 + sum(cents) OVER w11 AS trend_x24,
+               count(*) OVER w13 AS n13
+        FROM monthly
+        WINDOW w13 AS (PARTITION BY priority ORDER BY month_x
+                       ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING),
+               w11 AS (PARTITION BY priority ORDER BY month_x
+                       ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+    ),
+    detr AS (
+        SELECT priority, month_of_year,
+               24 * cents - trend_x24 AS detrended_x24
+        FROM trended WHERE n13 = 13
+    )
+    SELECT priority, month_of_year::BIGINT AS month_of_year,
+           count(*)::BIGINT AS n_obs,
+           round(sum(detrended_x24) / 24.0 / count(*), 4)
+               AS seasonal_cents
+    FROM detr GROUP BY priority, month_of_year
+    ORDER BY priority, month_of_year
+    """,
+)
+def win_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSICAL SEASONAL DECOMPOSITION (additive, period 12) — the
+    seasonal-index table a demand planner reads: per priority class,
+    the average deviation of each calendar month from the local
+    trend. The even-period centered moving average (half weight on
+    the ±6 endpoints) is computed WITHOUT fractional weights as
+    trend×24 = frame13-sum + frame11-sum (endpoints count once,
+    middles twice) — two exact int64 window sums, so the detrended
+    series 24·y − trend×24 is EXACT integers; the only division is
+    the final per-(priority, month-of-year) mean. Edge months whose
+    13-row frame is incomplete drop (n13 < 13), identically on both
+    engines — the textbook convention.
+
+    Scale shape: aggregate-before-window (calendar-bounded monthly
+    domain, map-side combined), two ROWS-frame sums over the same
+    sort — Spark evaluates both frames in ONE Window pass over one
+    exchange — then a 60-row rollup. Completes the forecasting
+    family: seasonal-naive MAE, EWMA, Holt, and now the
+    decomposition that justifies which of them to use."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.select(
+            F.col("o_orderpriority").alias("priority"),
+            (
+                (F.year("o_orderdate") - 1994) * 12
+                + F.month("o_orderdate")
+                - 1
+            ).alias("month_x"),
+            F.month("o_orderdate").alias("month_of_year"),
+            F.floor(F.round("o_totalprice", 2) * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("priority", "month_x", "month_of_year")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w13 = (
+        Window.partitionBy("priority").orderBy("month_x").rowsBetween(-6, 6)
+    )
+    w11 = (
+        Window.partitionBy("priority").orderBy("month_x").rowsBetween(-5, 5)
+    )
+    trended = monthly.select(
+        "priority",
+        "month_of_year",
+        "cents",
+        (F.sum("cents").over(w13) + F.sum("cents").over(w11)).alias(
+            "trend_x24"
+        ),
+        F.count(F.lit(1)).over(w13).alias("n13"),
+    )
+    detr = trended.filter(F.col("n13") == 13).select(
+        "priority",
+        "month_of_year",
+        (24 * F.col("cents") - F.col("trend_x24")).alias("detrended_x24"),
+    )
+    return (
+        detr.groupBy("priority", "month_of_year")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.round(
+                F.sum("detrended_x24") / 24.0 / F.count(F.lit(1)), 4
+            ).alias("seasonal_cents"),
+        )
+        .select(
+            "priority",
+            F.col("month_of_year").cast("long").alias("month_of_year"),
+            "n_obs",
+            "seasonal_cents",
+        )
+        .orderBy("priority", "month_of_year")
+    )
