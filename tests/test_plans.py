@@ -1095,3 +1095,24 @@ def test_mixture_epochs_map_only_single_rollup(spark, sf_dir):
               "BroadcastNestedLoopJoin"):
         assert j not in plan, plan[:2000]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_seasonal_decompose_one_window_pass(spark, sf_dir):
+    """win_seasonal_decompose: both ROWS frames share one sort — a
+    single Window node computes frame13 + frame11; the monthly
+    collapse sits below it; no Python."""
+    df = OPS["win_seasonal_decompose"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Window") == 1, plan[:2000]
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cross_correlation_domain_collapse_before_lag_join(spark, sf_dir):
+    """agg_cross_correlation: the lag sweep joins day-keyed DOMAIN
+    rows (HashAggregate below the join, 7-row lag dim broadcast);
+    no cartesian on data-sized inputs, no Python."""
+    df = OPS["agg_cross_correlation"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
