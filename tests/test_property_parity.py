@@ -275,6 +275,11 @@ EVENT_OPS = [
     # purchase-only users (no feature history — both missing flags);
     # feature events AT the label timestamp (<= boundary)
     "pipeline_feature_store_pit",
+    # round 8 continuation (session 2) — tiny tables give 1-2-day
+    # series: self-lags with n=1 (variance 0 → NULL r via nullif),
+    # view-only/purchase-only days, and negative lags that shift
+    # past the whole domain (empty join → lag row absent both sides)
+    "agg_cross_correlation",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
@@ -595,6 +600,15 @@ ORDER_OPS = [
     # few distinct (custkey, day) dims: many buckets share one
     # z-cell; 1-row tables make every bucket bbox 1x1
     "sink_cluster_zorder",
+    # round 8 continuation (session 2) — tiny order sets give 1-2
+    # month series: no pairs at all for Theil-Sen (priority absent on
+    # both sides), single-point rolling frames (NULL slope via
+    # nullif), Holt folds that never leave the init state, and
+    # seasonal frames that never fill 13 months (empty output)
+    "agg_theil_sen_slope",
+    "win_rolling_regression_slope",
+    "win_holt_linear",
+    "win_seasonal_decompose",
 ]
 
 
