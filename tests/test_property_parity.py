@@ -485,6 +485,17 @@ DOC_OPS = [
     # 5-word vocab forces dense continuation counts where the
     # backoff term dominates ties
     "text_kneser_ney_bigram",
+    # round 8 continuation (session 2) — sub-8-word docs emit no
+    # 8-grams (doc AND source can vanish); the 5-word vocab forces
+    # total cross-doc duplication (coverage exactly 1.0)
+    "text_dup_ngram_coverage",
+    # 1-doc buckets yield no neighbor pairs; exact-dup docs give
+    # Jaccard 1 through the w=5 window; 16-char prefixes tie heavily
+    # on the tiny vocab so the (k, doc_id) rank order decides
+    "dedup_sorted_neighborhood",
+    # src0-5 sources cover three of the four epoch classes; the
+    # md5-remainder draw must agree doc-by-doc on both engines
+    "pipeline_mixture_epochs",
 ]
 
 _WORDS = ["alpha", "beta", "gamma", "delta", "x"]
@@ -978,6 +989,13 @@ EMBEDDING_OPS = [
     # duplicate top scores exercise the (metric, vec_id) tie-break
     "sim_mips_maxdot",
     "sim_rank_fusion",
+    # round 8 continuation (session 2) — zero vectors (n2 = 0) can
+    # never exceed tau (dot > 0 gate); duplicate vectors force cos=1
+    # drops decided purely by the (d2, vec_id) priority
+    "sim_semdedup",
+    # 6-12 vectors: corpus of 1-7 after the 5 queries; all-tied zero
+    # dots rank by cid; n_rel < 10 exercises the truncated IDCG
+    "sim_ndcg_eval",
 ]
 
 
