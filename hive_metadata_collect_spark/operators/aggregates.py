@@ -3260,3 +3260,109 @@ def agg_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pearson_r"),
     ).orderBy("lag_days")
+
+
+@register(
+    "agg_spearman_corr",
+    survey_row=27,
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_nationkey AS nation, c.c_custkey,
+               CAST(floor(round(c.c_acctbal, 2) * 100 + 0.5) AS BIGINT)
+                   AS bal_c,
+               sum(CAST(floor(round(o.o_totalprice, 2) * 100 + 0.5)
+                        AS BIGINT)) AS spend_c
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+        SELECT nation,
+               2 * rank() OVER (PARTITION BY nation ORDER BY bal_c)
+                 + count(*) OVER (PARTITION BY nation, bal_c) - 1 AS mx2,
+               2 * rank() OVER (PARTITION BY nation ORDER BY spend_c)
+                 + count(*) OVER (PARTITION BY nation, spend_c) - 1 AS my2
+        FROM spend
+    ),
+    s AS (
+        SELECT nation, count(*) AS n,
+               sum(mx2) AS sx, sum(my2) AS sy,
+               sum(mx2 * my2) AS sxy,
+               sum(mx2 * mx2) AS sxx, sum(my2 * my2) AS syy
+        FROM ranked GROUP BY nation
+    )
+    SELECT nation, n::BIGINT AS n_customers,
+           round((n * sxy - sx * sy)
+                 / nullif(sqrt((n * sxx - sx * sx) * 1.0
+                               * (n * syy - sy * sy)), 0.0), 6)
+               AS spearman_rho
+    FROM s ORDER BY nation
+    """,
+)
+def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN RANK CORRELATION per nation between a customer's
+    account balance and their realized order spend — the monotone-
+    association readout that survives the heavy-tailed spend
+    distribution where Pearson is outlier-dominated. Tie handling is
+    EXACT: midranks on a DOUBLED scale (midrank×2 = 2·min_rank +
+    ties − 1 — always integral, the agg_mann_whitney_u convention),
+    so all five moment sums are exact int64 and ρ (Pearson on
+    midranks, the tie-correct definition) is one fixed IEEE sequence
+    per nation. Degenerate all-tied arms yield NULL via nullif.
+
+    Scale shape: spend collapses map-side per customer first; the
+    two rank windows partition BY NATION (parallel across 25 keys,
+    each sorting only its members — never a global sort); moments
+    reduce map-side. Monetary values quantize to integer cents
+    before any rank, so rank order itself is engine-exact."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_nationkey").alias("nation"),
+            "c_custkey",
+            F.floor(F.round("c_acctbal", 2) * 100 + 0.5)
+            .cast("long")
+            .alias("bal_c"),
+            F.floor(F.round("o_totalprice", 2) * 100 + 0.5)
+            .cast("long")
+            .alias("price_c"),
+        )
+        .groupBy("nation", "c_custkey", "bal_c")
+        .agg(F.sum("price_c").alias("spend_c"))
+    )
+    mx2 = (
+        2 * F.rank().over(Window.partitionBy("nation").orderBy("bal_c"))
+        + F.count(F.lit(1)).over(Window.partitionBy("nation", "bal_c"))
+        - 1
+    )
+    my2 = (
+        2 * F.rank().over(Window.partitionBy("nation").orderBy("spend_c"))
+        + F.count(F.lit(1)).over(Window.partitionBy("nation", "spend_c"))
+        - 1
+    )
+    ranked = spend.select(
+        "nation", mx2.alias("mx2"), my2.alias("my2")
+    )
+    s = ranked.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mx2").alias("sx"),
+        F.sum("my2").alias("sy"),
+        F.sum(F.col("mx2") * F.col("my2")).alias("sxy"),
+        F.sum(F.col("mx2") * F.col("mx2")).alias("sxx"),
+        F.sum(F.col("my2") * F.col("my2")).alias("syy"),
+    )
+    var_prod = (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * 1.0
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "nation",
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.nullif(F.sqrt(var_prod), F.lit(0.0)),
+            6,
+        ).alias("spearman_rho"),
+    ).orderBy("nation")

@@ -1116,3 +1116,14 @@ def test_cross_correlation_domain_collapse_before_lag_join(spark, sf_dir):
     plan = physical_plan(df)
     assert "HashAggregate" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_spearman_nation_partitioned_ranks(spark, sf_dir):
+    """agg_spearman_corr: rank windows partition by nation (no
+    single-partition global sort), spend collapses before ranking,
+    no Python."""
+    df = OPS["agg_spearman_corr"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" in plan, plan[:2000]
+    assert "SinglePartition" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
