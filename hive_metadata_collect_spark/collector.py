@@ -54,6 +54,11 @@ ARTIFACTS = {
     "table_ddl": "cat_table_ddl_generate",
     "footer_stats": "cat_parquet_footer_stats",
     "integrity_report": "cat_referential_integrity",
+    # round 8 continuation: the CI-gate verdict battery (expectations
+    # with violation counts) and the FDR-controlled drift page list —
+    # the two artifacts a scheduled collection publishes to alerting.
+    "contract_verdicts": "cat_data_contract_check",
+    "drift_rejections": "cat_bh_fdr",
 }
 
 
