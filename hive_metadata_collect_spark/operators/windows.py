@@ -1964,3 +1964,94 @@ def win_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "month_of_year")
     )
+
+
+@register(
+    "win_rolling_distinct_users",
+    survey_row=33,
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                   AS day_x
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day_x FROM ud)
+    SELECT d.day_x::BIGINT AS day_x,
+           count(DISTINCT u.user_id)::BIGINT AS wau
+    FROM days d JOIN ud u
+        ON u.day_x BETWEEN d.day_x - 6 AND d.day_x
+    GROUP BY d.day_x
+    ORDER BY d.day_x
+    """,
+)
+def win_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING 7-DAY DISTINCT USERS (the WAU curve) — the metric SQL
+    windows cannot express (COUNT(DISTINCT) OVER a frame is illegal
+    in both engines) and the naive day×activity range join computes
+    quadratically. The scale-correct form is INTERVAL COVERAGE: a
+    user active on day d covers [d, d+6]; merge each user's
+    overlapping coverage intervals (gap ≤ 6 ⇒ same island — the
+    win_interval_union_coverage discipline), emit +1/−1 boundary
+    deltas, and prefix-sum them over the day domain — WAU(d) is the
+    number of merged intervals containing d. Everything is integer
+    day arithmetic; the oracle is the INDEPENDENT naive range-join
+    formulation, so agreement cross-checks the sweep-line algebra
+    itself, not a shared shape.
+
+    Scale: distinct (user, day) collapses map-side; interval merge
+    is a per-user window over that collapsed frame (parallel by
+    user); boundaries aggregate to ≤2 rows per island; the final
+    prefix sum runs over the CALENDAR domain. No day×user fan-out
+    ever exists — at 100 TB the widest frame is distinct user-days."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.datediff(
+            F.to_date("ts"), F.lit("2024-01-01").cast("date")
+        ).alias("day_x"),
+    ).distinct()
+    wu = Window.partitionBy("user_id").orderBy("day_x")
+    grp = ud.select(
+        "user_id",
+        "day_x",
+        F.sum(
+            F.when(
+                F.col("day_x") > F.lag("day_x").over(wu) + 6, 1
+            ).otherwise(0)
+        )
+        .over(wu.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island"),
+    )
+    islands = grp.groupBy("user_id", "island").agg(
+        F.min("day_x").alias("start"),
+        (F.max("day_x") + 7).alias("stop"),  # exclusive coverage end
+    )
+    deltas = (
+        islands.select(F.col("start").alias("day_x"), F.lit(1).alias("d"))
+        .unionAll(
+            islands.select(F.col("stop").alias("day_x"), F.lit(-1).alias("d"))
+        )
+        .groupBy("day_x")
+        .agg(F.sum("d").alias("delta"))
+    )
+    days = ud.select("day_x").distinct()
+    merged = days.select("day_x", F.lit(0).alias("delta")).unionAll(
+        deltas.select("day_x", "delta")
+    )
+    run = Window.orderBy("day_x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    covered = (
+        merged.groupBy("day_x")
+        .agg(F.sum("delta").alias("delta"))
+        .select("day_x", F.sum("delta").over(run).alias("wau"))
+    )
+    return (
+        covered.join(days, "day_x")
+        .select(
+            F.col("day_x").cast("long").alias("day_x"),
+            F.col("wau").cast("long").alias("wau"),
+        )
+        .orderBy("day_x")
+    )

@@ -1127,3 +1127,16 @@ def test_spearman_nation_partitioned_ranks(spark, sf_dir):
     assert "Window" in plan, plan[:2000]
     assert "SinglePartition" not in plan, plan[:2000]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rolling_distinct_users_no_fanout(spark, sf_dir):
+    """win_rolling_distinct_users: the WAU curve must come from the
+    interval sweep-line (distinct user-days → per-user island merge →
+    boundary deltas), never a day×activity range join — no join of
+    two data-sized inputs, no Python."""
+    df = OPS["win_rolling_distinct_users"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -280,6 +280,10 @@ EVENT_OPS = [
     # view-only/purchase-only days, and negative lags that shift
     # past the whole domain (empty join → lag row absent both sides)
     "agg_cross_correlation",
+    # gap EXACTLY 7 splits islands, 6 merges them (the boundary the
+    # 0-3-day generator offsets land on); single-user tables make
+    # wau == 1 on every covered day
+    "win_rolling_distinct_users",
 ]
 
 _BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (UTC)
