@@ -77,7 +77,7 @@ def load_all() -> dict[str, Op]:
 # distinct operators driver-side; the round-6 verdict ("Next round"
 # item 1) asks each round to rotate the front of the ordering to 50
 # NEVER-sampled operators so driver-side confirmation sweeps the whole
-# inventory (459 declared = 453 oracle-gated + 6 rows-only as of
+# inventory (463 declared = 457 oracle-gated + 6 rows-only as of
 # round 8) over successive rounds. The round-8 cross-section below is
 # drawn entirely from the 265 operators absent from
 # CORRECTNESS_r01-r07: deeper TPC-H
