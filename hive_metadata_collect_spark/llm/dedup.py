@@ -2523,13 +2523,19 @@ def pipeline_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             PARTITION BY bucket ORDER BY k, doc_id) AS rn
         FROM d
     ),
+    probe AS (
+        SELECT doc_id, ws, bucket, rn,
+               unnest([(rn - 1) // 4, (rn - 1) // 4 + 1]) AS blk
+        FROM r
+    ),
     cand AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                len(list_intersect(a.ws, b.ws)) AS n_inter,
                len(a.ws) + len(b.ws)
                    - len(list_intersect(a.ws, b.ws)) AS n_union
-        FROM r a JOIN r b
-            ON a.bucket = b.bucket AND b.rn BETWEEN a.rn + 1 AND a.rn + 4
+        FROM probe a JOIN r b
+            ON a.bucket = b.bucket AND (b.rn - 1) // 4 = a.blk
+            AND b.rn BETWEEN a.rn + 1 AND a.rn + 4
     )
     SELECT doc_a, doc_b, n_inter::BIGINT AS n_inter,
            n_union::BIGINT AS n_union,
@@ -2566,26 +2572,37 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("bucket").orderBy("k", "doc_id")
     r = d.select("doc_id", "ws", "bucket", F.row_number().over(w).alias("rn"))
+    # Neighbor-BLOCK equi-join (the dedup_levenshtein grid idiom): a
+    # bucket-only equi key would make the join evaluate |bucket|²
+    # candidate pairs before the rn range filter (measured as the sf1
+    # sweep wall: 62M pairs carrying token arrays). Blocks of size
+    # w−1=4 put every qualifying pair in (blk, blk) or (blk, blk+1),
+    # so each probe row meets ≤ 2 blocks — candidate EVALUATIONS are
+    # linear, matching the (w−1)·N output bound the method promises.
+    blk = F.floor((F.col("rn") - 1) / 4).cast("long")
     a = r.select(
         F.col("bucket"),
         F.col("doc_id").alias("doc_a"),
         F.col("ws").alias("ws_a"),
         F.col("rn").alias("rn_a"),
+        F.explode(F.array(blk, blk + 1)).alias("blk"),
     )
     b = r.select(
         F.col("bucket"),
         F.col("doc_id").alias("doc_b"),
         F.col("ws").alias("ws_b"),
         F.col("rn").alias("rn_b"),
+        blk.alias("blk"),
     )
     n_inter = F.size(F.array_intersect("ws_a", "ws_b"))
     n_union = F.size("ws_a") + F.size("ws_b") - n_inter
     return (
         a.join(
             b,
-            (a["bucket"] == b["bucket"])
-            & (F.col("rn_b") >= F.col("rn_a") + 1)
-            & (F.col("rn_b") <= F.col("rn_a") + 4),
+            ["bucket", "blk"],
+        ).filter(
+            (F.col("rn_b") >= F.col("rn_a") + 1)
+            & (F.col("rn_b") <= F.col("rn_a") + 4)
         )
         .select(
             "doc_a",
