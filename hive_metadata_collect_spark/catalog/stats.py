@@ -7826,8 +7826,15 @@ def cat_data_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         row(
             "orders.o_custkey -> customer.c_custkey",
             "orders",
+            # Referential check: NO broadcast hint — customer is
+            # fact-sized (1.5B keys at 100 TB), so forcing the keyset
+            # into one broadcast block would OOM at scale (r8
+            # advisory). AQE picks broadcast when the keyset is
+            # actually small; otherwise both sides shuffle on the key,
+            # which is the right plan for fact→fact referential
+            # integrity.
             o.join(
-                F.broadcast(cust.select("c_custkey")),
+                cust.select("c_custkey"),
                 o["o_custkey"] == cust["c_custkey"],
                 "left",
             ).agg(

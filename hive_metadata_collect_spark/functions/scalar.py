@@ -155,7 +155,8 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            CAST(o_orderkey AS VARCHAR)                      AS key_str,
            CAST(floor(o_totalprice) AS BIGINT)              AS price_int,
-           CAST(o_totalprice AS DECIMAL(12,2))              AS price_dec,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
+                                                            AS price_dec,
            CAST(o_orderdate AS DATE)                        AS order_date,
            CAST(o_orderdate AS VARCHAR)                     AS date_str,
            CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT)      AS key_roundtrip
@@ -165,13 +166,22 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cast matrix string↔int↔double↔timestamp↔decimal(12,2).
     double→int goes through floor() on both sides (Spark truncates,
-    DuckDB rounds — floor removes the divergence)."""
+    DuckDB rounds — floor removes the divergence). The decimal cast
+    is PRESENTED via a further cast to string: that keeps the
+    2-dp decimal semantics observable (trailing zeros survive —
+    '465799.50', which a DOUBLE presentation would erase) while
+    rendering identically in both engines' pandas paths, where a raw
+    DECIMAL column hashes as Decimal objects on Spark but float64 on
+    DuckDB (the r8 tpch_q9 driver-hash class)."""
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
         F.col("o_orderkey").cast("string").alias("key_str"),
         F.floor("o_totalprice").cast("long").alias("price_int"),
-        F.col("o_totalprice").cast("decimal(12,2)").alias("price_dec"),
+        F.col("o_totalprice")
+        .cast("decimal(12,2)")
+        .cast("string")
+        .alias("price_dec"),
         F.col("o_orderdate").cast("date").alias("order_date"),
         F.col("o_orderdate").cast("string").alias("date_str"),
         F.col("o_orderkey").cast("string").cast("long").alias("key_roundtrip"),

@@ -3544,7 +3544,8 @@ def text_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per_doc
     )
     SELECT source, count(*) AS n_docs,
-           sum(CASE WHEN nll_u <= 3600000 THEN 1 ELSE 0 END) AS n_keep,
+           sum(CASE WHEN nll_u <= 3600000 THEN 1 ELSE 0 END)::BIGINT
+               AS n_keep,
            round(sum(nll_u) / 1000000.0 / count(*), 6) AS mean_nll
     FROM scored GROUP BY source ORDER BY source
     """,

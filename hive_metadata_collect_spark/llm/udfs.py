@@ -538,7 +538,11 @@ def udf_sql_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary), which is why they are the FIRST choice for shared
     business logic at 100 TB. The oracle states the same logic
     inlined by hand; the discounted sum is cents-quantized before
-    accumulation so the group totals are integer-exact."""
+    accumulation so the group totals are integer-exact. The final
+    total casts to DOUBLE: Spark's `/100.0` literal is DECIMAL-typed
+    and the driver's pandas hash renders Decimal vs DuckDB's float
+    differently (the r8 tpch_q9 class) — presentation-only, the
+    cents accumulation stays integer."""
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION hmcs_price_tier(p DOUBLE) "
         "RETURNS STRING RETURN CASE WHEN p >= 200000 THEN 'high' "
@@ -555,8 +559,8 @@ def udf_sql_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderpriority,
                hmcs_price_tier(o_totalprice) AS tier,
                count(*) AS n,
-               round(sum(hmcs_disc_cents(o_totalprice)) / 100.0, 2)
-                   AS discounted_total
+               CAST(round(sum(hmcs_disc_cents(o_totalprice)) / 100.0, 2)
+                    AS DOUBLE) AS discounted_total
         FROM hmcs_sqludf_orders
         GROUP BY o_orderpriority, tier
         ORDER BY o_orderpriority, tier

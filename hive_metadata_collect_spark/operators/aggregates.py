@@ -362,9 +362,9 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_row=46,
     oracle="""
     SELECT l_returnflag,
-           sum(l_extendedprice::DECIMAL(12,2)) AS sum_price,
-           min(l_extendedprice::DECIMAL(12,2)) AS min_price,
-           max(l_extendedprice::DECIMAL(12,2)) AS max_price,
+           sum(l_extendedprice::DECIMAL(12,2))::DOUBLE AS sum_price,
+           min(l_extendedprice::DECIMAL(12,2))::DOUBLE AS min_price,
+           max(l_extendedprice::DECIMAL(12,2))::DOUBLE AS max_price,
            count(*) AS n
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -373,16 +373,21 @@ def agg_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Money-typed aggregation: prices as DECIMAL(12,2) so the sums are
     EXACT (no float accumulation error at any scale or partitioning —
     the reason money columns are decimal, not double, in the 100 TB
-    layout)."""
+    layout). The FINAL values are presented as DOUBLE on both engines:
+    the driver's pandas-path hash renders Spark DECIMAL as
+    ``Decimal('104958.50')`` but DuckDB DECIMAL as float ``104958.5``
+    (the r8 tpch_q9 hash-miss class), and a 2-dp value after an exact
+    decimal aggregation converts to the same double on both sides —
+    the cast is presentation-only, the accumulation stays exact."""
     li = load_table(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(12,2)")
     return (
         li.select("l_returnflag", price.alias("price"))
         .groupBy("l_returnflag")
         .agg(
-            F.sum("price").alias("sum_price"),
-            F.min("price").alias("min_price"),
-            F.max("price").alias("max_price"),
+            F.sum("price").cast("double").alias("sum_price"),
+            F.min("price").cast("double").alias("min_price"),
+            F.max("price").cast("double").alias("max_price"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -3278,22 +3283,21 @@ def agg_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (
         SELECT nation,
                2 * rank() OVER (PARTITION BY nation ORDER BY bal_c)
-                 + count(*) OVER (PARTITION BY nation, bal_c) - 1 AS mx2,
+                 + count(*) OVER (PARTITION BY nation, bal_c) - 1
+                 - count(*) OVER (PARTITION BY nation) - 1 AS cx,
                2 * rank() OVER (PARTITION BY nation ORDER BY spend_c)
-                 + count(*) OVER (PARTITION BY nation, spend_c) - 1 AS my2
+                 + count(*) OVER (PARTITION BY nation, spend_c) - 1
+                 - count(*) OVER (PARTITION BY nation) - 1 AS cy
         FROM spend
     ),
     s AS (
         SELECT nation, count(*) AS n,
-               sum(mx2) AS sx, sum(my2) AS sy,
-               sum(mx2 * my2) AS sxy,
-               sum(mx2 * mx2) AS sxx, sum(my2 * my2) AS syy
+               sum(cx * cy) AS scxy,
+               sum(cx * cx) AS scxx, sum(cy * cy) AS scyy
         FROM ranked GROUP BY nation
     )
     SELECT nation, n::BIGINT AS n_customers,
-           round((n * sxy - sx * sy)
-                 / nullif(sqrt((n * sxx - sx * sx) * 1.0
-                               * (n * syy - sy * sy)), 0.0), 6)
+           round(scxy / nullif(sqrt(scxx * 1.0 * scyy), 0.0), 6)
                AS spearman_rho
     FROM s ORDER BY nation
     """,
@@ -3305,9 +3309,17 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution where Pearson is outlier-dominated. Tie handling is
     EXACT: midranks on a DOUBLED scale (midrank×2 = 2·min_rank +
     ties − 1 — always integral, the agg_mann_whitney_u convention),
-    so all five moment sums are exact int64 and ρ (Pearson on
-    midranks, the tie-correct definition) is one fixed IEEE sequence
-    per nation. Degenerate all-tied arms yield NULL via nullif.
+    then CENTERED per row by the exact doubled-midrank mean n+1
+    (Σ doubled midranks = n(n+1) exactly, so Σcx = 0 and the sx·sy
+    cross terms vanish from ρ). Centering is the overflow fix from
+    the r8 advisory: the raw-moment form's n·sxy grew ~4n⁴ and
+    silently wrapped int64 past ~39k rows/group; the centered
+    moments are bounded by n³ (|cx|,|cy| < n), int64-exact to
+    ~2.09M rows per nation — sf ≈ 350 at TPC-H customer counts, and
+    the bound is per GROUP, not per table, so 100 TB wide-and-many-
+    group shapes stay exact. ρ (Pearson on midranks, the tie-correct
+    definition) is one fixed IEEE sequence per nation. Degenerate
+    all-tied arms yield NULL via nullif.
 
     Scale shape: spend collapses map-side per customer first; the
     two rank windows partition BY NATION (parallel across 25 keys,
@@ -3331,38 +3343,36 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nation", "c_custkey", "bal_c")
         .agg(F.sum("price_c").alias("spend_c"))
     )
-    mx2 = (
+    grp_n = F.count(F.lit(1)).over(Window.partitionBy("nation"))
+    cx = (
         2 * F.rank().over(Window.partitionBy("nation").orderBy("bal_c"))
         + F.count(F.lit(1)).over(Window.partitionBy("nation", "bal_c"))
         - 1
+        - grp_n
+        - 1
     )
-    my2 = (
+    cy = (
         2 * F.rank().over(Window.partitionBy("nation").orderBy("spend_c"))
         + F.count(F.lit(1)).over(Window.partitionBy("nation", "spend_c"))
         - 1
+        - grp_n
+        - 1
     )
-    ranked = spend.select(
-        "nation", mx2.alias("mx2"), my2.alias("my2")
-    )
+    ranked = spend.select("nation", cx.alias("cx"), cy.alias("cy"))
     s = ranked.groupBy("nation").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("mx2").alias("sx"),
-        F.sum("my2").alias("sy"),
-        F.sum(F.col("mx2") * F.col("my2")).alias("sxy"),
-        F.sum(F.col("mx2") * F.col("mx2")).alias("sxx"),
-        F.sum(F.col("my2") * F.col("my2")).alias("syy"),
-    )
-    var_prod = (
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * 1.0
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        F.sum(F.col("cx") * F.col("cy")).alias("scxy"),
+        F.sum(F.col("cx") * F.col("cx")).alias("scxx"),
+        F.sum(F.col("cy") * F.col("cy")).alias("scyy"),
     )
     return s.select(
         "nation",
         F.col("n").cast("long").alias("n_customers"),
         F.round(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / F.nullif(F.sqrt(var_prod), F.lit(0.0)),
+            F.col("scxy")
+            / F.nullif(
+                F.sqrt(F.col("scxx") * 1.0 * F.col("scyy")), F.lit(0.0)
+            ),
             6,
         ).alias("spearman_rho"),
     ).orderBy("nation")

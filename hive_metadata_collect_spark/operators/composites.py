@@ -607,7 +607,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(l_extendedprice::DECIMAL(12,2)
                          * (1 - l_discount::DECIMAL(12,2))
                      - 0.5 * p_retailprice::DECIMAL(12,2)
-                         * l_quantity::DECIMAL(12,2)), 2) AS sum_profit
+                         * l_quantity::DECIMAL(12,2)), 2)::DOUBLE AS sum_profit
     FROM part p
     JOIN lineitem l ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -627,7 +627,12 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nation, year). The amount mixes a SUBTRACTION of two float
     products — the one shape where round(sum,2) flips last-ULP
     between engines — so the money math runs on DECIMAL(12,2) (exact,
-    associative) per the agg_decimal_money convention."""
+    associative) per the agg_decimal_money convention. The FINAL
+    rounded sum is then cast to DOUBLE on both engines: the driver's
+    pandas-path hash is dtype-sensitive (Spark DECIMAL -> object
+    Decimals, DuckDB -> float64 — the r8 hash miss), and a post-round
+    2-dp value is exactly representable enough that the double cast
+    is presentation-only."""
     p = load_table(spark, sf_dir, "part").filter(
         F.col("p_name").contains("rod")
     ).select("p_partkey", "p_retailprice")
@@ -649,7 +654,7 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "nation", F.year("o_orderdate").cast("int").alias("o_year")
         )
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 

@@ -1756,7 +1756,8 @@ _PIP_EDGES = [
         HAVING sum(crossed) % 2 = 1
     )
     SELECT zone, count(*)::BIGINT AS n_inside,
-           round(sum(c_acctbal), 2) AS acctbal_sum,
+           round(sum(CAST(floor(round(c_acctbal, 2) * 100 + 0.5)
+                          AS BIGINT)) / 100.0, 2) AS acctbal_sum,
            min(c_custkey) AS min_custkey,
            max(c_custkey) AS max_custkey
     FROM inside GROUP BY zone ORDER BY zone
@@ -1773,6 +1774,10 @@ def join_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplied form sign((x1−px)·dy + (x2−x1)·(py−y1)) =
     sign(dy) — no division, no float, so the odd-crossings parity is
     bit-identical on both engines (max |product| ≈ 1.3e9 ≪ 2⁶³).
+    The zone balance rollup likewise sums integer CENTS (the house
+    money convention — r8 advisory: a pre-round DOUBLE sum over 1e5+
+    members is engine-order-dependent and drifts toward the 0.005
+    rounding boundary as membership grows) and divides back once.
 
     Scale shape: the edge table is O(vertices) metadata — BROADCAST;
     the crossing evaluation is map-side per (point, edge) with the
@@ -1806,11 +1811,13 @@ def join_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("crossed").alias("n_cross"))
         .filter(F.col("n_cross") % 2 == 1)
     )
+    bal_cents = F.floor(F.round("c_acctbal", 2) * 100 + 0.5).cast("long")
     return (
-        inside.groupBy("zone")
+        inside.select("zone", "c_custkey", bal_cents.alias("bal_c"))
+        .groupBy("zone")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_inside"),
-            F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"),
+            F.round(F.sum("bal_c") / 100.0, 2).alias("acctbal_sum"),
             F.min("c_custkey").alias("min_custkey"),
             F.max("c_custkey").alias("max_custkey"),
         )

@@ -1647,6 +1647,7 @@ def win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     roll AS (
         SELECT priority, day_x,
                count(*) OVER w AS n,
+               min(day_x) OVER w AS mx,
                sum(day_x) OVER w AS sx,
                sum(cents) OVER w AS sy,
                sum(day_x * cents) OVER w AS sxy,
@@ -1654,12 +1655,20 @@ def win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM daily
         WINDOW w AS (PARTITION BY priority ORDER BY day_x
                      ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    ),
+    reb AS (
+        SELECT priority, day_x, n,
+               sx - n * mx AS sxp,
+               sy,
+               sxy - mx * sy AS sxyp,
+               sxx - 2 * mx * sx + n * mx * mx AS sxxp
+        FROM roll
     )
     SELECT priority, day_x, n::BIGINT AS n_days,
-           round((n * sxy - sx * sy) * 1.0
-                 / nullif(n * sxx - sx * sx, 0), 6)
+           round((n * sxyp - sxp * sy) * 1.0
+                 / nullif(n * sxxp - sxp * sxp, 0), 6)
                AS slope_cents_per_day
-    FROM roll
+    FROM reb
     ORDER BY priority, day_x
     """,
 )
@@ -1670,11 +1679,17 @@ def win_rolling_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     average because it has units: cents/day). All four sufficient
     statistics (Σx, Σy, Σxy, Σx²) are EXACT int64 running-frame sums
     — x is days since 1994-01-01 (≤ ~2.5e3), y is daily revenue in
-    integer cents — so the closed-form slope (nΣxy − ΣxΣy)/(nΣx² −
-    (Σx)²) divides two exact integers once per row (max |n·Σxy| ≈
-    30·30·2.5e3·10¹¹-class products stay ≪ 2⁶³ because x is
-    epoch-rebased). Single-point frames yield NULL via nullif — no
-    divide-by-zero on either engine.
+    integer cents. The slope is then computed on PER-FRAME-REBASED
+    x' = x − min(x over frame) (OLS slope is translation-invariant
+    in x), derived algebraically from the raw frame sums: Σx' =
+    Σx−n·m, Σx'y = Σxy−m·Σy, Σx'² = Σxx−2mΣx+nm². The r8 advisory
+    found the un-rebased n·Σxy within ~2× of int64 max at
+    sf1000-class daily revenue; after rebasing, x' < 30·gap so every
+    product in (nΣx'y − Σx'Σy)/(nΣx'² − (Σx')²) carries ~2 extra
+    orders of magnitude of headroom (largest intermediate is the raw
+    Σxy ≈ 1.5e17 at sf1000, exact to sf ≈ 50000). Single-point
+    frames yield NULL via nullif — no divide-by-zero on either
+    engine.
 
     Scale shape: the aggregate-before-window discipline — rows
     collapse to the (priority, day) DOMAIN first (map-side combined;
@@ -1705,21 +1720,37 @@ def win_rolling_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority",
         "day_x",
         F.count(F.lit(1)).over(w).alias("n"),
+        F.min("day_x").over(w).alias("mx"),
         F.sum("day_x").over(w).alias("sx"),
         F.sum("cents").over(w).alias("sy"),
         F.sum(F.col("day_x") * F.col("cents")).over(w).alias("sxy"),
         F.sum(F.col("day_x") * F.col("day_x")).over(w).alias("sxx"),
     )
+    reb = roll.select(
+        "priority",
+        "day_x",
+        "n",
+        (F.col("sx") - F.col("n") * F.col("mx")).alias("sxp"),
+        "sy",
+        (F.col("sxy") - F.col("mx") * F.col("sy")).alias("sxyp"),
+        (
+            F.col("sxx")
+            - 2 * F.col("mx") * F.col("sx")
+            + F.col("n") * F.col("mx") * F.col("mx")
+        ).alias("sxxp"),
+    )
     denom = F.nullif(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("long"),
+        (
+            F.col("n") * F.col("sxxp") - F.col("sxp") * F.col("sxp")
+        ).cast("long"),
         F.lit(0),
     )
-    return roll.select(
+    return reb.select(
         "priority",
         "day_x",
         F.col("n").cast("long").alias("n_days"),
         F.round(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1.0
+            (F.col("n") * F.col("sxyp") - F.col("sxp") * F.col("sy")) * 1.0
             / denom,
             6,
         ).alias("slope_cents_per_day"),

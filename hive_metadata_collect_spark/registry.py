@@ -78,98 +78,97 @@ def load_all() -> dict[str, Op]:
 # item 1) asks each round to rotate the front of the ordering to 50
 # NEVER-sampled operators so driver-side confirmation sweeps the whole
 # inventory (463 declared = 457 oracle-gated + 6 rows-only as of
-# round 8) over successive rounds. The round-8 cross-section below is
-# drawn entirely from the 265 operators absent from
-# CORRECTNESS_r01-r07: deeper TPC-H
-# (q5/q8/q9/q15), the tx-log/time-travel pair, lineage graph
-# analytics (PageRank), spatial and interval joins, the classic
-# window surface plus financial windows (EWMA, max-drawdown), set
-# operations, scalar-function suites, streaming batch-equivalents
-# including the stream-stream outer join, and the round-7 additions
-# (BPE learn, corrupt-container quarantine). Every name carries a
-# full DuckDB oracle (no rows-only entries) so the sampled 50 are all
-# hash-checkable. Round-8 continuation: four of this session's new
-# operators (KS test, Naive Bayes, Lloyd's k-means, the composed e2e
-# pipeline) swap in for four never-sampled peers of the same
-# categories (bitmap_distinct, html_strip, rank_fusion,
-# stratified_sample) so the newest flagship surface gets driver-side
-# confirmation the round it ships; the displaced four stay in the
-# never-sampled pool for a later rotation. Second continuation
-# session: nine of its eleven new operators (SemDeDup, dup-8-gram
-# coverage, sorted-neighborhood, Holt, rolling OLS slope, Theil-Sen,
-# BH-FDR, point-in-polygon, data-contract battery) swap in for nine
-# never-sampled same-category peers (mips_maxdot, url_canonical,
-# readability, ewma, range_frame, approx_percentiles, benford,
-# interval_overlap, psi_drift) under the same rule; sim_ndcg_eval
-# and pipeline_mixture_epochs wait in the pool. Remaining operators follow
-# in registration (module) order — nothing is dropped, only
-# reordered.
+# round 9) over successive rounds. Rounds 1-8 confirmed 193 distinct
+# operators driver-side; 270 remained never-sampled entering round 9.
+#
+# The round-9 cross-section below holds 48 never-sampled operators
+# plus exactly TWO deliberate repeats, both judge-directed
+# (VERDICT r8 "Next round" item 1): `tpch_q9_product_profit` — the
+# round-8 red row, whose DECIMAL output is now presented as DOUBLE and
+# which must show green in CORRECTNESS_r09 — and `agg_decimal_money`,
+# driver-green r1-r5 but never sampled under the CURRENT
+# dtype-sensitive driver hash and carrying the same DECIMAL
+# presentation fix. The 48 fresh names are drawn preferentially from
+# the categories most like past driver misses, per the same verdict
+# item: the DECIMAL/HUGEINT-risk statistical aggregates (Spearman —
+# rewritten this round on the overflow advisory — Mann-Whitney,
+# Cramér's V, SRM, two-proportion z, CUPED, cross-correlation,
+# higher moments, weighted/winsorized/MAD robust estimators), the
+# big-integer financial windows (VWAP, Bollinger, OHLC, rolling
+# z-score, time-weighted average, running median, autocorrelation,
+# seasonal decompose), the never-sampled TPC-H shapes
+# (q2/q7/q11/q13/q16/q19), the numeric-presentation class fixed this
+# round (fn_cast_types, udf_sql_declarative,
+# pipeline_perplexity_filter, cat_incremental_stats_merge), rounding
+# and interval scalar suites, catalog statistics with float-boundary
+# risk (PSI, Benford, chi-square, period-over-period), and the
+# remaining text/similarity/pipeline statistics (Kneser-Ney, PMI,
+# burstiness, char entropy, power-iteration PC, nDCG, mixture
+# epochs, calibration ECE). Every name carries a full DuckDB oracle
+# (no rows-only entries) so the sampled 50 are all hash-checkable.
+# Remaining operators follow in registration (module) order —
+# nothing is dropped, only reordered.
 _SAMPLE_ORDER = [
-    # scan/sink machinery (3)
-    "scan_agg_pushdown_footer",
-    "scan_position_deletes",
-    "sink_cluster_zorder",
-    # join strategies (4)
-    "join_point_in_polygon",
-    "join_null_skew_split",
-    "join_spatial_nearest",
-    "join_asof_forward",
-    # aggregates (4)
-    "agg_theil_sen_slope",
-    "agg_entropy",
-    "agg_ks_test",
-    "agg_regression_normal_eq",
-    # window surface: classic + financial (4)
-    "win_rolling_regression_slope",
-    "win_ignore_nulls",
-    "win_holt_linear",
-    "win_max_drawdown",
-    # set operations (2)
-    "set_except_all",
-    "set_union_by_name",
-    # sort / limit (2)
-    "sort_multikey_nulls",
-    "limit_topk_global",
-    # TPC-H composite suite — the deep-join quartet (4)
-    "tpch_q5_local_supplier_volume",
-    "tpch_q8_market_share",
+    # judge-directed repeats (2): the r8 red row + its class twin
     "tpch_q9_product_profit",
-    "tpch_q15_top_supplier",
-    # scalar-function suites (3)
-    "fn_array_hof",
-    "fn_regexp_suite",
-    "fn_three_valued_logic",
-    # streaming batch-equivalents (3)
-    "stream_dedup_keys",
-    "stream_stream_left_outer",
-    "stream_disorder_profile",
-    # data-catalog / lakehouse domain (6)
-    "cat_tx_log_snapshot",
-    "cat_time_travel_read",
-    "cat_lineage_pagerank",
-    "cat_fk_inference",
-    "cat_bh_fdr",
-    "cat_data_contract_check",
-    # UDF surface (2)
-    "udf_arrow_scalar",
-    "udaf_pandas_grouped",
-    # dedup / training pipelines (4)
-    "dedup_levenshtein",
-    "dedup_sorted_neighborhood",
-    "pipeline_feature_store_pit",
-    "pipeline_pretraining_e2e",
+    "agg_decimal_money",
+    # DECIMAL/HUGEINT-risk + r8 statistical aggregate family (15)
+    "agg_spearman_corr",
+    "agg_mann_whitney_u",
+    "agg_cramers_v",
+    "agg_srm_check",
+    "agg_two_proportion_z",
+    "agg_cuped_adjusted",
+    "agg_cross_correlation",
+    "agg_higher_moments",
+    "agg_weighted_median",
+    "agg_winsorized_mean",
+    "agg_median_abs_deviation",
+    "agg_gini_concentration",
+    "agg_ratio_trap",
+    "agg_percentile_disc_cont",
+    "agg_hdr_percentile_estimate",
+    # big-integer financial/series windows (8)
+    "win_vwap_running",
+    "win_rolling_zscore",
+    "win_bollinger_bands",
+    "win_ohlc_resample",
+    "win_time_weighted_avg",
+    "win_median_running",
+    "win_autocorr_profile",
+    "win_seasonal_decompose",
+    # TPC-H shapes never sampled (6)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q16_supplier_part_diversity",
+    "tpch_q19_discounted_revenue",
+    # numeric-presentation class fixed this round (4)
+    "fn_cast_types",
+    "udf_sql_declarative",
+    "pipeline_perplexity_filter",
+    "cat_incremental_stats_merge",
+    # rounding / interval / try-arith scalar suites (3)
+    "fn_round_half_even",
+    "fn_try_arith",
+    "fn_interval_arith",
+    # catalog statistics with float-boundary risk (4)
+    "cat_psi_drift",
+    "cat_benford_audit",
+    "cat_period_over_period",
+    "cat_chi_square_assoc",
+    # text statistics (4)
+    "text_kneser_ney_bigram",
+    "text_pmi_cooccurrence",
+    "text_word_burstiness",
+    "text_char_entropy_score",
     # similarity (2)
-    "sim_semdedup",
-    "sim_kmeans_lloyd",
-    # text analysis incl. round-7 BPE induction (4)
-    "text_lang_id",
-    "text_bpe_learn",
-    "text_naive_bayes_lang",
-    "text_dup_ngram_coverage",
-    # multimodal incl. round-7 corrupt quarantine (3)
-    "mm_corrupt_quarantine",
-    "mm_video_scene_cuts",
-    "mm_webdataset_shard_plan",
+    "sim_power_iteration_top_pc",
+    "sim_ndcg_eval",
+    # training pipelines (2)
+    "pipeline_mixture_epochs",
+    "pipeline_calibration_ece",
 ]
 
 

@@ -1064,14 +1064,16 @@ def test_bh_fdr_single_rank_window(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_contract_check_referential_broadcast(spark, sf_dir):
-    """cat_data_contract_check: the relationship expectation probes
-    orders against a broadcast customer key dim; counting aggregates
-    everywhere, no Python."""
+def test_contract_check_referential_no_forced_broadcast(spark, sf_dir):
+    """cat_data_contract_check: the referential probe carries NO
+    broadcast hint (customer is fact-sized at 100 TB — r8 advisory);
+    locally AQE still converts the tiny keyset to a broadcast join,
+    but the logical plan must not force it. Counting aggregates
+    everywhere, no Python, no nested-loop join."""
     df = OPS["cat_data_contract_check"].fn(spark, sf_dir)
     plan = physical_plan(df)
-    assert "BroadcastHashJoin" in plan, plan[:2000]
-    assert "SortMergeJoin" not in plan
+    assert "ResolvedHint" not in df._jdf.queryExecution().logical().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 

@@ -10,6 +10,13 @@ rows-only smoke (runs and returns >= 0 rows).
 
 Usage: python tools/contract_sweep.py [sf_dir] [--only name1,name2]
                                       [--max-rows N] [--driver-mem 16g]
+                                      [--driverlike]
+
+--driverlike: compare with testing.compare_frames_driverlike — the
+str()-level pandas-path rendering the driver's hash actually sees
+(no canonicalization), catching Decimal/int128/float-presentation
+divergences that compare_frames' canon_value erases (the r7/r8
+driver-miss class).
 
 --driver-mem SIZE (scale-sweep mode): raise the driver heap for the
 one JVM. The default stays Spark's plain 1g — the driver's protocol —
@@ -54,6 +61,10 @@ def main() -> int:
         i = args.index("--driver-mem")
         driver_mem = args[i + 1]
         del args[i : i + 2]
+    driverlike = False
+    if "--driverlike" in args:
+        driverlike = True
+        args.remove("--driverlike")
     if args:
         sf_dir = args[0]
 
@@ -62,8 +73,11 @@ def main() -> int:
     import __spark_entry__ as entry_mod
     from hive_metadata_collect_spark.testing import (
         compare_frames,
+        compare_frames_driverlike,
         duck_connection,
     )
+
+    compare = compare_frames_driverlike if driverlike else compare_frames
 
     builder = SparkSession.builder.master("local[32]").appName(
         "contract-sweep"
@@ -86,7 +100,7 @@ def main() -> int:
             if name in oracles and (
                 max_rows is None or df.count() <= max_rows
             ):
-                compare_frames(df, con, oracles[name])
+                compare(df, con, oracles[name])
                 n_pass += 1
                 tag = "pass"
             else:
