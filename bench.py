@@ -77,8 +77,12 @@ HEADLINE = {
     # seeded xxhash64, and timing a different algorithm against it
     # would be the dishonest pairing the q_token_bucket precedent
     # bans); the other three pair against oracles that ARE DuckDB's
-    # natural formulation of the same task.
-    "q_minhash_lsh": "dedup_near_minhash_lsh",
+    # natural formulation of the same task. Since the r9 bound
+    # contracts the REGISTERED dedup_near_minhash_lsh is a 1-row
+    # recall report that also executes the exact quadratic twin; the
+    # bench keeps timing the production banding path via the
+    # registry's helper name so the series stays comparable.
+    "q_minhash_lsh": "dedup_near_minhash_lsh_pairs",
     "q_decontaminate": "pipeline_decontaminate",
     "q_pack": "pipeline_pack_sequences",
     "q_hashed_features": "text_hashed_features",
@@ -204,7 +208,7 @@ def main() -> None:
     # driver overhead that no served query pays twice). Protocol change
     # vs rounds ≤3, which rebuilt the frame inside the timed region.
     for op_name in headline.values():
-        if op_name in ops:
+        if registry.resolvable(op_name):
             registry.prepared_frame(spark, op_name, sf_dir).count()
 
     # Settle between warm and timed passes: the warm pass materializes
@@ -218,7 +222,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for key, op_name in headline.items():
-        if op_name not in ops:
+        if not registry.resolvable(op_name):
             continue
         best = None
         for _ in range(3):
@@ -237,12 +241,12 @@ def main() -> None:
     # conflated engine speed with the protocol change).
     timings_cold: dict[str, float] = {}
     for key, op_name in headline.items():
-        if op_name not in ops:
+        if not registry.resolvable(op_name):
             continue
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
-            ops[op_name].fn(spark, sf_dir).count()
+            registry.build_frame(spark, op_name, sf_dir).count()
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
         timings_cold[key] = round(best, 4)
@@ -321,7 +325,7 @@ def _stage_sidecar(headline, ops, sf_dir, sf, master, mem, shuffle, total):
         if key not in headline:
             continue
         op_name = headline.get(key)
-        if op_name not in ops:
+        if not registry.resolvable(op_name):
             continue
         df = registry.prepared_frame(spark, op_name, sf_dir)
         df.count()  # warm

@@ -169,10 +169,12 @@ _MH_ROWS = 8  # at j=0.95 → 0.9998 recall; at j=0.5 → 0.03 false-cand
 _LSH_FAMILY_SHARDS = 16  # salted triangle expansion of dup families
 
 
-@register("dedup_near_minhash_lsh", survey_row=68, oracle=None)
-def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates — the 100 TB path for #68,
-    expressed natively in Catalyst (no ML-lib UDF join).
+    expressed natively in Catalyst (no ML-lib UDF join). This is the
+    PRODUCTION pair surface (doc_a, doc_b, est_jaccard); the
+    registered `dedup_near_minhash_lsh` entry wraps it in the
+    driver-hashable recall contract (r8 verdict item 5).
 
     Pipeline: distinct tokens → 64 minhashes per doc, computed as 64
     map-side-combined ``min(xxhash64(seed_i, token))`` aggs over the
@@ -346,6 +348,60 @@ def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cross.unionByName(within)
+
+
+@register(
+    "dedup_near_minhash_lsh",
+    survey_row=68,
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+        FROM documents
+    ), wf AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+    p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM wf a JOIN wf b
+          ON a.doc_id < b.doc_id
+         AND a.n >= CAST(ceil({_JACCARD_TAU} * b.n) AS BIGINT)
+         AND b.n >= CAST(ceil({_JACCARD_TAU} * a.n) AS BIGINT)
+        WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
+              (a.n + b.n - len(list_intersect(a.ws, b.ws)))
+              >= {_JACCARD_TAU}
+    )
+    SELECT count(*)::BIGINT AS n_exact_pairs,
+           TRUE AS recall_ge_09
+    FROM p
+    """,
+)
+def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-HASHABLE RECALL CONTRACT for the MinHash-LSH banding
+    path (r8 verdict item 5). The candidate set rides seeded
+    xxhash64 minhashes, which SQL cannot re-derive, so this was a
+    rows-only driver check for four rounds with the recall assertion
+    engine-side only. The contract runs the banding path
+    (`minhash_lsh_candidates`, the production surface, unchanged)
+    AND the exact word-set-Jaccard twin (dedup_near_minhash's
+    inverted-index kernel; its quadratic all-pairs ORACLE carries
+    the same sound size-band prefilter), then emits one hashable
+    row: the exact τ=0.95 pair count (DuckDB re-derives it) and
+    recall ≥ 0.9 as an integer compare 10·hits ≥ 9·exact (measured
+    1.0 at sf0.001/0.01/0.1 — banding at 8×8 gives ~0.9998 recall
+    at j=0.95, and the signature-collapse path emits within-family
+    pairs deterministically). No false-positive claim: banding
+    admits sub-τ candidates BY DESIGN (the verify step downstream
+    filters them), so precision is not part of this op's contract."""
+    cand = minhash_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    exact = dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_hits = cand.join(exact, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return n_exact.crossJoin(n_hits).select(
+        "n_exact_pairs",
+        (10 * F.col("n_hits") >= 9 * F.col("n_exact_pairs")).alias(
+            "recall_ge_09"
+        ),
+    )
 
 
 @register(

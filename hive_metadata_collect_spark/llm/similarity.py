@@ -210,11 +210,12 @@ def _pair_cosine(ea: pd.Series, eb: pd.Series) -> pd.Series:
     return pd.Series(num / den)
 
 
-@register("sim_pairs_lsh", survey_row=70, oracle=None)
-def sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_pair_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signed-random-projection LSH candidate generation + exact
     re-rank — the 100 TB path for #70, expressed natively (no ML-lib
-    UDF join).
+    UDF join). This is the PRODUCTION pair surface (vec_a, vec_b,
+    cosine); the registered `sim_pairs_lsh` entry wraps it in the
+    driver-hashable recall contract (r8 verdict item 5).
 
     Unit-normalize and hash each vector into _SRP_TABLES bucket ids
     (_SRP_BITS AND-amplified sign bits each, one NumPy matmul per
@@ -269,8 +270,66 @@ def sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_topk_ivf", survey_row=69, oracle=None)
-def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register(
+    "sim_pairs_lsh",
+    survey_row=70,
+    oracle=f"""
+    WITH p AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+              sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                    a.embedding::DOUBLE[])
+                   * list_dot_product(b.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]))
+              >= {_COSINE_TAU}
+    )
+    SELECT count(*)::BIGINT AS n_exact_pairs,
+           TRUE AS recall_ge_05,
+           TRUE AS no_false_positives
+    FROM p
+    """,
+)
+def sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-HASHABLE RECALL CONTRACT for the SRP-LSH pair path
+    (r8 verdict item 5 — the agg_approx_distinct exact-regime
+    pattern). The LSH candidate set itself depends on the seeded
+    random planes, which no SQL engine can re-derive, so for four
+    rounds this op was a rows-only driver check with the recall
+    assertion living only in tests/test_edge_cases.py. This form
+    makes the bound DRIVER-VISIBLE: it computes BOTH the LSH pairs
+    (`lsh_pair_candidates` — the production surface, unchanged) and
+    the exact τ-threshold pairs (the sim_pairs_threshold kernel,
+    quadratic — the contract gate runs at oracle scales, the LSH
+    path alone is the 100 TB plan), then emits one hashable row:
+    the exact pair count (DuckDB re-derives it independently),
+    recall ≥ 0.5 (2·hits ≥ exact, integer compare — measured
+    0.71-0.86 over sf0.001-0.1, engine test floor 0.5), and
+    no-false-positives (exact re-rank guarantees approx ⊆ exact;
+    anti-join count must be 0)."""
+    lsh = lsh_pair_candidates(spark, sf_dir).select("vec_a", "vec_b")
+    exact = sim_pairs_threshold(spark, sf_dir).select("vec_a", "vec_b")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_hits = lsh.join(exact, ["vec_a", "vec_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    n_fp = lsh.join(exact, ["vec_a", "vec_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_fp")
+    )
+    return (
+        n_exact.crossJoin(n_hits)
+        .crossJoin(n_fp)
+        .select(
+            "n_exact_pairs",
+            (2 * F.col("n_hits") >= F.col("n_exact_pairs")).alias(
+                "recall_ge_05"
+            ),
+            (F.col("n_fp") == 0).alias("no_false_positives"),
+        )
+    )
+
+
+def ivf_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN top-10 for vec_id=0 — the partition-
     pruned scale path for #69.
 
@@ -282,7 +341,9 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition pruning: the scan touches nprobe/k of the data and the
     re-rank is the same brute-force kernel as sim_topk_cosine on that
     slice. Approximate (a true neighbor can live in an unprobed
-    list) → rows-only driver check; recall vs the exact operator is
+    list); this is the PRODUCTION neighbor surface — the registered
+    `sim_topk_ivf` entry wraps it in the driver-hashable recall
+    contract, and recall vs the exact operator is additionally
     asserted in tests/test_edge_cases.py.
     """
     from pyspark.ml.clustering import KMeans
@@ -324,6 +385,83 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", F.round(cos, 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(10)
+    )
+
+
+_EXACT_TOP10_SQL = """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe
+               FROM embeddings WHERE vec_id = 0),
+    top10 AS (
+        SELECT vec_id,
+               round(list_dot_product(embedding::DOUBLE[], qe) /
+                     sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[])
+                          * list_dot_product(qe, qe)), 6) AS cosine
+        FROM embeddings, q
+        WHERE vec_id <> 0
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT 10
+    )
+"""
+
+
+def _ann_recall_contract(
+    approx: DataFrame, exact: DataFrame, min_hits: int, flag: str
+) -> DataFrame:
+    """Fold an ANN top-k frame and the exact top-k frame into the
+    1-row driver-hashable contract: returned count, hits ≥ floor
+    (integer compare), and the exact frame's top-1 / top-k-min
+    cosines, which the DuckDB oracle re-derives independently."""
+    n_ret = approx.agg(F.count(F.lit(1)).alias("n_returned"))
+    n_hits = approx.select("vec_id").join(
+        exact.select("vec_id"), "vec_id", "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    stats = exact.agg(
+        F.max("cosine").alias("exact_top1_cosine"),
+        F.min("cosine").alias("exact_top10_min_cosine"),
+    )
+    return (
+        n_ret.crossJoin(n_hits)
+        .crossJoin(stats)
+        .select(
+            "n_returned",
+            (F.col("n_hits") >= min_hits).alias(flag),
+            "exact_top1_cosine",
+            "exact_top10_min_cosine",
+        )
+    )
+
+
+@register(
+    "sim_topk_ivf",
+    survey_row=69,
+    oracle=f"""
+    {_EXACT_TOP10_SQL}
+    SELECT count(*)::BIGINT AS n_returned,
+           TRUE AS recall_ge_04,
+           round(max(cosine), 6) AS exact_top1_cosine,
+           round(min(cosine), 6) AS exact_top10_min_cosine
+    FROM top10
+    """,
+)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-HASHABLE RECALL CONTRACT for the IVF ANN path (r8
+    verdict item 5). IVF's neighbor ids depend on the seeded k-means
+    quantizer, which SQL cannot re-derive, so this was a rows-only
+    driver check for four rounds. The contract form runs the IVF
+    top-10 (`ivf_topk_neighbors`, the production surface, unchanged)
+    AND the exact brute-force top-10 (linear — a broadcast query
+    against the corpus, so unlike the pair contracts this gate is
+    itself 100 TB-shaped), then emits one hashable row: returned
+    count, `n ∩ exact-top-10 ≥ 4` (measured 5-8 over sf0.001-0.1;
+    the engine test keeps the tighter 0.5 floor, the contract floor
+    leaves one-hit headroom against k-means float-order jitter), and
+    the exact top-1/top-10-min cosines the oracle recomputes."""
+    return _ann_recall_contract(
+        ivf_topk_neighbors(spark, sf_dir),
+        sim_topk_cosine(spark, sf_dir),
+        4,
+        "recall_ge_04",
     )
 
 
@@ -418,11 +556,12 @@ def _pq_adc_udf(table):
     return adc
 
 
-@register("sim_topk_pq", survey_row=69, oracle=None)
-def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-10 for vec_id=0 — the compressed
     third scale path for #69 beside LSH (sim_pairs_lsh) and IVF
-    (sim_topk_ivf).
+    (sim_topk_ivf). This is the PRODUCTION neighbor surface; the
+    registered `sim_topk_pq` entry wraps it in the driver-hashable
+    recall contract.
 
     Pipeline: unit-normalize → split each vector into M=8 sub-vectors
     → per-block codebook of K=16 centroids (seeded sample-trained
@@ -477,6 +616,35 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(10)
+    )
+
+
+@register(
+    "sim_topk_pq",
+    survey_row=69,
+    oracle=f"""
+    {_EXACT_TOP10_SQL}
+    SELECT count(*)::BIGINT AS n_returned,
+           TRUE AS recall_ge_05,
+           round(max(cosine), 6) AS exact_top1_cosine,
+           round(min(cosine), 6) AS exact_top10_min_cosine
+    FROM top10
+    """,
+)
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-HASHABLE RECALL CONTRACT for the PQ ANN path (r8
+    verdict item 5) — same shape as sim_topk_ivf's contract: run the
+    PQ top-10 (`pq_topk_neighbors`, the production surface,
+    unchanged) and the exact brute-force top-10 (linear), emit one
+    hashable row: returned count, `n ∩ exact-top-10 ≥ 5` (measured
+    6-9 over sf0.001-0.1), and the exact top-1/top-10-min cosines
+    the oracle recomputes. The quantization error PQ trades for its
+    16× code compression is exactly what the bound makes visible."""
+    return _ann_recall_contract(
+        pq_topk_neighbors(spark, sf_dir),
+        sim_topk_cosine(spark, sf_dir),
+        5,
+        "recall_ge_05",
     )
 
 
@@ -631,8 +799,7 @@ def pipeline_decontaminate_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pipeline_decontaminate_embed_lsh", survey_row=69, oracle=None)
-def pipeline_decontaminate_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def decontaminate_lsh_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB DECONTAMINATION path `pipeline_decontaminate_embed`
     declares: SRP-bucketed candidate generation between the train and
     eval splits, exact-cosine re-rank on survivors only. Both sides
@@ -644,8 +811,10 @@ def pipeline_decontaminate_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFr
     approx ⊆ exact), and misses are only pairs no table banded
     together (recall vs the exact twin asserted engine-side in
     tests/test_edge_cases.py). Output matches the exact twin's shape
-    (train_vec, n_eval_hits, max_cosine) over the candidate subset —
-    rows-only driver check, the exact twin IS the correctness oracle.
+    (train_vec, n_eval_hits, max_cosine) over the candidate subset.
+    This is the PRODUCTION surface; the registered
+    `pipeline_decontaminate_embed_lsh` entry wraps it in the
+    driver-hashable recall/precision contract.
     """
     rng = np.random.default_rng(42)
     emb = load_table(spark, sf_dir, "embeddings")
@@ -701,6 +870,71 @@ def pipeline_decontaminate_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFr
         .agg(
             F.count(F.lit(1)).alias("n_eval_hits"),
             F.round(F.max("cosine_raw"), 6).alias("max_cosine"),
+        )
+    )
+
+
+@register(
+    "pipeline_decontaminate_embed_lsh",
+    survey_row=69,
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS bucket
+        FROM embeddings),
+    train AS (SELECT vec_id, embedding FROM bucketed WHERE bucket < 90),
+    eval AS (SELECT vec_id, embedding FROM bucketed WHERE bucket >= 90),
+    contaminated AS (
+        SELECT DISTINCT t.vec_id
+        FROM train t JOIN eval e
+          ON list_dot_product(t.embedding::DOUBLE[],
+                              e.embedding::DOUBLE[]) /
+             sqrt(list_dot_product(t.embedding::DOUBLE[],
+                                   t.embedding::DOUBLE[])
+                  * list_dot_product(e.embedding::DOUBLE[],
+                                     e.embedding::DOUBLE[]))
+             >= {_COSINE_TAU}
+    )
+    SELECT count(*)::BIGINT AS n_exact_contaminated,
+           TRUE AS subset_ok,
+           TRUE AS recall_ge_06
+    FROM contaminated
+    """,
+)
+def pipeline_decontaminate_embed_lsh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DRIVER-HASHABLE RECALL/PRECISION CONTRACT for the SRP-bucketed
+    decontamination path (r8 verdict item 5). The flagged set depends
+    on the seeded projection planes, so this was a rows-only driver
+    check. The contract runs the LSH path (`decontaminate_lsh_hits`,
+    the production surface, unchanged) AND the exact twin
+    (train×eval cross-set scoring — the eval side is the bounded
+    ~10 % split, so the gate itself scales), then emits one hashable
+    row: the exact contaminated-train count (DuckDB re-derives it),
+    subset_ok (every LSH flag is a true flag — precision 1 by the
+    exact re-rank; anti-join count must be 0), and recall ≥ 0.6
+    (10·hits ≥ 6·exact, integer compare — measured 0.76-1.0 over
+    sf0.001-0.1, matching the engine-side floor)."""
+    approx = decontaminate_lsh_hits(spark, sf_dir).select("train_vec")
+    exact = pipeline_decontaminate_embed(spark, sf_dir).select("train_vec")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_contaminated"))
+    n_hits = approx.join(exact, "train_vec", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    n_fp = approx.join(exact, "train_vec", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_fp")
+    )
+    return (
+        n_exact.crossJoin(n_hits)
+        .crossJoin(n_fp)
+        .select(
+            "n_exact_contaminated",
+            (F.col("n_fp") == 0).alias("subset_ok"),
+            (10 * F.col("n_hits") >= 6 * F.col("n_exact_contaminated")).alias(
+                "recall_ge_06"
+            ),
         )
     )
 

@@ -31,6 +31,7 @@ _OP_MODULES = [
     "hive_metadata_collect_spark.functions.scalar",
     "hive_metadata_collect_spark.streaming.batch_eq",
     "hive_metadata_collect_spark.catalog.stats",
+    "hive_metadata_collect_spark.catalog.iceberg",
     "hive_metadata_collect_spark.llm.udfs",
     "hive_metadata_collect_spark.llm.dedup",
     "hive_metadata_collect_spark.llm.similarity",
@@ -199,6 +200,37 @@ def oracle_sql() -> dict[str, str]:
 # session so stopped sessions don't pin frames.
 _FRAME_CACHE: "WeakKeyDictionary" = WeakKeyDictionary()
 
+# Production-path helper frames benchable BY NAME but deliberately not
+# registry entries: since the r9 bound contracts, the registered
+# approximate ops (dedup_near_minhash_lsh, sim_pairs_lsh, …) emit
+# 1-row driver-hashable recall reports that ALSO execute their exact
+# twins — the right correctness gate, the wrong thing to time. The
+# bench keys that historically measured the production candidate
+# paths resolve here so BENCH_r{N} stays comparable across rounds.
+_BENCH_HELPERS = {
+    "dedup_near_minhash_lsh_pairs": (
+        "hive_metadata_collect_spark.llm.dedup",
+        "minhash_lsh_candidates",
+    ),
+}
+
+
+def resolvable(name: str) -> bool:
+    """True if prepared_frame can build this name (registry operator
+    or bench helper)."""
+    return name in load_all() or name in _BENCH_HELPERS
+
+
+def build_frame(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
+    """Build the operator's DataFrame fresh (no cache) — the
+    cold-protocol path. Resolves registry names first, then bench
+    helper names."""
+    ops = load_all()
+    if name in ops:
+        return ops[name].fn(spark, sf_dir)
+    mod, attr = _BENCH_HELPERS[name]
+    return getattr(importlib.import_module(mod), attr)(spark, sf_dir)
+
 
 def prepared_frame(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
     """Return the operator's DataFrame, building it at most once per
@@ -207,5 +239,5 @@ def prepared_frame(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
     cache = _FRAME_CACHE.setdefault(spark, {})
     key = (name, sf_dir)
     if key not in cache:
-        cache[key] = load_all()[name].fn(spark, sf_dir)
+        cache[key] = build_frame(spark, name, sf_dir)
     return cache[key]

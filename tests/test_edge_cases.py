@@ -35,32 +35,45 @@ def test_approx_distinct_within_5pct(spark, sf_dir):
 
 
 def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    from hive_metadata_collect_spark.llm.dedup import minhash_lsh_candidates
+
     exact = {
         (r["doc_a"], r["doc_b"])
         for r in OPS["dedup_near_minhash"].fn(spark, sf_dir).collect()
     }
     approx = {
         (r["doc_a"], r["doc_b"])
-        for r in OPS["dedup_near_minhash_lsh"].fn(spark, sf_dir).collect()
+        for r in minhash_lsh_candidates(spark, sf_dir).collect()
     }
     assert exact, "exact near-dup set unexpectedly empty"
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, f"MinHash-LSH recall too low: {recall:.2f}"
+    assert recall >= 0.9, f"MinHash-LSH recall too low: {recall:.2f}"
+    # ... and the registered contract op must report the same verdict
+    row = OPS["dedup_near_minhash_lsh"].fn(spark, sf_dir).collect()[0]
+    assert row["n_exact_pairs"] == len(exact)
+    assert row["recall_ge_09"] is True
 
 
 def test_projection_lsh_recall_vs_exact(spark, sf_dir):
+    from hive_metadata_collect_spark.llm.similarity import lsh_pair_candidates
+
     exact = {
         (r["vec_a"], r["vec_b"])
         for r in OPS["sim_pairs_threshold"].fn(spark, sf_dir).collect()
     }
     approx = {
-        (r["vec_a"], r["vec_b"]) for r in OPS["sim_pairs_lsh"].fn(spark, sf_dir).collect()
+        (r["vec_a"], r["vec_b"])
+        for r in lsh_pair_candidates(spark, sf_dir).collect()
     }
     assert exact, "exact similar-pair set unexpectedly empty"
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"projection-LSH recall too low: {recall:.2f}"
     # re-ranking is exact → no false positives above threshold
     assert approx <= exact
+    row = OPS["sim_pairs_lsh"].fn(spark, sf_dir).collect()[0]
+    assert row["n_exact_pairs"] == len(exact)
+    assert row["recall_ge_05"] is True
+    assert row["no_false_positives"] is True
 
 
 def test_udtf_multi_key_props(spark):
@@ -187,10 +200,15 @@ def test_multimodal_plumbing(spark, sf_dir):
 
 
 def test_ivf_recall_vs_exact(spark, sf_dir):
+    from hive_metadata_collect_spark.llm.similarity import ivf_topk_neighbors
+
     exact = [r["vec_id"] for r in OPS["sim_topk_cosine"].fn(spark, sf_dir).collect()]
-    approx = [r["vec_id"] for r in OPS["sim_topk_ivf"].fn(spark, sf_dir).collect()]
+    approx = [r["vec_id"] for r in ivf_topk_neighbors(spark, sf_dir).collect()]
     recall = len(set(exact) & set(approx)) / len(exact)
     assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+    row = OPS["sim_topk_ivf"].fn(spark, sf_dir).collect()[0]
+    assert row["n_returned"] == 10
+    assert row["recall_ge_04"] is True
 
 
 def test_hll_union_within_5pct(spark, sf_dir):
@@ -290,10 +308,15 @@ def test_video_decoder_real_y4m_and_bad_magic():
 def test_pq_recall_vs_exact(spark, sf_dir):
     """PQ ANN must recover most of the exact top-10 after ADC
     candidate generation + exact re-rank."""
+    from hive_metadata_collect_spark.llm.similarity import pq_topk_neighbors
+
     exact = [r["vec_id"] for r in OPS["sim_topk_cosine"].fn(spark, sf_dir).collect()]
-    approx = [r["vec_id"] for r in OPS["sim_topk_pq"].fn(spark, sf_dir).collect()]
+    approx = [r["vec_id"] for r in pq_topk_neighbors(spark, sf_dir).collect()]
     recall = len(set(exact) & set(approx)) / len(exact)
     assert recall >= 0.5, f"PQ recall too low: {recall:.2f}"
+    row = OPS["sim_topk_pq"].fn(spark, sf_dir).collect()[0]
+    assert row["n_returned"] == 10
+    assert row["recall_ge_05"] is True
 
 
 def test_approx_percentiles_within_bound(spark, sf_dir):
@@ -521,15 +544,17 @@ def test_decontaminate_lsh_recall_and_precision_vs_exact(spark, sf_dir):
     from hive_metadata_collect_spark import registry
 
     ops = registry.load_all()
+    from hive_metadata_collect_spark.llm.similarity import (
+        decontaminate_lsh_hits,
+    )
+
     exact = {
         r["train_vec"]: r["max_cosine"]
         for r in ops["pipeline_decontaminate_embed"].fn(spark, sf_dir).collect()
     }
     approx = {
         r["train_vec"]: r["max_cosine"]
-        for r in ops["pipeline_decontaminate_embed_lsh"]
-        .fn(spark, sf_dir)
-        .collect()
+        for r in decontaminate_lsh_hits(spark, sf_dir).collect()
     }
     assert set(approx) <= set(exact), "false contamination flags"
     if exact:
@@ -537,6 +562,12 @@ def test_decontaminate_lsh_recall_and_precision_vs_exact(spark, sf_dir):
         assert recall >= 0.6, f"recall {recall}"
     for k, v in approx.items():
         assert v <= exact[k] + 1e-9  # candidate max can't exceed exact max
+    row = (
+        ops["pipeline_decontaminate_embed_lsh"].fn(spark, sf_dir).collect()[0]
+    )
+    assert row["n_exact_contaminated"] == len(exact)
+    assert row["subset_ok"] is True
+    assert row["recall_ge_06"] is True
 
 
 def test_parquet_footer_stats_match_duckdb_metadata(spark, sf_dir, duck):

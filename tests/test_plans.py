@@ -168,14 +168,18 @@ def test_hof_ops_stay_jvm_side(spark, sf_dir):
 
 
 def test_native_lsh_plans_have_no_cartesian(spark, sf_dir):
-    """Both native LSH candidate generators must join on (band/table,
-    key) — a cartesian/nested-loop product would mean the bucket keys
-    fell out of the join condition."""
-    for name in ("dedup_near_minhash_lsh", "sim_pairs_lsh"):
-        plan = physical_plan(OPS[name].fn(spark, sf_dir))
-        assert "CartesianProduct" not in plan, name
-        assert "BroadcastNestedLoopJoin" not in plan, name
-        assert "BatchEvalPython" not in plan, name  # Arrow only
+    """Both native LSH candidate generators (the PRODUCTION helper
+    frames behind the r9 contract ops) must join on (band/table, key)
+    — a cartesian/nested-loop product would mean the bucket keys fell
+    out of the join condition."""
+    from hive_metadata_collect_spark.llm.dedup import minhash_lsh_candidates
+    from hive_metadata_collect_spark.llm.similarity import lsh_pair_candidates
+
+    for fn in (minhash_lsh_candidates, lsh_pair_candidates):
+        plan = physical_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        assert "BatchEvalPython" not in plan, fn.__name__  # Arrow only
 
 
 def test_cosine_topk_is_take_ordered_arrow(spark, sf_dir):
@@ -1061,6 +1065,17 @@ def test_bh_fdr_single_rank_window(spark, sf_dir):
     plan = physical_plan(df)
     assert "Window" in plan, plan[:2000]
     assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q21_bucketed_no_fact_exchange(spark, sf_dir):
+    """tpch_q21_bucketed: the bucketBy(l_orderkey) layout must feed
+    the per-(order,supplier) cascade with NO hash exchange on the
+    fact side — the one wide shuffle the unbucketed form pays. Only
+    broadcast exchanges and the kilobyte s_name rollup may shuffle."""
+    df = OPS["tpch_q21_bucketed"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan[:3000]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 

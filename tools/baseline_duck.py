@@ -50,7 +50,14 @@ def main() -> None:
     for key, op_name in HEADLINE.items():
         if only is not None and key not in only:
             continue
-        sql = ops[op_name].oracle
+        # Bench-helper names (registry._BENCH_HELPERS, e.g. the
+        # q_minhash_lsh production path) have no oracle BY DESIGN —
+        # the registered contract op's oracle times the exact twin,
+        # which is a different (quadratic) computation and would be
+        # the dishonest pairing BASELINE.md's q_token_bucket
+        # precedent bans.
+        op = ops.get(op_name)
+        sql = op.oracle if op is not None else None
         if sql is None:
             print(f"{key:<22} (no oracle)")
             continue
