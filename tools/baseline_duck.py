@@ -32,18 +32,23 @@ def main() -> None:
         only = set(args[i + 1].split(","))
         del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
-    con = duckdb.connect()
-    con.execute("SET timezone='UTC'")
-    for t in [
-        "region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings",
-    ]:
-        path = f"{sf_dir}/{t}.parquet"
-        if os.path.isdir(path):  # multi-file table (tools/make_sf10x.py)
-            path = f"{path}/*.parquet"
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
-        )
+
+    def fresh_con():
+        con = duckdb.connect()
+        con.execute("SET timezone='UTC'")
+        for t in [
+            "region", "nation", "customer", "supplier", "part", "orders",
+            "lineitem", "events", "documents", "embeddings",
+        ]:
+            path = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(path):  # multi-file (tools/make_sf10x.py)
+                path = f"{path}/*.parquet"
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+        return con
+
+    con = fresh_con()
     ops = registry.load_all()
     total = 0.0
     print(f"# DuckDB {duckdb.__version__} @ {sf_dir}")
@@ -61,12 +66,25 @@ def main() -> None:
         if sql is None:
             print(f"{key:<22} (no oracle)")
             continue
-        con.execute(sql).fetchall()  # warm
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            rows = con.execute(sql).fetchall()
-            times.append(time.perf_counter() - t0)
+        # An OOM on one query must not kill the whole pairing run
+        # (r7/r9: q_hashed_features OOMs DuckDB materializing the
+        # 500k x 1024 feature matrix at sf10 — recorded as an
+        # engine-capacity note, not a timed point).
+        try:
+            con.execute(sql).fetchall()  # warm
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                rows = con.execute(sql).fetchall()
+                times.append(time.perf_counter() - t0)
+        except duckdb.OutOfMemoryException as e:
+            print(f"{key:<22} (OOM: {str(e)[:60]})")
+            # an OOM poisons the allocator state of the whole
+            # connection (observed: every later query fails on
+            # 8-byte allocations) — rebuild it before continuing
+            con.close()
+            con = fresh_con()
+            continue
         med = statistics.median(times)
         total += med
         print(f"{key:<22} {med * 1000:8.1f} ms  rows={len(rows)}")
