@@ -1,5 +1,5 @@
 """Apache Iceberg manifest-layer planning — the metadata half below
-`cat_iceberg_metadata_replay` (catalog/stats.py), which stops at
+`cat_iceberg_metadata_replay` (catalog/partitions.py), which stops at
 `v{N}.metadata.json` because manifests need Avro. This module closes
 that boundary (r8 verdict item 6) with the minimal spec Avro reader in
 sources/avro_light.py over checked-in spec-conformant fixtures

@@ -27,6 +27,8 @@ from hive_metadata_collect_spark.registry import register
 from hive_metadata_collect_spark.sources.fixtures import TABLES, load_table
 
 
+
+
 @register(
     "cat_table_stats",
     survey_row=61,
@@ -137,141 +139,6 @@ def cat_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "cat_partition_freshness",
-    survey_row=63,
-    oracle="""
-    WITH per_type AS (
-        SELECT event_type, max(ts) AS last_ts FROM events GROUP BY event_type
-    ), gmax AS (SELECT max(ts) AS global_max FROM events)
-    SELECT event_type, last_ts,
-           epoch_us(global_max) - epoch_us(last_ts) AS stale_us,
-           round((epoch_us(global_max) - epoch_us(last_ts)) / 3600000000.0, 6)
-               AS stale_hours
-    FROM per_type CROSS JOIN gmax
-    """,
-)
-def cat_partition_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Latest-partition freshness per entity (event_type as the
-    partition analog): last ts + staleness vs the newest data point.
-    The global max is a 1-row broadcast, not a window over all rows."""
-    ev = load_table(spark, sf_dir, "events")
-    per_type = ev.groupBy("event_type").agg(F.max("ts").alias("last_ts"))
-    glob = ev.agg(F.max("ts").alias("global_max"))
-    stale_us = F.unix_micros("global_max") - F.unix_micros("last_ts")
-    return (
-        per_type.crossJoin(F.broadcast(glob))
-        .select(
-            "event_type",
-            "last_ts",
-            stale_us.alias("stale_us"),
-            F.round(stale_us / 3.6e9, 6).alias("stale_hours"),
-        )
-    )
-
-
-@register(
-    "cat_table_heat",
-    survey_row=64,
-    oracle="""
-    SELECT day, event_type, n_events,
-           rank() OVER (PARTITION BY day ORDER BY n_events DESC, event_type ASC)
-               AS heat_rank
-    FROM (
-        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
-               count(*) AS n_events
-        FROM events GROUP BY 1, 2
-    ) t
-    """,
-)
-def cat_table_heat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Usage heat: events per entity per day, ranked hot→cold within
-    each day (the hot/cold table ranking of a catalog)."""
-    ev = load_table(spark, sf_dir, "events")
-    daily = (
-        ev.groupBy(
-            F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
-        ).agg(F.count(F.lit(1)).alias("n_events"))
-    )
-    w = Window.partitionBy("day").orderBy(
-        F.col("n_events").desc(), F.col("event_type").asc()
-    )
-    return daily.select(
-        "day", "event_type", "n_events", F.rank().over(w).alias("heat_rank")
-    )
-
-
-@register(
-    "cat_cold_tables",
-    survey_row=65,
-    oracle="""
-    WITH gmax AS (SELECT max(ts) AS global_max FROM events)
-    SELECT user_id FROM events GROUP BY user_id
-    EXCEPT
-    SELECT DISTINCT user_id FROM events, gmax
-    WHERE ts >= global_max - INTERVAL 1 DAY
-    """,
-)
-def cat_cold_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cold-entity detection: users (the catalog-entity analog) with
-    zero activity in the trailing day of the data range —
-    anti-join of all entities against recently-active ones."""
-    ev = load_table(spark, sf_dir, "events")
-    glob = ev.agg(F.max("ts").alias("global_max"))
-    recent = (
-        ev.crossJoin(F.broadcast(glob))
-        .filter(F.col("ts") >= F.col("global_max") - F.expr("INTERVAL 1 DAYS"))
-        .select("user_id")
-        .distinct()
-    )
-    all_users = ev.select("user_id").distinct()
-    return all_users.join(recent, "user_id", "left_anti")
-
-
-@register(
-    "cat_lineage_2hop",
-    survey_row=66,
-    oracle="""
-    WITH edges AS (SELECT DISTINCT user_id, event_type FROM events)
-    SELECT a.user_id,
-           count(DISTINCT a.event_type) AS n_types,
-           count(DISTINCT b.user_id) - 1 AS n_2hop_users
-    FROM edges a JOIN edges b ON a.event_type = b.event_type
-    GROUP BY a.user_id
-    """,
-)
-def cat_lineage_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lineage as an edge-list DataFrame (user→entity edges standing
-    in for src-table→dst-table): 2-hop reachability + degree via one
-    self-join — no graph library, traversals stay relational.
-
-    Fan-out parallelism (round-8 sf1 sweep finding): the edge frame
-    is tiny (|users|×|types| after distinct) so AQE coalesces it to
-    1-2 partitions — but the hub-keyed self-join EXPANDS it ~1500×,
-    leaving two tasks to generate ~11M rows and then sort them
-    through the double countDistinct's Expand (20+ min at sf1). A
-    fan-out join's probe side must be partitioned for its OUTPUT
-    size, not its input size: the explicit 32-way repartition on the
-    probe (user-keyed, AQE honors user-specified counts) restored
-    the stage to seconds. The same rule at 100 TB: size probe
-    parallelism to |edges|×avg-degree, never |edges|."""
-    ev = load_table(spark, sf_dir, "events")
-    edges = ev.select("user_id", "event_type").distinct()
-    b = edges.select(
-        F.col("user_id").alias("b_user_id"),
-        F.col("event_type").alias("b_event_type"),
-    )
-    return (
-        edges.repartition(32, "user_id")
-        .join(b, F.col("event_type") == b.b_event_type)
-        .groupBy("user_id")
-        .agg(
-            F.countDistinct("event_type").alias("n_types"),
-            (F.countDistinct("b_user_id") - 1).alias("n_2hop_users"),
-        )
-    )
-
-
-@register(
     "cat_schema_inventory",
     survey_row=62,
     oracle="""
@@ -309,107 +176,6 @@ def cat_schema_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "cat_lineage_closure",
-    survey_row=66,
-    oracle="""
-    WITH RECURSIVE edges AS (
-        SELECT DISTINCT prev_type AS src, event_type AS dst FROM (
-            SELECT event_type,
-                   lag(event_type) OVER (PARTITION BY user_id
-                                         ORDER BY ts, event_id) AS prev_type
-            FROM events)
-        WHERE prev_type IS NOT NULL AND prev_type <> event_type
-    ), reach AS (
-        SELECT src, dst, 1 AS hops FROM edges
-        UNION ALL
-        SELECT r.src, e.dst, r.hops + 1
-        FROM reach r JOIN edges e ON r.dst = e.src
-        WHERE r.hops < 4
-    )
-    SELECT src, dst, min(hops) AS min_hops FROM reach GROUP BY src, dst
-    """,
-)
-def cat_lineage_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded transitive closure of the lineage graph — the iterative
-    algorithm a DataFrame engine expresses as driver-side plan
-    construction (no data ever reaches the driver).
-
-    Edges: temporal type→type transitions per user (lag over the
-    audit stream — "read X, then wrote Y"). Closure: min-hop
-    reachability within ≤4 hops, by DOUBLING instead of hop-at-a-time:
-    reach≤2 = edges ∪ (edges⋈edges), reach≤4 = reach≤2 ∪
-    (reach≤2⋈reach≤2), min-hop per pair after each round. Two
-    broadcast joins and two shuffles replace three serial
-    join+distinct barriers — the log₂(maxhop) trick matters more, not
-    less, on a 1000-executor cluster where each barrier is a
-    stragglers-bound stage. Min-hops stay exact: a shortest path of
-    length L ≤ 4 splits at its midpoint into two shortest halves ≤ 2,
-    and sums of real path lengths can never undercut the true
-    distance. Both join inputs are min-hop-deduped (≤ |V|² rows,
-    |V| = distinct event types), so each is broadcastable at any
-    corpus size; 100 TB of events reduce to that |V|-sized edge list
-    before any closure work starts. The oracle recomputes the closure
-    with a hop-at-a-time recursive CTE — a genuinely different
-    algorithm reaching the same fixpoint.
-    """
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    trans = ev.select(
-        F.lag("event_type").over(w).alias("src"),
-        F.col("event_type").alias("dst"),
-    )
-    # Both reach frames appear on three plan branches each (union arm,
-    # join probe, broadcast build); Spark has no common-subtree
-    # elimination, so cache() is what makes each computed once. They
-    # are |V|- and |V|²-bounded — trivially cacheable at any scale.
-    edges = (
-        trans.filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
-        .distinct()
-        .withColumn("hops", F.lit(1))
-        .cache()
-    )
-    two = (
-        edges.join(
-            F.broadcast(
-                edges.select(
-                    F.col("src").alias("m"), F.col("dst").alias("dst2")
-                )
-            ),
-            F.col("dst") == F.col("m"),
-        )
-        .select("src", F.col("dst2").alias("dst"), (F.col("hops") + 1).alias("hops"))
-    )
-    reach2 = (
-        edges.unionAll(two)
-        .groupBy("src", "dst")
-        .agg(F.min("hops").alias("hops"))
-        .cache()
-    )
-    four = (
-        reach2.join(
-            F.broadcast(
-                reach2.select(
-                    F.col("src").alias("m"),
-                    F.col("dst").alias("dst2"),
-                    F.col("hops").alias("hops2"),
-                )
-            ),
-            F.col("dst") == F.col("m"),
-        )
-        .select(
-            "src",
-            F.col("dst2").alias("dst"),
-            (F.col("hops") + F.col("hops2")).alias("hops"),
-        )
-    )
-    return (
-        reach2.unionAll(four)
-        .groupBy("src", "dst")
-        .agg(F.min("hops").alias("min_hops"))
-    )
-
-
-@register(
     "cat_quality_observe",
     survey_row=62,
     oracle="""
@@ -438,113 +204,6 @@ def cat_quality_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return observed.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-    )
-
-
-@register(
-    "cat_funnel_conversion",
-    survey_row=64,
-    oracle="""
-    WITH fv AS (SELECT user_id, min(ts) AS t FROM events
-                WHERE event_type = 'view' GROUP BY user_id),
-    fc AS (SELECT e.user_id, min(e.ts) AS t
-           FROM events e JOIN fv ON e.user_id = fv.user_id
-           WHERE e.event_type = 'click' AND e.ts > fv.t
-           GROUP BY e.user_id),
-    fp AS (SELECT e.user_id, min(e.ts) AS t
-           FROM events e JOIN fc ON e.user_id = fc.user_id
-           WHERE e.event_type = 'purchase' AND e.ts > fc.t
-           GROUP BY e.user_id)
-    SELECT '1_view' AS stage, count(*) AS n_users FROM fv
-    UNION ALL
-    SELECT '2_click_after_view' AS stage, count(*) AS n_users FROM fc
-    UNION ALL
-    SELECT '3_purchase_after_click' AS stage, count(*) AS n_users FROM fp
-    """,
-)
-def cat_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel over the audit-log stream: users who viewed →
-    clicked after their first view → purchased after that click.
-
-    Single-HASH-AGG formulation (round-4 verdict item 5 — the
-    previous form ran two stacked running-min window passes over a
-    per-user SORT): ONE shuffle partitions events by user into a
-    hash aggregate (partial map-side, no sort anywhere) that carries
-    the min view timestamp plus the per-user click/purchase
-    timestamp lists; the chained stage qualifications are then
-    row-local array kernels — fc = array_min(clicks > fv),
-    fp = array_min(purchases > fc) — strict > keeps equal-timestamp
-    rows non-qualifying, so the result is order-invariant. Only 3
-    stage counters cross to the final single-row reduction. The
-    staged-joins alternative (the oracle's shape) shuffles the event
-    log three times. Scale: the collected lists hold only each
-    user's click/purchase timestamps (not all events); the hot-user
-    straggler bound is the same as the window form's sort run, minus
-    the sort."""
-    e = load_table(spark, sf_dir, "events")
-    is_type = lambda t: F.col("event_type") == t  # noqa: E731
-    per_user = (
-        e.select("user_id", "ts", "event_type")
-        .groupBy("user_id")
-        .agg(
-            F.min(F.when(is_type("view"), F.col("ts"))).alias("fv"),
-            F.collect_list(F.when(is_type("click"), F.col("ts"))).alias(
-                "clicks"
-            ),
-            F.collect_list(
-                F.when(is_type("purchase"), F.col("ts"))
-            ).alias("purchases"),
-        )
-    )
-    staged = per_user.withColumn(
-        "fc",
-        F.array_min(F.filter("clicks", lambda c: c > F.col("fv"))),
-    ).withColumn(
-        "fp",
-        F.array_min(F.filter("purchases", lambda p: p > F.col("fc"))),
-    )
-    counts = staged.agg(
-        F.count_if(F.col("fv").isNotNull()).alias("n1"),
-        F.count_if(F.col("fc").isNotNull()).alias("n2"),
-        F.count_if(F.col("fp").isNotNull()).alias("n3"),
-    )
-    return counts.select(
-        F.expr(
-            "stack(3, '1_view', n1, '2_click_after_view', n2, "
-            "'3_purchase_after_click', n3) AS (stage, n_users)"
-        )
-    )
-
-
-@register(
-    "cat_retention_cohort",
-    survey_row=64,
-    oracle="""
-    WITH first AS (SELECT user_id, min(ts::DATE) AS cohort_day
-                   FROM events GROUP BY user_id),
-    act AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events)
-    SELECT cohort_day,
-           date_diff('day', cohort_day, day) AS day_offset,
-           count(*) AS n_users
-    FROM act JOIN first USING (user_id)
-    WHERE date_diff('day', cohort_day, day) <= 7
-    GROUP BY cohort_day, day_offset
-    """,
-)
-def cat_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention: users grouped by first-active day, counted on
-    each active day-offset ≤ 7. Both inputs reduce to one row per
-    (user, day) before the join — the classic pattern that keeps
-    retention queries linear in distinct users, not raw events."""
-    e = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
-    first = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    act = e.select("user_id", "day").distinct()
-    return (
-        act.join(first, "user_id")
-        .withColumn("day_offset", F.datediff("day", "cohort_day"))
-        .filter(F.col("day_offset") <= 7)
-        .groupBy("cohort_day", "day_offset")
-        .agg(F.count(F.lit(1)).alias("n_users"))
     )
 
 
@@ -580,72 +239,6 @@ def cat_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.withColumn("z", z)
         .filter(F.abs(F.col("z")) > 2)
         .select("event_type", "day", "n", F.round("z", 4).alias("z"))
-    )
-
-
-@register(
-    "cat_scd2_diff",
-    survey_row=61,
-    oracle="""
-    WITH incoming AS (
-        SELECT c_custkey,
-               CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
-                    ELSE c_acctbal END AS c_acctbal
-        FROM customer WHERE c_custkey % 97 <> 0
-        UNION ALL
-        SELECT c_custkey + 1000000 AS c_custkey, c_acctbal
-        FROM customer WHERE c_custkey % 89 = 0
-    )
-    SELECT coalesce(cur.c_custkey, inc.c_custkey) AS c_custkey,
-           CASE WHEN cur.c_custkey IS NULL THEN 'insert'
-                WHEN inc.c_custkey IS NULL THEN 'delete'
-                WHEN cur.c_acctbal <> inc.c_acctbal THEN 'update'
-                ELSE 'unchanged' END AS change_type,
-           cur.c_acctbal AS old_bal,
-           inc.c_acctbal AS new_bal
-    FROM customer cur FULL OUTER JOIN incoming inc
-      ON cur.c_custkey = inc.c_custkey
-    """,
-)
-def cat_scd2_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snapshot change-capture (the SCD2 / MERGE prelude a catalog
-    runs on every collection cycle): full-outer-join yesterday's
-    snapshot against today's, classifying every key as insert /
-    delete / update / unchanged. The incoming snapshot is derived
-    deterministically from the fixture (bump %7 keys, drop %97 keys,
-    add new %89 keys) so both engines diff identical inputs. At scale
-    both snapshots are bucketed on the business key, making the diff
-    a co-located merge with no shuffle."""
-    cur = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    k = F.col("c_custkey")
-    inc = (
-        cur.filter(k % 97 != 0)
-        .select(
-            "c_custkey",
-            F.when(k % 7 == 0, F.col("c_acctbal") + 100)
-            .otherwise(F.col("c_acctbal"))
-            .alias("c_acctbal"),
-        )
-        .unionAll(
-            cur.filter(k % 89 == 0).select(
-                (k + 1000000).alias("c_custkey"), "c_acctbal"
-            )
-        )
-    )
-    cur_a, inc_a = cur.alias("cur"), inc.alias("inc")
-    return cur_a.join(
-        inc_a, F.col("cur.c_custkey") == F.col("inc.c_custkey"), "full"
-    ).select(
-        F.coalesce(F.col("cur.c_custkey"), F.col("inc.c_custkey")).alias(
-            "c_custkey"
-        ),
-        F.when(F.col("cur.c_custkey").isNull(), "insert")
-        .when(F.col("inc.c_custkey").isNull(), "delete")
-        .when(F.col("cur.c_acctbal") != F.col("inc.c_acctbal"), "update")
-        .otherwise("unchanged")
-        .alias("change_type"),
-        F.col("cur.c_acctbal").alias("old_bal"),
-        F.col("inc.c_acctbal").alias("new_bal"),
     )
 
 
@@ -721,48 +314,6 @@ def cat_metastore_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(col_rollup, "cd_id")
         .join(counts, "table_name")
         .select("db_name", "table_name", "storage_format", "n_columns", "n_rows")
-    )
-
-
-@register(
-    "cat_partition_listing",
-    survey_row=63,
-    oracle="""
-    SELECT ts::DATE AS event_date, count(*) AS n_rows
-    FROM events
-    WHERE ts::DATE BETWEEN DATE '2024-01-05' AND DATE '2024-01-25'
-    GROUP BY 1
-    """,
-)
-def cat_partition_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PARTITION_KEY_VALS-style partition inventory: write the event
-    stream date-partitioned (one directory per day), read it back, and
-    list one row per partition with its row count — the partition
-    values come from DIRECTORY DISCOVERY (Spark's partition-column
-    reconstruction), not from the data pages, which is exactly where a
-    catalog's partition listing comes from in a Hive layout. The date
-    range predicate prunes at the listing level (PartitionFilters), so
-    the scan never opens out-of-range directories; the oracle
-    re-derives the same inventory from the raw stream."""
-    import os as _os
-
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "event_date", F.to_date("ts")
-    )
-    repo_root = _os.path.dirname(
-        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    )
-    target = _os.path.join(
-        repo_root,
-        ".scratch",
-        f"part_listing_{_os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    ev.write.mode("overwrite").partitionBy("event_date").parquet(target)
-    back = spark.read.parquet(target)
-    return (
-        back.filter(F.col("event_date").between("2024-01-05", "2024-01-25"))
-        .groupBy("event_date")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
     )
 
 
@@ -868,121 +419,6 @@ def cat_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return agg.select(F.explode(profile).alias("p")).select("p.*")
-
-
-_PR_ITERS = 5
-_PR_DAMP = 0.85
-
-
-def _pagerank_oracle() -> str:
-    """Chained-CTE power iteration (the iteration count is a fixed
-    engine parameter, so the oracle unrolls it instead of fighting
-    recursive-CTE aggregation limits)."""
-    parts = [
-        """
-    edges AS MATERIALIZED (
-        SELECT DISTINCT src, dst FROM (
-            SELECT event_type AS src,
-                   lead(event_type) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id) AS dst
-            FROM events
-        ) WHERE dst IS NOT NULL AND dst <> src
-    ),
-    nodes AS MATERIALIZED (
-        SELECT src AS node FROM edges
-        UNION SELECT dst FROM edges
-    ),
-    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
-    outdeg AS MATERIALIZED (
-        SELECT src, count(*)::DOUBLE AS deg FROM edges GROUP BY src
-    ),
-    r0 AS (SELECT node, 1.0 / n AS rank FROM nodes, nn)"""
-    ]
-    for i in range(1, _PR_ITERS + 1):
-        parts.append(f""",
-    r{i} AS (
-        SELECT nodes.node,
-               (1.0 - {_PR_DAMP}) / nn.n +
-               {_PR_DAMP} * coalesce(sum(r{i - 1}.rank / outdeg.deg), 0.0)
-                   AS rank
-        FROM nodes CROSS JOIN nn
-        LEFT JOIN edges ON edges.dst = nodes.node
-        LEFT JOIN outdeg ON outdeg.src = edges.src
-        LEFT JOIN r{i - 1} ON r{i - 1}.node = edges.src
-        GROUP BY nodes.node, nn.n
-    )""")
-    parts.append(f"""
-    SELECT node AS entity, round(rank, 8) AS pagerank
-    FROM r{_PR_ITERS}""")
-    return "WITH " + "".join(parts)
-
-
-@register("cat_lineage_pagerank", survey_row=66, oracle=_pagerank_oracle())
-def cat_lineage_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the entity-transition lineage graph — the
-    "table importance" score a catalog ranks search results and
-    deprecation candidates by. Edges are consecutive-event
-    transitions per user (event_type → next event_type), the same
-    query-flow signal a metastore's audit log yields.
-
-    Power iteration as a fixed driver loop of distributed joins (the
-    loop builds plans, never moves rows — same idiom as
-    cat_lineage_closure): each of the 5 iterations is one
-    edges⋈ranks join + a per-dst partial-agg sum. The rank and
-    degree frames are |V|-bounded — broadcast-size at any corpus
-    scale, since V is the table/entity population, not the event
-    volume; only the one-time edge derivation scans the 100 TB event
-    stream (window over (user, ts), then DISTINCT collapses it to
-    |V|² max). No dangling-mass redistribution on either side (sinks
-    leak rank identically in engine and oracle, so scores still
-    match)."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    trans = ev.select(
-        F.col("event_type").alias("src"),
-        F.lead("event_type").over(w).alias("dst"),
-    )
-    edges = (
-        trans.filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
-        .distinct()
-    )
-    edges = edges.localCheckpoint(eager=False)
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select("dst"))
-        .distinct()
-    )
-    n_nodes = nodes.count()  # |V| scalar: bounds the loop's frames, O(1) result
-    if n_nodes == 0:
-        # Degenerate graph (no transitions, e.g. a single event type):
-        # no nodes, no ranks — mirror the oracle's empty result.
-        return nodes.select(
-            F.col("node").alias("entity"), F.lit(0.0).alias("pagerank")
-        )
-    outdeg = edges.groupBy("src").agg(
-        F.count(F.lit(1)).cast("double").alias("deg")
-    )
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
-    for _ in range(_PR_ITERS):
-        contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(outdeg, "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("inflow"))
-        )
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - _PR_DAMP) / n_nodes)
-                    + F.lit(_PR_DAMP) * F.coalesce("inflow", F.lit(0.0))
-                ).alias("rank"),
-            )
-        )
-    return ranks.select(
-        F.col("node").alias("entity"), F.round("rank", 8).alias("pagerank")
-    )
 
 
 def diff_frames(
@@ -1093,1202 +529,6 @@ def cat_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "cat_partition_skew_report",
-    survey_row=63,
-    oracle="""
-    WITH d AS (
-        SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n_rows
-        FROM events GROUP BY 1
-    ),
-    t AS (SELECT sum(n_rows) AS tot, avg(n_rows) AS av FROM d)
-    SELECT day, n_rows,
-           round(n_rows / tot, 6) AS share,
-           round(n_rows / av, 4) AS ratio_to_avg
-    FROM d, t
-    """,
-)
-def cat_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partition-skew detector: per-day row counts of the event table
-    with each day's share of total and ratio to the mean — the report
-    that tells an operator which date partitions will straggle (a
-    ratio_to_avg ≫ 1 partition is the task that runs 10× longer than
-    the median at 100 TB, the trigger for salting / AQE skew-join).
-    One partial-aggregated shuffle on day; the totals frame is one row
-    and broadcast into the join — no global window sort."""
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.count(F.lit(1)).alias("n_rows")
-    )
-    totals = daily.agg(
-        F.sum("n_rows").cast("double").alias("tot"),
-        F.avg("n_rows").alias("av"),
-    )
-    return daily.crossJoin(F.broadcast(totals)).select(
-        "day",
-        "n_rows",
-        F.round(F.col("n_rows") / F.col("tot"), 6).alias("share"),
-        F.round(F.col("n_rows") / F.col("av"), 4).alias("ratio_to_avg"),
-    )
-
-
-@register(
-    "cat_lineage_sql",
-    survey_row=66,
-    oracle="""
-    WITH q AS (
-        SELECT event_id,
-               CASE WHEN event_id % 4 = 1
-                    THEN 'WITH tmp_' || (user_id % 3) ||
-                         ' AS (SELECT * FROM staging_' || (event_id % 6) ||
-                         ') '
-                    ELSE '' END ||
-               CASE WHEN event_id % 4 = 0
-                    THEN 'INSERT OVERWRITE TABLE mart_'
-                    ELSE 'INSERT INTO mart_' END || event_type ||
-               CASE WHEN event_id % 4 = 1
-                    THEN ' SELECT * FROM tmp_' || (user_id % 3)
-                    WHEN event_id % 4 = 2
-                    THEN ' SELECT * FROM (SELECT * FROM inner_' ||
-                         (user_id % 5) || ') s'
-                    WHEN event_id % 4 = 3 AND user_id % 2 = 0
-                    THEN ' SELECT * FROM "raw_' || (user_id % 7) || '"'
-                    WHEN event_id % 4 = 3
-                    THEN ' SELECT * FROM `raw_' || (user_id % 7) || '`'
-                    WHEN event_id % 8 = 0
-                    THEN ' SELECT * FROM dwh_' || (event_id % 3) ||
-                         '.raw_' || (user_id % 7)
-                    ELSE ' SELECT * FROM raw_' || (user_id % 7) END ||
-               CASE WHEN event_id % 3 >= 1
-                    THEN ' JOIN dim_' || (event_id % 5) || ' ON a.k = b.k'
-                    ELSE '' END ||
-               CASE WHEN event_id % 3 = 2
-                    THEN ' JOIN ' ||
-                         CASE WHEN event_id % 2 = 0
-                              THEN 'analytics_db.ref_' || (user_id % 3)
-                              ELSE 'raw_' || (user_id % 7) END ||
-                         ' ON b.k = c.k'
-                    ELSE '' END AS sql_text
-        FROM events
-    ),
-    e AS (
-        SELECT event_id,
-               regexp_extract(sql_text,
-                   'INSERT (?:INTO|OVERWRITE TABLE) `?([a-z0-9_]+)`?', 1)
-                   AS dst_table,
-               regexp_extract_all(sql_text,
-                   '(?:WITH|,) ([a-z0-9_]+) AS \\(', 1) AS cte_aliases,
-               unnest(regexp_extract_all(sql_text,
-                   '(?:FROM|JOIN) ([a-z0-9_."`]+)', 1)) AS tok
-        FROM q
-    ),
-    s AS (
-        SELECT event_id, dst_table, cte_aliases,
-               CASE WHEN contains(translate(tok, '`"', ''), '.')
-                    THEN string_split(translate(tok, '`"', ''), '.')[1]
-                    ELSE 'default' END AS src_db,
-               CASE WHEN contains(translate(tok, '`"', ''), '.')
-                    THEN string_split(translate(tok, '`"', ''), '.')[2]
-                    ELSE translate(tok, '`"', '') END AS src_table
-        FROM e
-    )
-    SELECT dst_table, src_db, src_table,
-           count(DISTINCT event_id)::BIGINT AS n_queries,
-           count(*)::BIGINT AS n_refs
-    FROM s
-    WHERE NOT (list_contains(cte_aliases, src_table)
-               AND src_db = 'default')
-    GROUP BY dst_table, src_db, src_table
-    """,
-)
-def cat_lineage_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Table-level lineage parsed FROM SQL TEXT — the collector-class
-    derived artifact: a query log of `INSERT INTO dst SELECT ... FROM
-    src [JOIN src2 ...]` statements is parsed into (dst_table,
-    src_table) edges with per-edge query/reference counts, the edge
-    list the closure/pagerank lineage ops consume. The fixture stream
-    carries no SQL, so a deterministic statement is synthesized per
-    event in BOTH engines (the text_pii_redact pattern). The round-7
-    grammar (r6 verdict item 6, extending r5 item 3) covers what
-    real collector query logs actually contain: `WITH x AS (...)`
-    CTEs (the alias must NOT be emitted as a source — but the table
-    inside the CTE body must), `INSERT OVERWRITE TABLE`,
-    backtick-quoted AND ANSI double-quoted identifiers,
-    DB-QUALIFIED names (`dwh_N.raw_K` in FROM, `analytics_db.ref_K`
-    in JOIN — normalized by splitting the db prefix into its own
-    src_db column, 'default' when unqualified, so `db.t` and `t`
-    resolve to DISTINCT sources), derived tables `FROM (SELECT ...)
-    s` (the subquery alias never matches the FROM/JOIN-anchored
-    pattern, the inner table does), plus the original 0/1/2-join and
-    self-referencing-JOIN shapes. The parser: regexp_extract for the
-    INSERT target, regexp_extract_all group-1 over FROM/JOIN tokens,
-    translate() to strip both quote styles, split() for the db
-    prefix, a per-statement CTE-alias array, and an `array_contains`
-    anti-filter removing only UNQUALIFIED alias refs (a CTE alias
-    cannot be db-qualified) — all Java∩RE2-dialect, all row-local. Synthesis, parse, explode and
-    the alias filter are narrow whole-stage-codegen stages that
-    inherit the scan's partitioning; the single shuffle is the final
-    groupBy on the edge key, carrying |edges| rows, not |queries| —
-    at 100 TB of query log the reduce side is bounded by the
-    catalog's table-pair count. Plan-asserted: no Exchange before
-    the edge agg, no Python."""
-    ev = load_table(spark, sf_dir, "events")
-    u = F.col("user_id")
-    eid = F.col("event_id")
-    join2_table = F.when(
-        eid % 2 == 0,
-        F.concat(F.lit("analytics_db.ref_"), (u % 3).cast("string")),
-    ).otherwise(F.concat(F.lit("raw_"), (u % 7).cast("string")))
-    sql_text = F.concat(
-        F.when(
-            eid % 4 == 1,
-            F.concat(
-                F.lit("WITH tmp_"),
-                (u % 3).cast("string"),
-                F.lit(" AS (SELECT * FROM staging_"),
-                (eid % 6).cast("string"),
-                F.lit(") "),
-            ),
-        ).otherwise(""),
-        F.when(eid % 4 == 0, F.lit("INSERT OVERWRITE TABLE mart_")).otherwise(
-            F.lit("INSERT INTO mart_")
-        ),
-        F.col("event_type"),
-        F.when(
-            eid % 4 == 1,
-            F.concat(F.lit(" SELECT * FROM tmp_"), (u % 3).cast("string")),
-        )
-        .when(
-            eid % 4 == 2,
-            F.concat(
-                F.lit(" SELECT * FROM (SELECT * FROM inner_"),
-                (u % 5).cast("string"),
-                F.lit(") s"),
-            ),
-        )
-        .when(
-            (eid % 4 == 3) & (u % 2 == 0),
-            F.concat(
-                F.lit(' SELECT * FROM "raw_'),
-                (u % 7).cast("string"),
-                F.lit('"'),
-            ),
-        )
-        .when(
-            eid % 4 == 3,
-            F.concat(
-                F.lit(" SELECT * FROM `raw_"),
-                (u % 7).cast("string"),
-                F.lit("`"),
-            ),
-        )
-        .when(
-            eid % 8 == 0,
-            F.concat(
-                F.lit(" SELECT * FROM dwh_"),
-                (eid % 3).cast("string"),
-                F.lit(".raw_"),
-                (u % 7).cast("string"),
-            ),
-        )
-        .otherwise(
-            F.concat(F.lit(" SELECT * FROM raw_"), (u % 7).cast("string"))
-        ),
-        F.when(
-            eid % 3 >= 1,
-            F.concat(
-                F.lit(" JOIN dim_"),
-                (eid % 5).cast("string"),
-                F.lit(" ON a.k = b.k"),
-            ),
-        ).otherwise(""),
-        F.when(
-            eid % 3 == 2,
-            F.concat(F.lit(" JOIN "), join2_table, F.lit(" ON b.k = c.k")),
-        ).otherwise(""),
-    )
-    q = ev.select("event_id", sql_text.alias("sql_text"))
-    toks = q.select(
-        "event_id",
-        F.regexp_extract(
-            "sql_text", r"INSERT (?:INTO|OVERWRITE TABLE) `?([a-z0-9_]+)`?", 1
-        ).alias("dst_table"),
-        F.regexp_extract_all(
-            "sql_text", F.lit(r"(?:WITH|,) ([a-z0-9_]+) AS \("), 1
-        ).alias("cte_aliases"),
-        F.explode(
-            F.regexp_extract_all(
-                "sql_text", F.lit(r'(?:FROM|JOIN) ([a-z0-9_."`]+)'), 1
-            )
-        ).alias("tok"),
-    )
-    # normalize: strip both quote styles, split an optional db prefix
-    # into its own column ('default' when unqualified) — db.t and t
-    # are DISTINCT sources
-    clean = F.translate(F.col("tok"), '`"', "")
-    parts = F.split(clean, r"\.")
-    edges = toks.select(
-        "event_id",
-        "dst_table",
-        "cte_aliases",
-        F.when(F.size(parts) == 2, parts[0])
-        .otherwise(F.lit("default"))
-        .alias("src_db"),
-        F.element_at(parts, -1).alias("src_table"),
-    ).filter(
-        ~(
-            F.array_contains(F.col("cte_aliases"), F.col("src_table"))
-            & (F.col("src_db") == "default")
-        )
-    )
-    return edges.groupBy("dst_table", "src_db", "src_table").agg(
-        F.countDistinct("event_id").alias("n_queries"),
-        F.count(F.lit(1)).cast("long").alias("n_refs"),
-    )
-
-
-@register(
-    "cat_merge_upsert",
-    survey_row=61,
-    oracle="""
-    WITH b AS (SELECT min(event_type) AS lo, max(event_type) AS hi
-               FROM events),
-    prev AS (
-        SELECT event_type, count(*)::BIGINT AS n
-        FROM events
-        WHERE (event_id % 3 <> 0 OR event_type >= 'p')
-          AND event_type <> (SELECT lo FROM b)
-        GROUP BY event_type
-    ),
-    cur AS (
-        SELECT event_type, count(*)::BIGINT AS n
-        FROM events
-        WHERE event_type <> (SELECT hi FROM b)
-        GROUP BY event_type
-    )
-    SELECT coalesce(c.event_type, p.event_type) AS event_type,
-           coalesce(c.n, p.n)::BIGINT AS n,
-           CASE WHEN p.event_type IS NULL THEN 'insert'
-                WHEN c.event_type IS NULL THEN 'keep'
-                ELSE 'update' END AS action
-    FROM prev p FULL OUTER JOIN cur c ON p.event_type = c.event_type
-    """,
-)
-def cat_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGE/upsert semantics for the reporting store (round-4
-    verdict "what's missing" item 4: `cat_scd2_diff` /
-    `cat_snapshot_diff` compute the diff, but no operator APPLIED
-    it). Classic warehouse MERGE over the same two deterministic
-    inventory snapshots cat_snapshot_diff uses: source rows matched
-    in the target are UPDATEd to the source value, unmatched source
-    rows are INSERTed, and target rows absent from the source are
-    KEPT (upsert — not the full-sync overwrite, whose result would
-    trivially equal the source). The output is the post-MERGE target
-    with a per-row action audit column — distinguishable from both
-    inputs, which is what makes the semantics checkable. Relationally
-    this is one full-outer join on the merge key + a row-local
-    resolver — exactly the reduce Delta/Iceberg `MERGE INTO` runs
-    under the hood; at 100 TB both sides shuffle once on the key (or
-    zero times if the report store is bucketed on it, the
-    join_bucketed_colocated pattern)."""
-    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
-    bounds = ev.agg(
-        F.min("event_type").alias("lo"), F.max("event_type").alias("hi")
-    )
-    et = F.col("event_type")
-    prev = (
-        ev.filter((F.col("event_id") % 3 != 0) | (et >= "p"))
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .join(F.broadcast(bounds), et != F.col("lo"))
-        .select(
-            F.col("event_type").alias("p_key"), F.col("n").alias("p_n")
-        )
-    )
-    cur = (
-        ev.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .join(F.broadcast(bounds), et != F.col("hi"))
-        .select(
-            F.col("event_type").alias("c_key"), F.col("n").alias("c_n")
-        )
-    )
-    merged = prev.join(
-        cur, prev["p_key"] == cur["c_key"], "full_outer"
-    )
-    return merged.select(
-        F.coalesce("c_key", "p_key").alias("event_type"),
-        F.coalesce("c_n", "p_n").alias("n"),
-        F.when(F.col("p_key").isNull(), "insert")
-        .when(F.col("c_key").isNull(), "keep")
-        .otherwise("update")
-        .alias("action"),
-    )
-
-
-@register("cat_storage_size", survey_row=61, oracle=None)
-def cat_storage_size(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Storage-size enrichment (round-4 verdict "what's missing" item
-    3): the collector pass that feeds `TABLE_PARAMS.totalSize` /
-    `numFiles` analogs by statting the warehouse filesystem rather
-    than trusting stale metastore params. Spark-native: the
-    `binaryFile` datasource lists and stats files through the Hadoop
-    FileSystem API with a distributed InMemoryFileIndex — selecting
-    only (path, length) prunes the content column, so no file BYTES
-    are ever read (plan-asserted in tests) — then one tiny groupBy on
-    the table name parsed from the path. At 100 TB the same plan
-    walks millions of files in parallel executors; this is the
-    HDFS-du enrichment path a metastore collector actually runs.
-    No SQL oracle: the oracle string is static but the file paths are
-    per-sf_dir runtime parameters, so correctness is engine-tested
-    instead (tests/test_edge_cases.py asserts byte-exact totals vs
-    os.stat and file counts vs the directory listing)."""
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.parquet")
-        .option("recursiveFileLookup", "true")
-        .load(sf_dir)
-        .select("path", "length")
-    )
-    # Two warehouse layouts exist: single-file tables
-    # (`<dir>/lineitem.parquet`) and directory tables
-    # (`<dir>/lineitem.parquet/part-00.parquet`, the multi-file shape
-    # tools/make_sf10x.py writes). The table name is the LAST
-    # `<name>.parquet` path component whose stem is bare [a-z_] — for
-    # directory tables that is the directory (part files carry digits/
-    # hyphens and never match), for single files the file itself.
-    return (
-        files.groupBy(
-            F.regexp_extract("path", r"/([a-z_]+)\.parquet(/|$)", 1).alias(
-                "table_name"
-            )
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_files"),
-            F.sum("length").alias("total_bytes"),
-        )
-        .orderBy("table_name")
-    )
-
-
-@register(
-    "cat_lineage_sql_columns",
-    survey_row=66,
-    oracle="""
-    WITH q AS (
-        SELECT event_id,
-               CASE WHEN event_id % 4 = 1
-                    THEN 'WITH cte_' || (user_id % 3) ||
-                         ' AS (SELECT * FROM base_' || (event_id % 6) ||
-                         ') '
-                    ELSE '' END ||
-               CASE WHEN event_id % 4 = 0
-                    THEN 'INSERT OVERWRITE TABLE mart_'
-                    ELSE 'INSERT INTO mart_' END || event_type ||
-               ' SELECT ' ||
-               CASE WHEN event_id % 4 = 1 THEN 't' ELSE 'r' END ||
-               '.col_' || (user_id % 4) ||
-               CASE WHEN event_id % 3 >= 1
-                    THEN ', d.col_' || (4 + event_id % 3)
-                    ELSE '' END ||
-               ' FROM ' ||
-               CASE WHEN event_id % 4 = 1
-                    THEN 'cte_' || (user_id % 3) || ' t'
-                    WHEN event_id % 4 = 3 AND user_id % 2 = 0
-                    THEN '"raw_' || (user_id % 7) || '" r'
-                    WHEN event_id % 4 = 3
-                    THEN '`raw_' || (user_id % 7) || '` r'
-                    WHEN event_id % 8 = 0
-                    THEN 'dwh_' || (event_id % 3) || '.raw_' ||
-                         (user_id % 7) || ' r'
-                    ELSE 'raw_' || (user_id % 7) || ' r' END ||
-               CASE WHEN event_id % 3 >= 1
-                    THEN ' JOIN dim_' || (event_id % 5) ||
-                         ' d ON r.k = d.k'
-                    ELSE '' END AS sql_text
-        FROM events
-    ),
-    al0 AS (
-        SELECT event_id,
-               unnest(regexp_extract_all(sql_text,
-                   '(?:FROM|JOIN) ([a-z0-9_."`]+) ([a-z])', 1)) AS tok,
-               unnest(regexp_extract_all(sql_text,
-                   '(?:FROM|JOIN) ([a-z0-9_."`]+) ([a-z])', 2)) AS al
-        FROM q
-    ),
-    al AS (
-        SELECT event_id, al,
-               CASE WHEN contains(translate(tok, '`"', ''), '.')
-                    THEN string_split(translate(tok, '`"', ''), '.')[1]
-                    ELSE 'default' END AS src_db,
-               CASE WHEN contains(translate(tok, '`"', ''), '.')
-                    THEN string_split(translate(tok, '`"', ''), '.')[2]
-                    ELSE translate(tok, '`"', '') END AS src_table
-        FROM al0
-    ),
-    ct AS (
-        SELECT event_id,
-               regexp_extract(sql_text,
-                   'WITH ([a-z0-9_]+) AS \\(SELECT [*] FROM ([a-z0-9_]+)\\)',
-                   1) AS cte_alias,
-               regexp_extract(sql_text,
-                   'WITH ([a-z0-9_]+) AS \\(SELECT [*] FROM ([a-z0-9_]+)\\)',
-                   2) AS cte_src
-        FROM q
-    ),
-    cr AS (
-        SELECT event_id,
-               regexp_extract(sql_text,
-                   'INSERT (?:INTO|OVERWRITE TABLE) ([a-z0-9_]+)', 1)
-                   AS dst_table,
-               unnest(regexp_extract_all(sql_text,
-                   '([a-z])[.](col_[0-9]+)', 1)) AS al,
-               unnest(regexp_extract_all(sql_text,
-                   '([a-z])[.](col_[0-9]+)', 2)) AS column_name
-        FROM q
-    )
-    SELECT cr.dst_table,
-           al.src_db,
-           coalesce(ct.cte_src, al.src_table) AS src_table,
-           cr.column_name,
-           count(DISTINCT cr.event_id)::BIGINT AS n_queries
-    FROM cr
-    JOIN al ON cr.event_id = al.event_id AND cr.al = al.al
-    LEFT JOIN ct ON al.event_id = ct.event_id
-                AND al.src_table = ct.cte_alias
-                AND al.src_db = 'default'
-    GROUP BY cr.dst_table, al.src_db,
-             coalesce(ct.cte_src, al.src_table), cr.column_name
-    """,
-)
-def cat_lineage_sql_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COLUMN-level lineage parsed from SQL text — one resolution
-    level deeper than cat_lineage_sql's table edges: qualified column
-    references (`r.col_3`) in the SELECT list are matched to their
-    source tables through the statement's own alias map (`FROM raw_N
-    r JOIN dim_M d`), yielding (dst_table, src_table, column) edges.
-    The resolver is fully relational: two regexp_extract_all passes
-    (group 1 / group 2 of the same pattern) zipped into
-    (alias, table) and (alias, column) pair streams, exploded, then
-    one equi-join on (query_id, alias) — no per-row Python, no SQL
-    parser library; the Java∩RE2 dialect keeps both engines
-    tokenizing identically. Round-7 grammar (r6 verdict item 6,
-    extending r5 item 3): `INSERT OVERWRITE TABLE`, backtick-quoted
-    AND ANSI double-quoted table names, DB-QUALIFIED names
-    (`dwh_N.raw_K r` — the db prefix is normalized into its own
-    src_db column, 'default' when unqualified, so `db.t` and `t`
-    are distinct sources), and a CTE shape — a column ref whose
-    alias binds to a `WITH x AS (SELECT * FROM base)` CTE resolves
-    THROUGH the CTE to the underlying table (one extra left join
-    against the per-statement CTE map, guarded on src_db='default'
-    since a CTE alias cannot be db-qualified; the CTE alias itself
-    never appears as a source). Scale: the
-    alias map, CTE map and column-ref streams are all ~O(refs per
-    query); the resolver joins partition on query_id (synthetic
-    statements here, the audit-log query text in a live deployment),
-    and the final edge agg carries |dst × src × column|,
-    catalog-bounded."""
-    ev = load_table(spark, sf_dir, "events")
-    u = F.col("user_id")
-    eid = F.col("event_id")
-    sql_text = F.concat(
-        F.when(
-            eid % 4 == 1,
-            F.concat(
-                F.lit("WITH cte_"),
-                (u % 3).cast("string"),
-                F.lit(" AS (SELECT * FROM base_"),
-                (eid % 6).cast("string"),
-                F.lit(") "),
-            ),
-        ).otherwise(""),
-        F.when(eid % 4 == 0, F.lit("INSERT OVERWRITE TABLE mart_")).otherwise(
-            F.lit("INSERT INTO mart_")
-        ),
-        F.col("event_type"),
-        F.lit(" SELECT "),
-        F.when(eid % 4 == 1, F.lit("t")).otherwise(F.lit("r")),
-        F.lit(".col_"),
-        (u % 4).cast("string"),
-        F.when(
-            eid % 3 >= 1,
-            F.concat(F.lit(", d.col_"), (4 + eid % 3).cast("string")),
-        ).otherwise(""),
-        F.lit(" FROM "),
-        F.when(
-            eid % 4 == 1,
-            F.concat(F.lit("cte_"), (u % 3).cast("string"), F.lit(" t")),
-        )
-        .when(
-            (eid % 4 == 3) & (u % 2 == 0),
-            F.concat(F.lit('"raw_'), (u % 7).cast("string"), F.lit('" r')),
-        )
-        .when(
-            eid % 4 == 3,
-            F.concat(F.lit("`raw_"), (u % 7).cast("string"), F.lit("` r")),
-        )
-        .when(
-            eid % 8 == 0,
-            F.concat(
-                F.lit("dwh_"),
-                (eid % 3).cast("string"),
-                F.lit(".raw_"),
-                (u % 7).cast("string"),
-                F.lit(" r"),
-            ),
-        )
-        .otherwise(
-            F.concat(F.lit("raw_"), (u % 7).cast("string"), F.lit(" r"))
-        ),
-        F.when(
-            eid % 3 >= 1,
-            F.concat(
-                F.lit(" JOIN dim_"),
-                (eid % 5).cast("string"),
-                F.lit(" d ON r.k = d.k"),
-            ),
-        ).otherwise(""),
-    )
-    q = ev.select("event_id", sql_text.alias("sql_text"))
-    alias_pat = r'(?:FROM|JOIN) ([a-z0-9_."`]+) ([a-z])'
-    cte_pat = r"WITH ([a-z0-9_]+) AS \(SELECT [*] FROM ([a-z0-9_]+)\)"
-    col_pat = r"([a-z])[.](col_[0-9]+)"
-    tok_clean = F.translate(F.col("z.tok"), '`"', "")
-    tok_parts = F.split(tok_clean, r"\.")
-    aliases = q.select(
-        "event_id",
-        F.explode(
-            F.arrays_zip(
-                F.regexp_extract_all("sql_text", F.lit(alias_pat), 1).alias(
-                    "tok"
-                ),
-                F.regexp_extract_all("sql_text", F.lit(alias_pat), 2).alias(
-                    "al"
-                ),
-            )
-        ).alias("z"),
-    ).select(
-        "event_id",
-        F.when(F.size(tok_parts) == 2, tok_parts[0])
-        .otherwise(F.lit("default"))
-        .alias("src_db"),
-        F.element_at(tok_parts, -1).alias("src_table"),
-        F.col("z.al"),
-    )
-    ctes = q.select(
-        "event_id",
-        F.regexp_extract("sql_text", cte_pat, 1).alias("cte_alias"),
-        F.regexp_extract("sql_text", cte_pat, 2).alias("cte_src"),
-    )
-    colrefs = q.select(
-        "event_id",
-        F.regexp_extract(
-            "sql_text", r"INSERT (?:INTO|OVERWRITE TABLE) ([a-z0-9_]+)", 1
-        ).alias("dst_table"),
-        F.explode(
-            F.arrays_zip(
-                F.regexp_extract_all("sql_text", F.lit(col_pat), 1).alias(
-                    "al"
-                ),
-                F.regexp_extract_all("sql_text", F.lit(col_pat), 2).alias(
-                    "column_name"
-                ),
-            )
-        ).alias("z"),
-    ).select("event_id", "dst_table", F.col("z.al"), F.col("z.column_name"))
-    resolved = colrefs.join(aliases, ["event_id", "al"]).join(
-        ctes.withColumnRenamed("event_id", "cte_event_id"),
-        (F.col("event_id") == F.col("cte_event_id"))
-        & (F.col("src_table") == F.col("cte_alias"))
-        & (F.col("src_db") == "default"),
-        "left",
-    )
-    return (
-        resolved.select(
-            "event_id",
-            "dst_table",
-            "src_db",
-            F.coalesce("cte_src", "src_table").alias("src_table_resolved"),
-            "column_name",
-        )
-        .groupBy(
-            "dst_table",
-            "src_db",
-            F.col("src_table_resolved").alias("src_table"),
-            "column_name",
-        )
-        .agg(F.countDistinct("event_id").alias("n_queries"))
-    )
-
-
-@register(
-    "cat_scd2_apply",
-    survey_row=61,
-    oracle="""
-    WITH incoming AS (
-        SELECT c_custkey,
-               CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
-                    ELSE c_acctbal END AS c_acctbal
-        FROM customer WHERE c_custkey % 97 <> 0
-        UNION ALL
-        SELECT c_custkey + 1000000 AS c_custkey, c_acctbal
-        FROM customer WHERE c_custkey % 89 = 0
-    ),
-    diff AS (
-        SELECT coalesce(cur.c_custkey, inc.c_custkey) AS c_custkey,
-               CASE WHEN cur.c_custkey IS NULL THEN 'insert'
-                    WHEN inc.c_custkey IS NULL THEN 'delete'
-                    WHEN cur.c_acctbal <> inc.c_acctbal THEN 'update'
-                    ELSE 'unchanged' END AS change_type,
-               cur.c_acctbal AS old_bal,
-               inc.c_acctbal AS new_bal
-        FROM customer cur FULL OUTER JOIN incoming inc
-          ON cur.c_custkey = inc.c_custkey
-    )
-    SELECT c_custkey, old_bal AS c_acctbal,
-           DATE '2024-01-01' AS valid_from,
-           DATE '2024-06-01' AS valid_to, FALSE AS is_current
-    FROM diff WHERE change_type IN ('update', 'delete')
-    UNION ALL
-    SELECT c_custkey, old_bal, DATE '2024-01-01', NULL, TRUE
-    FROM diff WHERE change_type = 'unchanged'
-    UNION ALL
-    SELECT c_custkey, new_bal, DATE '2024-06-01', NULL, TRUE
-    FROM diff WHERE change_type IN ('update', 'insert')
-    """,
-)
-def cat_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD TYPE-2 APPLY — the maintenance step cat_scd2_diff is the
-    prelude to: the classified change set is turned into the new
-    slowly-changing-dimension state with validity intervals —
-    updates/deletes CLOSE the old version (valid_to = batch date,
-    is_current = false), updates/inserts OPEN a new current version,
-    unchanged keys keep their open row. One pass over the diff: each
-    row emits its 0–2 versions through a row-local array-of-structs
-    explode (no re-scan per branch, unlike the oracle's triple-UNION
-    shape — same rows, one join instead of three). With both
-    snapshots bucketed on the business key this is the shuffle-free
-    co-located merge every warehouse dimension load runs; batch/epoch
-    dates are deterministic literals so both engines emit identical
-    intervals."""
-    cur = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    k = F.col("c_custkey")
-    inc = (
-        cur.filter(k % 97 != 0)
-        .select(
-            "c_custkey",
-            F.when(k % 7 == 0, F.col("c_acctbal") + 100)
-            .otherwise(F.col("c_acctbal"))
-            .alias("c_acctbal"),
-        )
-        .unionAll(
-            cur.filter(k % 89 == 0).select(
-                (k + 1000000).alias("c_custkey"), "c_acctbal"
-            )
-        )
-    )
-    cur_a, inc_a = cur.alias("cur"), inc.alias("inc")
-    ct = (
-        F.when(F.col("cur.c_custkey").isNull(), "insert")
-        .when(F.col("inc.c_custkey").isNull(), "delete")
-        .when(F.col("cur.c_acctbal") != F.col("inc.c_acctbal"), "update")
-        .otherwise("unchanged")
-    )
-    diff = cur_a.join(
-        inc_a, F.col("cur.c_custkey") == F.col("inc.c_custkey"), "full"
-    ).select(
-        F.coalesce(F.col("cur.c_custkey"), F.col("inc.c_custkey")).alias(
-            "c_custkey"
-        ),
-        ct.alias("change_type"),
-        F.col("cur.c_acctbal").alias("old_bal"),
-        F.col("inc.c_acctbal").alias("new_bal"),
-    )
-    d0 = F.lit("2024-01-01").cast("date")
-    d1 = F.lit("2024-06-01").cast("date")
-    dnull = F.lit(None).cast("date")
-    ver = lambda bal, vf, vt, cur_flag: F.struct(  # noqa: E731
-        F.col(bal).alias("c_acctbal"),
-        vf.alias("valid_from"),
-        vt.alias("valid_to"),
-        F.lit(cur_flag).alias("is_current"),
-    )
-    versions = F.array(
-        F.when(
-            F.col("change_type").isin("update", "delete"),
-            ver("old_bal", d0, d1, False),
-        ),
-        F.when(F.col("change_type") == "unchanged", ver("old_bal", d0, dnull, True)),
-        F.when(
-            F.col("change_type").isin("update", "insert"),
-            ver("new_bal", d1, dnull, True),
-        ),
-    )
-    return diff.select(
-        "c_custkey",
-        F.explode(F.filter(versions, lambda x: x.isNotNull())).alias("v"),
-    ).select(
-        "c_custkey",
-        F.col("v.c_acctbal"),
-        F.col("v.valid_from"),
-        F.col("v.valid_to"),
-        F.col("v.is_current"),
-    )
-
-
-@register(
-    "cat_query_fingerprint",
-    survey_row=66,
-    oracle="""
-    WITH q AS (
-        SELECT event_id,
-               'INSERT INTO mart_' || event_type ||
-               ' SELECT * FROM raw_' || (user_id % 7) ||
-               CASE WHEN event_id % 3 >= 1
-                    THEN ' JOIN dim_' || (event_id % 5) || ' ON a.k = b.k'
-                    ELSE '' END ||
-               CASE WHEN event_id % 3 = 2
-                    THEN ' WHERE v > ' || (user_id % 100) ||
-                         ' AND tag = ''t' || (event_id % 9) || ''''
-                    ELSE '' END AS sql_text
-        FROM events
-    ),
-    tmpl AS (
-        SELECT event_id,
-               regexp_replace(
-                   regexp_replace(sql_text, '''[^'']*''', '?', 'g'),
-                   '[0-9]+', '?', 'g') AS template
-        FROM q
-    )
-    SELECT md5(template) AS template_fp,
-           min(template) AS template,
-           count(*)::BIGINT AS n_queries
-    FROM tmpl
-    GROUP BY md5(template)
-    """,
-)
-def cat_query_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Query-template fingerprinting — the workload-analysis pass a
-    collector runs on its audit log: strip literals (quoted strings
-    first, then numbers — order matters, or digits inside strings
-    survive) so the thousands of per-day query instances collapse
-    into their handful of templates, fingerprint each template (md5,
-    cross-engine identical), and count instances per template. The
-    synthesized statements carry numeric and string literals in
-    table names, predicates and tags, so normalization is genuinely
-    exercised (raw_3 → raw_?, tag = 't4' → tag = ?). Pure codegen
-    (two regexp_replace + md5) until the |templates|-bounded final
-    agg — at 100 TB of query log the reduce side is the template
-    count, typically a few thousand rows."""
-    ev = load_table(spark, sf_dir, "events")
-    sql_text = F.concat(
-        F.lit("INSERT INTO mart_"),
-        F.col("event_type"),
-        F.lit(" SELECT * FROM raw_"),
-        (F.col("user_id") % 7).cast("string"),
-        F.when(
-            F.col("event_id") % 3 >= 1,
-            F.concat(
-                F.lit(" JOIN dim_"),
-                (F.col("event_id") % 5).cast("string"),
-                F.lit(" ON a.k = b.k"),
-            ),
-        ).otherwise(""),
-        F.when(
-            F.col("event_id") % 3 == 2,
-            F.concat(
-                F.lit(" WHERE v > "),
-                (F.col("user_id") % 100).cast("string"),
-                F.lit(" AND tag = 't"),
-                (F.col("event_id") % 9).cast("string"),
-                F.lit("'"),
-            ),
-        ).otherwise(""),
-    )
-    template = F.regexp_replace(
-        F.regexp_replace(sql_text, r"'[^']*'", "?"), r"[0-9]+", "?"
-    )
-    return (
-        ev.select(template.alias("template"))
-        .groupBy(F.md5(F.encode("template", "UTF-8")).alias("template_fp"))
-        .agg(
-            F.min("template").alias("template"),
-            F.count(F.lit(1)).alias("n_queries"),
-        )
-    )
-
-
-@register(
-    "cat_tx_log_snapshot",
-    survey_row=61,
-    oracle="""
-    WITH log AS (
-        SELECT event_id,
-               CASE WHEN event_id % 4 = 3
-                    THEN '{"v":' || (event_id % 3) ||
-                         ',"remove":{"path":"part-' || (event_id % 40) ||
-                         '"}}'
-                    ELSE '{"v":' || (event_id % 3) ||
-                         ',"add":{"path":"part-' || (event_id % 40) ||
-                         '","size":' || (event_id % 1000 + 100) ||
-                         ',"rows":' || (event_id % 90 + 10) || '}}'
-               END AS line
-        FROM events
-    ),
-    acts AS (
-        SELECT event_id,
-               CAST(json_extract(line, '$.v') AS INTEGER) AS v,
-               coalesce(json_extract_string(line, '$.add.path'),
-                        json_extract_string(line, '$.remove.path'))
-                   AS path,
-               CAST(json_extract(line, '$.add.size') AS BIGINT) AS fsize,
-               CAST(json_extract(line, '$.add.rows') AS BIGINT) AS frows,
-               json_extract_string(line, '$.add.path') IS NOT NULL
-                   AS is_add
-        FROM log
-    ),
-    winners AS (
-        SELECT s.snap, a.path, a.is_add, a.fsize, a.frows,
-               row_number() OVER (
-                   PARTITION BY s.snap, a.path
-                   ORDER BY a.v DESC,
-                            (CASE WHEN a.is_add THEN 0 ELSE 1 END) DESC,
-                            a.event_id DESC) AS rn
-        FROM acts a JOIN range(0, 3) s(snap) ON a.v <= s.snap
-    )
-    SELECT snap::BIGINT AS snapshot_version,
-           (count(*) FILTER (WHERE is_add))::BIGINT AS n_files,
-           coalesce(sum(fsize) FILTER (WHERE is_add), 0)::BIGINT
-               AS total_bytes,
-           coalesce(sum(frows) FILTER (WHERE is_add), 0)::BIGINT
-               AS total_rows
-    FROM winners
-    WHERE rn = 1
-    GROUP BY snap
-    """,
-)
-def cat_tx_log_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Table-format TRANSACTION-LOG snapshot resolve (r5 verdict item
-    6) — the Delta/Iceberg metadata read a 2026-era catalog collector
-    performs: a JSON action log (add-file actions carrying
-    size/row-count stats, remove-file tombstones, one version stamp
-    per action) is parsed and the LIVE file set plus table stats are
-    reconstructed at each snapshot version. delta-spark is not
-    installable here, so a deterministic log is synthesized per event
-    in BOTH engines and the operator is the resolve itself: JSON path
-    extraction (get_json_object ≡ json_extract, all codegen), a
-    3-snapshot range join (versions ≤ snapshot), and per-(snapshot,
-    path) last-writer-wins via one max_by over the (version,
-    is_remove, event_id) order struct — remove beats add at the same
-    version, later event wins among adds — then a per-snapshot
-    rollup of the surviving adds. Exactly the Delta snapshot
-    reconstruction semantics (log replay with tombstones). Scale:
-    the snapshot dim is broadcast (|versions| rows); the one real
-    shuffle keys on (snapshot, path) — file-count bounded, never
-    row-count bounded; stats come from the log, no data files are
-    read. At 100 TB this is how you answer "how big was the table at
-    version V" without touching a single parquet footer."""
-    ev = load_table(spark, sf_dir, "events")
-    eid = F.col("event_id")
-    line = F.when(
-        eid % 4 == 3,
-        F.concat(
-            F.lit('{"v":'),
-            (eid % 3).cast("string"),
-            F.lit(',"remove":{"path":"part-'),
-            (eid % 40).cast("string"),
-            F.lit('"}}'),
-        ),
-    ).otherwise(
-        F.concat(
-            F.lit('{"v":'),
-            (eid % 3).cast("string"),
-            F.lit(',"add":{"path":"part-'),
-            (eid % 40).cast("string"),
-            F.lit('","size":'),
-            (eid % 1000 + 100).cast("string"),
-            F.lit(',"rows":'),
-            (eid % 90 + 10).cast("string"),
-            F.lit("}}"),
-        )
-    )
-    log = ev.select("event_id", line.alias("line"))
-    acts = log.select(
-        "event_id",
-        F.get_json_object("line", "$.v").cast("int").alias("v"),
-        F.coalesce(
-            F.get_json_object("line", "$.add.path"),
-            F.get_json_object("line", "$.remove.path"),
-        ).alias("path"),
-        F.get_json_object("line", "$.add.size").cast("long").alias("fsize"),
-        F.get_json_object("line", "$.add.rows").cast("long").alias("frows"),
-        F.get_json_object("line", "$.add.path").isNotNull().alias("is_add"),
-    )
-    snaps = spark.range(0, 3).select(F.col("id").cast("int").alias("snap"))
-    winners = (
-        acts.join(F.broadcast(snaps), acts["v"] <= snaps["snap"])
-        .groupBy("snap", "path")
-        .agg(
-            F.max_by(
-                F.struct("is_add", "fsize", "frows"),
-                F.struct(
-                    F.col("v"),
-                    F.when(F.col("is_add"), 0).otherwise(1).alias("rm"),
-                    F.col("event_id"),
-                ),
-            ).alias("w")
-        )
-    )
-    return (
-        winners.filter(F.col("w.is_add"))
-        .groupBy(F.col("snap").cast("long").alias("snapshot_version"))
-        .agg(
-            F.count(F.lit(1)).alias("n_files"),
-            F.sum("w.fsize").alias("total_bytes"),
-            F.sum("w.frows").alias("total_rows"),
-        )
-    )
-
-
-#: Golden REAL-format Delta transaction log (round-6 verdict item 7):
-#: hand-written but spec-conformant `_delta_log/%020d.json` files
-#: (public Delta protocol — newline-delimited JSON actions: protocol,
-#: metaData, commitInfo, add with embedded `stats` JSON, remove
-#: tombstones; the VERSION lives in the FILE NAME, not the action).
-#: Checked in under fixtures/ so the replay parses the actual action
-#: schema, not a home-grown shape.
-import pathlib as _pathlib
-
-_DELTA_LOG_DIR = str(
-    _pathlib.Path(__file__).resolve().parents[2]
-    / "fixtures"
-    / "delta_table"
-    / "_delta_log"
-)
-
-
-@register(
-    "cat_delta_log_replay",
-    survey_row=61,
-    oracle=f"""
-    WITH raw AS (
-        SELECT regexp_extract(filename, '(\\d{{20}})\\.json', 1)::BIGINT
-                   AS v,
-               line
-        FROM read_csv('{_DELTA_LOG_DIR}/*.json',
-                      columns={{'line': 'VARCHAR'}}, delim=chr(1),
-                      quote='', header=false, filename=true)
-    ),
-    acts AS (
-        SELECT v,
-               coalesce(json_extract_string(line, '$.add.path'),
-                        json_extract_string(line, '$.remove.path'))
-                   AS path,
-               json_extract_string(line, '$.add.path') IS NOT NULL
-                   AS is_add,
-               CAST(json_extract(line, '$.add.size') AS BIGINT) AS fsize,
-               CAST(json_extract(
-                        json_extract_string(line, '$.add.stats'),
-                        '$.numRecords') AS BIGINT) AS frows
-        FROM raw
-        WHERE json_extract_string(line, '$.add.path') IS NOT NULL
-           OR json_extract_string(line, '$.remove.path') IS NOT NULL
-    ),
-    ops AS (
-        SELECT v, json_extract_string(line, '$.commitInfo.operation')
-                   AS operation
-        FROM raw
-        WHERE json_extract_string(line, '$.commitInfo.operation')
-              IS NOT NULL
-    ),
-    snaps AS (SELECT DISTINCT v AS snap FROM raw),
-    winners AS (
-        SELECT s.snap, a.path, a.is_add, a.fsize, a.frows,
-               row_number() OVER (
-                   PARTITION BY s.snap, a.path
-                   ORDER BY a.v DESC,
-                            (CASE WHEN a.is_add THEN 0 ELSE 1 END) DESC)
-                   AS rn
-        FROM acts a JOIN snaps s ON a.v <= s.snap
-    )
-    SELECT w.snap AS snapshot_version,
-           o.operation,
-           (count(*) FILTER (WHERE w.is_add))::BIGINT AS n_files,
-           coalesce(sum(w.fsize) FILTER (WHERE w.is_add), 0)::BIGINT
-               AS total_bytes,
-           coalesce(sum(w.frows) FILTER (WHERE w.is_add), 0)::BIGINT
-               AS total_rows
-    FROM winners w JOIN ops o ON w.snap = o.v
-    WHERE w.rn = 1
-    GROUP BY w.snap, o.operation
-    """,
-)
-def cat_delta_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL-FORMAT Delta log replay (round-6 verdict item 7) — the
-    golden-fixture twin of `cat_tx_log_snapshot`: that op gates the
-    replay REDUCE on a synthesized log; this one pins the PARSE
-    against the actual public Delta protocol, from checked-in
-    `_delta_log/%020d.json` files written by hand to spec. What the
-    spec makes the parser handle that the synthesized shape did not:
-    (a) the commit VERSION is encoded in the file NAME, not the
-    action (input_file_name + regexp, exactly how a real log reader
-    derives it); (b) heterogeneous action lines — protocol /
-    metaData / commitInfo / add / remove — share one file, so
-    non-file actions must be filtered structurally, not assumed
-    away; (c) per-file row counts live in `add.stats`, a JSON
-    document EMBEDDED AS A STRING inside the action JSON (two-level
-    get_json_object); (d) commitInfo carries the operation name
-    joined back per snapshot. The replay itself is the
-    last-writer-wins reduce shared with the synthesized gate:
-    snapshots × actions range join on v <= snap, max_by over
-    (version, add-beats-remove-inverted) per (snap, path), rollup
-    of surviving adds. Scale: a real table's checkpoint parquet
-    replaces the full-history JSON walk, but the per-(snap, path)
-    reduce is identical; everything here is |files|-bounded — no
-    data file is ever opened."""
-    raw = (
-        spark.read.text(_DELTA_LOG_DIR + "/*.json")
-        .select(
-            F.regexp_extract(F.input_file_name(), r"(\d{20})\.json", 1)
-            .cast("long")
-            .alias("v"),
-            F.col("value").alias("line"),
-        )
-    )
-    add_path = F.get_json_object("line", "$.add.path")
-    rm_path = F.get_json_object("line", "$.remove.path")
-    acts = raw.filter(add_path.isNotNull() | rm_path.isNotNull()).select(
-        "v",
-        F.coalesce(add_path, rm_path).alias("path"),
-        add_path.isNotNull().alias("is_add"),
-        F.get_json_object("line", "$.add.size").cast("long").alias("fsize"),
-        F.get_json_object(
-            F.get_json_object("line", "$.add.stats"), "$.numRecords"
-        )
-        .cast("long")
-        .alias("frows"),
-    )
-    ops = raw.select(
-        "v",
-        F.get_json_object("line", "$.commitInfo.operation").alias(
-            "operation"
-        ),
-    ).filter(F.col("operation").isNotNull())
-    snaps = raw.select(F.col("v").alias("snap")).distinct()
-    winners = (
-        acts.join(F.broadcast(snaps), acts["v"] <= F.col("snap"))
-        .groupBy("snap", "path")
-        .agg(
-            F.max_by(
-                F.struct("is_add", "fsize", "frows"),
-                F.struct(
-                    F.col("v"),
-                    F.when(F.col("is_add"), 0).otherwise(1).alias("rm"),
-                ),
-            ).alias("w")
-        )
-    )
-    return (
-        winners.filter(F.col("w.is_add"))
-        .groupBy(F.col("snap").alias("snapshot_version"))
-        .agg(
-            F.count(F.lit(1)).alias("n_files"),
-            F.sum("w.fsize").alias("total_bytes"),
-            F.sum("w.frows").alias("total_rows"),
-        )
-        .join(
-            F.broadcast(ops.withColumnRenamed("v", "snapshot_version")),
-            "snapshot_version",
-        )
-        .select(
-            "snapshot_version",
-            "operation",
-            "n_files",
-            "total_bytes",
-            "total_rows",
-        )
-    )
-
-
-@register(
-    "cat_time_travel_read",
-    survey_row=61,
-    oracle="""
-    WITH b AS (SELECT i AS bucket FROM range(20) t(i)),
-    acts AS (
-        SELECT bucket, bucket % 3 AS v, TRUE AS is_add, 0 AS ord FROM b
-        UNION ALL
-        SELECT bucket, 2 AS v, FALSE AS is_add, 1 AS ord
-        FROM b WHERE bucket % 4 = 1
-    ),
-    live AS (
-        SELECT snap, bucket FROM (
-            SELECT s.snap, a.bucket, a.is_add,
-                   row_number() OVER (
-                       PARTITION BY s.snap, a.bucket
-                       ORDER BY a.v DESC, a.ord DESC) AS rn
-            FROM acts a JOIN range(0, 3) s(snap) ON a.v <= s.snap
-        ) w
-        WHERE rn = 1 AND is_add
-    )
-    SELECT snap::BIGINT AS snapshot_version,
-           count(*)::BIGINT AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
-    FROM orders o JOIN live l ON o.o_orderkey % 20 = l.bucket
-    GROUP BY snap
-    """,
-)
-def cat_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TIME-TRAVEL READ — the second half of the table-format story
-    (`cat_tx_log_snapshot` resolves metadata only; this op then READS
-    the table as-of each version): a 20-partition table's action log
-    (each partition added at version id%3; partitions id%4==1
-    tombstoned at version 2 — one same-version remove-beats-add tie
-    included) is replayed to the live partition set per snapshot, and
-    the data read is PRUNED to live partitions via a broadcast semi
-    structure before aggregating. Exactly how Delta/Iceberg `VERSION
-    AS OF` works: log replay → file list → pruned scan. Scale: the
-    resolve is |partitions|-sized and broadcast both into the range
-    join and onto the fact; the fact scans ONCE (all three snapshots
-    share the scan) and shuffles only the 3-group rollup — at 100 TB
-    the cost is the live-partition scan, never the log."""
-    b = spark.range(20).select(F.col("id").alias("bucket"))
-    adds = b.select(
-        "bucket",
-        (F.col("bucket") % 3).alias("v"),
-        F.lit(True).alias("is_add"),
-        F.lit(0).alias("ord"),
-    )
-    removes = b.filter(F.col("bucket") % 4 == 1).select(
-        "bucket",
-        F.lit(2).cast("long").alias("v"),
-        F.lit(False).alias("is_add"),
-        F.lit(1).alias("ord"),
-    )
-    acts = adds.unionByName(removes)
-    snaps = spark.range(0, 3).select(F.col("id").alias("snap"))
-    live = (
-        acts.join(F.broadcast(snaps), acts["v"] <= snaps["snap"])
-        .groupBy("snap", "bucket")
-        .agg(
-            F.max_by("is_add", F.struct("v", "ord")).alias("alive")
-        )
-        .filter(F.col("alive"))
-        .select("snap", "bucket")
-    )
-    o = load_table(spark, sf_dir, "orders").withColumn(
-        "bucket", F.col("o_orderkey") % 20
-    )
-    return (
-        o.join(F.broadcast(live), "bucket")
-        .groupBy(F.col("snap").cast("long").alias("snapshot_version"))
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-        )
-    )
-
-
-@register(
     "cat_incremental_stats_merge",
     survey_row=61,
     oracle="""
@@ -2305,7 +545,7 @@ def cat_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(n)::BIGINT AS n_rows,
            min(mn) AS min_qty,
            max(mx) AS max_qty,
-           round(sum(s), 2) AS sum_price
+           round(sum(s), 2)::DOUBLE AS sum_price
     FROM bucketed
     """,
 )
@@ -2321,7 +561,11 @@ def cat_incremental_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged result equals the direct single-pass aggregate, the
     associativity property the whole scheme rests on. The two-level
     agg shares one shuffle key prefix; level two reduces |buckets|
-    rows."""
+    rows. The final rounded sum presents as DOUBLE on both engines:
+    the r9 sf10 sweep caught the Decimal-vs-float64 driver-hash class
+    here in the one case smaller SFs cannot show — a sum whose cents
+    happen to be .00, where Spark's Decimal renders '…0.00' against
+    DuckDB's float '…0.0' (accumulation stays exact DECIMAL)."""
     li = load_table(spark, sf_dir, "lineitem")
     bucketed = li.groupBy((F.col("l_orderkey") % 8).alias("bucket")).agg(
         F.count(F.lit(1)).alias("n"),
@@ -2334,536 +578,7 @@ def cat_incremental_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_rows"),
         F.min("mn").alias("min_qty"),
         F.max("mx").alias("max_qty"),
-        F.round(F.sum("s"), 2).alias("sum_price"),
-    )
-
-
-@register(
-    "cat_manifest_prune",
-    survey_row=61,
-    oracle="""
-    WITH stats AS (
-        SELECT date_diff('day', DATE '1995-01-01', o_orderdate) // 28
-                   AS file_id,
-               min(o_orderdate) AS mn,
-               max(o_orderdate) AS mx,
-               count(*) AS n
-        FROM orders
-        GROUP BY 1
-    ),
-    kept AS (
-        SELECT * FROM stats
-        WHERE mn < TIMESTAMP '1997-03-10' AND mx >= TIMESTAMP '1997-01-20'
-    )
-    SELECT (SELECT count(*) FROM stats)::BIGINT AS n_files,
-           (SELECT count(*) FROM kept)::BIGINT AS n_files_kept,
-           (SELECT sum(n) FROM kept)::BIGINT AS rows_scanned,
-           (SELECT count(*) FROM orders
-            WHERE o_orderdate >= TIMESTAMP '1997-01-20'
-              AND o_orderdate < TIMESTAMP '1997-03-10')::BIGINT
-               AS rows_matched
-    """,
-)
-def cat_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MIN/MAX DATA SKIPPING — the manifest-stats pruning every
-    lakehouse read plans with: per-file min/max column stats (files ≡
-    28-day order-date clusters here, the layout a date-partitioned
-    ingest produces) are intersected with the query's date range, and
-    only intersecting files are scanned. The output quantifies the
-    skip: files kept vs total, rows scanned (kept-file row counts)
-    vs rows actually matched — the scanned/matched gap is the cost of
-    boundary files, the kept/total gap is the 100 TB win (a 7-week
-    predicate over 7 years of files reads ~3 of ~90 files). Stats
-    build is one |files|-group agg; the prune is a filter on that
-    |files|-row frame; the exact count reuses the pushed-down date
-    predicate. No data-file content is touched for the plan itself —
-    exactly Iceberg's manifest evaluation."""
-    o = load_table(spark, sf_dir, "orders")
-    stats = o.groupBy(
-        F.floor(
-            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
-            / 28
-        ).alias("file_id")
-    ).agg(
-        F.min("o_orderdate").alias("mn"),
-        F.max("o_orderdate").alias("mx"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    lo = F.lit("1997-01-20").cast("timestamp")
-    hi = F.lit("1997-03-10").cast("timestamp")
-    kept = stats.filter((F.col("mn") < hi) & (F.col("mx") >= lo))
-    totals = stats.agg(F.count(F.lit(1)).alias("n_files"))
-    kept_agg = kept.agg(
-        F.count(F.lit(1)).alias("n_files_kept"),
-        F.sum("n").alias("rows_scanned"),
-    )
-    matched = o.filter(
-        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
-    ).agg(F.count(F.lit(1)).alias("rows_matched"))
-    return totals.join(F.broadcast(kept_agg)).join(F.broadcast(matched))
-
-
-@register(
-    "cat_compaction_plan",
-    survey_row=61,
-    oracle="""
-    WITH files AS (
-        SELECT 'part-' || i AS path,
-               ((i * 37) % 900 + 100)::BIGINT AS bytes,
-               i AS ord
-        FROM range(40) t(i)
-    ),
-    planned AS (
-        SELECT path, bytes, ord,
-               (sum(bytes) OVER (ORDER BY ord
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                    IS NOT NULL)::INT * 0
-               + coalesce(sum(bytes) OVER (ORDER BY ord
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   // 2000 AS grp
-        FROM files
-    )
-    SELECT grp::BIGINT AS group_id,
-           count(*)::BIGINT AS n_files,
-           sum(bytes)::BIGINT AS total_bytes,
-           min(ord)::BIGINT AS first_file,
-           max(ord)::BIGINT AS last_file
-    FROM planned
-    GROUP BY grp
-    ORDER BY grp
-    """,
-)
-def cat_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SMALL-FILE COMPACTION planner — the other half of lakehouse
-    maintenance (`cat_tx_log_snapshot` reads the log; this plans the
-    rewrite): bin the sorted file listing into ~2000-byte target
-    groups by EXCLUSIVE running-sum division — the deterministic
-    streaming variant real compactors run over a sorted listing
-    (greedy first-fit on arrival order), expressible as one window
-    cumsum + integer div, no iteration. All-integer math, so the
-    grouping is bit-identical across engines. Scale: the plan runs
-    over the |files| manifest, never file content; one sort-window
-    over a metadata-sized frame. A 100 TB table with 1M small files
-    plans in seconds; executing the plan is then an
-    embarrassingly-parallel per-group rewrite."""
-    files = spark.range(40).select(
-        F.concat(F.lit("part-"), F.col("id").cast("string")).alias("path"),
-        ((F.col("id") * 37) % 900 + 100).alias("bytes"),
-        F.col("id").alias("ord"),
-    )
-    w = (
-        Window.orderBy("ord")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    planned = (
-        files.withColumn(
-            "excl_sum", F.coalesce(F.sum("bytes").over(w), F.lit(0))
-        )
-        .withColumn("grp", F.expr("excl_sum div 2000"))
-    )
-    return (
-        planned.groupBy(F.col("grp").alias("group_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_files"),
-            F.sum("bytes").alias("total_bytes"),
-            F.min("ord").alias("first_file"),
-            F.max("ord").alias("last_file"),
-        )
-        .orderBy("group_id")
-    )
-
-
-@register(
-    "cat_table_ddl_generate",
-    survey_row=62,
-    oracle="""
-    WITH cols AS (
-        SELECT table_name, column_name,
-               CASE data_type
-                   WHEN 'BIGINT' THEN 'bigint'
-                   WHEN 'INTEGER' THEN 'int'
-                   WHEN 'VARCHAR' THEN 'string'
-                   WHEN 'DOUBLE' THEN 'double'
-                   WHEN 'TIMESTAMP' THEN 'timestamp'
-                   WHEN 'FLOAT[]' THEN 'array<float>'
-                   ELSE lower(data_type) END AS type_name,
-               ordinal_position AS ordinal
-        FROM information_schema.columns
-        WHERE table_name IN ('region','nation','customer','supplier',
-                             'part','orders','lineitem','events',
-                             'documents','embeddings')
-    )
-    SELECT table_name,
-           'CREATE TABLE ' || table_name || ' (' ||
-           string_agg(column_name || ' ' || type_name, ', '
-                      ORDER BY ordinal) ||
-           ') STORED AS PARQUET' AS ddl,
-           count(*)::BIGINT AS n_columns
-    FROM cols
-    GROUP BY table_name
-    ORDER BY table_name
-    """,
-)
-def cat_table_ddl_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DDL EXPORT — the collector feature that round-trips the catalog
-    back into executable form: every table's parquet-footer schema
-    becomes a `CREATE TABLE ... STORED AS PARQUET` statement with
-    columns in ORDINAL order (collect structs → array_sort on the
-    ordinal → transform to "name type" → concat_ws — the
-    deterministic ordered-string-agg idiom, since Spark's collect
-    order is never trusted). The oracle rebuilds the identical DDL
-    from DuckDB's information_schema, so the two engines must agree
-    on every column name, type spelling, and position — a full
-    schema-fidelity check disguised as an export feature. Metadata-
-    sized end to end."""
-    inv = cat_schema_inventory(spark, sf_dir)
-    return (
-        inv.groupBy("table_name")
-        .agg(
-            F.concat(
-                F.lit("CREATE TABLE "),
-                F.col("table_name"),
-                F.lit(" ("),
-                F.concat_ws(
-                    ", ",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.struct(
-                                    "ordinal", "column_name", "type_name"
-                                )
-                            )
-                        ),
-                        lambda s: F.concat_ws(
-                            " ", s["column_name"], s["type_name"]
-                        ),
-                    ),
-                ),
-                F.lit(") STORED AS PARQUET"),
-            ).alias("ddl"),
-            F.count(F.lit(1)).alias("n_columns"),
-        )
-        .orderBy("table_name")
-    )
-
-
-@register(
-    "cat_growth_curve",
-    survey_row=64,
-    oracle="""
-    WITH daily AS (
-        SELECT CAST(ts AS DATE) AS day,
-               count(DISTINCT user_id) AS dau
-        FROM events GROUP BY 1
-    ),
-    first_seen AS (
-        SELECT user_id, min(CAST(ts AS DATE)) AS first_day
-        FROM events GROUP BY 1
-    ),
-    new_users AS (
-        SELECT first_day AS day, count(*) AS n_new
-        FROM first_seen GROUP BY 1
-    )
-    SELECT d.day, d.dau::BIGINT AS dau,
-           coalesce(n.n_new, 0)::BIGINT AS new_users,
-           sum(coalesce(n.n_new, 0)) OVER (
-               ORDER BY d.day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           )::BIGINT AS cumulative_users
-    FROM daily d LEFT JOIN new_users n ON d.day = n.day
-    ORDER BY d.day
-    """,
-)
-def cat_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROWTH CURVE — DAU, new users, and cumulative distinct users
-    per day, the activation dashboard every audit-log owner builds.
-    The naive cumulative-distinct (count DISTINCT over an expanding
-    window) rescans all history per day; the scalable identity is
-    cumulative_users(d) = Σ new_users(d') for d' ≤ d, where a user is
-    NEW on their min-activity day — two user-keyed aggregates plus a
-    |days|-row window, instead of |days| distinct scans. The DAU leg
-    shares the same single pass over events. At 100 TB the first-seen
-    frame is the only user-cardinality state, and it's the mergeable
-    min that incremental collection keeps warm."""
-    ev = load_table(spark, sf_dir, "events").select(
-        F.col("user_id"), F.to_date("ts").alias("day")
-    )
-    daily = ev.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
-    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
-    new_users = first_seen.groupBy(F.col("first_day").alias("day")).agg(
-        F.count(F.lit(1)).alias("n_new")
-    )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        daily.join(new_users, "day", "left")
-        .select(
-            "day",
-            "dau",
-            F.coalesce(F.col("n_new"), F.lit(0)).alias("new_users"),
-            F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
-            .over(w)
-            .alias("cumulative_users"),
-        )
-        .orderBy("day")
-    )
-
-
-@register(
-    "cat_user_paths_topk",
-    survey_row=64,
-    oracle="""
-    WITH seq AS (
-        SELECT user_id, event_type,
-               lead(event_type, 1) OVER w AS t2,
-               lead(event_type, 2) OVER w AS t3
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    )
-    SELECT event_type || ' > ' || t2 || ' > ' || t3 AS path,
-           count(*)::BIGINT AS n_occurrences,
-           count(DISTINCT user_id)::BIGINT AS n_users
-    FROM seq
-    WHERE t2 IS NOT NULL AND t3 IS NOT NULL
-    GROUP BY path
-    ORDER BY n_occurrences DESC, path
-    LIMIT 15
-    """,
-)
-def cat_user_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SEQUENCE MINING, the product-analytics staple: the 15 most
-    common 3-step navigation paths (sliding trigrams over each user's
-    ordered event stream via two leads — windows, not self-joins; the
-    3-way self-join formulation shuffles the stream three times and
-    explodes on ties). One user_id sort feeds both leads; the path
-    rollup is |type³|-bounded (125 here) so the top-k is a broadcast-
-    scale sort. Total order (ts, event_id) makes tied timestamps
-    deterministic. At 100 TB the only heavy stage is the per-user
-    sort — the same shuffle every sessionization op here shares."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        "user_id",
-        "event_type",
-        F.lead("event_type", 1).over(w).alias("t2"),
-        F.lead("event_type", 2).over(w).alias("t3"),
-    ).filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
-    return (
-        seq.select(
-            F.concat_ws(" > ", "event_type", "t2", "t3").alias("path"),
-            "user_id",
-        )
-        .groupBy("path")
-        .agg(
-            F.count(F.lit(1)).alias("n_occurrences"),
-            F.countDistinct("user_id").alias("n_users"),
-        )
-        .orderBy(F.desc("n_occurrences"), "path")
-        .limit(15)
-    )
-
-
-@register(
-    "cat_cooccurrence_pairs",
-    survey_row=64,
-    oracle="""
-    WITH flagged AS (
-        SELECT user_id, ts, event_id,
-               CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-                    THEN 1 ELSE 0 END AS new_session
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
-    ),
-    numbered AS (
-        SELECT user_id, ts, event_id,
-               sum(new_session) OVER (PARTITION BY user_id
-                   ORDER BY ts ASC, event_id ASC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS session_id
-        FROM flagged
-    ),
-    baskets AS (
-        SELECT DISTINCT n.user_id, n.session_id, e.event_type
-        FROM numbered n JOIN events e ON n.event_id = e.event_id
-    )
-    SELECT a.event_type AS type_a, b.event_type AS type_b,
-           count(*)::BIGINT AS support
-    FROM baskets a
-    JOIN baskets b ON a.user_id = b.user_id
-                  AND a.session_id = b.session_id
-                  AND a.event_type < b.event_type
-    GROUP BY type_a, type_b
-    ORDER BY support DESC, type_a, type_b
-    """,
-)
-def cat_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MARKET-BASKET co-occurrence: which event types happen together
-    in the same session (the "frequently bought together" shape,
-    basket = 30-min session). Sessionize once, dedup to DISTINCT
-    (basket, type) membership — the critical step: pair support must
-    count BASKETS, not event-pair multiplicity, and dedup BEFORE the
-    self-join also bounds it at |baskets|·|types| rows — then
-    self-join within basket with type_a < type_b (each unordered pair
-    once). With ≤5 types the per-basket fan-out is ≤C(5,2)=10, so the
-    join output stays |baskets|-bounded at any corpus size; the
-    |types²| support rollup is broadcast-scale. This is collaborative
-    filtering's data layer on pure Catalyst."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    sessioned = ev.select(
-        "user_id",
-        "event_type",
-        F.sum(
-            F.when(
-                F.lag("ts").over(w).isNull()
-                | (
-                    F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
-                    > 30 * 60 * 1_000_000
-                ),
-                1,
-            ).otherwise(0)
-        )
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("session_id"),
-    )
-    baskets = sessioned.select(
-        "user_id", "session_id", "event_type"
-    ).distinct()
-    a = baskets.select(
-        "user_id", "session_id", F.col("event_type").alias("type_a")
-    )
-    b = baskets.select(
-        "user_id", "session_id", F.col("event_type").alias("type_b")
-    )
-    return (
-        a.join(b, ["user_id", "session_id"])
-        .filter(F.col("type_a") < F.col("type_b"))
-        .groupBy("type_a", "type_b")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .orderBy(F.desc("support"), "type_a", "type_b")
-    )
-
-
-@register(
-    "cat_parquet_footer_stats",
-    survey_row=61,
-    oracle=" UNION ALL ".join(
-        f"SELECT '{t}' AS table_name, count(*) AS n_rows_footer FROM {t}"
-        for t in TABLES
-    ),
-)
-def cat_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FOOTER-ONLY row counts — the collector's cheapest statistic:
-    every parquet footer carries its row count, so table cardinality
-    costs one metadata read per file, zero data pages. File paths are
-    listed driver-side (bounded: one entry per data file) and the
-    footer reads fan out through mapInPandas — at a million files
-    that's the same partition-parallel metadata sweep, never a
-    driver loop over footers. The oracle states the invariant that
-    makes this trustworthy: footer sums MUST equal count(*) — a
-    mismatch means a corrupt footer or a miscounting reader.
-    tests/test_edge_cases.py additionally cross-checks row-group
-    counts against DuckDB's parquet_metadata() on the same files
-    (two independent footer parsers agreeing)."""
-    import glob as _glob
-    import os
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    paths = []
-    for t in TABLES:
-        base = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.isdir(base):
-            for pth in sorted(_glob.glob(os.path.join(base, "*.parquet"))):
-                paths.append((t, pth))
-        else:
-            paths.append((t, base))
-    files = spark.createDataFrame(paths, "table_name string, path string")
-
-    def read_footers(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import pyarrow.parquet as pq
-
-        for pdf in it:
-            rows = []
-            for tname, pth in zip(pdf["table_name"], pdf["path"]):
-                md = pq.ParquetFile(pth).metadata
-                rows.append({"table_name": tname, "n": md.num_rows})
-            yield pd.DataFrame(rows)
-
-    footer = files.repartition(8).mapInPandas(
-        read_footers, schema="table_name string, n long"
-    )
-    return footer.groupBy("table_name").agg(
-        F.sum("n").alias("n_rows_footer")
-    )
-
-
-@register(
-    "cat_period_over_period",
-    survey_row=64,
-    oracle="""
-    WITH weekly AS (
-        SELECT event_type,
-               date_diff('day', TIMESTAMP '2024-01-01', ts) // 7 AS week,
-               count(*) AS n,
-               round(sum(value), 2) AS total_value
-        FROM events
-        GROUP BY 1, 2
-    ),
-    paired AS (
-        SELECT event_type, week, n, total_value,
-               lag(n) OVER (PARTITION BY event_type ORDER BY week)
-                   AS prev_n
-        FROM weekly
-    )
-    SELECT event_type, week::BIGINT AS week, n::BIGINT AS n,
-           prev_n::BIGINT AS prev_n,
-           (n - prev_n)::BIGINT AS delta,
-           round((n - prev_n) * 100.0 / prev_n, 2) AS pct_change
-    FROM paired
-    WHERE prev_n IS NOT NULL
-    ORDER BY abs(n - prev_n) DESC, event_type, week
-    LIMIT 10
-    """,
-)
-def cat_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PERIOD-OVER-PERIOD movers — the week-over-week delta board
-    every usage dashboard leads with: weekly counts per type, each
-    week paired with its predecessor via lag (NOT a self-join on
-    week-1 — the window reuses the aggregate's shuffle and can't
-    fan out on duplicate weeks), top-10 absolute movers. First weeks
-    drop (no predecessor) rather than fabricating a zero baseline —
-    a type's first week isn't a "change". Division is safe: prev_n
-    comes from count(*), never zero. The |type×weeks| frame after
-    the first agg is metadata-sized at any corpus scale."""
-    ev = load_table(spark, sf_dir, "events")
-    weekly = ev.groupBy(
-        "event_type",
-        F.floor(
-            F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date")) / 7
-        ).alias("week"),
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).alias("total_value"),
-    )
-    w = Window.partitionBy("event_type").orderBy("week")
-    paired = weekly.withColumn("prev_n", F.lag("n").over(w)).filter(
-        F.col("prev_n").isNotNull()
-    )
-    return (
-        paired.select(
-            "event_type",
-            "week",
-            "n",
-            "prev_n",
-            (F.col("n") - F.col("prev_n")).alias("delta"),
-            F.round(
-                (F.col("n") - F.col("prev_n")) * 100.0 / F.col("prev_n"), 2
-            ).alias("pct_change"),
-        )
-        .orderBy(F.abs(F.col("delta")).desc(), "event_type", "week")
-        .limit(10)
+        F.round(F.sum("s"), 2).cast("double").alias("sum_price"),
     )
 
 
@@ -3057,306 +772,6 @@ def cat_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "cat_lineage_cycles",
-    survey_row=66,
-    oracle="""
-    WITH RECURSIVE edges AS (
-        SELECT DISTINCT prev_type AS src, event_type AS dst FROM (
-            SELECT event_type,
-                   lag(event_type) OVER (PARTITION BY user_id
-                                         ORDER BY ts, event_id) AS prev_type
-            FROM events)
-        WHERE prev_type IS NOT NULL AND prev_type <> event_type
-    ), walk AS (
-        SELECT src, dst, 1 AS hops FROM edges
-        UNION ALL
-        SELECT w.src, e.dst, w.hops + 1
-        FROM walk w JOIN edges e ON w.dst = e.src
-        WHERE w.hops < 8
-    )
-    SELECT src AS node, min(hops) AS min_cycle_len
-    FROM walk WHERE src = dst GROUP BY src
-    """,
-)
-def cat_lineage_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cycle detection over the lineage graph — the validity check a
-    collector runs before trusting lineage for impact analysis (a
-    cycle means a table is upstream of itself: a mis-parsed edge or a
-    genuine self-refreshing pipeline). Emits each node on a cycle
-    with its girth (shortest closed-walk length — any closed walk
-    through v contains a cycle through v of no greater length, so
-    min-walk IS min-cycle).
-
-    Same min-plus DOUBLING as cat_lineage_closure: walks ≤ 2, ≤ 4,
-    ≤ 8 hops in log₂ rounds of broadcast self-joins over the min-hop-
-    deduped pair set (≤ |V|² rows regardless of corpus size); 8 ≥ |V|
-    covers every simple cycle. The oracle recomputes by hop-at-a-time
-    recursive CTE — different algorithm, same fixpoint."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    trans = ev.select(
-        F.lag("event_type").over(w).alias("src"),
-        F.col("event_type").alias("dst"),
-    )
-    reach = (
-        trans.filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
-        .distinct()
-        .withColumn("hops", F.lit(1))
-        .cache()
-    )
-    for _ in range(3):  # 1 → 2 → 4 → 8 hops
-        squared = (
-            reach.join(
-                F.broadcast(
-                    reach.select(
-                        F.col("src").alias("m"),
-                        F.col("dst").alias("dst2"),
-                        F.col("hops").alias("hops2"),
-                    )
-                ),
-                F.col("dst") == F.col("m"),
-            )
-            .select(
-                "src",
-                F.col("dst2").alias("dst"),
-                (F.col("hops") + F.col("hops2")).alias("hops"),
-            )
-        )
-        reach = (
-            reach.unionAll(squared)
-            .groupBy("src", "dst")
-            .agg(F.min("hops").alias("hops"))
-            .cache()
-        )
-    return (
-        reach.filter(F.col("src") == F.col("dst"))
-        .groupBy(F.col("src").alias("node"))
-        .agg(F.min("hops").alias("min_cycle_len"))
-    )
-
-
-@register(
-    "cat_partition_retention_plan",
-    survey_row=63,
-    oracle="""
-    WITH d AS (
-        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-               count(*) AS n_rows,
-               CAST(sum(length(props)) AS BIGINT) AS payload_bytes
-        FROM events GROUP BY 1
-    ), wm AS (SELECT max(day) AS max_day FROM d)
-    SELECT d.day, d.n_rows, d.payload_bytes,
-           CASE WHEN d.day < wm.max_day - INTERVAL 20 DAY
-                THEN 'drop' ELSE 'keep' END AS action
-    FROM d, wm
-    """,
-)
-def cat_partition_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Retention/TTL planner — the nightly job that turns a
-    retention policy ("keep 20 days") into a concrete DROP PARTITION
-    list with the reclaim accounting (rows + payload bytes per
-    partition) attached. The watermark is DERIVED from the data
-    (max ingested day), not wall clock, so the plan is reproducible
-    and the gate deterministic; real deployments swap in
-    current_date at the same spot.
-
-    One |days|-group aggregate over the partition column + a
-    broadcast scalar watermark — the per-day stats frame is metadata-
-    sized at any scale, and in a partitioned layout the same numbers
-    come from partition listing alone (cat_partition_listing), no
-    data scan at all."""
-    ev = load_table(spark, sf_dir, "events")
-    d = ev.groupBy(
-        F.col("ts").cast("date").alias("day")
-    ).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.length("props")).alias("payload_bytes"),
-    )
-    wm = d.agg(F.max("day").alias("max_day"))
-    return d.crossJoin(F.broadcast(wm)).select(
-        "day",
-        "n_rows",
-        "payload_bytes",
-        F.when(
-            F.col("day") < F.date_sub(F.col("max_day"), 20), "drop"
-        )
-        .otherwise("keep")
-        .alias("action"),
-    )
-
-
-@register(
-    "cat_vacuum_plan",
-    survey_row=61,
-    oracle="""
-    WITH acts AS (
-        SELECT event_id,
-               event_id % 3 AS v,
-               'part-' || (event_id % 37) AS path,
-               event_id % 4 <> 3 AS is_add,
-               CASE WHEN event_id % 4 <> 3
-                    THEN event_id % 1000 + 100 END AS fsize
-        FROM events
-    ),
-    winners AS (
-        SELECT s.snap, a.path, a.is_add,
-               row_number() OVER (
-                   PARTITION BY s.snap, a.path
-                   ORDER BY a.v DESC, a.event_id DESC) AS rn
-        FROM acts a JOIN range(1, 3) s(snap) ON a.v <= s.snap
-    ),
-    liveness AS (
-        SELECT path, bool_or(is_add) AS live_any
-        FROM winners WHERE rn = 1 GROUP BY path
-    ),
-    reclaim AS (
-        SELECT path,
-               max_by(fsize, v * 10000000 + event_id)
-                   FILTER (WHERE is_add) AS reclaim_bytes,
-               max(v) FILTER (WHERE NOT is_add) AS last_remove_v
-        FROM acts GROUP BY path
-    )
-    SELECT l.path,
-           r.reclaim_bytes::BIGINT AS reclaim_bytes,
-           r.last_remove_v::BIGINT AS last_remove_v
-    FROM liveness l JOIN reclaim r ON l.path = r.path
-    WHERE NOT l.live_any
-    """,
-)
-def cat_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """VACUUM planner — the garbage-collection pass that completes
-    the table-format suite (`cat_tx_log_snapshot` resolves snapshots,
-    `cat_time_travel_read` reads one, this op decides which data
-    files are safe to physically delete): with a retention policy of
-    "keep snapshots 1..2", a file is reclaimable iff NO retained
-    snapshot resolves it as live — i.e. at every retained version the
-    last-writer-wins replay lands on a remove tombstone. Reclaimed
-    bytes are the size of the file's final add action (the bytes on
-    disk); the last remove version documents when it died.
-
-    Same deterministic action log as the snapshot ops (synthesized
-    per event in BOTH engines; path domain co-prime with the
-    version/tombstone moduli so adds and removes genuinely interleave
-    per path). Plan shape: broadcast |retained-snapshots| range join,
-    one (snap, path) shuffle for the winner resolve (file-count
-    bounded), a |paths| liveness rollup, and a second |paths|-sized
-    agg for the reclaim accounting — no data files are ever opened.
-    At 100 TB the vacuum decision reads only the log, exactly like
-    Delta's VACUUM dry run."""
-    ev = load_table(spark, sf_dir, "events")
-    eid = F.col("event_id")
-    acts = ev.select(
-        "event_id",
-        (eid % 3).alias("v"),
-        F.concat(F.lit("part-"), (eid % 37).cast("string")).alias("path"),
-        (eid % 4 != 3).alias("is_add"),
-        F.when(eid % 4 != 3, eid % 1000 + 100).alias("fsize"),
-    )
-    snaps = spark.range(1, 3).select(F.col("id").cast("int").alias("snap"))
-    winners = (
-        acts.join(F.broadcast(snaps), acts["v"] <= snaps["snap"])
-        .groupBy("snap", "path")
-        .agg(
-            F.max_by(
-                F.col("is_add"), F.struct(F.col("v"), F.col("event_id"))
-            ).alias("live")
-        )
-    )
-    liveness = winners.groupBy("path").agg(F.max("live").alias("live_any"))
-    reclaim = acts.groupBy("path").agg(
-        F.expr(
-            "max_by(fsize, v * 10000000 + event_id) FILTER (WHERE is_add)"
-        ).alias("reclaim_bytes"),
-        F.max(F.when(~F.col("is_add"), F.col("v")))
-        .cast("long")
-        .alias("last_remove_v"),
-    )
-    return (
-        liveness.filter(~F.col("live_any"))
-        .join(reclaim, "path")
-        .select("path", "reclaim_bytes", "last_remove_v")
-    )
-
-
-@register(
-    "cat_lineage_topo_levels",
-    survey_row=66,
-    oracle="""
-    WITH RECURSIVE edges AS (
-        SELECT DISTINCT 't' || (event_id % 13) AS src,
-               't' || ((event_id % 13) * 2 + 1 + user_id % 2) AS dst
-        FROM events
-    ),
-    nodes AS (
-        SELECT src AS node FROM edges UNION SELECT dst FROM edges
-    ),
-    walk AS (
-        SELECT n.node, 0 AS lvl
-        FROM nodes n
-        WHERE n.node NOT IN (SELECT dst FROM edges)
-        UNION ALL
-        SELECT e.dst, w.lvl + 1
-        FROM walk w JOIN edges e ON e.src = w.node
-    )
-    SELECT node AS table_name, max(lvl)::BIGINT AS refresh_wave
-    FROM walk GROUP BY node
-    """,
-)
-def cat_lineage_topo_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Topological REFRESH WAVES over the lineage DAG — the scheduling
-    artifact a collector derives from lineage: tables in wave 0 have
-    no upstream dependencies and can refresh immediately; wave k must
-    wait for wave k-1. Wave = LONGEST upstream path (not shortest —
-    a table refreshes only after its slowest dependency chain), i.e.
-    the critical-path level used by every DAG scheduler.
-
-    Edges are synthesized acyclic by construction (src node id →
-    2·id+1+δ, a strictly increasing binary-tree shape, depth ≤ 5 on
-    the 13-node src domain), so the longest-path fixpoint exists.
-    The engine iterates max-propagation from the root frontier —
-    5 driver-side rounds of broadcast joins over the DISTINCT edge
-    set, which is |tables|²-bounded metadata (≤ a few hundred rows at
-    any corpus scale; the only corpus-sized step is the initial
-    DISTINCT, one shuffle of pre-deduped map output). The oracle
-    recomputes by recursive CTE walk-from-roots — different
-    algorithm, same fixpoint."""
-    ev = load_table(spark, sf_dir, "events")
-    nid = F.col("event_id") % 13
-    edges = (
-        ev.select(
-            F.concat(F.lit("t"), nid.cast("string")).alias("src"),
-            F.concat(
-                F.lit("t"), (nid * 2 + 1 + F.col("user_id") % 2).cast("string")
-            ).alias("dst"),
-        )
-        .distinct()
-        .cache()
-    )
-    nodes = edges.select(F.col("src").alias("node")).union(
-        edges.select("dst")
-    ).distinct()
-    roots = nodes.join(
-        edges.select(F.col("dst").alias("node")).distinct(), "node", "left_anti"
-    )
-    levels = roots.withColumn("lvl", F.lit(0))
-    for _ in range(5):  # depth bound of the synthesized DAG
-        stepped = (
-            levels.join(F.broadcast(edges), levels["node"] == edges["src"])
-            .select(F.col("dst").alias("node"), (F.col("lvl") + 1).alias("lvl"))
-        )
-        levels = (
-            levels.unionAll(stepped)
-            .groupBy("node")
-            .agg(F.max("lvl").alias("lvl"))
-            .localCheckpoint(eager=False)
-        )
-    return levels.select(
-        F.col("node").alias("table_name"),
-        F.col("lvl").cast("long").alias("refresh_wave"),
-    )
-
-
-@register(
     "cat_chi_square_assoc",
     survey_row=64,
     oracle="""
@@ -3416,336 +831,6 @@ def cat_chi_square_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_contrib"
         ),
         F.count(F.lit(1)).alias("n_cells"),
-    )
-
-
-@register(
-    "cat_bloom_skip_index",
-    survey_row=63,
-    oracle="""
-    WITH rows_ AS (
-        SELECT user_id % 8 AS part,
-               'e' || (event_id % 500) AS entity
-        FROM events
-    ),
-    slotted AS (
-        SELECT part, entity,
-               CAST(('0x' || substr(md5('b0:' || entity), 1, 8)) AS BIGINT)
-                   % 60 AS s0,
-               CAST(('0x' || substr(md5('b1:' || entity), 1, 8)) AS BIGINT)
-                   % 60 AS s1
-        FROM rows_
-    ),
-    blooms AS (
-        SELECT part,
-               bit_or((1::BIGINT << s0) | (1::BIGINT << s1)) AS bitmap
-        FROM slotted GROUP BY part
-    ),
-    probes AS (
-        SELECT 'e' || (i * 97) AS probe,
-               CAST(('0x' || substr(md5('b0:' || ('e' || (i * 97))), 1, 8))
-                    AS BIGINT) % 60 AS p0,
-               CAST(('0x' || substr(md5('b1:' || ('e' || (i * 97))), 1, 8))
-                    AS BIGINT) % 60 AS p1
-        FROM range(10) t(i)
-    ),
-    scanned AS (
-        SELECT p.probe, b.part
-        FROM probes p JOIN blooms b
-          ON (b.bitmap & (1::BIGINT << p.p0)) <> 0
-         AND (b.bitmap & (1::BIGINT << p.p1)) <> 0
-    ),
-    actual AS (
-        SELECT DISTINCT entity AS probe, part FROM rows_
-    )
-    SELECT s.probe,
-           count(*)::BIGINT AS n_scanned,
-           count(a.part)::BIGINT AS n_actual,
-           (count(*) - count(a.part))::BIGINT AS n_false_pos
-    FROM scanned s
-    LEFT JOIN actual a ON a.probe = s.probe AND a.part = s.part
-    GROUP BY s.probe
-    """,
-)
-def cat_bloom_skip_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BLOOM-FILTER skip index — the per-partition membership summary
-    a collector maintains so point lookups skip partitions without
-    opening them (the blob-valued cousin of `cat_manifest_prune`'s
-    min/max skipping; Parquet bloom filters and Delta's bloom index
-    are this exact structure): one 60-bit bitmap per partition, two
-    md5-derived hash slots per value, probe = both bits set. Emits,
-    per probe key, partitions scanned (bloom says maybe) vs
-    partitions actually containing it — the false-positive overhead
-    is the quantity you size the filter by (here deliberately tiny,
-    60 bits for ~hundreds of distinct values, so FPs are visible
-    and the accounting provable).
-
-    Build = one bit_or aggregate into |partitions| rows — the
-    mergeable-summary shape again (executors OR local bitmaps;
-    a 100 TB table's whole index is |partitions|×8 bytes). Probes
-    and blooms are both metadata-sized, so the probe join
-    broadcasts; the only corpus-sized step is the map-side slot
-    computation feeding the bit_or."""
-    ev = load_table(spark, sf_dir, "events")
-    rows_ = ev.select(
-        (F.col("user_id") % 8).alias("part"),
-        F.concat(F.lit("e"), (F.col("event_id") % 500).cast("string")).alias(
-            "entity"
-        ),
-    )
-
-    def slot(prefix: str, col):
-        return (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(prefix), col)), 1, 8), 16, 10
-            ).cast("long")
-            % 60
-        )
-
-    slotted = rows_.select(
-        "part",
-        "entity",
-        slot("b0:", F.col("entity")).alias("s0"),
-        slot("b1:", F.col("entity")).alias("s1"),
-    )
-    blooms = slotted.groupBy("part").agg(
-        F.expr("bit_or(shiftleft(1L, s0) | shiftleft(1L, s1))").alias("bitmap")
-    )
-    probes = spark.range(10).select(
-        F.concat(F.lit("e"), (F.col("id") * 97).cast("string")).alias("probe")
-    )
-    probes = probes.select(
-        "probe",
-        slot("b0:", F.col("probe")).alias("p0"),
-        slot("b1:", F.col("probe")).alias("p1"),
-    )
-    scanned = blooms.join(
-        F.broadcast(probes),
-        (
-            F.expr("bitmap & shiftleft(1L, p0)") != 0
-        )
-        & (F.expr("bitmap & shiftleft(1L, p1)") != 0),
-    ).select("probe", "part")
-    actual = rows_.distinct().withColumnRenamed("entity", "probe")
-    return (
-        scanned.join(F.broadcast(actual.withColumn("hit", F.lit(1))),
-                     ["probe", "part"], "left_outer")
-        .groupBy("probe")
-        .agg(
-            F.count(F.lit(1)).alias("n_scanned"),
-            F.count("hit").alias("n_actual"),
-            (F.count(F.lit(1)) - F.count("hit")).alias("n_false_pos"),
-        )
-    )
-
-
-@register(
-    "cat_funnel_strict",
-    survey_row=64,
-    oracle="""
-    WITH a AS (
-        SELECT user_id, min(ts) AS t_a FROM events
-        WHERE event_type = 'view' GROUP BY user_id
-    ),
-    b AS (
-        SELECT e.user_id, min(e.ts) AS t_b
-        FROM events e JOIN a ON a.user_id = e.user_id
-        WHERE e.event_type = 'click' AND e.ts > a.t_a
-        GROUP BY e.user_id
-    ),
-    c AS (
-        SELECT e.user_id, min(e.ts) AS t_c
-        FROM events e JOIN b ON b.user_id = e.user_id
-        WHERE e.event_type = 'purchase' AND e.ts > b.t_b
-        GROUP BY e.user_id
-    )
-    SELECT a.user_id, a.t_a, b.t_b, c.t_c,
-           (CASE WHEN c.t_c IS NOT NULL THEN 3
-                 WHEN b.t_b IS NOT NULL THEN 2
-                 ELSE 1 END)::BIGINT AS reached_stage
-    FROM a
-    LEFT JOIN b ON b.user_id = a.user_id
-    LEFT JOIN c ON c.user_id = a.user_id
-    """,
-)
-def cat_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STRICT-ORDER funnel (view → click → purchase, each stage
-    strictly after the previous) — the sequential state machine
-    `cat_funnel_conversion`'s unordered min-ts funnel cannot express
-    (there, a click before your first view still counts). The
-    distributed form: one groupBy collects each user's (ts, type)
-    events, sort_array orders them, and F.aggregate folds the state
-    machine over the array JVM-side — the general pattern for ANY
-    per-key sequential automaton (regex-style sessionization,
-    attribution rules) without a Python UDF and without K self-joins.
-
-    One shuffle (user_id), fold runs inside codegen'd higher-order
-    functions; per-user arrays are session-sized. The oracle
-    decorrelates the same semantics into three chained min-aggregates
-    (stage k = min ts strictly after stage k-1) — different
-    algorithm, same fixpoint, which is what makes the fold
-    trustworthy. Engines agree because the fold consumes events in
-    (ts, event_id) order and stage entry uses strict ts inequality
-    exactly like the oracle's e.ts > prev."""
-    ev = load_table(spark, sf_dir, "events")
-    ts_type = dict(ev.dtypes)["ts"]  # ntz vs ltz depends on session conf
-    folded = (
-        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
-        .groupBy("user_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("ts", "event_id", "event_type"))
-            ).alias("evs")
-        )
-        .select(
-            "user_id",
-            F.aggregate(
-                "evs",
-                F.struct(
-                    F.lit(None).cast(ts_type).alias("t_a"),
-                    F.lit(None).cast(ts_type).alias("t_b"),
-                    F.lit(None).cast(ts_type).alias("t_c"),
-                ),
-                lambda st, e: F.struct(
-                    F.when(
-                        st["t_a"].isNull() & (e["event_type"] == "view"),
-                        e["ts"],
-                    )
-                    .otherwise(st["t_a"])
-                    .alias("t_a"),
-                    F.when(
-                        st["t_b"].isNull()
-                        & st["t_a"].isNotNull()
-                        & (e["event_type"] == "click")
-                        & (e["ts"] > st["t_a"]),
-                        e["ts"],
-                    )
-                    .otherwise(st["t_b"])
-                    .alias("t_b"),
-                    F.when(
-                        st["t_c"].isNull()
-                        & st["t_b"].isNotNull()
-                        & (e["event_type"] == "purchase")
-                        & (e["ts"] > st["t_b"]),
-                        e["ts"],
-                    )
-                    .otherwise(st["t_c"])
-                    .alias("t_c"),
-                ),
-            ).alias("st"),
-        )
-    )
-    return folded.filter(F.col("st.t_a").isNotNull()).select(
-        "user_id",
-        F.col("st.t_a").alias("t_a"),
-        F.col("st.t_b").alias("t_b"),
-        F.col("st.t_c").alias("t_c"),
-        F.when(F.col("st.t_c").isNotNull(), 3)
-        .when(F.col("st.t_b").isNotNull(), 2)
-        .otherwise(1)
-        .cast("long")
-        .alias("reached_stage"),
-    )
-
-
-@register(
-    "cat_effective_acl",
-    survey_row=62,
-    oracle="""
-    WITH db_grants AS (
-        SELECT DISTINCT 'u' || (user_id % 5) AS principal,
-               event_type AS db,
-               CASE WHEN user_id % 7 = 0 THEN 'deny' ELSE 'allow' END
-                   AS action
-        FROM events
-    ),
-    tbl_grants AS (
-        SELECT DISTINCT 'u' || (user_id % 5) AS principal,
-               event_type AS db,
-               't' || (event_id % 7) AS tbl,
-               CASE WHEN event_id % 5 = 0 THEN 'deny' ELSE 'allow' END
-                   AS action
-        FROM events WHERE event_id % 3 = 0
-    ),
-    db_eff AS (
-        SELECT principal, db, max(action) AS db_action
-        FROM db_grants GROUP BY principal, db
-    ),
-    tbl_eff AS (
-        SELECT principal, db, tbl, max(action) AS tbl_action
-        FROM tbl_grants GROUP BY principal, db, tbl
-    ),
-    universe AS (
-        SELECT DISTINCT d.principal, d.db, t.tbl
-        FROM db_eff d
-        CROSS JOIN (SELECT DISTINCT tbl FROM tbl_grants) t
-    )
-    SELECT u.principal, u.db, u.tbl,
-           coalesce(te.tbl_action, de.db_action, 'none') AS effective
-    FROM universe u
-    LEFT JOIN tbl_eff te ON te.principal = u.principal
-         AND te.db = u.db AND te.tbl = u.tbl
-    LEFT JOIN db_eff de ON de.principal = u.principal AND de.db = u.db
-    """,
-)
-def cat_effective_acl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Effective-permission resolution — the authorization half of a
-    metastore (Hive's DB_PRIVS/TBL_PRIVS tables): database-level
-    grants inherit down to every table, table-level grants override
-    them, and when one principal holds conflicting grants at the
-    same level DENY beats ALLOW (resolved as max() over the action
-    domain, where 'deny' > 'allow' — the standard most-restrictive
-    rule). Output: the flattened (principal, db, table) → effective
-    matrix an authz audit exports.
-
-    Grants are synthesized deterministically from the audit stream
-    in both engines. Everything after the two DISTINCT grant
-    extractions operates on metadata-sized frames (|principals| ×
-    |dbs| × |tables|), so both resolution joins broadcast; the
-    coalesce chain IS the inheritance semantics, in one pass."""
-    ev = load_table(spark, sf_dir, "events")
-    principal = F.concat(F.lit("u"), (F.col("user_id") % 5).cast("string"))
-    db_grants = ev.select(
-        principal.alias("principal"),
-        F.col("event_type").alias("db"),
-        F.when(F.col("user_id") % 7 == 0, "deny")
-        .otherwise("allow")
-        .alias("action"),
-    ).distinct()
-    tbl_grants = (
-        ev.filter(F.col("event_id") % 3 == 0)
-        .select(
-            principal.alias("principal"),
-            F.col("event_type").alias("db"),
-            F.concat(F.lit("t"), (F.col("event_id") % 7).cast("string")).alias(
-                "tbl"
-            ),
-            F.when(F.col("event_id") % 5 == 0, "deny")
-            .otherwise("allow")
-            .alias("action"),
-        )
-        .distinct()
-    )
-    db_eff = db_grants.groupBy("principal", "db").agg(
-        F.max("action").alias("db_action")
-    )
-    tbl_eff = tbl_grants.groupBy("principal", "db", "tbl").agg(
-        F.max("action").alias("tbl_action")
-    )
-    universe = db_eff.select("principal", "db").crossJoin(
-        F.broadcast(tbl_grants.select("tbl").distinct())
-    )
-    return (
-        universe.join(F.broadcast(tbl_eff), ["principal", "db", "tbl"], "left_outer")
-        .join(F.broadcast(db_eff), ["principal", "db"], "left_outer")
-        .select(
-            "principal",
-            "db",
-            "tbl",
-            F.coalesce("tbl_action", "db_action", F.lit("none")).alias(
-                "effective"
-            ),
-        )
     )
 
 
@@ -3953,241 +1038,6 @@ def cat_pii_column_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "cat_query_cost_showback",
-    survey_row=64,
-    oracle="""
-    WITH sizes AS (
-        SELECT DISTINCT event_type,
-               (length(event_type) * 1000
-                + CAST(('0x' || substr(md5(event_type), 1, 4)) AS BIGINT))
-                   * 1048576 AS tbl_bytes
-        FROM events
-    ),
-    cost AS (
-        SELECT e.user_id,
-               count(*) AS n_queries,
-               sum(s.tbl_bytes) AS bytes_scanned
-        FROM events e JOIN sizes s ON s.event_type = e.event_type
-        GROUP BY e.user_id
-    )
-    SELECT user_id, n_queries::BIGINT AS n_queries,
-           bytes_scanned::BIGINT AS bytes_scanned,
-           round(bytes_scanned * 1.0 /
-                 sum(bytes_scanned) OVER (), 6) AS cost_share,
-           dense_rank() OVER (
-               ORDER BY bytes_scanned DESC, user_id ASC)::BIGINT
-               AS cost_rank
-    FROM cost
-    """,
-)
-def cat_query_cost_showback(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Query-cost SHOWBACK — the FinOps artifact a collector joins
-    out of its two core inputs (audit log × table inventory): charge
-    each query the size of the table it scanned, roll up per principal,
-    and emit bytes-scanned, share of total, and cost rank — the
-    monthly "who is paying for this warehouse" report. Table sizes
-    are the md5-derived deterministic stand-in for
-    `cat_storage_size`'s real numbers (both engines synthesize the
-    same dim).
-
-    The size dim is |tables|-rows → broadcast onto the log (the
-    fact never shuffles for the join); one user_id rollup; the
-    share/rank windows run over the |users|-sized result. The same
-    plan at 100 TB: audit logs join a broadcast inventory, cost
-    attribution is one agg."""
-    ev = load_table(spark, sf_dir, "events")
-    sizes = (
-        ev.select("event_type")
-        .distinct()
-        .select(
-            "event_type",
-            (
-                (
-                    F.length("event_type") * 1000
-                    + F.conv(F.substring(F.md5("event_type"), 1, 4), 16, 10).cast(
-                        "long"
-                    )
-                )
-                * 1048576
-            ).alias("tbl_bytes"),
-        )
-    )
-    cost = (
-        ev.join(F.broadcast(sizes), "event_type")
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_queries"),
-            F.sum("tbl_bytes").alias("bytes_scanned"),
-        )
-    )
-    w_all = Window.partitionBy()
-    w_rank = Window.orderBy(F.col("bytes_scanned").desc(), F.col("user_id").asc())
-    return cost.select(
-        "user_id",
-        F.col("n_queries").cast("long").alias("n_queries"),
-        F.col("bytes_scanned").cast("long").alias("bytes_scanned"),
-        F.round(
-            F.col("bytes_scanned") / F.sum("bytes_scanned").over(w_all), 6
-        ).alias("cost_share"),
-        F.dense_rank().over(w_rank).cast("long").alias("cost_rank"),
-    )
-
-
-@register(
-    "cat_orphan_files",
-    survey_row=61,
-    oracle="""
-    WITH listing AS (
-        SELECT 'part-' || i AS path,
-               (i * 131) % 5000 + 64 AS fsize
-        FROM range(50) t(i)
-    ),
-    referenced AS (
-        SELECT DISTINCT 'part-' || (event_id % 37) AS path
-        FROM events
-    )
-    SELECT l.path, l.fsize::BIGINT AS fsize
-    FROM listing l
-    LEFT JOIN referenced r ON r.path = l.path
-    WHERE r.path IS NULL
-    """,
-)
-def cat_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORPHAN-file detection — the inverse of `cat_vacuum_plan`
-    (vacuum deletes files the log says are dead; this op finds files
-    the log never knew about: crashed-writer leftovers, aborted
-    compactions, manual copies — what Delta's VACUUM full-listing
-    phase actually reconciles): storage listing ANTI-JOIN the
-    transaction log's referenced-path set, emitting each orphan with
-    its reclaimable size. The listing (50 paths, deterministic
-    sizes) extends past the log's 37-path domain, so exactly the
-    13-path tail is orphaned — the assertion is structural, not
-    incidental.
-
-    Both inputs are file-count-bounded metadata: the referenced set
-    is one DISTINCT over log paths; the anti-join broadcasts it. At
-    100 TB the expensive half is the object-store LIST, not this
-    plan — which is why the reconcile must be metadata-only, and
-    is."""
-    ev = load_table(spark, sf_dir, "events")
-    listing = spark.range(50).select(
-        F.concat(F.lit("part-"), F.col("id").cast("string")).alias("path"),
-        ((F.col("id") * 131) % 5000 + 64).alias("fsize"),
-    )
-    referenced = ev.select(
-        F.concat(F.lit("part-"), (F.col("event_id") % 37).cast("string")).alias(
-            "path"
-        )
-    ).distinct()
-    return (
-        listing.join(F.broadcast(referenced), "path", "left_anti")
-        .select("path", F.col("fsize").cast("long").alias("fsize"))
-    )
-
-
-@register(
-    "cat_tag_propagation",
-    survey_row=66,
-    oracle="""
-    WITH RECURSIVE edges AS (
-        SELECT DISTINCT prev_type AS src, event_type AS dst FROM (
-            SELECT event_type,
-                   lag(event_type) OVER (PARTITION BY user_id
-                                         ORDER BY ts, event_id) AS prev_type
-            FROM events)
-        WHERE prev_type IS NOT NULL AND prev_type <> event_type
-    ),
-    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-    seeds AS (SELECT node FROM nodes WHERE node LIKE '%r%'),
-    walk AS (
-        SELECT node, 0 AS hops FROM seeds
-        UNION ALL
-        SELECT e.dst, w.hops + 1
-        FROM walk w JOIN edges e ON e.src = w.node
-        WHERE w.hops < 4
-    )
-    SELECT n.node AS table_name,
-           w.node IS NOT NULL AS pii_tagged,
-           min(w.hops)::BIGINT AS min_hops_from_seed
-    FROM nodes n LEFT JOIN walk w ON w.node = n.node
-    GROUP BY n.node, w.node IS NOT NULL
-    """,
-)
-def cat_tag_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII-tag PROPAGATION through lineage — the governance closure
-    that makes `cat_pii_column_scan`'s findings actionable: a table
-    derived (transitively) from a PII-tagged source inherits the
-    tag, because a SELECT...INSERT moves the data even if the column
-    names change. Seeds are the tagged source tables (deterministic
-    name rule in both engines); the result is every table's tag
-    status plus its distance from the nearest tagged source (hops=0
-    for seeds) — the triage order for a remediation sweep.
-
-    Reuses the lineage-closure machinery: the ≤4-hop min-plus
-    DOUBLING over the deduped edge set (log₂ rounds of broadcast
-    self-joins; |V|²-bounded pairs regardless of corpus size), then
-    one semi-style min-hop join from the seed set. The oracle walks
-    hop-at-a-time by recursive CTE — different algorithm, same
-    fixpoint, the closure-family discipline."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    trans = ev.select(
-        F.lag("event_type").over(w).alias("src"),
-        F.col("event_type").alias("dst"),
-    )
-    edges = (
-        trans.filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
-        .distinct()
-        .cache()
-    )
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select("dst"))
-        .distinct()
-    )
-    seeds = nodes.filter(F.col("node").contains("r"))
-    # min-plus doubling: reach(seed -> v) in <= 4 hops
-    reach = seeds.select("node").withColumn("hops", F.lit(0))
-    paths = edges.withColumn("hops", F.lit(1))
-    for _ in range(2):  # 1 -> 2 -> 4 hop paths
-        squared = (
-            paths.join(
-                F.broadcast(
-                    paths.select(
-                        F.col("src").alias("m"),
-                        F.col("dst").alias("dst2"),
-                        F.col("hops").alias("hops2"),
-                    )
-                ),
-                F.col("dst") == F.col("m"),
-            )
-            .select(
-                "src",
-                F.col("dst2").alias("dst"),
-                (F.col("hops") + F.col("hops2")).alias("hops"),
-            )
-        )
-        paths = (
-            paths.unionAll(squared)
-            .groupBy("src", "dst")
-            .agg(F.min("hops").alias("hops"))
-            .localCheckpoint(eager=False)
-        )
-    walked = (
-        seeds.join(F.broadcast(paths), seeds["node"] == paths["src"])
-        .select(F.col("dst").alias("node"), "hops")
-        .unionAll(reach)
-        .groupBy("node")
-        .agg(F.min("hops").alias("min_hops_from_seed"))
-    )
-    return nodes.join(F.broadcast(walked), "node", "left_outer").select(
-        F.col("node").alias("table_name"),
-        F.col("min_hops_from_seed").isNotNull().alias("pii_tagged"),
-        F.col("min_hops_from_seed").cast("long").alias("min_hops_from_seed"),
-    )
-
-
-@register(
     "cat_duplicate_table_detect",
     survey_row=61,
     oracle="""
@@ -4386,88 +1236,6 @@ def cat_semantic_type_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "cat_msck_repair_plan",
-    survey_row=63,
-    oracle="""
-    WITH on_disk AS (
-        SELECT DISTINCT event_type AS dt_type,
-               CAST(date_trunc('day', ts) AS DATE) AS dt_day
-        FROM events
-    ),
-    registered AS (
-        SELECT dt_type, dt_day FROM on_disk
-        WHERE CAST(('0x' || substr(md5(dt_type || '/' || dt_day), 1, 8))
-                   AS BIGINT) % 5 <> 0
-    )
-    SELECT d.dt_type, d.dt_day,
-           'ALTER TABLE audit_log ADD PARTITION (event_type=''' ||
-               d.dt_type || ''', day=''' || d.dt_day || ''')' AS ddl
-    FROM on_disk d
-    LEFT JOIN registered r
-      ON r.dt_type = d.dt_type AND r.dt_day = d.dt_day
-    WHERE r.dt_type IS NULL
-    """,
-)
-def cat_msck_repair_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MSCK REPAIR TABLE as a plan — Hive's partition-discovery
-    repair (the single most-run maintenance command against a real
-    metastore): directories that exist on storage but have no
-    PARTITIONS row get an ADD PARTITION statement generated. On-disk
-    partitions derive from the data's own (type, day) combinations;
-    the registered set deterministically drops an md5-selected ~20 %
-    (the same seeded-gap technique as the PII scan's controls), so
-    the anti-join provably recovers exactly the missing ones, and
-    the emitted DDL strings are hash-gated — format drift in the
-    generator breaks the gate, the same discipline as
-    cat_table_ddl_generate.
-
-    Both sides of the anti-join are |partitions|-sized metadata
-    after one DISTINCT over the partition columns (at 100 TB this
-    comes from the storage LISTING, not a data scan — the same
-    boundary cat_partition_listing documents); the repair plan
-    itself broadcasts."""
-    ev = load_table(spark, sf_dir, "events")
-    on_disk = ev.select(
-        F.col("event_type").alias("dt_type"),
-        F.col("ts").cast("date").alias("dt_day"),
-    ).distinct()
-    gap = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("dt_type"),
-                        F.lit("/"),
-                        F.col("dt_day").cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 5
-        == 0
-    )
-    registered = on_disk.filter(~gap)
-    return (
-        on_disk.join(F.broadcast(registered), ["dt_type", "dt_day"], "left_anti")
-        .select(
-            "dt_type",
-            "dt_day",
-            F.concat(
-                F.lit("ALTER TABLE audit_log ADD PARTITION (event_type='"),
-                F.col("dt_type"),
-                F.lit("', day='"),
-                F.col("dt_day").cast("string"),
-                F.lit("')"),
-            ).alias("ddl"),
-        )
-    )
-
-
-@register(
     "cat_psi_drift",
     survey_row=64,
     oracle="""
@@ -4536,382 +1304,6 @@ def cat_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb")), 6
         ).alias("psi_term"),
-    )
-
-
-@register(
-    "cat_usage_hourly_profile",
-    survey_row=64,
-    oracle="""
-    WITH hourly AS (
-        SELECT event_type,
-               CAST(hour(ts) AS BIGINT) AS hr,
-               count(*) AS n
-        FROM events GROUP BY 1, 2
-    )
-    SELECT event_type,
-           count(*)::BIGINT AS n_active_hours,
-           max_by(hr, n * 100 + (23 - hr))::BIGINT AS peak_hour,
-           max(n)::BIGINT AS peak_qph,
-           round(max(n) * 24.0 / sum(n), 6) AS peakiness
-    FROM hourly GROUP BY event_type
-    """,
-)
-def cat_usage_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hour-of-day USAGE profile per table — the diurnal fingerprint
-    a collector derives from its audit log to schedule maintenance
-    (compaction/vacuum go in the trough) and classify workloads
-    (peakiness ≈ 1 → flat service traffic; ≫ 1 → a daily batch job):
-    active-hour count, the peak hour (earliest wins on tied counts,
-    pinned via a scalar composite key — the DuckDB max_by struct
-    limitation again), peak queries-per-hour, and peak-to-mean
-    ratio.
-
-    One |types|×24 contingency agg (map-side partials) then a
-    |types|-row rollup — the same two-level shape as the latency
-    histogram, keyed by time-of-day instead of magnitude."""
-    ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        "event_type", F.hour("ts").cast("long").alias("hr")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    return hourly.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_active_hours"),
-        F.max_by("hr", F.col("n") * 100 + (23 - F.col("hr")))
-        .cast("long")
-        .alias("peak_hour"),
-        F.max("n").alias("peak_qph"),
-        F.round(F.max("n") * 24.0 / F.sum("n"), 6).alias("peakiness"),
-    )
-
-
-@register(
-    "cat_lineage_triangles",
-    survey_row=66,
-    oracle="""
-    WITH edges AS (
-        SELECT DISTINCT prev_type AS src, event_type AS dst FROM (
-            SELECT event_type,
-                   lag(event_type) OVER (PARTITION BY user_id
-                                         ORDER BY ts, event_id) AS prev_type
-            FROM events)
-        WHERE prev_type IS NOT NULL AND prev_type <> event_type
-    ),
-    und AS (
-        SELECT least(src, dst) AS a, greatest(src, dst) AS b
-        FROM edges GROUP BY 1, 2
-    ),
-    tri AS (
-        SELECT e1.a AS x, e1.b AS y, e2.b AS z
-        FROM und e1
-        JOIN und e2 ON e2.a = e1.b
-        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
-        WHERE e1.a < e1.b AND e2.a < e2.b
-    )
-    SELECT count(*)::BIGINT AS n_triangles,
-           (SELECT count(*) FROM und)::BIGINT AS n_edges,
-           (SELECT count(*) FROM (
-                SELECT a AS n FROM und UNION SELECT b FROM und))::BIGINT
-               AS n_nodes
-    FROM tri
-    """,
-)
-def cat_lineage_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRIANGLE count over the (undirected) lineage graph — the
-    clustering-coefficient numerator, and the graph-health signal
-    the cycle/closure/pagerank family lacks: a lineage graph with
-    many triangles has redundant derivation paths (the same data
-    reachable two ways — a dedup/consolidation candidate list),
-    while a tree-like graph has none. Canonical algorithm: orient
-    every undirected edge low→high, then count ordered wedges
-    closed by a third edge — each triangle counted exactly once, no
-    double counting, no direction ambiguity.
-
-    Two self-joins over the canonicalized |E|-row edge set
-    (metadata-sized here; at real scale this is the classic
-    node-degree-ordered triangle join, and the orientation trick is
-    exactly what bounds the wedge explosion: high-degree nodes only
-    expand toward higher ids). The corpus-sized work remains the
-    one DISTINCT edge extraction shared by the whole lineage
-    family."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    trans = ev.select(
-        F.lag("event_type").over(w).alias("src"),
-        F.col("event_type").alias("dst"),
-    )
-    edges = trans.filter(
-        F.col("src").isNotNull() & (F.col("src") != F.col("dst"))
-    ).distinct()
-    und = (
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-        .cache()
-    )
-    e2 = und.select(F.col("a").alias("m"), F.col("b").alias("z"))
-    e3 = und.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
-    tri = (
-        und.join(F.broadcast(e2), und["b"] == e2["m"])
-        .join(
-            F.broadcast(e3),
-            (F.col("a") == F.col("x3")) & (F.col("z") == F.col("z3")),
-        )
-    )
-    n_edges = und.count()
-    n_nodes = (
-        und.select(F.col("a").alias("n")).union(und.select("b")).distinct().count()
-    )
-    return tri.agg(F.count(F.lit(1)).alias("n_triangles")).select(
-        "n_triangles",
-        F.lit(n_edges).cast("long").alias("n_edges"),
-        F.lit(n_nodes).cast("long").alias("n_nodes"),
-    )
-
-
-@register(
-    "cat_decayed_heat",
-    survey_row=64,
-    oracle="""
-    WITH wm AS (
-        SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS max_day
-        FROM events
-    ),
-    daily AS (
-        SELECT event_type,
-               date_diff('day', CAST(date_trunc('day', ts) AS DATE),
-                         (SELECT max_day FROM wm)) AS age_d,
-               count(*) AS n
-        FROM events GROUP BY 1, 2
-    ),
-    weighted AS (
-        SELECT event_type, age_d, n,
-               CAST(floor(pow(2.0, -(age_d / 7.0)) * 1000000) AS BIGINT)
-                   AS w6
-        FROM daily
-    )
-    SELECT event_type,
-           sum(n)::BIGINT AS raw_count,
-           sum(n * w6)::BIGINT AS heat_e6,
-           round(sum(n * w6) / 1000000.0, 6) AS heat
-    FROM weighted GROUP BY event_type
-    """,
-)
-def cat_decayed_heat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-DECAYED table heat (half-life 7 days) — the cache/tier
-    eviction score that fixes raw `cat_table_heat`'s blind spot: a
-    table hammered last month and dead since outranks one warming
-    up today under raw counts, and exactly inverts under decay.
-    Anchored to the data's own max day (reproducible, like the
-    retention planner).
-
-    The float-decay trap is dodged by integerizing the weight ONCE
-    per distinct age (floor(2^(−age/hl)·10⁶) — at most |days|
-    distinct values, each a single libm pow of an engine-identical
-    argument), after which heat is an exact int64 sum of
-    count×weight products — accumulation-order-free where the naive
-    per-event Σ pow(...) would be a float sum in shuffle order. One
-    |types|×|days| rollup then a |types| reduce; the decayed score
-    is incrementally maintainable (yesterday's heat halves-lives by
-    one day: multiply by a constant and add today's counts)."""
-    ev = load_table(spark, sf_dir, "events")
-    wm = ev.agg(F.max(F.col("ts").cast("date")).alias("max_day"))
-    daily = (
-        ev.crossJoin(F.broadcast(wm))
-        .groupBy(
-            "event_type",
-            F.datediff("max_day", F.col("ts").cast("date")).alias("age_d"),
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    weighted = daily.withColumn(
-        "w6",
-        F.floor(F.pow(F.lit(2.0), -(F.col("age_d") / 7.0)) * 1000000).cast(
-            "long"
-        ),
-    )
-    return weighted.groupBy("event_type").agg(
-        F.sum("n").alias("raw_count"),
-        F.sum(F.col("n") * F.col("w6")).alias("heat_e6"),
-        F.round(F.sum(F.col("n") * F.col("w6")) / 1000000.0, 6).alias("heat"),
-    )
-
-
-@register(
-    "cat_survival_curve",
-    survey_row=64,
-    oracle="""
-    WITH RECURSIVE life AS (
-        SELECT user_id,
-               date_diff('day',
-                   min(CAST(date_trunc('day', ts) AS DATE)),
-                   max(CAST(date_trunc('day', ts) AS DATE))) AS lifetime_d
-        FROM events GROUP BY user_id
-    ),
-    risk AS (
-        SELECT lifetime_d AS t, count(*) AS d,
-               row_number() OVER (ORDER BY lifetime_d) AS rn
-        FROM life GROUP BY lifetime_d
-    ),
-    n0 AS (SELECT count(*) AS n FROM life),
-    km AS (
-        SELECT r.rn, r.t, r.d,
-               (SELECT n FROM n0) AS at_risk,
-               1.0 * ((SELECT n FROM n0) - r.d) / (SELECT n FROM n0)
-                   AS s
-        FROM risk r WHERE r.rn = 1
-        UNION ALL
-        SELECT r.rn, r.t, r.d,
-               k.at_risk - k.d AS at_risk,
-               k.s * (k.at_risk - k.d - r.d) / (k.at_risk - k.d) AS s
-        FROM km k JOIN risk r ON r.rn = k.rn + 1
-    )
-    SELECT t::BIGINT AS lifetime_d, d::BIGINT AS n_churned,
-           at_risk::BIGINT AS n_at_risk,
-           round(s, 6) AS survival
-    FROM km
-    """,
-)
-def cat_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KAPLAN-MEIER survival curve over entity lifetimes — the
-    churn/retention statistic that handles the thing naive retention
-    can't (every entity observed for a different window): here each
-    user's lifetime is last-seen − first-seen days, and S(t) = Π_{
-    t_i ≤ t} (1 − d_i/n_i) steps down at each distinct lifetime.
-    The running product is the CUSUM family's third member: no
-    prefix-sum identity in plain algebra BUT the risk table is
-    |distinct lifetimes|-sized metadata, so the product folds over
-    a sorted array JVM-side (F.aggregate, fixed order — the
-    determinism contract) after one corpus-sized lifetime rollup.
-    The oracle single-steps the identical recurrence by recursive
-    CTE, the token-bucket discipline.
-
-    Survival multiplications are doubles in a FIXED fold order with
-    engine-identical factors (ratios of exact integers), so
-    round(…,6) is stable."""
-    ev = load_table(spark, sf_dir, "events")
-    life = ev.groupBy("user_id").agg(
-        F.datediff(
-            F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date"))
-        ).alias("lifetime_d")
-    )
-    risk = life.groupBy("lifetime_d").agg(F.count(F.lit(1)).alias("d"))
-    folded = risk.groupBy().agg(
-        F.sort_array(F.collect_list(F.struct("lifetime_d", "d"))).alias(
-            "steps"
-        ),
-        F.sum("d").alias("n0"),
-    )
-    # fold: state = array of (t, d, at_risk, s) rows built sequentially
-    stepped = folded.select(
-        F.aggregate(
-            "steps",
-            F.expr(
-                "CAST(array() AS "
-                "array<struct<t:int,d:bigint,at_risk:bigint,s:double>>)"
-            ),
-            lambda acc, e: F.concat(
-                acc,
-                F.array(
-                    F.struct(
-                        e["lifetime_d"].alias("t"),
-                        e["d"].alias("d"),
-                        F.coalesce(
-                            F.try_element_at(acc, F.lit(-1))["at_risk"]
-                            - F.try_element_at(acc, F.lit(-1))["d"],
-                            F.col("n0"),
-                        ).alias("at_risk"),
-                        (
-                            F.coalesce(F.try_element_at(acc, F.lit(-1))["s"], F.lit(1.0))
-                            * (
-                                F.coalesce(
-                                    F.try_element_at(acc, F.lit(-1))["at_risk"]
-                                    - F.try_element_at(acc, F.lit(-1))["d"],
-                                    F.col("n0"),
-                                )
-                                - e["d"]
-                            )
-                            / F.coalesce(
-                                F.try_element_at(acc, F.lit(-1))["at_risk"]
-                                - F.try_element_at(acc, F.lit(-1))["d"],
-                                F.col("n0"),
-                            )
-                        ).alias("s"),
-                    )
-                ),
-            ),
-        ).alias("curve")
-    )
-    return stepped.select(F.explode("curve").alias("r")).select(
-        F.col("r.t").cast("long").alias("lifetime_d"),
-        F.col("r.d").alias("n_churned"),
-        F.col("r.at_risk").alias("n_at_risk"),
-        F.round(F.col("r.s"), 6).alias("survival"),
-    )
-
-
-@register(
-    "cat_bitemporal_asof",
-    survey_row=62,
-    oracle="""
-    WITH versions AS (
-        SELECT event_id % 20 AS key,
-               event_id % 3 AS valid_from,
-               event_id % 3 + 1 + event_id % 2 AS valid_to,
-               event_id % 5 AS tx_from,
-               CASE WHEN event_id % 4 = 1 THEN event_id % 5 + 2
-                    ELSE 99 END AS tx_to,
-               event_id AS payload
-        FROM events
-    )
-    SELECT key::BIGINT AS key,
-           max(payload)::BIGINT AS payload,
-           count(*)::BIGINT AS n_visible_versions
-    FROM versions
-    WHERE valid_from <= 2 AND 2 < valid_to
-      AND tx_from <= 3 AND 3 < tx_to
-    GROUP BY key
-    """,
-)
-def cat_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BITEMPORAL point query — the two-axis time model auditors
-    require and `cat_scd2_diff`'s single valid-time axis cannot
-    answer: "what did we BELIEVE on tx-time 3 about the state of
-    key K at valid-time 2?" Valid time is when the fact was true in
-    the world; transaction time is when the warehouse knew it — a
-    late correction changes tx-time history but rewrites nothing.
-    Each version row carries both intervals (synthesized with open
-    tx_to = 99 for still-current beliefs and seeded superseded
-    rows); the as-of query is two half-open containment filters and
-    a per-key reduce (max payload = latest correction among visible
-    versions, plus the visible-version count the audit report
-    shows).
-
-    Filters push to the scan on both interval columns; no join at
-    all — the bitemporal resolve is a filter + group, which is why
-    warehouses can afford it at any scale."""
-    ev = load_table(spark, sf_dir, "events")
-    eid = F.col("event_id")
-    versions = ev.select(
-        (eid % 20).alias("key"),
-        (eid % 3).alias("valid_from"),
-        (eid % 3 + 1 + eid % 2).alias("valid_to"),
-        (eid % 5).alias("tx_from"),
-        F.when(eid % 4 == 1, eid % 5 + 2).otherwise(99).alias("tx_to"),
-        eid.alias("payload"),
-    )
-    return (
-        versions.filter(
-            (F.col("valid_from") <= 2)
-            & (F.lit(2) < F.col("valid_to"))
-            & (F.col("tx_from") <= 3)
-            & (F.lit(3) < F.col("tx_to"))
-        )
-        .groupBy(F.col("key").cast("long").alias("key"))
-        .agg(
-            F.max("payload").cast("long").alias("payload"),
-            F.count(F.lit(1)).alias("n_visible_versions"),
-        )
     )
 
 
@@ -5004,256 +1396,6 @@ def cat_params_eav_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "cat_erasure_plan",
-    survey_row=62,
-    oracle="""
-    WITH subject AS (SELECT 7 AS uid),
-    hits AS (
-        SELECT 'events' AS table_name,
-               'day=' || CAST(date_trunc('day', ts) AS DATE) AS partition_id,
-               count(*) AS n_rows
-        FROM events, subject WHERE user_id = uid
-        GROUP BY 2
-        UNION ALL
-        SELECT 'orders',
-               'month=' || CAST(date_trunc('month', o_orderdate) AS DATE),
-               count(*)
-        FROM orders, subject WHERE o_custkey = uid
-        GROUP BY 2
-        UNION ALL
-        SELECT 'customer', 'unpartitioned', count(*)
-        FROM customer, subject WHERE c_custkey = uid
-        HAVING count(*) > 0
-    )
-    SELECT table_name, partition_id, n_rows::BIGINT AS n_rows,
-           sum(n_rows) OVER (PARTITION BY table_name)::BIGINT
-               AS table_total,
-           count(*) OVER (PARTITION BY table_name)::BIGINT
-               AS partitions_to_rewrite
-    FROM hits
-    """,
-)
-def cat_erasure_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GDPR ERASURE plan — right-to-be-forgotten turned into the
-    concrete work list a platform team executes: for one data
-    subject, every (table, partition) holding their rows, with row
-    counts and the per-table rewrite scope (each listed partition
-    must be rewritten — that count IS the cost model for
-    copy-on-write tables; with deletion vectors it becomes the
-    DV-write count instead, same plan). Subject key 7 spans all
-    three key domains by construction; empty tables drop out via
-    HAVING on both sides.
-
-    Each per-table probe is a pushed-down point predicate + a
-    partition-grain rollup — at 100 TB the scan side is
-    partition-pruned (or bloom-skipped, cat_bloom_skip_index) and
-    the plan output is partitions-holding-the-subject sized, i.e.
-    tiny. The window totals run over that tiny frame."""
-    ev = load_table(spark, sf_dir, "events")
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    uid = 7
-    hits = (
-        ev.filter(F.col("user_id") == uid)
-        .groupBy(
-            F.concat(
-                F.lit("day="), F.col("ts").cast("date").cast("string")
-            ).alias("partition_id")
-        )
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .select(F.lit("events").alias("table_name"), "partition_id", "n_rows")
-        .unionAll(
-            o.filter(F.col("o_custkey") == uid)
-            .groupBy(
-                F.concat(
-                    F.lit("month="),
-                    F.trunc("o_orderdate", "month").cast("string"),
-                ).alias("partition_id")
-            )
-            .agg(F.count(F.lit(1)).alias("n_rows"))
-            .select(F.lit("orders").alias("table_name"), "partition_id", "n_rows")
-        )
-        .unionAll(
-            c.filter(F.col("c_custkey") == uid)
-            .agg(F.count(F.lit(1)).alias("n_rows"))
-            .filter(F.col("n_rows") > 0)
-            .select(
-                F.lit("customer").alias("table_name"),
-                F.lit("unpartitioned").alias("partition_id"),
-                "n_rows",
-            )
-        )
-    )
-    w = Window.partitionBy("table_name")
-    return hits.select(
-        "table_name",
-        "partition_id",
-        F.col("n_rows").cast("long").alias("n_rows"),
-        F.sum("n_rows").over(w).cast("long").alias("table_total"),
-        F.count(F.lit(1)).over(w).cast("long").alias("partitions_to_rewrite"),
-    )
-
-
-@register(
-    "cat_mv_staleness",
-    survey_row=66,
-    oracle="""
-    WITH edges AS (
-        SELECT DISTINCT prev_type AS src, event_type AS dst FROM (
-            SELECT event_type,
-                   lag(event_type) OVER (PARTITION BY user_id
-                                         ORDER BY ts, event_id) AS prev_type
-            FROM events)
-        WHERE prev_type IS NOT NULL AND prev_type <> event_type
-    ),
-    freshness AS (
-        SELECT event_type AS node, max(ts) AS last_touch
-        FROM events GROUP BY event_type
-    )
-    SELECT e.dst AS mv_name,
-           f_mv.last_touch AS mv_refreshed_at,
-           max(f_src.last_touch) AS newest_upstream_change,
-           max(f_src.last_touch) > f_mv.last_touch AS is_stale,
-           count(*)::BIGINT AS n_upstreams
-    FROM edges e
-    JOIN freshness f_mv ON f_mv.node = e.dst
-    JOIN freshness f_src ON f_src.node = e.src
-    GROUP BY e.dst, f_mv.last_touch
-    """,
-)
-def cat_mv_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MATERIALIZED-VIEW staleness — the freshness×lineage join that
-    answers the question either artifact alone cannot: a derived
-    table is STALE when any upstream changed after its own last
-    refresh. Lineage edges say who feeds whom; the freshness sweep
-    says when each side last moved; one join + per-MV max gives the
-    stale set with its newest-upstream timestamp (the refresh
-    scheduler's priority key) and upstream fan-in.
-
-    Both inputs are |tables|-sized reductions of the audit stream
-    (the corpus-sized work is shared with the whole lineage/
-    freshness family); the staleness join broadcasts. At 100 TB
-    this runs entirely on collector metadata — no data scan."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    trans = ev.select(
-        F.lag("event_type").over(w).alias("src"),
-        F.col("event_type").alias("dst"),
-    )
-    edges = trans.filter(
-        F.col("src").isNotNull() & (F.col("src") != F.col("dst"))
-    ).distinct()
-    freshness = ev.groupBy(F.col("event_type").alias("node")).agg(
-        F.max("ts").alias("last_touch")
-    )
-    f_mv = freshness.select(
-        F.col("node").alias("mv_node"), F.col("last_touch").alias("mv_refreshed_at")
-    )
-    f_src = freshness.select(
-        F.col("node").alias("src_node"),
-        F.col("last_touch").alias("src_touch"),
-    )
-    return (
-        edges.join(F.broadcast(f_mv), edges["dst"] == f_mv["mv_node"])
-        .join(F.broadcast(f_src), edges["src"] == f_src["src_node"])
-        .groupBy(F.col("dst").alias("mv_name"), "mv_refreshed_at")
-        .agg(
-            F.max("src_touch").alias("newest_upstream_change"),
-            (F.max("src_touch") > F.first("mv_refreshed_at")).alias(
-                "is_stale"
-            ),
-            F.count(F.lit(1)).alias("n_upstreams"),
-        )
-    )
-
-
-@register(
-    "cat_rfm_segments",
-    survey_row=64,
-    oracle="""
-    WITH wm AS (SELECT max(ts) AS now_ts FROM events),
-    rfm AS (
-        SELECT user_id,
-               date_diff('day', max(ts), (SELECT now_ts FROM wm))
-                   AS recency_d,
-               count(*) AS frequency,
-               CAST(floor(round(sum(value), 1) * 10 + 0.5) AS BIGINT)
-                   AS monetary10
-        FROM events GROUP BY user_id
-    ),
-    scored AS (
-        SELECT user_id, recency_d, frequency, monetary10,
-               ntile(4) OVER (ORDER BY recency_d ASC, user_id) AS r_q,
-               ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_q,
-               ntile(4) OVER (ORDER BY monetary10 DESC, user_id) AS m_q
-        FROM rfm
-    )
-    SELECT user_id, r_q::BIGINT AS r_q, f_q::BIGINT AS f_q,
-           m_q::BIGINT AS m_q,
-           CASE WHEN r_q = 1 AND f_q = 1 THEN 'champion'
-                WHEN r_q = 1 THEN 'recent'
-                WHEN f_q = 1 THEN 'loyal_lapsing'
-                WHEN r_q = 4 AND f_q = 4 THEN 'lost'
-                ELSE 'regular' END AS segment
-    FROM scored
-    """,
-)
-def cat_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM SEGMENTATION — multi-dimensional entity scoring (the
-    marketing classic, equally at home as a table-owner engagement
-    score): per entity, Recency (days since last touch, vs the
-    data-derived watermark), Frequency, Monetary (integer tenths —
-    the cents rule), each quartiled with a pinned (metric, user_id)
-    tie-break, then a rule table maps quartile triples to named
-    segments (champion / recent / loyal_lapsing / lost / regular).
-
-    The three ntile windows share one |users|-sized frame (the
-    corpus-sized work is the single per-user rollup feeding it) —
-    at 100 TB the quartile boundaries would come from
-    approx-quantiles instead of three full sorts of the entity
-    frame, the documented two-pass swap; the rule table is pure
-    CASE."""
-    ev = load_table(spark, sf_dir, "events")
-    wm = ev.agg(F.max("ts").alias("now_ts"))
-    rfm = (
-        ev.crossJoin(F.broadcast(wm))
-        .groupBy("user_id")
-        .agg(
-            F.datediff(F.max("now_ts"), F.max("ts")).alias("recency_d"),
-            F.count(F.lit(1)).alias("frequency"),
-            F.floor(F.round(F.sum("value"), 1) * 10 + 0.5)
-            .cast("long")
-            .alias("monetary10"),
-        )
-    )
-    r_q = F.ntile(4).over(Window.orderBy(F.col("recency_d").asc(), "user_id"))
-    f_q = F.ntile(4).over(
-        Window.orderBy(F.col("frequency").desc(), "user_id")
-    )
-    m_q = F.ntile(4).over(
-        Window.orderBy(F.col("monetary10").desc(), "user_id")
-    )
-    scored = rfm.select(
-        "user_id",
-        r_q.cast("long").alias("r_q"),
-        f_q.cast("long").alias("f_q"),
-        m_q.cast("long").alias("m_q"),
-    )
-    return scored.select(
-        "user_id",
-        "r_q",
-        "f_q",
-        "m_q",
-        F.when((F.col("r_q") == 1) & (F.col("f_q") == 1), "champion")
-        .when(F.col("r_q") == 1, "recent")
-        .when(F.col("f_q") == 1, "loyal_lapsing")
-        .when((F.col("r_q") == 4) & (F.col("f_q") == 4), "lost")
-        .otherwise("regular")
-        .alias("segment"),
-    )
-
-
-@register(
     "cat_sequence_gaps",
     survey_row=63,
     oracle="""
@@ -5299,206 +1441,6 @@ def cat_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") + 1).alias("gap_start"),
         (F.col("nxt") - 1).alias("gap_end"),
         (F.col("nxt") - F.col("event_id") - 1).alias("n_missing"),
-    )
-
-
-@register(
-    "cat_query_antipatterns",
-    survey_row=64,
-    oracle="""
-    WITH log AS (
-        SELECT event_id,
-               CASE event_id % 4
-                 WHEN 0 THEN 'SELECT * FROM raw_' || (event_id % 7)
-                 WHEN 1 THEN 'SELECT a.k FROM raw_' || (event_id % 7)
-                      || ' a, dim_' || (event_id % 5)
-                      || ' b WHERE a.v > ' || (event_id % 50)
-                 WHEN 2 THEN 'SELECT k FROM part_tab WHERE v = '
-                      || (event_id % 50)
-                 ELSE 'SELECT k FROM part_tab WHERE dt = ''2024-01-0'
-                      || (event_id % 9 + 1) || ''' AND v = '
-                      || (event_id % 50)
-               END AS q
-        FROM events
-    ),
-    flagged AS (
-        SELECT event_id, q,
-               q LIKE 'SELECT *%' AS star_select,
-               (q LIKE '%,%' AND q NOT LIKE '%JOIN%') AS implicit_cross,
-               (q LIKE '%part_tab%' AND q NOT LIKE '%dt =%')
-                   AS missing_partition_filter
-        FROM log
-    )
-    SELECT CASE WHEN star_select THEN 'star_select'
-                WHEN implicit_cross THEN 'implicit_cross_join'
-                WHEN missing_partition_filter
-                     THEN 'missing_partition_filter'
-                ELSE 'clean' END AS antipattern,
-           count(*)::BIGINT AS n_queries,
-           min(q) AS example_query
-    FROM flagged
-    GROUP BY 1
-    """,
-)
-def cat_query_antipatterns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Query ANTIPATTERN detection — the advisor report a collector
-    builds from its query log (the highest-leverage artifact for a
-    platform team: most warehouse cost hides in a handful of
-    fixable habits): each statement classified against the big
-    three — SELECT * (dead-column scan), comma-join without JOIN
-    (the accidental cross product), and partitioned-table access
-    with no partition predicate (full scan of a pruned table). The
-    synthesized log seeds each class on a residue plus a clean
-    class; counts and a deterministic example (min) per pattern.
-
-    Classification is LIKE-predicate codegen over the template
-    stream (the cat_query_fingerprint shape with a rule head);
-    precedence is pinned (star > cross > missing-filter) so
-    multi-fault statements classify identically in both engines."""
-    ev = load_table(spark, sf_dir, "events")
-    eid = F.col("event_id")
-    q = (
-        F.when(
-            eid % 4 == 0,
-            F.concat(F.lit("SELECT * FROM raw_"), (eid % 7).cast("string")),
-        )
-        .when(
-            eid % 4 == 1,
-            F.concat(
-                F.lit("SELECT a.k FROM raw_"),
-                (eid % 7).cast("string"),
-                F.lit(" a, dim_"),
-                (eid % 5).cast("string"),
-                F.lit(" b WHERE a.v > "),
-                (eid % 50).cast("string"),
-            ),
-        )
-        .when(
-            eid % 4 == 2,
-            F.concat(
-                F.lit("SELECT k FROM part_tab WHERE v = "),
-                (eid % 50).cast("string"),
-            ),
-        )
-        .otherwise(
-            F.concat(
-                F.lit("SELECT k FROM part_tab WHERE dt = '2024-01-0"),
-                (eid % 9 + 1).cast("string"),
-                F.lit("' AND v = "),
-                (eid % 50).cast("string"),
-            )
-        )
-    )
-    log = ev.select("event_id", q.alias("q"))
-    star = F.col("q").like("SELECT *%")
-    cross = F.col("q").like("%,%") & ~F.col("q").like("%JOIN%")
-    nofilter = F.col("q").like("%part_tab%") & ~F.col("q").like("%dt =%")
-    flagged = log.select(
-        "q",
-        F.when(star, "star_select")
-        .when(cross, "implicit_cross_join")
-        .when(nofilter, "missing_partition_filter")
-        .otherwise("clean")
-        .alias("antipattern"),
-    )
-    return flagged.groupBy("antipattern").agg(
-        F.count(F.lit(1)).alias("n_queries"),
-        F.min("q").alias("example_query"),
-    )
-
-
-@register(
-    "cat_join_size_estimate",
-    survey_row=61,
-    oracle="""
-    WITH ca AS (
-        SELECT CAST(('0x' || substr(md5('js:' ||
-                   CAST(o_custkey % 1000 AS VARCHAR)), 1, 8)) AS BIGINT)
-                   % 128 AS slot,
-               count(*) AS c
-        FROM orders GROUP BY 1
-    ),
-    cb AS (
-        SELECT CAST(('0x' || substr(md5('js:' ||
-                   CAST(user_id % 1000 AS VARCHAR)), 1, 8)) AS BIGINT)
-                   % 128 AS slot,
-               count(*) AS c
-        FROM events GROUP BY 1
-    ),
-    est AS (
-        SELECT sum(ca.c * cb.c) AS estimated
-        FROM ca JOIN cb ON ca.slot = cb.slot
-    ),
-    exact_ AS (
-        SELECT count(*) AS actual
-        FROM orders o JOIN events e
-          ON o.o_custkey % 1000 = e.user_id % 1000
-    )
-    SELECT estimated::BIGINT AS estimated_rows,
-           actual::BIGINT AS actual_rows,
-           (estimated >= actual) AS is_upper_bound
-    FROM est, exact_
-    """,
-)
-def cat_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JOIN-SIZE estimation from per-table key sketches — the
-    optimizer statistic a catalog serves so planners can choose
-    join order and strategy WITHOUT touching data: each side's key
-    distribution compresses to a 128-slot count sketch (one CMS
-    row, the agg_countmin_heavy machinery repurposed), and the
-    inner-product of the two sketches Σ a[s]·b[s] estimates
-    |A ⋈ B| — provably an UPPER bound (hash collisions only add
-    cross terms), tight when keys collide rarely. The exact join
-    count is computed alongside so the bound property itself is
-    hash-gated, not asserted.
-
-    Sketch build: one ≤128-row aggregate per table (mergeable —
-    partitions sketch independently and counters add, so the
-    catalog maintains these incrementally); the estimate is a
-    128×128 slot equi-join. The exact twin is the expensive thing
-    this op exists to avoid — at 100 TB you'd never run it, which
-    is the point."""
-    o = load_table(spark, sf_dir, "orders")
-    ev = load_table(spark, sf_dir, "events")
-
-    def sketch(df, key_col):
-        slot = (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(F.lit("js:"), (F.col(key_col) % 1000).cast("string"))
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 128
-        )
-        return df.groupBy(slot.alias("slot")).agg(
-            F.count(F.lit(1)).alias("c")
-        )
-
-    ca = sketch(o, "o_custkey")
-    cb = sketch(ev, "user_id").select(
-        F.col("slot").alias("slot_b"), F.col("c").alias("cb")
-    )
-    est = (
-        ca.join(F.broadcast(cb), ca["slot"] == cb["slot_b"])
-        .agg(F.sum(F.col("c") * F.col("cb")).alias("estimated"))
-    )
-    actual = (
-        o.select((F.col("o_custkey") % 1000).alias("k"))
-        .join(
-            ev.select((F.col("user_id") % 1000).alias("k")), "k"
-        )
-        .count()
-    )
-    return est.select(
-        F.col("estimated").cast("long").alias("estimated_rows"),
-        F.lit(actual).cast("long").alias("actual_rows"),
-        (F.col("estimated") >= actual).alias("is_upper_bound"),
     )
 
 
@@ -5587,246 +1529,6 @@ def cat_config_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "cat_scd2_repair",
-    survey_row=62,
-    oracle="""
-    WITH dirty AS (
-        SELECT event_id % 25 AS key,
-               event_id AS version_id,
-               CAST(date_trunc('day', ts) AS DATE) AS valid_from,
-               CAST(date_trunc('day', ts) AS DATE)
-                   + INTERVAL (3 + event_id % 10) DAY AS valid_to
-        FROM events WHERE event_id % 6 = 0
-    ),
-    repaired AS (
-        SELECT key, version_id, valid_from,
-               CAST(valid_to AS DATE) AS valid_to_orig,
-               lead(valid_from) OVER (PARTITION BY key
-                   ORDER BY valid_from, version_id) AS next_from
-        FROM dirty
-    )
-    SELECT key::BIGINT AS key, version_id,
-           valid_from,
-           least(valid_to_orig, coalesce(next_from, valid_to_orig))
-               AS valid_to,
-           (next_from IS NOT NULL AND next_from < valid_to_orig)
-               AS was_clipped,
-           (next_from IS NOT NULL AND next_from = valid_from)
-               AS zero_duration
-    FROM repaired
-    """,
-)
-def cat_scd2_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 validity-interval REPAIR — the hygiene pass that makes
-    `cat_scd2_diff`/`cat_scd2_apply` trustworthy on real metastores
-    (hand-edited dimension rows and replayed loads leave OVERLAPPING
-    validity windows, and every as-of join over them silently
-    double-matches): within each key's version chain, clip every
-    interval's end to the next version's start (lead over the
-    validity order), flagging clipped rows and the zero-duration
-    degenerates (same-day supersedes) that auditors review rather
-    than auto-delete. Dirty intervals are synthesized with
-    deliberately-overlapping spans (duration outruns the version
-    spacing).
-
-    One lead() per key partition — the same islands idiom as
-    sequence gaps, applied to interval hygiene; clip is a least()
-    against the shifted start. At metastore scale this is
-    \\|versions\\|-sized work."""
-    ev = load_table(spark, sf_dir, "events")
-    dirty = ev.filter(F.col("event_id") % 6 == 0).select(
-        (F.col("event_id") % 25).alias("key"),
-        F.col("event_id").alias("version_id"),
-        F.col("ts").cast("date").alias("valid_from"),
-        F.date_add(
-            F.col("ts").cast("date"), (3 + F.col("event_id") % 10).cast("int")
-        ).alias("valid_to_orig"),
-    )
-    w = Window.partitionBy("key").orderBy("valid_from", "version_id")
-    repaired = dirty.withColumn(
-        "next_from", F.lead("valid_from").over(w)
-    )
-    return repaired.select(
-        F.col("key").cast("long").alias("key"),
-        "version_id",
-        "valid_from",
-        F.least(
-            F.col("valid_to_orig"),
-            F.coalesce("next_from", "valid_to_orig"),
-        ).alias("valid_to"),
-        (
-            F.col("next_from").isNotNull()
-            & (F.col("next_from") < F.col("valid_to_orig"))
-        ).alias("was_clipped"),
-        (
-            F.col("next_from").isNotNull()
-            & (F.col("next_from") == F.col("valid_from"))
-        ).alias("zero_duration"),
-    )
-
-
-@register(
-    "cat_new_access_detect",
-    survey_row=64,
-    oracle="""
-    WITH wm AS (SELECT max(ts) AS max_ts FROM events),
-    split AS (
-        SELECT user_id, event_type, ts,
-               ts >= (SELECT max_ts FROM wm) - INTERVAL 3 DAY AS recent
-        FROM events
-    ),
-    hist AS (
-        SELECT DISTINCT user_id, event_type FROM split WHERE NOT recent
-    )
-    SELECT s.user_id, s.event_type,
-           min(s.ts) AS first_seen,
-           count(*)::BIGINT AS n_recent_accesses
-    FROM split s
-    LEFT JOIN hist h
-      ON h.user_id = s.user_id AND h.event_type = s.event_type
-    WHERE s.recent AND h.user_id IS NULL
-    GROUP BY s.user_id, s.event_type
-    """,
-)
-def cat_new_access_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FIRST-TIME access detection — the security/anomaly sweep a
-    collector runs nightly over its audit log: (principal, table)
-    pairs appearing in the recent window that have NO history before
-    it (a service account suddenly reading the payroll table is
-    exactly this row). The window anchors to the data's max
-    timestamp (reproducible, the retention-planner rule); history =
-    the DISTINCT pair set before the cut; detection = recent
-    accesses anti-joined against it, with first-seen time and
-    recent-access count per new pair.
-
-    The historical pair set is |principals|×|tables|-bounded — it
-    BROADCASTS into the anti-join regardless of how many billions
-    of audit rows produced it (the DISTINCT is the corpus-sized
-    map-side-combine step); at 100 TB this is the incremental
-    pattern: yesterday's pair set is a maintained artifact, not a
-    rescan."""
-    ev = load_table(spark, sf_dir, "events")
-    wm = ev.agg(F.max("ts").alias("max_ts"))
-    split = ev.crossJoin(F.broadcast(wm)).select(
-        "user_id",
-        "event_type",
-        "ts",
-        (
-            F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 3 DAY")
-        ).alias("recent"),
-    )
-    hist = (
-        split.filter(~F.col("recent"))
-        .select("user_id", "event_type")
-        .distinct()
-    )
-    return (
-        split.filter(F.col("recent"))
-        .join(F.broadcast(hist), ["user_id", "event_type"], "left_anti")
-        .groupBy("user_id", "event_type")
-        .agg(
-            F.min("ts").alias("first_seen"),
-            F.count(F.lit(1)).alias("n_recent_accesses"),
-        )
-    )
-
-
-@register(
-    "cat_role_mining",
-    survey_row=62,
-    oracle="""
-    WITH access AS (
-        SELECT DISTINCT user_id % 300 AS user_id, event_type FROM events
-    ),
-    sizes AS (
-        SELECT user_id, count(*) AS n_tables
-        FROM access GROUP BY user_id
-    ),
-    pairs AS (
-        SELECT a.user_id AS user_a, b.user_id AS user_b,
-               count(*) AS n_shared
-        FROM access a JOIN access b
-          ON a.event_type = b.event_type AND a.user_id < b.user_id
-        GROUP BY a.user_id, b.user_id
-    )
-    SELECT p.user_a, p.user_b,
-           p.n_shared::BIGINT AS n_shared,
-           sa.n_tables::BIGINT AS n_a, sb.n_tables::BIGINT AS n_b,
-           round(p.n_shared * 1.0
-                 / (sa.n_tables + sb.n_tables - p.n_shared), 6)
-               AS jaccard
-    FROM pairs p
-    JOIN sizes sa ON sa.user_id = p.user_a
-    JOIN sizes sb ON sb.user_id = p.user_b
-    WHERE p.n_shared * 10 >= (sa.n_tables + sb.n_tables - p.n_shared) * 8
-    """,
-)
-def cat_role_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLE MINING — the IAM consolidation sweep over the audit log
-    (principals whose table-access sets nearly coincide should share
-    one role, not N copied grant lists — the input every RBAC
-    cleanup starts from): per-principal DISTINCT access sets,
-    pairwise overlap via the inverted-index join (pairs meet only
-    through tables they SHARE — never a principals² cross join, the
-    dedup_near_minhash shape on grants), and Jaccard ≥ 0.8 pairs
-    survive as same-role candidates. The threshold test is integer
-    cross-multiplication (n·10 ≥ union·8) so the boundary pair
-    can't float-flip.
-
-    The DISTINCT access extraction is the only corpus-sized step;
-    pairs and sizes are |principals|-scale, and the size joins
-    broadcast. Principals are mined at SERVICE-ACCOUNT granularity
-    (user_id mod 300): with the fixture's ~10-table domain, per-user
-    mining degenerates — 100k users over 10 tables makes almost
-    every pair 0.8-similar, so the pair set itself is quadratic (the
-    sf1 sweep proved it by OOM). Real deployments bound the same way
-    (roles are mined over groups/service accounts, thousands not
-    millions) and add a minhash prefilter when the principal domain
-    is genuinely large — the declared twin machinery."""
-    ev = load_table(spark, sf_dir, "events")
-    access = (
-        ev.select((F.col("user_id") % 300).alias("user_id"), "event_type")
-        .distinct()
-        .cache()
-    )
-    sizes = access.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_tables")
-    )
-    b = access.select(
-        F.col("user_id").alias("user_b"), F.col("event_type").alias("et_b")
-    )
-    pairs = (
-        access.join(
-            b,
-            (F.col("event_type") == F.col("et_b"))
-            & (F.col("user_id") < F.col("user_b")),
-        )
-        .groupBy(F.col("user_id").alias("user_a"), "user_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    sa = sizes.select(
-        F.col("user_id").alias("user_a"), F.col("n_tables").alias("n_a")
-    )
-    sb = sizes.select(
-        F.col("user_id").alias("user_b"), F.col("n_tables").alias("n_b")
-    )
-    union_sz = F.col("n_a") + F.col("n_b") - F.col("n_shared")
-    return (
-        pairs.join(F.broadcast(sa), "user_a")
-        .join(F.broadcast(sb), "user_b")
-        .filter(F.col("n_shared") * 10 >= union_sz * 8)
-        .select(
-            "user_a",
-            "user_b",
-            F.col("n_shared").cast("long").alias("n_shared"),
-            F.col("n_a").cast("long").alias("n_a"),
-            F.col("n_b").cast("long").alias("n_b"),
-            F.round(F.col("n_shared") / union_sz, 6).alias("jaccard"),
-        )
-    )
-
-
-@register(
     "cat_temporal_orphans",
     survey_row=62,
     oracle="""
@@ -5898,165 +1600,6 @@ def cat_temporal_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_orphan_lines"),
             F.min("l_shipdate").alias("earliest_orphan_ship"),
-        )
-    )
-
-
-@register(
-    "cat_attribution_linear",
-    survey_row=64,
-    oracle="""
-    WITH purchases AS (
-        SELECT user_id, event_id AS purchase_id, ts AS p_ts
-        FROM events WHERE event_type = 'purchase'
-    ),
-    touches AS (
-        SELECT user_id, event_type AS channel, event_id AS touch_id,
-               ts AS t_ts
-        FROM events WHERE event_type IN ('click', 'view')
-    ),
-    credited AS (
-        SELECT p.purchase_id, t.channel,
-               count(*) OVER (PARTITION BY p.purchase_id) AS n_touches
-        FROM purchases p JOIN touches t
-          ON t.user_id = p.user_id
-         AND t.t_ts < p.p_ts
-         AND t.t_ts >= p.p_ts - INTERVAL 7 DAY
-    )
-    SELECT channel,
-           count(DISTINCT purchase_id)::BIGINT AS n_purchases_touched,
-           round(sum(1.0 / n_touches), 6) AS attributed_credit
-    FROM credited GROUP BY channel
-    """,
-)
-def cat_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LINEAR multi-touch ATTRIBUTION — fractional conversion credit
-    split equally across every touch in the 7-day window before
-    each purchase (the model marketing runs when last-touch
-    over-credits the bottom of the funnel; the as-of join family
-    covers last-touch, this op is the fractional generalization):
-    each purchase's credit sums to exactly 1 across its touches by
-    construction, so total credit equals total attributed
-    purchases — the self-auditing property that makes the report
-    trustworthy.
-
-    The purchase×touch match is the stream-stream time-bounded
-    join shape (equi on user + range residual); per-purchase touch
-    counts come from a window over the matched frame; the credit
-    sum is Σ 1/n with n exact — each term one IEEE division, summed
-    per channel over deterministic groups. Note round AFTER the
-    sum: the per-term quotients are identical in both engines, and
-    the sum order over equal terms cannot change a value built
-    from identical addends at this magnitude — verified stable
-    across the parity gates at three SFs."""
-    ev = load_table(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"),
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("p_ts"),
-    )
-    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
-        "user_id",
-        F.col("event_type").alias("channel"),
-        F.col("ts").alias("t_ts"),
-    )
-    credited = purchases.join(
-        touches,
-        (F.col("user_id") == F.col("p_user"))
-        & (F.col("t_ts") < F.col("p_ts"))
-        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAY")),
-    ).withColumn(
-        "n_touches",
-        F.count(F.lit(1)).over(Window.partitionBy("purchase_id")),
-    )
-    return credited.groupBy("channel").agg(
-        F.countDistinct("purchase_id").alias("n_purchases_touched"),
-        F.round(F.sum(1.0 / F.col("n_touches")), 6).alias(
-            "attributed_credit"
-        ),
-    )
-
-
-@register(
-    "cat_impact_scoring",
-    survey_row=66,
-    oracle="""
-    WITH RECURSIVE edges AS (
-        SELECT DISTINCT prev_type AS src, event_type AS dst FROM (
-            SELECT event_type,
-                   lag(event_type) OVER (PARTITION BY user_id
-                                         ORDER BY ts, event_id) AS prev_type
-            FROM events)
-        WHERE prev_type IS NOT NULL AND prev_type <> event_type
-    ),
-    sizes AS (
-        SELECT event_type AS node,
-               count(*) * 1000 AS tbl_bytes
-        FROM events GROUP BY event_type
-    ),
-    reach AS (
-        SELECT src, dst FROM edges
-        UNION
-        SELECT r.src, e.dst
-        FROM reach r JOIN edges e ON r.dst = e.src
-    )
-    SELECT r.src AS node,
-           count(DISTINCT r.dst)::BIGINT AS n_downstream,
-           sum(s.tbl_bytes)::BIGINT AS downstream_bytes
-    FROM (SELECT DISTINCT src, dst FROM reach) r
-    JOIN sizes s ON s.node = r.dst
-    GROUP BY r.src
-    """,
-)
-def cat_impact_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WEIGHTED impact scoring — the blast-radius number an incident
-    commander actually wants (`cat_lineage_closure` says WHICH
-    tables are downstream; this says HOW MUCH data is at stake):
-    per source table, the count of transitively-reachable
-    downstream tables and their summed bytes (sizes derived from
-    the audit volume as the deterministic stand-in for
-    cat_storage_size). "Table X is corrupt" → this row is the
-    paging decision.
-
-    Closure by the established min-plus doubling (the cycle-safe
-    bounded form — DISTINCT pairs, not hop-counts, so a cyclic
-    graph converges); the size dim broadcasts onto the reachability
-    pairs; everything after the shared edge-extraction is
-    |V|²-bounded metadata. Oracle recomputes by recursive-CTE
-    union-distinct reachability — same fixpoint, different
-    algorithm, per the closure-family rule."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    trans = ev.select(
-        F.lag("event_type").over(w).alias("src"),
-        F.col("event_type").alias("dst"),
-    )
-    edges = trans.filter(
-        F.col("src").isNotNull() & (F.col("src") != F.col("dst"))
-    ).distinct()
-    sizes = ev.groupBy(F.col("event_type").alias("node")).agg(
-        (F.count(F.lit(1)) * 1000).alias("tbl_bytes")
-    )
-    reach = edges
-    for _ in range(3):  # 1 -> 2 -> 4 -> 8 hops, >= |V| here
-        stepped = (
-            reach.join(
-                F.broadcast(
-                    reach.select(
-                        F.col("src").alias("m"), F.col("dst").alias("dst2")
-                    )
-                ),
-                F.col("dst") == F.col("m"),
-            )
-            .select("src", F.col("dst2").alias("dst"))
-        )
-        reach = reach.union(stepped).distinct().localCheckpoint(eager=False)
-    return (
-        reach.join(F.broadcast(sizes), reach["dst"] == sizes["node"])
-        .groupBy(F.col("src").alias("node"))
-        .agg(
-            F.countDistinct("dst").alias("n_downstream"),
-            F.sum("tbl_bytes").alias("downstream_bytes"),
         )
     )
 
@@ -6545,109 +2088,6 @@ def cat_audit_chain_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "cat_partition_path_codec",
-    survey_row=63,
-    oracle="""
-    WITH parts AS (
-        SELECT event_id,
-               CASE WHEN event_id % 13 = 4 THEN NULL
-                    ELSE 'team ' || (event_id % 7) || '/x' END AS team,
-               CAST(date_trunc('day', ts) AS DATE) AS dt
-        FROM events WHERE event_id % 9 = 0
-    ),
-    encoded AS (
-        SELECT event_id, team, dt,
-               'team=' ||
-               coalesce(replace(replace(replace(team, '%', '%25'),
-                                        '/', '%2F'), ' ', '%20'),
-                        '__HIVE_DEFAULT_PARTITION__')
-               || '/dt=' || dt AS path
-        FROM parts
-    )
-    SELECT event_id, path,
-           CASE WHEN regexp_extract(path, 'team=([^/]*)', 1)
-                     = '__HIVE_DEFAULT_PARTITION__' THEN NULL
-                ELSE replace(replace(replace(
-                         regexp_extract(path, 'team=([^/]*)', 1),
-                         '%20', ' '), '%2F', '/'), '%25', '%')
-           END AS team_decoded,
-           CAST(regexp_extract(path, 'dt=([0-9-]+)', 1) AS DATE)
-               AS dt_decoded,
-           (CASE WHEN regexp_extract(path, 'team=([^/]*)', 1)
-                      = '__HIVE_DEFAULT_PARTITION__' THEN NULL
-                 ELSE replace(replace(replace(
-                          regexp_extract(path, 'team=([^/]*)', 1),
-                          '%20', ' '), '%2F', '/'), '%25', '%')
-            END IS NOT DISTINCT FROM team) AS roundtrip_ok
-    FROM encoded
-    """,
-)
-def cat_partition_path_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HIVE partition-path CODEC — the encoding contract every
-    metastore tool must honor byte-for-byte (partition VALUES
-    become directory NAMES: special characters percent-escape with
-    %25 escaped FIRST on encode and LAST on decode — the order is
-    the bug farm — and NULL becomes the literal
-    `__HIVE_DEFAULT_PARTITION__` sentinel): values with spaces,
-    slashes, and NULLs round-trip through encode → path →
-    regexp-decode, with the null-safe roundtrip_ok comparison
-    (`<=>`) gated — a codec that drops the escape ordering or
-    conflates NULL with the sentinel string breaks the hash.
-
-    Map-only string codegen; this is the exact transform
-    cat_partition_listing and MSCK-style discovery sit on top
-    of."""
-    ev = load_table(spark, sf_dir, "events")
-    eid = F.col("event_id")
-    parts = ev.filter(eid % 9 == 0).select(
-        "event_id",
-        F.when(
-            eid % 13 == 4, F.lit(None).cast("string")
-        ).otherwise(
-            F.concat(F.lit("team "), (eid % 7).cast("string"), F.lit("/x"))
-        ).alias("team"),
-        F.col("ts").cast("date").alias("dt"),
-    )
-    enc = F.concat(
-        F.lit("team="),
-        F.coalesce(
-            F.regexp_replace(
-                F.regexp_replace(
-                    F.regexp_replace(F.col("team"), "%", "%25"), "/", "%2F"
-                ),
-                " ",
-                "%20",
-            ),
-            F.lit("__HIVE_DEFAULT_PARTITION__"),
-        ),
-        F.lit("/dt="),
-        F.col("dt").cast("string"),
-    )
-    encoded = parts.select("event_id", "team", "dt", enc.alias("path"))
-    raw = F.regexp_extract("path", "team=([^/]*)", 1)
-    dec = F.when(
-        raw == "__HIVE_DEFAULT_PARTITION__", F.lit(None).cast("string")
-    ).otherwise(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(raw, "%20", " "), "%2F", "/"
-            ),
-            "%25",
-            "%",
-        )
-    )
-    return encoded.select(
-        "event_id",
-        "path",
-        dec.alias("team_decoded"),
-        F.regexp_extract("path", "dt=([0-9-]+)", 1)
-        .cast("date")
-        .alias("dt_decoded"),
-        dec.eqNullSafe(F.col("team")).alias("roundtrip_ok"),
-    )
-
-
-@register(
     "cat_benford_audit",
     survey_row=64,
     oracle="""
@@ -6712,85 +2152,6 @@ def cat_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.abs(F.col("n") / F.sum("n").over(total) - benford), 6
         ).alias("abs_dev"),
-    )
-
-
-@register(
-    "cat_rle_compressibility",
-    survey_row=62,
-    oracle="""
-    WITH natural_runs AS (
-        SELECT count(*) + 1 AS n_rows,
-               1 + count(*) FILTER (WHERE changed) AS runs
-        FROM (
-            SELECT o_orderstatus <> lag(o_orderstatus) OVER (
-                       ORDER BY o_orderkey) AS changed
-            FROM orders
-        ) t WHERE changed IS NOT NULL
-    ),
-    sorted_runs AS (
-        SELECT 1 + count(*) FILTER (WHERE changed) AS runs
-        FROM (
-            SELECT o_orderstatus <> lag(o_orderstatus) OVER (
-                       ORDER BY o_orderstatus, o_orderkey) AS changed
-            FROM orders
-        ) t WHERE changed IS NOT NULL
-    )
-    SELECT 'o_orderstatus' AS column_name,
-           n.n_rows::BIGINT AS n_rows,
-           n.runs::BIGINT AS natural_runs,
-           s.runs::BIGINT AS sorted_runs,
-           round(n.runs * 1.0 / s.runs, 2) AS sort_benefit_x
-    FROM natural_runs n, sorted_runs s
-    """,
-)
-def cat_rle_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RLE COMPRESSIBILITY probe — the storage-advisor measurement
-    behind "sort this table by X before writing" (parquet
-    run-length/dictionary encoding compresses RUNS; a low-card
-    column scattered by insertion order encodes near row-count
-    runs, the same column sorted encodes |distinct| runs — often a
-    10-100× size difference on the encoded pages): run counts for
-    the status column under natural order vs sorted order, and
-    their ratio IS the advisor's expected benefit multiplier for
-    adding it to the write sort key (`sink_cluster_zorder`'s
-    single-column cousin).
-
-    Runs count as value-change events via one lag() per ordering —
-    the natural-order pass rides the existing key sort, the sorted
-    pass is the one extra sort the measurement is ABOUT; both
-    reduce to 2-row frames. At scale the sorted-run count is
-    |distinct| by definition (no second sort needed — countDistinct
-    suffices), which is exactly how the advisor runs it; the
-    explicit two-pass form here makes the gate self-verifying."""
-    o = load_table(spark, sf_dir, "orders")
-
-    def runs(order_cols):
-        w = Window.orderBy(*order_cols)
-        changed = (
-            F.col("o_orderstatus") != F.lag("o_orderstatus").over(w)
-        ).alias("changed")
-        t = o.select(changed).filter(F.col("changed").isNotNull())
-        return t.agg(
-            F.count(F.lit(1)).alias("n_nonfirst"),
-            (1 + F.count(F.when(F.col("changed"), 1))).alias("runs"),
-        )
-
-    nat = runs(["o_orderkey"]).select(
-        (F.col("n_nonfirst") + 1).alias("n_rows"),
-        F.col("runs").alias("natural_runs"),
-    )
-    srt = runs(["o_orderstatus", "o_orderkey"]).select(
-        F.col("runs").alias("sorted_runs")
-    )
-    return nat.crossJoin(srt).select(
-        F.lit("o_orderstatus").alias("column_name"),
-        F.col("n_rows").cast("long").alias("n_rows"),
-        F.col("natural_runs").cast("long").alias("natural_runs"),
-        F.col("sorted_runs").cast("long").alias("sorted_runs"),
-        F.round(F.col("natural_runs") / F.col("sorted_runs"), 2).alias(
-            "sort_benefit_x"
-        ),
     )
 
 
@@ -6917,106 +2278,6 @@ def cat_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "cat_lineage_weighted_paths",
-    survey_row=66,
-    oracle="""
-    WITH RECURSIVE edges AS (
-        SELECT src, dst, 5 + len(src) + 2 * len(dst) AS minutes
-        FROM (
-            SELECT DISTINCT prev_type AS src, event_type AS dst FROM (
-                SELECT event_type,
-                       lag(event_type) OVER (PARTITION BY user_id
-                                             ORDER BY ts, event_id)
-                           AS prev_type
-                FROM events)
-            WHERE prev_type IS NOT NULL AND prev_type <> event_type
-        )
-    ),
-    walk AS (
-        SELECT src, dst, minutes AS total_min, 1 AS hops FROM edges
-        UNION ALL
-        SELECT w.src, e.dst, w.total_min + e.minutes, w.hops + 1
-        FROM walk w JOIN edges e ON e.src = w.dst
-        WHERE w.hops < 8
-    )
-    SELECT src, dst,
-           min(total_min)::BIGINT AS fastest_min,
-           min_by(hops, total_min * 100 + hops)::BIGINT AS hops_on_fastest
-    FROM walk GROUP BY src, dst
-    """,
-)
-def cat_lineage_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WEIGHTED shortest paths over the lineage graph — the
-    end-to-end REFRESH LATENCY question the unweighted closure
-    cannot answer ("how long until a change in raw lands in the
-    mart?" needs edge costs, not hop counts): each edge carries a
-    synthesized refresh duration, and the min-PLUS doubling that
-    computes hop-closure computes cost-closure unchanged — the
-    semiring swap (min/+ over costs instead of min/+ over hop
-    counts) is the entire diff, which is the point: one algebraic
-    family covers reachability, girth, AND latency. Fastest total
-    minutes per (src, dst) with the hop count of the fastest route
-    (ties to fewer hops via the scalar composite).
-
-    Same log₂-rounds broadcast self-joins over the |V|²-bounded
-    pair frame, min-cost deduped per round; oracle walks
-    hop-at-a-time by recursive CTE — the closure-family rule, with
-    WEIGHTS this time."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    trans = ev.select(
-        F.lag("event_type").over(w).alias("src"),
-        F.col("event_type").alias("dst"),
-    )
-    edges = (
-        trans.filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
-        .distinct()
-        .select(
-            "src",
-            "dst",
-            (5 + F.length("src") + 2 * F.length("dst")).alias("minutes"),
-        )
-        .cache()
-    )
-    paths = edges.select(
-        "src", "dst", F.col("minutes").alias("total_min"), F.lit(1).alias("hops")
-    )
-    for _ in range(3):  # 1 -> 2 -> 4 -> 8 hop paths
-        squared = (
-            paths.join(
-                F.broadcast(
-                    paths.select(
-                        F.col("src").alias("m"),
-                        F.col("dst").alias("dst2"),
-                        F.col("total_min").alias("min2"),
-                        F.col("hops").alias("hops2"),
-                    )
-                ),
-                F.col("dst") == F.col("m"),
-            )
-            .select(
-                "src",
-                F.col("dst2").alias("dst"),
-                (F.col("total_min") + F.col("min2")).alias("total_min"),
-                (F.col("hops") + F.col("hops2")).alias("hops"),
-            )
-        )
-        paths = (
-            paths.unionAll(squared)
-            .groupBy("src", "dst", "hops")
-            .agg(F.min("total_min").alias("total_min"))
-            .select("src", "dst", "total_min", "hops")
-            .localCheckpoint(eager=False)
-        )
-    return paths.groupBy("src", "dst").agg(
-        F.min("total_min").cast("long").alias("fastest_min"),
-        F.min_by("hops", F.col("total_min") * 100 + F.col("hops"))
-        .cast("long")
-        .alias("hops_on_fastest"),
-    )
-
-
-@register(
     "cat_crdt_counter_merge",
     survey_row=61,
     oracle="""
@@ -7112,283 +2373,6 @@ def cat_crdt_counter_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ICEBERG_META_DIR = str(
-    _pathlib.Path(__file__).resolve().parents[2]
-    / "fixtures"
-    / "iceberg_table"
-    / "metadata"
-)
-
-_ICEBERG_SNAP_SCHEMA = (
-    "array<struct<`snapshot-id`:bigint,`parent-snapshot-id`:bigint,"
-    "`sequence-number`:bigint,`timestamp-ms`:bigint,"
-    "summary:map<string,string>,`manifest-list`:string,"
-    "`schema-id`:bigint>>"
-)
-
-
-@register(
-    "cat_iceberg_metadata_replay",
-    survey_row=61,
-    oracle=f"""
-    WITH raw AS (
-        SELECT content AS line,
-               regexp_extract(filename, 'v(\\d+)\\.metadata\\.json', 1)
-                   ::BIGINT AS v
-        FROM read_text('{_ICEBERG_META_DIR}/*.metadata.json')
-    ),
-    latest AS (
-        SELECT line FROM raw WHERE v = (SELECT max(v) FROM raw)
-    ),
-    snaps AS (
-        SELECT json_extract(line, '$.snapshots[' || i || ']') AS s,
-               (line->>'current-snapshot-id')::BIGINT AS cur
-        FROM latest,
-             unnest(range(0,
-                 json_array_length(line->'snapshots')::BIGINT)) r(i)
-    )
-    SELECT (s->>'snapshot-id')::BIGINT AS snapshot_id,
-           (s->>'parent-snapshot-id')::BIGINT AS parent_id,
-           (s->>'sequence-number')::BIGINT AS sequence_number,
-           s->'summary'->>'operation' AS operation,
-           (s->'summary'->>'added-records')::BIGINT AS added_records,
-           (s->'summary'->>'deleted-records')::BIGINT AS deleted_records,
-           (sum((s->'summary'->>'added-records')::BIGINT
-                - (s->'summary'->>'deleted-records')::BIGINT)
-              OVER (ORDER BY (s->>'sequence-number')::BIGINT
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               )::BIGINT
-               AS net_records_cum,
-           (s->>'snapshot-id')::BIGINT = cur AS is_current,
-           (s->>'schema-id')::BIGINT AS schema_id
-    FROM snaps
-    """,
-)
-def cat_iceberg_metadata_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL-format Apache Iceberg table-metadata replay — the Iceberg
-    twin of cat_delta_log_replay, over a checked-in spec-conformant
-    `metadata/v{{N}}.metadata.json` lineage (format-version 2: schemas
-    with ids, snapshots with sequence numbers, parent chain, STRING
-    summary counters per the spec, snapshot-log): resolve the LATEST
-    metadata version from the file name (Iceberg metadata files are
-    self-contained supersets — the version-hint resolution rule),
-    explode its snapshot list, and emit the commit history with
-    per-snapshot operation, record deltas, the running net record
-    count along the sequence-number order, and the current-snapshot
-    flag.
-
-    Parsing is the Delta twin's architecture adapted to Iceberg's
-    file shape: real v{{N}}.metadata.json files are PRETTY-PRINTED
-    multi-line JSON (one document per file, not NDJSON), so the read
-    is spark.read.text(wholetext=True) — one row per FILE — plus an
-    input_file_name() version regex, then ONE from_json against an
-    explicit snapshot-array schema (dashes in Iceberg's field names
-    make schema-by-DDL with backticks the precise tool; summary is a
-    map<string,string> exactly as the spec types it); the oracle
-    mirrors with DuckDB read_text() (whole-file, not read_csv).
-    Metadata files are few by construction (one per commit,
-    compacted), so the global max-version window is a metadata-sized
-    operation; the DATA-side scale lives in manifests, which need
-    Avro — named as the boundary, not faked."""
-    raw = spark.read.text(
-        _ICEBERG_META_DIR + "/*.metadata.json", wholetext=True
-    ).select(
-        "value",
-        F.regexp_extract(
-            F.input_file_name(), r"v(\d+)\.metadata\.json", 1
-        )
-        .cast("long")
-        .alias("v"),
-    )
-    latest = (
-        raw.withColumn("maxv", F.max("v").over(Window.partitionBy()))
-        .filter(F.col("v") == F.col("maxv"))
-    )
-    snaps = latest.select(
-        F.explode(
-            F.from_json(
-                F.get_json_object("value", "$.snapshots"),
-                _ICEBERG_SNAP_SCHEMA,
-            )
-        ).alias("s"),
-        F.get_json_object("value", "$['current-snapshot-id']")
-        .cast("long")
-        .alias("cur"),
-    )
-    net = F.col("s.summary")["added-records"].cast("long") - F.col(
-        "s.summary"
-    )["deleted-records"].cast("long")
-    w = Window.orderBy(F.col("s.`sequence-number`")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return snaps.select(
-        F.col("s.`snapshot-id`").alias("snapshot_id"),
-        F.col("s.`parent-snapshot-id`").alias("parent_id"),
-        F.col("s.`sequence-number`").alias("sequence_number"),
-        F.col("s.summary")["operation"].alias("operation"),
-        F.col("s.summary")["added-records"].cast("long").alias("added_records"),
-        F.col("s.summary")["deleted-records"]
-        .cast("long")
-        .alias("deleted_records"),
-        F.sum(net).over(w).alias("net_records_cum"),
-        (F.col("s.`snapshot-id`") == F.col("cur")).alias("is_current"),
-        F.col("s.`schema-id`").alias("schema_id"),
-    )
-
-
-@register(
-    "cat_markov_transitions",
-    survey_row=64,
-    oracle="""
-    WITH seq AS (
-        SELECT event_type AS src,
-               lead(event_type) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
-               ) AS dst
-        FROM events
-    ),
-    t AS (
-        SELECT src, dst, count(*) AS n FROM seq
-        WHERE dst IS NOT NULL GROUP BY src, dst
-    )
-    SELECT src, dst, n,
-           round(n * 1.0 / sum(n) OVER (PARTITION BY src), 6) AS p
-    FROM t
-    ORDER BY src, dst
-    """,
-)
-def cat_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order MARKOV transition matrix over the per-user event
-    stream — the behavioral model behind next-action prediction,
-    anomaly scoring (improbable transition = alert), and the
-    user-journey graphs cat_user_paths_topk samples from. Each
-    user's timeline is linearized once (ts with event_id tiebreak —
-    a TOTAL order, so lead() is deterministic); transition counts
-    aggregate map-side; row probabilities are one window over the
-    |types|² MATRIX frame, never the data.
-
-    One user-keyed shuffle for the sequence window + one (src,dst)
-    aggregate. At 100 TB the matrix stays |types|²-sized regardless
-    of corpus — the model is a broadcast-able artifact the scoring
-    pass joins back onto the stream."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        F.col("event_type").alias("src"),
-        F.lead("event_type").over(w).alias("dst"),
-    ).filter(F.col("dst").isNotNull())
-    t = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
-    return t.select(
-        "src",
-        "dst",
-        "n",
-        F.round(
-            F.col("n") * 1.0 / F.sum("n").over(Window.partitionBy("src")), 6
-        ).alias("p"),
-    ).orderBy("src", "dst")
-
-
-@register(
-    "cat_funnel_time_to_convert",
-    survey_row=64,
-    oracle="""
-    WITH per_user AS (
-        SELECT user_id,
-               min(CASE WHEN event_type = 'view' THEN ts END) AS fv
-        FROM events GROUP BY user_id
-    ),
-    conv AS (
-        SELECT e.user_id,
-               min(epoch_us(e.ts) - epoch_us(p.fv)) AS delay_us
-        FROM events e JOIN per_user p ON e.user_id = p.user_id
-        WHERE e.event_type = 'purchase' AND e.ts > p.fv
-        GROUP BY e.user_id
-    ),
-    ranked AS (
-        SELECT delay_us,
-               row_number() OVER (ORDER BY delay_us) AS rn,
-               count(*) OVER () AS n
-        FROM conv
-    )
-    SELECT max(n)::BIGINT AS n_converted,
-           min(delay_us)::BIGINT AS min_delay_us,
-           max(CASE WHEN rn = (n + 1) // 2 THEN delay_us END)::BIGINT
-               AS median_delay_us,
-           max(CASE WHEN rn = (9 * n + 9) // 10 THEN delay_us END)::BIGINT
-               AS p90_delay_us,
-           max(delay_us)::BIGINT AS max_delay_us
-    FROM ranked
-    """,
-)
-def cat_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TIME-to-convert distribution — the funnel's missing axis
-    (cat_funnel_conversion counts WHO converts; product decisions
-    need HOW LONG): first view → first subsequent purchase delay
-    per user, with exact order-statistic summary (min / median /
-    p90 / max). Delays are integer MICROSECONDS (epoch_us on both
-    engines — second-truncating diffs disagree when sub-second
-    parts straddle a boundary), and the quantiles are integer-
-    position row picks ((n+1)//2, (9n+9)//10 — the
-    agg_percentile_disc_cont convention), so every output is an
-    exact int64.
-
-    Shape: one user-keyed aggregate for first-view, one fact-side
-    semi-reduce + min-aggregate for the conversion delay, then the
-    rank window runs over the CONVERTED-USER frame only (≪ events;
-    at 100 TB swap the exact rank for approx_percentile on the same
-    contract)."""
-    ev = load_table(spark, sf_dir, "events")
-    fv = (
-        ev.groupBy("user_id")
-        .agg(
-            F.min(
-                F.when(F.col("event_type") == "view", F.col("ts"))
-            ).alias("fv")
-        )
-        .filter(F.col("fv").isNotNull())
-    )
-    conv = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(fv, "user_id")
-        .filter(F.col("ts") > F.col("fv"))
-        .groupBy("user_id")
-        .agg(
-            F.min(
-                F.unix_micros("ts") - F.unix_micros("fv")
-            ).alias("delay_us")
-        )
-    )
-    ranked = conv.select(
-        "delay_us",
-        F.row_number().over(Window.orderBy("delay_us")).alias("rn"),
-        F.count(F.lit(1))
-        .over(
-            Window.orderBy("delay_us").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        )
-        .alias("n"),
-    )
-    return ranked.agg(
-        F.max("n").cast("long").alias("n_converted"),
-        F.min("delay_us").cast("long").alias("min_delay_us"),
-        F.max(
-            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("delay_us"))
-        )
-        .cast("long")
-        .alias("median_delay_us"),
-        F.max(
-            F.when(
-                F.col("rn") == F.expr("(9 * n + 9) div 10"),
-                F.col("delay_us"),
-            )
-        )
-        .cast("long")
-        .alias("p90_delay_us"),
-        F.max("delay_us").cast("long").alias("max_delay_us"),
-    )
-
-
 @register(
     "cat_dead_column_detect",
     survey_row=62,
@@ -7458,124 +2442,6 @@ def cat_dead_column_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("table_name", "column_name", "ordinal")
         .orderBy("table_name", "ordinal")
     )
-
-
-@register(
-    "cat_merkle_table_root",
-    survey_row=61,
-    oracle="""
-    WITH rowd AS (
-        SELECT CAST(('0x' || substr(md5(
-                   CAST(o_orderkey AS VARCHAR) || '|'
-                   || CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT)
-                   AS d,
-               o_orderkey % 16 AS bucket
-        FROM orders
-    ),
-    l0 AS (
-        SELECT bucket AS pos, md5(CAST(sum(d) AS VARCHAR)) AS digest
-        FROM rowd GROUP BY bucket
-    ),
-    l1 AS (
-        SELECT pos // 2 AS pos,
-               md5(min(CASE WHEN pos % 2 = 0 THEN digest END)
-                   || max(CASE WHEN pos % 2 = 1 THEN digest END))
-                   AS digest
-        FROM l0 GROUP BY pos // 2
-    ),
-    l2 AS (
-        SELECT pos // 2 AS pos,
-               md5(min(CASE WHEN pos % 2 = 0 THEN digest END)
-                   || max(CASE WHEN pos % 2 = 1 THEN digest END))
-                   AS digest
-        FROM l1 GROUP BY pos // 2
-    ),
-    l3 AS (
-        SELECT pos // 2 AS pos,
-               md5(min(CASE WHEN pos % 2 = 0 THEN digest END)
-                   || max(CASE WHEN pos % 2 = 1 THEN digest END))
-                   AS digest
-        FROM l2 GROUP BY pos // 2
-    ),
-    l4 AS (
-        SELECT pos // 2 AS pos,
-               md5(min(CASE WHEN pos % 2 = 0 THEN digest END)
-                   || max(CASE WHEN pos % 2 = 1 THEN digest END))
-                   AS digest
-        FROM l3 GROUP BY pos // 2
-    )
-    SELECT * FROM (
-        SELECT 0 AS level, pos::BIGINT AS pos, digest FROM l0
-        UNION ALL SELECT 1, pos::BIGINT, digest FROM l1
-        UNION ALL SELECT 2, pos::BIGINT, digest FROM l2
-        UNION ALL SELECT 3, pos::BIGINT, digest FROM l3
-        UNION ALL SELECT 4, pos::BIGINT, digest FROM l4
-    ) ORDER BY level, pos
-    """,
-)
-def cat_merkle_table_root(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERKLE tree over a table's content — the content-addressable
-    verification artifact replication and audit pipelines exchange
-    instead of data (equal roots ⇒ equal content; on mismatch the
-    tree localizes the divergent bucket in log steps instead of a
-    full re-scan — the rsync/Cassandra anti-entropy design). Leaves
-    are 16 key-bucketed digests where each bucket reduces its row
-    digests by a COMMUTATIVE int64 sum (order-free, partition-proof,
-    incrementally updatable on append — the cat_duplicate_table_detect
-    fingerprint discipline; the tradeoff vs sorted-concat leaves —
-    weaker adversarial collision resistance, no order proof — is the
-    standard one for warehouse anti-entropy and is taken knowingly).
-    Levels above pair (even,odd) children by md5 until the root.
-
-    Plan shape: ONE corpus pass (map-side-combined bucket sums);
-    the 4 pairing levels run on ≤16 rows each (driver-looped like
-    cat_lineage_closure — the tree height is log₂(buckets),
-    independent of table size). Output is all 31 nodes so the gate
-    pins every internal digest, not just the root."""
-    o = load_table(spark, sf_dir, "orders")
-    d = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("o_orderkey").cast("string"),
-                    F.lit("|"),
-                    F.col("o_custkey").cast("string"),
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
-    level = (
-        o.select(d.alias("d"), (F.col("o_orderkey") % 16).alias("pos"))
-        .groupBy("pos")
-        .agg(F.md5(F.sum("d").cast("string")).alias("digest"))
-    )
-    out = level.select(F.lit(0).alias("level"), "pos", "digest")
-    for lv in range(1, 5):
-        level = (
-            level.groupBy(F.expr("pos div 2").alias("pos"))
-            .agg(
-                F.md5(
-                    F.concat(
-                        F.min(
-                            F.when(F.col("pos") % 2 == 0, F.col("digest"))
-                        ),
-                        F.max(
-                            F.when(F.col("pos") % 2 == 1, F.col("digest"))
-                        ),
-                    )
-                ).alias("digest")
-            )
-        )
-        out = out.unionAll(
-            level.select(F.lit(lv).alias("level"), "pos", "digest")
-        )
-    return out.select(
-        "level", F.col("pos").cast("long").alias("pos"), "digest"
-    ).orderBy("level", "pos")
 
 
 @register(

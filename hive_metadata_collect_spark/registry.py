@@ -31,6 +31,9 @@ _OP_MODULES = [
     "hive_metadata_collect_spark.functions.scalar",
     "hive_metadata_collect_spark.streaming.batch_eq",
     "hive_metadata_collect_spark.catalog.stats",
+    "hive_metadata_collect_spark.catalog.lineage",
+    "hive_metadata_collect_spark.catalog.partitions",
+    "hive_metadata_collect_spark.catalog.usage",
     "hive_metadata_collect_spark.catalog.iceberg",
     "hive_metadata_collect_spark.llm.udfs",
     "hive_metadata_collect_spark.llm.dedup",

@@ -613,7 +613,9 @@ def test_lineage_cycles_girth_bounds(spark, sf_dir):
     """Every reported girth must be a feasible cycle length: at least
     2 (self-loops are filtered out of the edge synth) and at most
     |V| (a shortest cycle is simple)."""
-    from hive_metadata_collect_spark.catalog.stats import cat_lineage_cycles
+    from hive_metadata_collect_spark.catalog.lineage import (
+        cat_lineage_cycles,
+    )
 
     rows = cat_lineage_cycles(spark, sf_dir).collect()
     assert rows, "fixture transition graph is known cyclic"

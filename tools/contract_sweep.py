@@ -52,6 +52,15 @@ def main() -> int:
         i = args.index("--only")
         only = set(args[i + 1].split(","))
         del args[i : i + 2]
+    skip = set()
+    if "--skip" in args:
+        # scale-sweep mode: exclude named ops (the documented
+        # quadratic-oracle exceptions — their literal DuckDB twins
+        # are hours-infeasible at sf10 BY CONSTRUCTION; their hash
+        # gates live at sf0.01-sf1, see BASELINE.md r8 notes)
+        i = args.index("--skip")
+        skip = set(args[i + 1].split(","))
+        del args[i : i + 2]
     if "--max-rows" in args:
         i = args.index("--max-rows")
         max_rows = int(args[i + 1])
@@ -89,7 +98,11 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    names = [n for n in queries if only is None or n in only]
+    names = [
+        n for n in queries if (only is None or n in only) and n not in skip
+    ]
+    if skip:
+        print(f"skipped by flag: {sorted(skip & set(queries))}")
 
     t_all = time.time()
     n_pass = n_rows_only = n_fail = 0
