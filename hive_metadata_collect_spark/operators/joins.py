@@ -134,12 +134,13 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     faster locally and one fewer cluster round-trip at any scale.
 
     Both broadcast candidates are fact/dim-derived and scale with the
-    data, so each hint is gated on Catalyst's plan-time size estimate
-    (`_stats_gated_broadcast`): hinted only when the estimate fits
-    comfortably under the broadcast threshold; past the gate, no hint —
-    AQE converts from accurate runtime stats when possible and
-    degrades to a shuffled join when not (test_plans.py asserts
-    lineitem never hash-repartitions either way). The two
+    data, so the TOPOLOGY ITSELF is gated on Catalyst's plan-time
+    size estimate: under the gate, the concurrent-broadcast probe-both
+    form above; past it (r9, found on the sf10 re-pair), a DIMS-FIRST
+    restructure — orders ⋈ customers first, the fact joins once with
+    SHUFFLE_HASH hints — because probe-both without broadcasts is two
+    fact-wide SortMergeJoins (measured 13.2× DuckDB at sf10; the
+    restructure is 3.57 → 2.13 s, rows identical). The two
     schema-bounded dims (nation 25 rows, region 5) are resolved
     driver-side into an isin filter + literal map (_region_nations) —
     their values are constants of the catalog, not data, so no
@@ -164,12 +165,41 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust_asia = c.filter(
         F.col("c_nationkey").isin([k for k, _ in pairs])
     ).select("c_custkey", name_of[F.col("c_nationkey")].alias("n_name"))
-    o = _stats_gated_broadcast(o)
-    cust_asia = _stats_gated_broadcast(cust_asia)
+    o_est = int(
+        str(o._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    if o_est < _BROADCAST_GATE_BYTES:
+        # small-scale topology: both dims broadcast CONCURRENTLY and
+        # lineitem probes them in one codegen span (three serial waves)
+        joined = li.join(
+            F.broadcast(o), li.l_orderkey == o.o_orderkey
+        ).join(
+            _stats_gated_broadcast(cust_asia),
+            F.col("o_custkey") == cust_asia.c_custkey,
+        )
+    else:
+        # scale topology (r9, found on the sf10 re-pair): past the
+        # broadcast gate the probe-both form degraded to TWO fact-wide
+        # SortMergeJoins (lineitem sorted+shuffled on orderkey, the
+        # ~30%-of-fact intermediate re-shuffled on custkey — 13.2x
+        # DuckDB at sf10). Dims-first instead: orders ⋈ customers
+        # FIRST (both orders-of-magnitude smaller than the fact), so
+        # lineitem joins exactly once, on one key, and SHUFFLE_HASH
+        # hints skip the O(n log n) sorts SMJ would pay on every side
+        # (per-partition build side is the joined dim — tiny). The
+        # serial-depth argument for probe-both only holds while both
+        # sides BROADCAST; measured 3.57 → 2.13 s at sf10, rows
+        # identical. At 100 TB this is the same story: one fact
+        # shuffle on the join key, never two.
+        dim = o.join(
+            cust_asia.hint("shuffle_hash"),
+            F.col("o_custkey") == cust_asia.c_custkey,
+        ).select("o_orderkey", "n_name")
+        joined = li.join(
+            dim.hint("shuffle_hash"), li.l_orderkey == dim.o_orderkey
+        )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(cust_asia, F.col("o_custkey") == cust_asia.c_custkey)
-        .groupBy("n_name")
+        joined.groupBy("n_name")
         .agg(
             F.round(
                 F.sum(
