@@ -180,7 +180,8 @@ def cat_schema_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_row=62,
     oracle="""
     SELECT o_orderstatus, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           round(sum(CAST(floor(round(o_totalprice, 2) * 100 + 0.5)
+                          AS BIGINT)) / 100.0, 2) AS total_price
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -190,7 +191,10 @@ def cat_quality_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     a side effect of the SAME job — no second scan. At 100 TB a
     collector emits these observation metrics to its monitoring sink
     on every run; the returned frame is the ordinary business result
-    and is what the oracle checks."""
+    and is what the oracle checks. The price rollup sums integer
+    CENTS (house money convention — the r9 sf10 sweep caught the
+    pre-round double sum drifting a full cent between engines at 5M
+    rows/group) and divides back once."""
     from pyspark.sql import Observation
 
     o = load_table(spark, sf_dir, "orders")
@@ -201,9 +205,10 @@ def cat_quality_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_custkey"),
         F.count(F.when(F.col("o_totalprice") < 0, 1)).alias("negative_price"),
     )
+    cents = F.floor(F.round("o_totalprice", 2) * 100 + 0.5).cast("long")
     return observed.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(F.sum(cents) / 100.0, 2).alias("total_price"),
     )
 
 

@@ -1507,7 +1507,8 @@ def cat_role_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT channel,
            count(DISTINCT purchase_id)::BIGINT AS n_purchases_touched,
-           round(sum(1.0 / n_touches), 6) AS attributed_credit
+           round(sum(1000000000 // n_touches)::BIGINT / 1e9, 6)
+               AS attributed_credit
     FROM credited GROUP BY channel
     """,
 )
@@ -1524,13 +1525,16 @@ def cat_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The purchase×touch match is the stream-stream time-bounded
     join shape (equi on user + range residual); per-purchase touch
-    counts come from a window over the matched frame; the credit
-    sum is Σ 1/n with n exact — each term one IEEE division, summed
-    per channel over deterministic groups. Note round AFTER the
-    sum: the per-term quotients are identical in both engines, and
-    the sum order over equal terms cannot change a value built
-    from identical addends at this magnitude — verified stable
-    across the parity gates at three SFs."""
+    counts come from a window over the matched frame. The credit
+    accumulates in exact integer NANO-units — each touch contributes
+    1e9 div n (TRUE integer division on both engines), summed as
+    int64 (≤1.8e15 at sf10, int64-safe past sf1000) and divided back
+    once. The r9 sf10 sweep falsified the previous form's claim that
+    an IEEE Σ 1/n over 'identical addends' is order-stable: at 1.8M
+    mixed-magnitude terms the engines' reassociation orders drifted
+    at the 6th decimal. Quantization error is ≤ n·1e-9 per channel
+    and, crucially, IDENTICAL on both engines at every scale; each
+    purchase's credit still sums to 1 within n·1e-9."""
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("p_user"),
@@ -1551,11 +1555,10 @@ def cat_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_touches",
         F.count(F.lit(1)).over(Window.partitionBy("purchase_id")),
     )
+    credit_nano = F.expr("1000000000 div n_touches")
     return credited.groupBy("channel").agg(
         F.countDistinct("purchase_id").alias("n_purchases_touched"),
-        F.round(F.sum(1.0 / F.col("n_touches")), 6).alias(
-            "attributed_credit"
-        ),
+        F.round(F.sum(credit_nano) / 1e9, 6).alias("attributed_credit"),
     )
 
 @register(
