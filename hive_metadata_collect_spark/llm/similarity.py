@@ -648,6 +648,90 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pack_sign_word(col, start: int) -> Column:
+    """Pack 32 consecutive embedding dims (1-based `start`) into one
+    long: bit j set iff embedding[start+j] > 0. Pure Catalyst fold
+    over a literal bit-weight array (the weights are distinct powers
+    of two, so SUM ≡ OR) — map-only, whole-stage-codegen, no Python,
+    no shuffle."""
+    weights = F.array(*[F.lit(1 << j).cast("long") for j in range(32)])
+    pairs = F.zip_with(
+        F.slice(col, start, 32),
+        weights,
+        lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        pairs, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+@register(
+    "sim_hamming_topk_packed",
+    survey_row=69,
+    oracle="""
+    WITH packed AS (
+        SELECT vec_id, label,
+               list_sum(list_transform(generate_series(1, 32),
+                   i -> CASE WHEN embedding[i] > 0
+                             THEN (1::BIGINT << (i - 1)) ELSE 0 END))
+                   ::BIGINT AS w0,
+               list_sum(list_transform(generate_series(33, 64),
+                   i -> CASE WHEN embedding[i] > 0
+                             THEN (1::BIGINT << (i - 33)) ELSE 0 END))
+                   ::BIGINT AS w1
+        FROM embeddings
+    ),
+    q AS (SELECT w0 AS q0, w1 AS q1 FROM packed WHERE vec_id = 0)
+    SELECT vec_id, label,
+           (bit_count(xor(w0, q0)) + bit_count(xor(w1, q1)))::BIGINT
+               AS hamming
+    FROM packed, q
+    WHERE vec_id <> 0
+    ORDER BY hamming ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def sim_hamming_topk_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-SIGN EMBEDDING compression + Hamming top-10 — the
+    64-dim float vector folds to TWO packed 32-bit sign words (8
+    bytes total, 32× smaller than the floats; the binary-quantization
+    retrieval tier below PQ: Faiss's binary indexes / BinaryVectorDB
+    shapes), and candidate distance becomes 2 XORs + 2 popcounts per
+    comparison — no float math anywhere, so unlike every cosine tier
+    the result is EXACT and engine-deterministic by construction (the
+    quantization IS the operator; sign correlates with cosine and the
+    standard pipeline re-ranks binary candidates with floats —
+    sim_topk_cosine is that stage here).
+
+    Scale shape: packing is a pure-Catalyst per-row fold (map-only,
+    codegen, zero shuffle — the ingest projection pays it once and a
+    100 TB corpus stores 8-byte codes beside the floats); the query's
+    two words ride a 1-row broadcast; top-10 is
+    TakeOrderedAndProject. 32-bit words per long sidestep the 1<<63
+    sign-bit hazard portably (DuckDB's checked BIGINT sum vs two's
+    complement) and generalize to any dim as ceil(dim/32) words."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    packed = emb.select(
+        "vec_id",
+        "label",
+        _pack_sign_word(F.col("embedding"), 1).alias("w0"),
+        _pack_sign_word(F.col("embedding"), 33).alias("w1"),
+    )
+    qv = _query_vector(spark, sf_dir, 0)
+    q0 = sum(1 << j for j in range(32) if qv[j] > 0)
+    q1 = sum(1 << j for j in range(32) if qv[32 + j] > 0)
+    hamming = (
+        F.bit_count(F.col("w0").bitwiseXOR(F.lit(q0).cast("long")))
+        + F.bit_count(F.col("w1").bitwiseXOR(F.lit(q1).cast("long")))
+    ).cast("long")
+    return (
+        packed.filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", hamming.alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
 _KNN_BATCH_K = 5
 
 

@@ -1068,6 +1068,18 @@ def test_bh_fdr_single_rank_window(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_hamming_topk_packed_map_only_take_ordered(spark, sf_dir):
+    """sim_hamming_topk_packed: sign packing is a pure-Catalyst
+    per-row fold and the top-10 a TakeOrderedAndProject — no Python
+    stage, no shuffle of the corpus, no Window."""
+    df = OPS["sim_hamming_topk_packed"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Window" not in plan
+
+
 def test_q21_bucketed_no_fact_exchange(spark, sf_dir):
     """tpch_q21_bucketed: the bucketBy(l_orderkey) layout must feed
     the per-(order,supplier) cascade with NO hash exchange on the
