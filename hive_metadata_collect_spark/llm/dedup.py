@@ -2772,3 +2772,81 @@ def pipeline_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "pipeline_mixture_alpha",
+    survey_row=67,
+    oracle="""
+    WITH counts AS (
+        SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars
+        FROM documents GROUP BY source
+    ),
+    weighted AS (
+        SELECT source, n_docs, n_chars,
+               CAST(floor(sqrt(n_chars)) AS BIGINT) AS w
+        FROM counts
+    ),
+    tot AS (SELECT sum(w) AS wsum, sum(n_chars) AS csum FROM weighted)
+    SELECT source,
+           n_docs::BIGINT AS n_docs,
+           n_chars::BIGINT AS n_chars,
+           w AS weight_isqrt,
+           CAST((1000000 * w) // wsum AS BIGINT) AS quota_ppm,
+           round(((1000000 * w) // wsum)
+                 / round(1000000.0 * n_chars / csum, 0), 6)
+               AS upsample_vs_natural
+    FROM weighted, tot
+    ORDER BY source
+    """,
+)
+def pipeline_mixture_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SCALED MIXTURE WEIGHTS (α = 0.5) — the third data-
+    mixing policy beside `pipeline_domain_mix` (hard quotas) and
+    `pipeline_mixture_epochs` (fixed fractional epochs): sample
+    source i proportional to (size_i)^α, the exponent family
+    multilingual/multi-source pretraining uses to up-weight small
+    sources without letting any one source dominate (α=1 is natural
+    sampling, α=0 uniform; 0.3–0.7 is the published band). α = 1/2
+    is computed as ISQRT — floor(sqrt(n_chars)) — so the weight is an
+    exact integer on both engines (IEEE sqrt is correctly rounded and
+    both engines floor the same double; no float leaves the row),
+    and the mixing quota is exact integer arithmetic: quota_ppm =
+    (10⁶·w) div Σw. The report also states each source's up-sampling
+    factor vs natural (char-proportional) sampling — the number a
+    mixing review asks for first.
+
+    Scale shape: one map-side-combined rollup to |sources| rows, a
+    1-row total broadcast back, integer division — the weights frame
+    is metadata-sized at any corpus size, so the policy costs one agg
+    regardless of scale; materialization reuses the same
+    deterministic md5-draw machinery as the epochs plan."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    weighted = counts.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.floor(F.sqrt(F.col("n_chars"))).cast("long").alias("weight_isqrt"),
+    )
+    tot = weighted.agg(
+        F.sum("weight_isqrt").alias("wsum"),
+        F.sum("n_chars").alias("csum"),
+    )
+    quota = F.expr("(1000000 * weight_isqrt) div wsum")
+    natural_ppm = F.round(1000000.0 * F.col("n_chars") / F.col("csum"), 0)
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            "weight_isqrt",
+            quota.cast("long").alias("quota_ppm"),
+            F.round(quota / natural_ppm, 6).alias("upsample_vs_natural"),
+        )
+        .orderBy("source")
+    )
