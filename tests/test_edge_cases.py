@@ -526,9 +526,9 @@ def test_incremental_stats_merge_equals_direct(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
-        F.round(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2
-        ).alias("sum_price"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_price"),
     ).collect()[0]
     assert merged["n_rows"] == direct["n_rows"]
     assert merged["min_qty"] == direct["min_qty"]
