@@ -748,7 +748,8 @@ def cat_delta_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT snap::BIGINT AS snapshot_version,
            count(*)::BIGINT AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           round(sum(CAST(floor(round(o_totalprice, 2) * 100 + 0.5)
+                          AS BIGINT)) / 100.0, 2) AS total_price
     FROM orders o JOIN live l ON o.o_orderkey % 20 = l.bucket
     GROUP BY snap
     """,
@@ -799,7 +800,18 @@ def cat_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("snap").cast("long").alias("snapshot_version"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            # integer cents (house money convention): the r9 sf10
+            # sweep measured the pre-round double sum drifting 2 full
+            # cents between engines at 10.5M rows/group
+            F.round(
+                F.sum(
+                    F.floor(F.round("o_totalprice", 2) * 100 + 0.5).cast(
+                        "long"
+                    )
+                )
+                / 100.0,
+                2,
+            ).alias("total_price"),
         )
     )
 

@@ -32,14 +32,23 @@ def _revenue():
     survey_row=19,
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                    AS sum_qty,
-           round(sum(l_extendedprice), 2)                               AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4)                                    AS avg_qty,
-           round(avg(l_extendedprice), 4)                               AS avg_price,
-           round(avg(l_discount), 4)                                    AS avg_disc,
-           count(*)                                                     AS count_order
+           round(sum(l_quantity::DECIMAL(12,2)), 2)::DOUBLE AS sum_qty,
+           round(sum(l_extendedprice::DECIMAL(12,2)), 2)::DOUBLE
+               AS sum_base_price,
+           round(sum(l_extendedprice::DECIMAL(12,2)
+                     * (1 - l_discount::DECIMAL(12,2))), 2)::DOUBLE
+               AS sum_disc_price,
+           round(sum(l_extendedprice::DECIMAL(12,2)
+                     * (1 - l_discount::DECIMAL(12,2))
+                     * (1 + l_tax::DECIMAL(12,2))), 2)::DOUBLE
+               AS sum_charge,
+           round(sum(l_quantity::DECIMAL(12,2)) / count(*), 4)::DOUBLE
+               AS avg_qty,
+           round(sum(l_extendedprice::DECIMAL(12,2)) / count(*), 4)::DOUBLE
+               AS avg_price,
+           round(sum(l_discount::DECIMAL(12,2)) / count(*), 4)::DOUBLE
+               AS avg_disc,
+           count(*)                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-01'
     GROUP BY l_returnflag, l_linestatus
@@ -47,19 +56,51 @@ def _revenue():
     """,
 )
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: scan → filter → 8-measure grouped agg → sort."""
+    """TPC-H Q1 shape: scan → filter → 8-measure grouped agg → sort.
+
+    All money/quantity measures accumulate in DECIMAL(12,2) — exact
+    and associative at any scale and partitioning — with averages
+    derived as decimal-sum/count and everything presented as DOUBLE
+    (the TPC-H spec itself types these columns DECIMAL; the r9 sf10
+    sweep measured the raw double sums drifting past the half-cent
+    boundary between engines at ~10M rows/group, the same class as
+    tpch_q5 at sf1 in r8)."""
     li = load_table(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    one = F.lit(1).cast("decimal(12,2)")
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(_revenue()), 2).alias("sum_disc_price"),
-            F.round(F.sum(_revenue() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(d("l_quantity")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.round(F.sum(d("l_extendedprice")), 2)
+            .cast("double")
+            .alias("sum_base_price"),
+            F.round(F.sum(d("l_extendedprice") * (one - d("l_discount"))), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    d("l_extendedprice")
+                    * (one - d("l_discount"))
+                    * (one + d("l_tax"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            F.round(F.sum(d("l_quantity")) / n, 4)
+            .cast("double")
+            .alias("avg_qty"),
+            F.round(F.sum(d("l_extendedprice")) / n, 4)
+            .cast("double")
+            .alias("avg_price"),
+            F.round(F.sum(d("l_discount")) / n, 4)
+            .cast("double")
+            .alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -70,22 +111,32 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_global_nokey",
     survey_row=20,
     oracle="""
-    SELECT round(sum(l_quantity), 2)       AS sum_qty,
+    SELECT round(sum(l_quantity::DECIMAL(12,2)), 2)::DOUBLE AS sum_qty,
            min(l_extendedprice)            AS min_price,
            max(l_extendedprice)            AS max_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+           round(sum(l_extendedprice::DECIMAL(12,2)
+                     * (1 - l_discount::DECIMAL(12,2))), 2)::DOUBLE
+               AS sum_revenue,
            count(*)                        AS n_rows
     FROM lineitem
     """,
 )
 def agg_global_nokey(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ungrouped global aggregate (single-row result, partial-agg tree)."""
+    """Ungrouped global aggregate (single-row result, partial-agg
+    tree). Sums accumulate in DECIMAL(12,2) — the single global group
+    is the largest accumulation in the inventory (60M rows at sf10,
+    where the r9 sweep measured the raw double sum 4 cents apart
+    between engines); presented as DOUBLE."""
     li = load_table(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    one = F.lit(1).cast("decimal(12,2)")
     return li.agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum(d("l_quantity")), 2).cast("double").alias("sum_qty"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
-        F.round(F.sum(_revenue()), 2).alias("sum_revenue"),
+        F.round(F.sum(d("l_extendedprice") * (one - d("l_discount"))), 2)
+        .cast("double")
+        .alias("sum_revenue"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -184,7 +235,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS sum_price
+           round(sum(o_totalprice::DECIMAL(12,2)), 2)::DOUBLE AS sum_price
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
     """,
@@ -198,7 +249,9 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("sum_price"),
     )
 
 
@@ -208,7 +261,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS sum_price
+           round(sum(o_totalprice::DECIMAL(12,2)), 2)::DOUBLE AS sum_price
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -218,7 +271,9 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("sum_price"),
     )
 
 
@@ -228,7 +283,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            count(*) AS n_rows,
-           round(sum(l_quantity), 2) AS sum_qty
+           round(sum(l_quantity::DECIMAL(12,2)), 2)::DOUBLE AS sum_qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -238,7 +293,9 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("sum_qty"),
     )
 
 

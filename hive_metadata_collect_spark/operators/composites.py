@@ -306,7 +306,8 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q6_forecast_revenue",
     survey_row=23,
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT round(sum(l_extendedprice::DECIMAL(12,2)
+                      * l_discount::DECIMAL(12,2)), 2)::DOUBLE AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -329,7 +330,15 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+        # DECIMAL accumulation (r9 sf10 sweep class), DOUBLE out
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * F.col("l_discount").cast("decimal(12,2)")
+            ),
+            2,
+        )
+        .cast("double")
         .alias("revenue")
     )
 

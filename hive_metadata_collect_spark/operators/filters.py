@@ -21,7 +21,8 @@ from hive_metadata_collect_spark.sources.fixtures import load_table
     "filter_range_pred",
     survey_row=5,
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT round(sum(l_extendedprice::DECIMAL(12,2)
+                      * l_discount::DECIMAL(12,2)), 2)::DOUBLE AS revenue,
            count(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -42,9 +43,17 @@ def filter_range_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            # DECIMAL accumulation (r9 sf10 sweep class): a single
+            # global group of money products is the q9 shape
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * F.col("l_discount").cast("decimal(12,2)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
