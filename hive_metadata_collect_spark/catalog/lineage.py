@@ -40,33 +40,47 @@ from hive_metadata_collect_spark.sources.fixtures import TABLES, load_table
 )
 def cat_lineage_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lineage as an edge-list DataFrame (user→entity edges standing
-    in for src-table→dst-table): 2-hop reachability + degree via one
-    self-join — no graph library, traversals stay relational.
+    in for src-table→dst-table): 2-hop reachability + degree — with
+    NO pair materialization.
 
-    Fan-out parallelism (round-8 sf1 sweep finding): the edge frame
-    is tiny (|users|×|types| after distinct) so AQE coalesces it to
-    1-2 partitions — but the hub-keyed self-join EXPANDS it ~1500×,
-    leaving two tasks to generate ~11M rows and then sort them
-    through the double countDistinct's Expand (20+ min at sf1). A
-    fan-out join's probe side must be partitioned for its OUTPUT
-    size, not its input size: the explicit 32-way repartition on the
-    probe (user-keyed, AQE honors user-specified counts) restored
-    the stage to seconds. The same rule at 100 TB: size probe
-    parallelism to |edges|×avg-degree, never |edges|."""
+    SIGNATURE-COLLAPSE rewrite (round-9 sf10 sweep finding): the
+    previous hub-keyed self-join materialized Σ_hub |neighbors(hub)|²
+    pair rows before its countDistinct — quadratic in users per hub.
+    The r8 repartition fix bought parallelism at sf1 (~1.1e9 pairs),
+    but at sf10 the output is ~1.1e11 pairs and no partitioning
+    saves an inherently quadratic intermediate (>35 min, the round's
+    sweep wall). The semantics need no pairs at all: a node's 2-hop
+    set is the UNION of its hubs' neighbor sets, so collapse users
+    to their exact hub-SET signature (≤2^|types| distinct sets —
+    bounded by the DOMAIN, not the data), count users per signature,
+    and compute reach(s) = Σ over intersecting signatures t of
+    count(t) on the |sigs|² (32×32) matrix. Per-user output is then
+    one broadcast join onto the signature map. Every frame except
+    the user list is domain-bounded metadata; the user-level passes
+    are one distinct + one broadcast probe — linear at any scale.
+    For hub domains too large to enumerate signatures, the fallback
+    is the sketch family (HLL per hub + union), not the pair join."""
     ev = load_table(spark, sf_dir, "events")
     edges = ev.select("user_id", "event_type").distinct()
-    b = edges.select(
-        F.col("user_id").alias("b_user_id"),
-        F.col("event_type").alias("b_event_type"),
+    usig = edges.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("sig_arr")
     )
-    return (
-        edges.repartition(32, "user_id")
-        .join(b, F.col("event_type") == b.b_event_type)
-        .groupBy("user_id")
-        .agg(
-            F.countDistinct("event_type").alias("n_types"),
-            (F.countDistinct("b_user_id") - 1).alias("n_2hop_users"),
+    sigc = usig.groupBy("sig_arr").agg(F.count(F.lit(1)).alias("n"))
+    other = sigc.select(
+        F.col("sig_arr").alias("o_arr"), F.col("n").alias("o_n")
+    )
+    reach = (
+        sigc.join(
+            F.broadcast(other),
+            F.arrays_overlap(F.col("sig_arr"), F.col("o_arr")),
         )
+        .groupBy("sig_arr")
+        .agg(F.sum("o_n").alias("reach"))
+    )
+    return usig.join(F.broadcast(reach), "sig_arr").select(
+        "user_id",
+        F.size("sig_arr").cast("long").alias("n_types"),
+        (F.col("reach") - 1).cast("long").alias("n_2hop_users"),
     )
 
 @register(
