@@ -1666,8 +1666,8 @@ def win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT priority, day_x, n::BIGINT AS n_days,
            round((n * sxyp - sxp * sy) * 1.0
-                 / nullif(n * sxxp - sxp * sxp, 0), 6)
-               AS slope_cents_per_day
+                 / nullif(n * sxxp - sxp * sxp, 0) / 100.0, 4)
+               AS slope_dollars_per_day
     FROM reb
     ORDER BY priority, day_x
     """,
@@ -1749,11 +1749,17 @@ def win_rolling_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority",
         "day_x",
         F.col("n").cast("long").alias("n_days"),
+        # dollars/day at 4 dp: cents/day at 6 dp needed ~16
+        # significant digits at sf10 slope magnitudes, where the two
+        # engines' round() of the SAME double diverge in the last
+        # digit (r9 sf10 sweep) - presentation stays ~4 digits clear
+        # of the double precision edge through sf1000
         F.round(
             (F.col("n") * F.col("sxyp") - F.col("sxp") * F.col("sy")) * 1.0
-            / denom,
-            6,
-        ).alias("slope_cents_per_day"),
+            / denom
+            / 100.0,
+            4,
+        ).alias("slope_dollars_per_day"),
     ).orderBy("priority", "day_x")
 
 
@@ -1788,9 +1794,9 @@ def win_rolling_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON q.priority = s.priority AND q.rn = s.rn + 1
     )
     SELECT priority, max(rn)::BIGINT AS n_months,
-           round(max_by(lvl, rn), 4) AS level_end,
-           round(max_by(trend, rn), 4) AS trend_end,
-           round(max_by(lvl + 3 * trend, rn), 4) AS forecast_3m
+           round(max_by(lvl, rn) / 100.0, 2) AS level_end,
+           round(max_by(trend, rn) / 100.0, 2) AS trend_end,
+           round(max_by(lvl + 3 * trend, rn) / 100.0, 2) AS forecast_3m
     FROM step GROUP BY priority ORDER BY priority
     """,
 )
@@ -1877,11 +1883,14 @@ def win_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "priority",
             "n_months",
-            F.round(F.col("st.lvl"), 4).alias("level_end"),
-            F.round(F.col("st.trend"), 4).alias("trend_end"),
-            F.round(F.col("st.lvl") + 3 * F.col("st.trend"), 4).alias(
-                "forecast_3m"
-            ),
+            # dollars at 2 dp (was cents at 4 dp): sf10 levels reach
+            # ~5e11 cents, where round(double, 4) sits past the
+            # 16-sig-digit double edge and the engines' roundings
+            # diverge in the last digit (r9 sf10 sweep)
+            F.round(F.col("st.lvl") / 100.0, 2).alias("level_end"),
+            F.round(F.col("st.trend") / 100.0, 2).alias("trend_end"),
+            F.round((F.col("st.lvl") + 3 * F.col("st.trend")) / 100.0, 2)
+            .alias("forecast_3m"),
         )
         .orderBy("priority")
     )
