@@ -494,7 +494,9 @@ _SALT_N = 2
     survey_row=8,
     oracle="""
     SELECT o_orderpriority,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum(l_extendedprice::DECIMAL(12,2)
+                     * (1 - l_discount::DECIMAL(12,2))), 2)::DOUBLE
+               AS revenue,
            count(*) AS n_items
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
@@ -532,9 +534,19 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         (li["l_orderkey"] == orders["o_orderkey"]) & (li["salt"] == orders["salt"]),
     )
     return joined.groupBy("o_orderpriority").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
+        # DECIMAL accumulation (r9 sf10 sweep money class), DOUBLE out
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (
+                    F.lit(1).cast("decimal(12,2)")
+                    - F.col("l_discount").cast("decimal(12,2)")
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -544,7 +556,9 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_row=8,
     oracle="""
     SELECT o_orderpriority,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum(l_extendedprice::DECIMAL(12,2)
+                     * (1 - l_discount::DECIMAL(12,2))), 2)::DOUBLE
+               AS revenue,
            count(*) AS n_items
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
@@ -581,9 +595,19 @@ def join_skew_unsalted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderpriority")
         .agg(
+            # DECIMAL accumulation (r9 sf10 sweep money class)
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (
+                        F.lit(1).cast("decimal(12,2)")
+                        - F.col("l_discount").cast("decimal(12,2)")
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -943,7 +967,8 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT coalesce(c.c_mktsegment, 'UNATTRIBUTED') AS segment,
            count(*)::BIGINT AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           round(sum(CAST(floor(round(o_totalprice, 2) * 100 + 0.5)
+                          AS BIGINT)) / 100.0, 2) AS total_price
     FROM o LEFT JOIN customer c ON o.fk_custkey = c.c_custkey
     GROUP BY segment
     """,
@@ -988,7 +1013,15 @@ def join_null_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(
+                F.sum(
+                    F.floor(F.round("o_totalprice", 2) * 100 + 0.5).cast(
+                        "long"
+                    )
+                )
+                / 100.0,
+                2,
+            ).alias("total_price"),
         )
     )
 
