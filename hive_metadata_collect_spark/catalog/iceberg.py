@@ -102,6 +102,12 @@ def _decode_manifest_entries(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Dat
                 d = r["data_file"]
                 lo = {kv["key"]: kv["value"] for kv in (d["lower_bounds"] or [])}
                 hi = {kv["key"]: kv["value"] for kv in (d["upper_bounds"] or [])}
+                # A data file may legally omit bounds for a field
+                # (Iceberg spec: lower_bounds/upper_bounds are optional
+                # per-column maps). Degrade to a null bound — an
+                # unprunable row — rather than KeyError-ing the whole
+                # decode task (r9 advisory).
+                lo1, hi1 = lo.get(1), hi.get(1)
                 rows.append(
                     {
                         "manifest_file": fname,
@@ -109,8 +115,14 @@ def _decode_manifest_entries(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Dat
                         "file_path": d["file_path"],
                         "record_count": d["record_count"],
                         "file_size_in_bytes": d["file_size_in_bytes"],
-                        "lower_ev": struct.unpack("<q", lo[1])[0],
-                        "upper_ev": struct.unpack("<q", hi[1])[0],
+                        "lower_ev": (
+                            struct.unpack("<q", lo1)[0]
+                            if lo1 is not None else None
+                        ),
+                        "upper_ev": (
+                            struct.unpack("<q", hi1)[0]
+                            if hi1 is not None else None
+                        ),
                     }
                 )
         yield pd.DataFrame(
@@ -178,9 +190,19 @@ def _live_entries(spark: SparkSession) -> DataFrame:
     ).load(_META_DIR).select("path", "content").mapInPandas(
         _decode_manifest_entries, _ENTRY_SCHEMA
     )
+    # Real Iceberg manifest lists carry full URIs in manifest_path
+    # while the entry side keys on the decoded file's basename —
+    # normalize BOTH sides to basenames so the linkage works on any
+    # metadata tree instead of silently yielding an empty plan when
+    # paths are absolute (r9 advisory).
+    active_base = active.select(
+        F.element_at(F.split(F.col("manifest_path"), "/"), -1).alias(
+            "manifest_base"
+        )
+    )
     return entries.join(
-        F.broadcast(active),
-        entries["manifest_file"] == active["manifest_path"],
+        F.broadcast(active_base),
+        entries["manifest_file"] == active_base["manifest_base"],
         "left_semi",
     ).filter(F.col("status") != 2)
 

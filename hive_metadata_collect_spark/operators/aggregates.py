@@ -42,12 +42,12 @@ def _revenue():
                      * (1 - l_discount::DECIMAL(12,2))
                      * (1 + l_tax::DECIMAL(12,2))), 2)::DOUBLE
                AS sum_charge,
-           round(sum(l_quantity::DECIMAL(12,2)) / count(*), 4)::DOUBLE
-               AS avg_qty,
-           round(sum(l_extendedprice::DECIMAL(12,2)) / count(*), 4)::DOUBLE
-               AS avg_price,
-           round(sum(l_discount::DECIMAL(12,2)) / count(*), 4)::DOUBLE
-               AS avg_disc,
+           round(sum(l_quantity::DECIMAL(12,2))::DOUBLE
+                 / count(*), 4) AS avg_qty,
+           round(sum(l_extendedprice::DECIMAL(12,2))::DOUBLE
+                 / count(*), 4) AS avg_price,
+           round(sum(l_discount::DECIMAL(12,2))::DOUBLE
+                 / count(*), 4) AS avg_disc,
            count(*)                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-01'
@@ -92,14 +92,18 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("double")
             .alias("sum_charge"),
-            F.round(F.sum(d("l_quantity")) / n, 4)
-            .cast("double")
+            # Averages: cast the exact decimal sum to DOUBLE *before*
+            # dividing so both engines round the identical double —
+            # DuckDB promotes DECIMAL/BIGINT division to DOUBLE before
+            # round(,4), while Spark's decimal quotient rounds exact
+            # half-up; a quotient on the 5e-5 boundary could flip the
+            # last digit between engines (r9 advisory). Accumulation
+            # stays DECIMAL; only the division is double.
+            F.round(F.sum(d("l_quantity")).cast("double") / n, 4)
             .alias("avg_qty"),
-            F.round(F.sum(d("l_extendedprice")) / n, 4)
-            .cast("double")
+            F.round(F.sum(d("l_extendedprice")).cast("double") / n, 4)
             .alias("avg_price"),
-            F.round(F.sum(d("l_discount")) / n, 4)
-            .cast("double")
+            F.round(F.sum(d("l_discount")).cast("double") / n, 4)
             .alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )

@@ -1105,11 +1105,28 @@ def tpch_q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ".scratch",
     )
     sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    name = f"bk_q21_lineitem_{sf_tag}"
+    # Key the cached bucketed copy on a fingerprint of the SOURCE
+    # parquet (mtime+size over the path and its direct children), not
+    # just the sf-dir basename: if the source under sf_dir is ever
+    # regenerated, a basename-only key would silently serve the stale
+    # bucketed rows (r9 advisory). A changed source now hashes to a
+    # new table/path and triggers a fresh bucketed write.
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    stats = [os.stat(src)]
+    if os.path.isdir(src):
+        stats += [
+            os.stat(os.path.join(src, f)) for f in sorted(os.listdir(src))
+        ]
+    fp = abs(hash(tuple((s.st_mtime_ns, s.st_size) for s in stats))) % 10**8
+    name = f"bk_q21_lineitem_{sf_tag}_{fp:08d}"
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    if name not in [t.name for t in spark.catalog.listTables()]:
+    have = name in [t.name for t in spark.catalog.listTables()]
+    if have and not os.path.isdir(os.path.join(scratch, name)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        have = False
+    if not have:
         (
             li.write.mode("overwrite")
             .bucketBy(8, "l_orderkey")

@@ -105,6 +105,21 @@ def test_zigzag_roundtrip_extremes():
 def test_bad_magic_and_codec_raise():
     with pytest.raises(ValueError, match="magic"):
         read_ocf(b"PAR1" + b"\x00" * 32)
+    # non-null codec in the file-metadata map must raise, not
+    # misdecode the compressed block (r9 advisory: this branch was
+    # untested despite the test name claiming it)
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "a", "type": "long"}],
+    }
+    blob = bytearray(write_ocf(schema, [{"a": 1}]))
+    idx = blob.find(b"null", blob.find(b"avro.codec"))
+    assert idx > 0
+    # same-length codec name keeps the Avro string length prefix valid
+    blob[idx : idx + 4] = b"zstd"
+    with pytest.raises(ValueError, match="unsupported Avro codec"):
+        read_ocf(bytes(blob))
 
 
 def test_manifest_prune_plan_semantics(spark, sf_dir):
