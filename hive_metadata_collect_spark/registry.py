@@ -85,94 +85,78 @@ def load_all() -> dict[str, Op]:
 # round 9) over successive rounds. Rounds 1-8 confirmed 193 distinct
 # operators driver-side; 270 remained never-sampled entering round 9.
 #
-# The round-9 cross-section below holds 48 never-sampled operators
-# plus exactly TWO deliberate repeats, both judge-directed
-# (VERDICT r8 "Next round" item 1): `tpch_q9_product_profit` — the
-# round-8 red row, whose DECIMAL output is now presented as DOUBLE and
-# which must show green in CORRECTNESS_r09 — and `agg_decimal_money`,
-# driver-green r1-r5 but never sampled under the CURRENT
-# dtype-sensitive driver hash and carrying the same DECIMAL
-# presentation fix. The 48 fresh names are drawn preferentially from
-# the categories most like past driver misses, per the same verdict
-# item: the DECIMAL/HUGEINT-risk statistical aggregates (Spearman —
-# rewritten this round on the overflow advisory — Mann-Whitney,
-# Cramér's V, SRM, two-proportion z, CUPED, cross-correlation,
-# higher moments, weighted/winsorized/MAD robust estimators), the
-# big-integer financial windows (VWAP, Bollinger, OHLC, rolling
-# z-score, time-weighted average, running median, autocorrelation,
-# seasonal decompose), the never-sampled TPC-H shapes
-# (q2/q7/q11/q13/q16/q19), the numeric-presentation class fixed this
-# round (fn_cast_types, udf_sql_declarative,
-# pipeline_perplexity_filter, cat_incremental_stats_merge), rounding
-# and interval scalar suites, catalog statistics with float-boundary
-# risk (PSI, Benford, chi-square, period-over-period), and the
-# remaining text/similarity/pipeline statistics (Kneser-Ney, PMI,
-# burstiness, char entropy, power-iteration PC, nDCG, mixture
-# epochs, calibration ECE). Every name carries a full DuckDB oracle
-# (no rows-only entries) so the sampled 50 are all hash-checkable.
-# Remaining operators follow in registration (module) order —
-# nothing is dropped, only reordered.
+# ROUND 10: the r9 verdict (item 3) directs the rotation at the
+# never-sampled tail (227 entering round 10), "weighted toward cat_*
+# (66 never sampled of 96) and the mm_* decode family (driver has
+# never hashed a mapInPandas decode op)". The 50 below are ALL
+# never-driver-sampled: every remaining mm_* (11 — the binary
+# decode/mapInPandas family), every remaining dedup_* (7, incl. the
+# minhash-LSH bound contract), every remaining stream_* (6), and 26
+# cat_* spanning each catalog subfamily (quality/anomaly gates, the
+# r9-rewritten lineage_2hop and attribution_linear, both new Iceberg
+# manifest ops, partition/layout planning, usage analytics). Every
+# name carries a full DuckDB oracle. The superseded round-9 list is
+# in git history; remaining operators follow in registration order.
+#
 _SAMPLE_ORDER = [
-    # judge-directed repeats (2): the r8 red row + its class twin
-    "tpch_q9_product_profit",
-    "agg_decimal_money",
-    # DECIMAL/HUGEINT-risk + r8 statistical aggregate family (15)
-    "agg_spearman_corr",
-    "agg_mann_whitney_u",
-    "agg_cramers_v",
-    "agg_srm_check",
-    "agg_two_proportion_z",
-    "agg_cuped_adjusted",
-    "agg_cross_correlation",
-    "agg_higher_moments",
-    "agg_weighted_median",
-    "agg_winsorized_mean",
-    "agg_median_abs_deviation",
-    "agg_gini_concentration",
-    "agg_ratio_trap",
-    "agg_percentile_disc_cont",
-    "agg_hdr_percentile_estimate",
-    # big-integer financial/series windows (8)
-    "win_vwap_running",
-    "win_rolling_zscore",
-    "win_bollinger_bands",
-    "win_ohlc_resample",
-    "win_time_weighted_avg",
-    "win_median_running",
-    "win_autocorr_profile",
-    "win_seasonal_decompose",
-    # TPC-H shapes never sampled (6)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q11_important_stock",
-    "tpch_q13_customer_distribution",
-    "tpch_q16_supplier_part_diversity",
-    "tpch_q19_discounted_revenue",
-    # numeric-presentation class fixed this round (4)
-    "fn_cast_types",
-    "udf_sql_declarative",
-    "pipeline_perplexity_filter",
-    "cat_incremental_stats_merge",
-    # rounding / interval / try-arith scalar suites (3)
-    "fn_round_half_even",
-    "fn_try_arith",
-    "fn_interval_arith",
-    # catalog statistics with float-boundary risk (4)
-    "cat_psi_drift",
-    "cat_benford_audit",
-    "cat_period_over_period",
-    "cat_chi_square_assoc",
-    # text statistics (4)
-    "text_kneser_ney_bigram",
-    "text_pmi_cooccurrence",
-    "text_word_burstiness",
-    "text_char_entropy_score",
-    # similarity (2)
-    "sim_power_iteration_top_pc",
-    "sim_ndcg_eval",
-    # training pipelines (2)
-    "pipeline_mixture_epochs",
-    "pipeline_calibration_ece",
+    # mm_* — the mapInPandas binary-decode family, never hashed
+    # driver-side (11)
+    "mm_doc_embedding_join",
+    "mm_binary_features",
+    "mm_frame_sample",
+    "mm_resize_plan",
+    "mm_image_dims",
+    "mm_phash_neardup",
+    "mm_audio_silence_segments",
+    "mm_image_channel_stats",
+    "mm_image_aspect_bucket",
+    "mm_av_sync_check",
+    "mm_image_histogram",
+    # dedup_* — every remaining never-sampled dedup op (7)
+    "dedup_fingerprint",
+    "dedup_near_minhash_lsh",
+    "dedup_embedding_cosine",
+    "dedup_exact_keep_best",
+    "dedup_paragraph",
+    "dedup_url_canonical",
+    "dedup_prefix",
+    # stream_* — every remaining never-sampled streaming twin (6)
+    "stream_sliding_counts",
+    "stream_stateful_running",
+    "stream_static_join",
+    "stream_threshold_alerts",
+    "stream_state_size_estimate",
+    "stream_sink_python_datasource",
+    # cat_* — 26 spanning every catalog subfamily (66 of 96 never
+    # sampled entering the round; these cover quality gates, the r9
+    # lineage/attribution rewrites, both new Iceberg ops,
+    # partition/layout planning, and usage analytics)
+    "cat_quality_observe",
+    "cat_anomaly_zscore",
+    "cat_key_uniqueness",
+    "cat_snapshot_diff",
+    "cat_referential_integrity",
+    "cat_pii_column_scan",
+    "cat_semantic_type_infer",
+    "cat_schema_inventory",
+    "cat_column_histogram",
+    "cat_duplicate_table_detect",
+    "cat_lineage_2hop",
+    "cat_attribution_linear",
+    "cat_iceberg_manifest_prune",
+    "cat_iceberg_live_reconcile",
+    "cat_partition_listing",
+    "cat_partition_skew_report",
+    "cat_parquet_footer_stats",
+    "cat_compaction_plan",
+    "cat_orphan_files",
+    "cat_scd2_diff",
+    "cat_merkle_table_root",
+    "cat_markov_transitions",
+    "cat_retention_cohort",
+    "cat_survival_curve",
+    "cat_rfm_segments",
+    "cat_decayed_heat",
 ]
 
 
