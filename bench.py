@@ -261,18 +261,24 @@ def main() -> None:
     # came from pass-2 console progress bars trailing the line).
     # Pass 2 is wrapped in try/except for the same reason: its
     # failure must neither prevent the print nor trail a traceback.
-    headline_json = json.dumps(
-        {
-            "metric": "headline_suite_total_wall",
-            "value": total,
-            "unit": "sec",
-            "protocol": "prepared-v2",
-            "queries": timings,
-            "total_cold": total_cold,
-            "queries_cold": timings_cold,
-            "sf": sf,
-        }
-    )
+    payload = {
+        "metric": "headline_suite_total_wall",
+        "value": total,
+        "unit": "sec",
+        "protocol": "prepared-v2",
+        "queries": timings,
+        "total_cold": total_cold,
+        "queries_cold": timings_cold,
+        "sf": sf,
+    }
+    # Optional provenance note carried INSIDE the promoted artifact
+    # (r9 verdict: the committed BENCH json should say which code
+    # state and machine condition produced it, so a stale artifact is
+    # detectable without cross-referencing SURVEY).
+    note = os.environ.get("SPARK_GRAFT_NOTE")
+    if note:
+        payload["provenance"] = note
+    headline_json = json.dumps(payload)
     try:
         _stage_sidecar(headline, ops, sf_dir, sf, master, mem, shuffle, total)
     except Exception as exc:  # pragma: no cover - diagnostic path
