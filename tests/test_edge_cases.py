@@ -376,9 +376,13 @@ def test_storage_size_matches_os_stat(spark, sf_dir):
     import glob as _glob
     import os as _os
 
+    from hive_metadata_collect_spark.catalog.partitions import (
+        storage_size_live,
+    )
+
     rows = {
         r["table_name"]: r
-        for r in OPS["cat_storage_size"].fn(spark, sf_dir).collect()
+        for r in storage_size_live(spark, sf_dir).collect()
     }
     expected: dict[str, list] = {}
     for p in _glob.glob(_os.path.join(sf_dir, "*.parquet")):
@@ -411,9 +415,13 @@ def test_storage_size_multifile_dir_layout(spark, tmp_path):
     # single-file table beside the directory tables
     (root / "region.parquet").write_bytes(b"y" * 37)
 
+    from hive_metadata_collect_spark.catalog.partitions import (
+        storage_size_live,
+    )
+
     rows = {
         r["table_name"]: r
-        for r in OPS["cat_storage_size"].fn(spark, str(root)).collect()
+        for r in storage_size_live(spark, str(root)).collect()
     }
     assert rows.keys() == {"lineitem", "orders", "region"}
     assert rows["lineitem"]["n_files"] == 3
