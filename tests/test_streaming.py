@@ -396,3 +396,151 @@ def test_report_sink_stream_epoch_recommit_is_idempotent(tmp_path):
         (1, "a.parquet"),
         (2, "b2.parquet"),
     ]
+
+
+def _split_events_by_time(spark, sf_dir, tmp_path):
+    """Split the fixture events at the median ts and write the first
+    half to an appendable tmp source dir. Returns (src_dir, schema,
+    first, second) — the second half is strictly later than the first,
+    so after run 1's watermark advances nothing in run 2 arrives late."""
+    from hive_metadata_collect_spark.sources.fixtures import load_table
+
+    src_dir = str(tmp_path / "incoming")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    split_ts = (
+        ev.orderBy("ts")
+        .limit(int(ev.count() // 2))
+        .agg(F.max("ts"))
+        .collect()[0][0]
+    )
+    del mid
+    first = ev.filter(F.col("ts") <= F.lit(split_ts))
+    second = ev.filter(F.col("ts") > F.lit(split_ts))
+    first.write.mode("overwrite").parquet(src_dir)
+    return src_dir, ev.schema, first, second
+
+
+def test_stateful_running_restart_recovers_counter(
+    spark, sf_dir, checkpoint, tmp_path
+):
+    """Checkpoint-restart recovery for the applyInPandasWithState
+    counter (r9 verdict item 5): run half the input, stop, append the
+    rest, restart from the SAME checkpoint. Every user updated in run
+    2 must report a running_count equal to the BATCH count over the
+    full input — if the state store were lost on restart the counter
+    would restart from the second half alone. The memory sink cannot
+    recover a checkpoint, so each run lands through foreachBatch into
+    a parquet dir (the idempotent-sink pattern of run_foreach_batch)."""
+    src_dir, schema, first, second = _split_events_by_time(
+        spark, sf_dir, tmp_path
+    )
+    out_dir = str(tmp_path / "out_counter")
+
+    def start():
+        ev = spark.readStream.schema(schema).parquet(src_dir)
+        streams.run_foreach_batch(
+            streams.stateful_running_on(ev),
+            checkpoint,
+            lambda batch_df, batch_id: batch_df.write.mode("append").parquet(
+                out_dir
+            ),
+        )
+
+    start()
+    run1_users = {
+        r["user_id"] for r in spark.read.parquet(out_dir).collect()
+    }
+    second.write.mode("append").parquet(src_dir)
+    start()
+    got = {
+        r["user_id"]: r["running_count"]
+        for r in spark.read.parquet(out_dir)
+        .groupBy("user_id")
+        .agg(F.max("running_count").alias("running_count"))
+        .collect()
+    }
+    full = {
+        r["user_id"]: r["n"]
+        for r in first.unionAll(second)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    second_only = {
+        r["user_id"]: r["n"]
+        for r in second.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got, "nothing was emitted"
+    for u, n in got.items():
+        assert n == full[u], f"user {u}: running_count {n} != batch {full[u]}"
+    # the assertion above is vacuous unless some run-1 user recurs in
+    # run 2 (its restored counter must have kept counting)
+    assert any(
+        u in run1_users and full[u] > second_only.get(u, 0) for u in got
+    ), "no user spanned the restart boundary — test split is broken"
+
+
+def test_dedup_keys_restart_no_reemission(spark, sf_dir, checkpoint, tmp_path):
+    """Checkpoint-restart recovery for dropDuplicatesWithinWatermark
+    (r9 verdict item 5): with a delay horizon longer than the fixture's
+    time span (so no key ever expires), the cumulative file-sink output
+    of both runs must carry each (user_id, event_type) exactly once and
+    cover exactly the batch-distinct key set. A lost state store would
+    re-emit every first-half key that reappears in the second half.
+    The parquet sink IS checkpoint-recoverable (unlike memory)."""
+    src_dir, schema, first, second = _split_events_by_time(
+        spark, sf_dir, tmp_path
+    )
+    out_dir = str(tmp_path / "out_dedup")
+
+    def start():
+        ev = spark.readStream.schema(schema).parquet(src_dir)
+        q = (
+            streams.dedup_keys_on(ev, delay="3650 days")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    start()
+    r1 = {
+        (r["user_id"], r["event_type"])
+        for r in spark.read.parquet(out_dir)
+        .select("user_id", "event_type")
+        .collect()
+    }
+    second.write.mode("append").parquet(src_dir)
+    start()
+    emitted = [
+        (r["user_id"], r["event_type"])
+        for r in spark.read.parquet(out_dir)
+        .select("user_id", "event_type")
+        .collect()
+    ]
+    assert len(emitted) == len(set(emitted)), (
+        "restart re-emitted keys the first run already deduplicated"
+    )
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in first.unionAll(second)
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert set(emitted) == want
+    # recovery is only proven if the second half actually repeated
+    # first-run keys (they must have been suppressed by restored state)
+    repeats = {
+        (r["user_id"], r["event_type"])
+        for r in second.select("user_id", "event_type").distinct().collect()
+    } & r1
+    assert repeats, "no key recurred across the restart — split is broken"
