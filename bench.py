@@ -102,7 +102,13 @@ HEADLINE = {
     # bench. Both oracles are DuckDB's natural CTE formulation of the
     # same integer-exact algorithm.
     "q_nb_lang": "text_naive_bayes_lang",
-    "q_kmeans": "sim_kmeans_lloyd",
+    # r10: the array-native assignment twin (map-only Arrow assignment,
+    # no K×|corpus| grouped shuffle) measured 3.1× faster at sf1 and
+    # 3.8× at sf10 than the posexplode form on identical output — it
+    # is the headliner per the r9 verdict's measure-and-keep-the-winner
+    # directive; the posexplode twin stays registered as the
+    # pure-Catalyst form (pair recorded in BASELINE.md §r10).
+    "q_kmeans": "sim_kmeans_lloyd_arrays",
     # Round-8 continuation (second session): SemDeDup (cluster-scoped
     # integer-cosine pair pruning — the semantic-dedup scale shape)
     # and cross-document duplicate 8-gram coverage (the exact-substr

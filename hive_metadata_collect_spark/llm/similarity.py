@@ -1747,10 +1747,10 @@ def sim_power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sim_kmeans_lloyd",
-    survey_row=75,
-    oracle="""
+# Shared by sim_kmeans_lloyd and its array-native assignment twin
+# sim_kmeans_lloyd_arrays: both compute the IDENTICAL integer
+# milli-unit trajectory, so one oracle binds both.
+_KMEANS_LLOYD_ORACLE = """
     WITH q AS (
         SELECT vec_id,
                list_transform(embedding,
@@ -1815,7 +1815,13 @@ def sim_power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes ON sizes.k = c2.k
     GROUP BY c2.k
     ORDER BY k
-    """,
+    """
+
+
+@register(
+    "sim_kmeans_lloyd",
+    survey_row=75,
+    oracle=_KMEANS_LLOYD_ORACLE,
 )
 def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed LLOYD'S K-MEANS (K=4, two full iterations) — the
@@ -1838,7 +1844,15 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cluster size, centroid L1 mass, and the iteration-2 shift
     (the convergence telemetry a production trainer monitors).
     Empty clusters (possible under adversarial seeds) drop from the
-    join identically on both engines."""
+    join identically on both engines.
+
+    MEASURED DEAD-END at scale (r10, warm best-of-3, local[32]): this
+    pure-Catalyst form costs 4.03 s at sf1 / 8.15 s at sf10 vs the
+    array-native twin's 1.28 s / 2.16 s — the K×|corpus| grouped rows
+    the assignment shuffles through the argmin window dominate once
+    the corpus is large. sim_kmeans_lloyd_arrays (same oracle, bit-
+    identical output) is the bench headliner; this form stays as the
+    no-Python-worker variant."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.select(
         "vec_id",
@@ -1909,6 +1923,115 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@register(
+    "sim_kmeans_lloyd_arrays",
+    survey_row=75,
+    oracle=_KMEANS_LLOYD_ORACLE,
+)
+def sim_kmeans_lloyd_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY-NATIVE twin of sim_kmeans_lloyd (r9 verdict item 6):
+    identical K=4 / 2-iteration integer milli-unit trajectory — same
+    oracle, bit-identical output — but the ASSIGNMENT stage is a
+    map-only Arrow `mapInPandas` over the packed int64 vector instead
+    of posexplode → join(dim) → groupBy(vec,k) → argmin window. The
+    posexplode form shuffles K×|corpus| grouped rows per iteration
+    through a per-vector window; this one shuffles NOTHING to assign —
+    the K×64 integer centroid matrix collects to the driver (256
+    values, bounded by construction — the 25-row-dim-memo discipline)
+    and rides the UDF closure; numpy computes the n×K squared-int64
+    distance block per Arrow batch and argmin's first-minimum, which
+    equals the (dist, k)-ascending tie-break exactly. The UPDATE stage
+    keeps posexplode → groupBy(k, dim): that aggregate collapses
+    map-side to ≤K×64 rows/task, so its shuffle is metadata-sized —
+    it was never the cost. Quantization stays Spark-side (F.round is
+    HALF_UP; numpy rounds half-even) so both twins quantize
+    identically. Measured sf1/sf10 numbers live in BASELINE.md §r10;
+    the faster twin is the bench headliner."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1000).cast("long"),
+        ).alias("qv"),
+    ).persist()
+    init_rows = q.orderBy("vec_id").limit(4).select("qv").collect()
+    # centroids keyed by CLUSTER ID (a cluster that empties drops out,
+    # exactly as it drops from the DataFrame twin's join)
+    cent: dict[int, list[int]] = {
+        k: list(r["qv"]) for k, r in enumerate(init_rows)
+    }
+
+    def assign_with(centroids: dict[int, list[int]]):
+        ks = sorted(centroids)
+        k_ids = np.asarray(ks, dtype=np.int64)
+        c_arr = np.asarray([centroids[k] for k in ks], dtype=np.int64)
+
+        def fn(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+                # n×K×d diff block: |milli-unit| ≲ 2e3 → squared diff
+                # ≤ 1.6e7, ×64 dims ≤ 1.1e9 — comfortably int64.
+                diff = x[:, None, :] - c_arr[None, :, :]
+                dist = (diff * diff).sum(axis=2)
+                # argmin's first-minimum over ascending cluster ids ==
+                # the twin's (dist, k)-ascending row_number tie-break
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "k": k_ids[dist.argmin(axis=1)],
+                        "qv": pdf["qv"],
+                    }
+                )
+
+        return fn
+
+    prev: dict[int, list[int]] = cent
+    for _ in range(2):
+        a = q.mapInPandas(
+            assign_with(cent), "vec_id long, k long, qv array<bigint>"
+        )
+        rows = (
+            a.select("k", F.posexplode("qv").alias("dim", "val"))
+            .groupBy("k", "dim")
+            .agg(
+                F.floor(F.sum("val") * 1.0 / F.count(F.lit(1)))
+                .cast("long")
+                .alias("cv")
+            )
+            .collect()  # ≤ K×64 = 256 rows — bounded by construction
+        )
+        by_k: dict[int, dict[int, int]] = {}
+        for r in rows:
+            by_k.setdefault(r["k"], {})[r["dim"]] = r["cv"]
+        ndim = len(next(iter(cent.values())))
+        prev = cent
+        cent = {
+            k: [dims[d] for d in range(ndim)] for k, dims in by_k.items()
+        }
+        last_assign = a
+    sizes = {
+        r["k"]: r["n"]
+        for r in last_assign.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    out = [
+        (
+            k,
+            int(sizes[k]),
+            int(sum(abs(v) for v in c2)),
+            int(sum(abs(a_ - b_) for a_, b_ in zip(c2, prev[k]))),
+        )
+        for k, c2 in sorted(cent.items())
+    ]
+    return spark.createDataFrame(
+        out, "k long, n_members long, centroid_l1 long, shift_l1 long"
+    ).orderBy("k")
 
 
 @register(

@@ -854,6 +854,21 @@ def test_kmeans_invariants(spark, sf_dir):
         assert 0 <= r["shift_l1"] <= 64 * 1300
 
 
+def test_kmeans_array_twin_is_bit_identical(spark, sf_dir):
+    """sim_kmeans_lloyd_arrays must reproduce the posexplode form's
+    trajectory EXACTLY (same integer quantization, same argmin
+    tie-break, same floored updates) — the two share one oracle, so
+    any drift is a registry-contract violation, not a tolerance."""
+    lloyd = sorted(
+        tuple(r) for r in OPS["sim_kmeans_lloyd"].fn(spark, sf_dir).collect()
+    )
+    arrays = sorted(
+        tuple(r)
+        for r in OPS["sim_kmeans_lloyd_arrays"].fn(spark, sf_dir).collect()
+    )
+    assert lloyd == arrays
+
+
 def test_naive_bayes_beats_prior_baseline(spark, sf_dir):
     """The trained classifier must beat always-predict-majority on its
     own training corpus (a multinomial NB with per-class vocabularies
