@@ -1646,16 +1646,20 @@ def sim_covariance_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    x -> round(CAST(x AS DOUBLE) * 1000)::BIGINT) AS qv
         FROM embeddings
     ),
-    rows_i AS (
-        SELECT vec_id, i.i - 1 AS i, qv[i.i] AS qi, qv
+    el AS (
+        -- single explode to (vec, dim, value); the Gram cells come
+        -- from a streaming self-join on vec_id instead of a second
+        -- unnest that would drag the whole 64-list onto every one of
+        -- the n*64*64 rows (the r10 sf10 sweep OOM-killed that form
+        -- at 500k vectors; this one streams through a 4,096-group
+        -- hash aggregate in bounded memory)
+        SELECT vec_id, i.i - 1 AS i, qv[i.i] AS qi
         FROM q, unnest(range(1, len(qv) + 1)) AS i(i)
     ),
-    cells AS (
-        SELECT vec_id, i, j.j - 1 AS j, qi, qv[j.j] AS qj
-        FROM rows_i, unnest(range(1, len(qv) + 1)) AS j(j)
-    ),
     c AS (
-        SELECT i, j, sum(qi * qj) AS c FROM cells GROUP BY i, j
+        SELECT a.i AS i, b.i AS j, sum(a.qi * b.qi) AS c
+        FROM el a JOIN el b USING (vec_id)
+        GROUP BY a.i, b.i
     ),
     v1 AS (SELECT i, sum(c) AS v FROM c GROUP BY i),
     v2 AS (
