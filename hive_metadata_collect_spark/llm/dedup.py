@@ -735,6 +735,130 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_components_star",
+    survey_row=68,
+    oracle="""
+    WITH RECURSIVE w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), memb AS (
+        SELECT doc_id,
+               'f:' || md5(array_to_string(
+                   list_sort(list_distinct(words)), ' ')) AS gkey
+        FROM w
+        UNION ALL
+        SELECT doc_id,
+               'p:' || md5(array_to_string(words[1:8], ' '))
+        FROM w WHERE len(words) >= 8
+    ), g AS (
+        SELECT gkey, min(doc_id) AS gid
+        FROM memb GROUP BY gkey HAVING count(*) >= 2
+    ), m2 AS (
+        SELECT memb.doc_id, g.gid FROM memb JOIN g USING (gkey)
+    ), ge AS (
+        SELECT DISTINCT ga, gb FROM (
+            SELECT doc_id, min(gid) AS ga, max(gid) AS gb
+            FROM m2 GROUP BY doc_id)
+        WHERE ga < gb
+    ), edges AS (
+        SELECT ga AS src, gb AS dst FROM ge
+        UNION ALL SELECT gb, ga FROM ge
+    ), reach(node, r) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT reach.node, edges.dst
+        FROM reach JOIN edges ON reach.r = edges.src
+    ), glab AS (
+        SELECT gids.gid, coalesce(rr.mn, gids.gid) AS glabel
+        FROM (SELECT DISTINCT gid FROM g) gids
+        LEFT JOIN (
+            SELECT node, least(node, min(r)) AS mn
+            FROM reach GROUP BY node) rr ON rr.node = gids.gid
+    )
+    SELECT m2.doc_id AS doc_id, min(glab.glabel) AS canonical_id
+    FROM m2 JOIN glab USING (gid)
+    GROUP BY m2.doc_id ORDER BY doc_id
+    """,
+)
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components WITHOUT the pair graph — the shape that
+    survives where dedup_components cannot: the exact Jaccard pair
+    graph is ~18.1e9 pairs at sf10 (one 34,700-doc duplicate family
+    alone contributes 0.6e9), so ANY components algorithm that
+    materializes pairs is volume-bound by construction. This operator
+    clusters over EQUIVALENCE-GROUP memberships instead — here the
+    fingerprint digest (dedup_fingerprint's relation) unioned with the
+    8-word prefix digest (dedup_prefix's relation) — so the edge set
+    is ≤ 2 rows per document (doc → group), linear at any corpus size:
+
+      1. memberships (doc, group) for both digest relations; groups
+         with one member are dropped (they can merge nothing),
+      2. every group gets gid = min(doc_id) of its members (one
+         hash-agg — at 100 TB this is the dedup_exact shape),
+      3. the GROUP graph — one edge per doc that belongs to two
+         surviving groups — is metadata-sized (≤1 edge/doc before
+         distinct); min-label components run on IT, not on docs,
+      4. doc label = min over its groups' component labels. Since a
+         group's gid is its min member, the component minimum IS the
+         canonical min doc_id — same labeling contract as
+         dedup_components.
+
+    The same star trick is how LSH-bucket output should feed
+    components at 100 TB (bucket = group); the digest relations used
+    here are chosen because DuckDB reproduces them exactly (md5 over
+    sorted distinct words / word prefixes — the conventions
+    dedup_fingerprint and dedup_prefix already gate), which makes this
+    op hash-checkable at EVERY scale factor including sf10, where the
+    pair-graph form has no feasible oracle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    fp = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("f:"),
+            F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(words)))),
+        ).alias("gkey"),
+    )
+    pre = d.filter(F.size(words) >= 8).select(
+        "doc_id",
+        F.concat(
+            F.lit("p:"), F.md5(F.concat_ws(" ", F.slice(words, 1, 8)))
+        ).alias("gkey"),
+    )
+    memb = fp.unionAll(pre)
+    g = (
+        memb.groupBy("gkey")
+        .agg(F.min("doc_id").alias("gid"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("gkey", "gid")
+    )
+    m2 = memb.join(g, "gkey").select("doc_id", "gid")
+    ge = (
+        m2.groupBy("doc_id")
+        .agg(F.min("gid").alias("doc_a"), F.max("gid").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    glabels = min_label_components(ge).select(
+        F.col("doc_id").alias("gid"), F.col("canonical_id").alias("glabel")
+    )
+    glab = (
+        g.select("gid")
+        .distinct()
+        .join(F.broadcast(glabels), "gid", "left")
+        .select(
+            "gid", F.coalesce("glabel", F.col("gid")).alias("glabel")
+        )
+    )
+    return (
+        m2.join(F.broadcast(glab), "gid")
+        .groupBy("doc_id")
+        .agg(F.min("glabel").alias("canonical_id"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "pipeline_clean_corpus",
     survey_row=68,
     # Same fast pair CTEs as dedup_components (see note there).
