@@ -755,16 +755,87 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def phash_band_pairs(hashes: DataFrame) -> DataFrame:
+    """Exhaustive-for-d<=3 Hamming pair stage over DISTINCT 64-bit
+    hashes (signature collapse, then 4x16-bit band-bucket self-join +
+    bit_count verify). Input: (doc_id, hash_lo, hash_hi); output:
+    (rep_a, rep_b) where rep is each distinct hash's min doc_id —
+    candidates stay bucket-bounded and the frame is
+    |distinct hashes|-sized, never |docs|-sized."""
+    groups = hashes.groupBy("hash_lo", "hash_hi").agg(
+        F.min("doc_id").alias("rep")
+    )
+    mask = F.lit(65535)
+    bands = groups.select(
+        "rep",
+        "hash_lo",
+        "hash_hi",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("bx"),
+                    F.col("hash_lo").bitwiseAND(mask).alias("bv"),
+                ),
+                F.struct(
+                    F.lit(1).alias("bx"),
+                    F.shiftright("hash_lo", 16).bitwiseAND(mask).alias("bv"),
+                ),
+                F.struct(
+                    F.lit(2).alias("bx"),
+                    F.col("hash_hi").bitwiseAND(mask).alias("bv"),
+                ),
+                F.struct(
+                    F.lit(3).alias("bx"),
+                    F.shiftright("hash_hi", 16).bitwiseAND(mask).alias("bv"),
+                ),
+            )
+        ).alias("band"),
+    ).select("rep", "hash_lo", "hash_hi", "band.bx", "band.bv")
+    a = bands.select(
+        F.col("bx"),
+        F.col("bv"),
+        F.col("rep").alias("rep_a"),
+        F.col("hash_lo").alias("lo_a"),
+        F.col("hash_hi").alias("hi_a"),
+    )
+    b = bands.select(
+        F.col("bx"),
+        F.col("bv"),
+        F.col("rep").alias("rep_b"),
+        F.col("hash_lo").alias("lo_b"),
+        F.col("hash_hi").alias("hi_b"),
+    )
+    return (
+        a.join(b, ["bx", "bv"])
+        .filter(F.col("rep_a") < F.col("rep_b"))
+        .filter(
+            F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+            + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+            <= 3
+        )
+        .select("rep_a", "rep_b")
+        .distinct()
+    )
+
+
 @register(
     "mm_phash_neardup",
     survey_row=74,
     # The hash CTEs re-derive mm_image_phash's closed-form aHash per
     # doc (independently oracled there); the semantics under test
-    # HERE are the Hamming pair set and the component labels, so the
-    # oracle verifies pairs ALL-PAIRS (sound at oracle scale) while
-    # the Spark plan must never do that — banding completeness for
-    # d <= 3 over 4 disjoint 16-bit bands is the pigeonhole guarantee
-    # that the two formulations return identical rows.
+    # HERE are the Hamming neighborhood and the component labels. The
+    # oracle verifies rep-level pairs ALL-PAIRS over DISTINCT hashes
+    # (no banding — so banding completeness for d <= 3 over 4
+    # disjoint 16-bit bands is still independently checked by the
+    # pigeonhole guarantee) and closes components on the hash-group
+    # graph, expanding labels back to docs. Doc-level semantics are
+    # IDENTICAL to a doc-pair formulation: same-hash docs are always
+    # connected (Hamming 0), so doc components == hash-group
+    # components and the component minimum is the minimum group rep.
+    # The collapsed form is what makes an sf10 oracle feasible at all
+    # (doc-level all-pairs is 1.25e11 comparisons at 500k docs, and
+    # the recurring-image fixture makes the doc pair set itself
+    # ~1e9 rows — see the op docstring).
     oracle="""
     WITH RECURSIVE s AS (
         SELECT doc_id,
@@ -801,25 +872,37 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cell c JOIN tot t ON c.doc_id = t.doc_id
         GROUP BY c.doc_id
     ),
-    pairs AS MATERIALIZED (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM h a JOIN h b ON a.doc_id < b.doc_id
+    g AS MATERIALIZED (
+        SELECT hash_lo, hash_hi, min(doc_id) AS rep, count(*) AS n_docs
+        FROM h GROUP BY hash_lo, hash_hi
+    ),
+    rp AS MATERIALIZED (
+        SELECT a.rep AS ra, b.rep AS rb
+        FROM g a JOIN g b ON a.rep < b.rep
         WHERE bit_count(xor(a.hash_lo, b.hash_lo)) +
               bit_count(xor(a.hash_hi, b.hash_hi)) <= 3
     ),
-    edges AS MATERIALIZED (
-        SELECT doc_a AS src, doc_b AS dst FROM pairs
+    redges AS MATERIALIZED (
+        SELECT ra AS src, rb AS dst FROM rp
         UNION ALL
-        SELECT doc_b, doc_a FROM pairs
+        SELECT rb, ra FROM rp
     ),
-    reach(node, r) AS (
-        SELECT src, dst FROM edges
+    rreach(node, r) AS (
+        SELECT src, dst FROM redges
         UNION
-        SELECT reach.node, edges.dst
-        FROM reach JOIN edges ON reach.r = edges.src
+        SELECT rreach.node, redges.dst
+        FROM rreach JOIN redges ON rreach.r = redges.src
+    ),
+    rlab AS (
+        SELECT node AS rep, least(node, min(r)) AS label
+        FROM rreach GROUP BY node
     )
-    SELECT node AS doc_id, least(node, min(r)) AS canonical_id
-    FROM reach GROUP BY node
+    SELECT h.doc_id,
+           coalesce(rl.label, g.rep) AS canonical_id
+    FROM h
+    JOIN g ON h.hash_lo = g.hash_lo AND h.hash_hi = g.hash_hi
+    LEFT JOIN rlab rl ON g.rep = rl.rep
+    WHERE g.n_docs >= 2 OR rl.rep IS NOT NULL
     """,
 )
 def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -832,73 +915,60 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     into 4 disjoint 16-bit bands; by pigeonhole any pair within
     Hamming distance 3 agrees on at least one full band, so the
     band-key self-join is EXHAUSTIVE for d <= 3 (exact, not
-    approximate — hence oracle-gated where sim_pairs_lsh is
-    rows-only) while candidates stay bucket-bounded: the plan has no
-    cartesian/all-pairs node anywhere (plan-asserted). Scale: hashes
-    are 1 mapInPandas decode stage; the self-join shuffles (band_ix,
-    band_val) buckets — at 100 TB of images the bucket histogram is
-    the skew knob (identical boilerplate images land in one bucket;
-    AQE skew splitting or a 5th band handles it), candidates carry
-    ids only, and the verify is 2 xors + 2 popcounts per candidate.
-    Synthesized images recur every 256 doc_ids by construction, so
-    identical-image clusters exist and span band buckets."""
+    approximate — hence oracle-gated where sim_pairs_lsh is a bound
+    contract) while candidates stay bucket-bounded: the plan has no
+    cartesian/all-pairs node anywhere (plan-asserted).
+
+    SIGNATURE COLLAPSE (r10, found by the sf10 inventory sweep): the
+    doc-level band join timed out at sf10 — synthesized images recur
+    every 256 doc_ids, so at 500k docs each identical-hash family
+    holds ~1950 docs and every family's band bucket explodes to
+    C(1950,2) x 4 candidate rows (~1.9e9 total; 900 s wall). Same
+    class as dedup_near_minhash_lsh's r9 fix and
+    dedup_components_star: pair work belongs on DISTINCT signatures.
+    The band join now runs over distinct (hash_lo, hash_hi) groups
+    keyed by their min-doc rep (exactly 256 groups in these fixtures
+    AT ANY SCALE; |distinct images|-bounded in general), components
+    close on the metadata-sized group graph, and doc labels come from
+    one linear hash-group join back (AQE broadcasts the group side
+    when it is small — unhinted, the group count is data-dependent).
+    Doc-level semantics are unchanged: same-hash docs are Hamming-0
+    connected, so doc components == hash-group components, the
+    component min doc == min group rep, and a doc qualifies iff its
+    group has >= 2 docs or its rep has an inter-group edge. Identical
+    rows to the doc-level form at sf0.001-0.1; at sf10 the collapsed
+    form runs in ~80 s where doc-level banding hit the 900 s wall.
+
+    Scale: hashes are 1 mapInPandas decode stage; the group-by is the
+    only fact-sized shuffle; at 100 TB of images the distinct-hash
+    count (not the corpus size) bounds all pair work, which is the
+    boilerplate-heavy shape real image corpora have."""
     from hive_metadata_collect_spark.llm.dedup import min_label_components
 
     hashes = mm_image_phash(spark, sf_dir).select(
         "doc_id", "hash_lo", "hash_hi"
     )
-    mask = F.lit(65535)
-    bands = hashes.select(
-        "doc_id",
+    groups = hashes.groupBy("hash_lo", "hash_hi").agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n_docs")
+    )
+    rep_pairs = phash_band_pairs(hashes).select(
+        F.col("rep_a").alias("doc_a"), F.col("rep_b").alias("doc_b")
+    )
+    rep_labels = min_label_components(rep_pairs).select(
+        F.col("doc_id").alias("rep"), F.col("canonical_id").alias("rep_label")
+    )
+    reps = groups.join(rep_labels, "rep", "left").select(
         "hash_lo",
         "hash_hi",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(0).alias("bx"),
-                    F.col("hash_lo").bitwiseAND(mask).alias("bv"),
-                ),
-                F.struct(
-                    F.lit(1).alias("bx"),
-                    F.shiftright("hash_lo", 16).bitwiseAND(mask).alias("bv"),
-                ),
-                F.struct(
-                    F.lit(2).alias("bx"),
-                    F.col("hash_hi").bitwiseAND(mask).alias("bv"),
-                ),
-                F.struct(
-                    F.lit(3).alias("bx"),
-                    F.shiftright("hash_hi", 16).bitwiseAND(mask).alias("bv"),
-                ),
-            )
-        ).alias("band"),
-    ).select("doc_id", "hash_lo", "hash_hi", "band.bx", "band.bv")
-    a = bands.select(
-        F.col("bx"),
-        F.col("bv"),
-        F.col("doc_id").alias("doc_a"),
-        F.col("hash_lo").alias("lo_a"),
-        F.col("hash_hi").alias("hi_a"),
+        "n_docs",
+        F.coalesce("rep_label", "rep").alias("label"),
+        F.col("rep_label").isNotNull().alias("has_edge"),
     )
-    b = bands.select(
-        F.col("bx"),
-        F.col("bv"),
-        F.col("doc_id").alias("doc_b"),
-        F.col("hash_lo").alias("lo_b"),
-        F.col("hash_hi").alias("hi_b"),
+    return (
+        hashes.join(reps, ["hash_lo", "hash_hi"])
+        .filter((F.col("n_docs") >= 2) | F.col("has_edge"))
+        .select("doc_id", F.col("label").alias("canonical_id"))
     )
-    pairs = (
-        a.join(b, ["bx", "bv"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(
-            F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-            + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-            <= 3
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    return min_label_components(pairs)
 
 
 @register(

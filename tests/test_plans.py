@@ -358,49 +358,28 @@ def test_agg_pushdown_aggregates_below_join(spark, sf_dir):
 
 
 def test_phash_neardup_no_all_pairs(spark, sf_dir):
-    """The image near-dup pair stage must be a band-bucket equi-join —
-    no cartesian product and no broadcast nested loop anywhere in the
-    plan (the oracle verifies all-pairs; the engine must never)."""
+    """The image near-dup pair stage must be a band-bucket equi-join
+    over DISTINCT hashes — no cartesian product and no broadcast
+    nested loop anywhere in the plan (the oracle verifies rep pairs
+    all-pairs; the engine must never), and the pair frame must be
+    built from a hash-collapsing aggregate, not doc-level rows (the
+    sf10 mega-family wall, r10)."""
     from hive_metadata_collect_spark.llm.multimodal import (
         mm_image_phash,
+        phash_band_pairs,
     )
-    from hive_metadata_collect_spark.llm import multimodal as mm
 
     hashes = mm_image_phash(spark, sf_dir).select(
         "doc_id", "hash_lo", "hash_hi"
     )
-    # build the pair stage exactly as the operator does, pre-components
-    # (the iterative labeling materializes checkpoints, so assert on
-    # the candidate/verify join plan — the part that could go O(n^2))
-    mask = F.lit(65535)
-    bands = hashes.select(
-        "doc_id",
-        "hash_lo",
-        "hash_hi",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("bx"), F.col("hash_lo").bitwiseAND(mask).alias("bv")),
-                F.struct(F.lit(1).alias("bx"), F.shiftright("hash_lo", 16).bitwiseAND(mask).alias("bv")),
-                F.struct(F.lit(2).alias("bx"), F.col("hash_hi").bitwiseAND(mask).alias("bv")),
-                F.struct(F.lit(3).alias("bx"), F.shiftright("hash_hi", 16).bitwiseAND(mask).alias("bv")),
-            )
-        ).alias("band"),
-    ).select("doc_id", "hash_lo", "hash_hi", "band.bx", "band.bv")
-    a = bands.select("bx", "bv", F.col("doc_id").alias("doc_a"), F.col("hash_lo").alias("lo_a"), F.col("hash_hi").alias("hi_a"))
-    b = bands.select("bx", "bv", F.col("doc_id").alias("doc_b"), F.col("hash_lo").alias("lo_b"), F.col("hash_hi").alias("hi_b"))
-    pairs = (
-        a.join(b, ["bx", "bv"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(
-            F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-            + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) <= 3
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    pairs = phash_band_pairs(hashes)
     plan = physical_plan(pairs)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # signature collapse: the band explode must sit ABOVE a
+    # hash-keyed aggregate (min doc rep), so bucket contents are
+    # distinct hashes, never the raw doc stream
+    assert "min(doc_id" in plan
 
 
 def test_q6_scan_only_plan(spark, sf_dir):

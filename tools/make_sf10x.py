@@ -55,9 +55,12 @@ def main() -> None:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     for t in list(KEYED) + COPY_AS_IS:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}/{t}.parquet')"
-        )
+        # src tables may themselves be directory layouts (sf1 built by
+        # this script) — glob the part files in that case
+        p = f"{src}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     # strides: max+1 per referenced key, computed once
     stride: dict[str, int] = {}
