@@ -465,24 +465,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_simhash",
     survey_row=68,
+    # The oracle mirrors the Spark plan's shape ON PURPOSE: 64
+    # SUM(CASE) aggregate columns over the raw (doc, word) stream.
+    # The previous formulation unnested words x 16 hex chars x 4 bits
+    # into a contrib relation (j, c) — semantically identical, but
+    # 3.2e9 materialized rows at sf10 (500k docs), which OOM-killed
+    # DuckDB in the r10 inventory sweep (the power-iteration-oracle
+    # class: the double unnest is the blowup, not the math). Checked
+    # row-identical to the old formulation at sf0.01 before the swap.
     oracle="""
     WITH words AS (
         SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
         FROM documents
     ),
-    contrib AS (
-        SELECT doc_id, p * 4 + b AS j,
-               CASE WHEN (((instr('0123456789abcdef', substring(md5(w), p + 1, 1)) - 1)
-                           >> b) & 1) = 1
-                    THEN 1 ELSE -1 END AS c
-        FROM words, generate_series(0, 15) t1(p), generate_series(0, 3) t2(b)
-    ),
-    sums AS (SELECT doc_id, j, sum(c) AS s FROM contrib GROUP BY doc_id, j),
-    fp AS (
+    hashed AS (SELECT doc_id, md5(w) AS h FROM words),
+    sums AS (
         SELECT doc_id,
-               string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j)
-                   AS simhash
-        FROM sums GROUP BY doc_id
+               """
+    + ",\n               ".join(
+        f"sum(CASE WHEN ((instr('0123456789abcdef', substring(h, {p + 1}, 1))"
+        f" - 1) >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{p * 4 + b}"
+        for p in range(16)
+        for b in range(4)
+    )
+    + """
+        FROM hashed GROUP BY doc_id
+    ),
+    fp AS (
+        SELECT doc_id, """
+    + " || ".join(
+        f"(CASE WHEN s{j} > 0 THEN '1' ELSE '0' END)" for j in range(64)
+    )
+    + """ AS simhash
+        FROM sums
     )
     SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_doc
     FROM fp GROUP BY simhash HAVING count(*) > 1

@@ -29,7 +29,8 @@ SKIPS = {
     "sim_pairs_lsh": "bound contract re-derives the exact pair set: same quadratic wall",
     "pipeline_clean_corpus": "composes the near-dup pair stages above",
     "pipeline_fuzzy_dedup_keep_best": "composes the near-dup pair stages above",
-    "cat_lineage_sql_columns": "recursive column-graph oracle is quadratic in edge closure at sf10",
+    "cat_lineage_sql_columns": "recursive column-graph oracle is quadratic in edge closure at sf10 (>45 min, r9-documented)",
+    "cat_lineage_2hop": "naive-join oracle sf10-infeasible by construction (r9-documented); Spark side ENGINE-OK at sf10 (6.3 s / 150k rows re-verified r10), hash gates at sf0.001-0.1",
     "sort_skyline_2d": "oracle IS the quadratic NOT-EXISTS formulation by design (op docstring); Spark's linear frontier verified ENGINE-OK at sf10 (11.5 s)",
 }
 
