@@ -873,6 +873,163 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: dedup_lsh_components hash family: universal hashes over ONE md5
+#: base per word — h_i(w) = (A·(i+1)·b(w) + C·(i+1)) mod P with
+#: b(w) = first 7 hex chars of md5(w) (28 bits, so A·(i+1)·b < 2^52
+#: never overflows int64 in either engine). md5 is the one hash both
+#: Spark and DuckDB compute bit-identically, which is what makes this
+#: the only LSH clustering with an EXACT cross-engine oracle.
+_LSHC_P = 2147483647  # Mersenne prime 2^31-1
+_LSHC_A = 1000003
+_LSHC_C = 15485863
+_LSHC_H = 16  # minhashes
+_LSHC_R = 4  # rows per band -> 4 bands
+
+
+def _lshc_band_sql(b: int) -> str:
+    cols = ", ".join(f"m{_LSHC_R * b + i}" for i in range(_LSHC_R))
+    return f"SELECT doc_id, md5(concat_ws(',', {b}, {cols})) AS gkey FROM sig"
+
+
+_LSHC_SIG_SQL = ",\n           ".join(
+    f"min(({_LSHC_A * (i + 1)} * h + {_LSHC_C * (i + 1)}) % {_LSHC_P}) AS m{i}"
+    for i in range(_LSHC_H)
+)
+
+
+@register(
+    "dedup_lsh_components",
+    survey_row=68,
+    oracle=f"""
+    WITH RECURSIVE w AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents
+    ), b AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 7)) AS BIGINT) AS h
+        FROM w
+    ), sig AS (
+        SELECT doc_id,
+           {_LSHC_SIG_SQL}
+        FROM b GROUP BY doc_id
+    ), memb AS (
+        {" UNION ALL ".join(_lshc_band_sql(b) for b in range(_LSHC_H // _LSHC_R))}
+    ), g AS (
+        SELECT gkey, min(doc_id) AS gid
+        FROM memb GROUP BY gkey HAVING count(*) >= 2
+    ), m2 AS (
+        SELECT memb.doc_id, g.gid FROM memb JOIN g USING (gkey)
+    ), dmin AS (
+        SELECT doc_id, min(gid) AS g0 FROM m2 GROUP BY doc_id
+    ), ge AS (
+        SELECT DISTINCT dmin.g0 AS ga, m2.gid AS gb
+        FROM m2 JOIN dmin USING (doc_id) WHERE m2.gid > dmin.g0
+    ), edges AS (
+        SELECT ga AS src, gb AS dst FROM ge
+        UNION ALL SELECT gb, ga FROM ge
+    ), reach(node, r) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT reach.node, edges.dst
+        FROM reach JOIN edges ON reach.r = edges.src
+    ), glab AS (
+        SELECT gids.gid, coalesce(rr.mn, gids.gid) AS glabel
+        FROM (SELECT DISTINCT gid FROM g) gids
+        LEFT JOIN (
+            SELECT node, least(node, min(r)) AS mn
+            FROM reach GROUP BY node) rr ON rr.node = gids.gid
+    )
+    SELECT m2.doc_id AS doc_id, min(glab.glabel) AS canonical_id
+    FROM m2 JOIN glab USING (gid)
+    GROUP BY m2.doc_id ORDER BY doc_id
+    """,
+)
+def dedup_lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy-dedup clustering at the 100 TB shape:
+    MinHash-LSH band buckets AS the equivalence groups of a star
+    components pass — the composition dedup_components_star's
+    docstring names but no operator implemented until now. This is
+    the recall stage of large-scale fuzzy dedup (NearDup / SlimPajama
+    style): docs sharing any band bucket join one cluster, no
+    verification re-rank (that is dedup_near_minhash_lsh's contract),
+    and crucially NO pair graph — the edge set is ≤ #bands rows per
+    document at any corpus size, where the exact-Jaccard components
+    (dedup_components) are volume-bound at ~18.1e9 pairs by sf10.
+
+      1. one md5 per distinct (doc, word) → 16 universal minhashes
+         (map-side-combined min aggs — the dedup_near_minhash_lsh
+         plan, but over a hash family DuckDB reproduces exactly),
+      2. 4 bands × 4 rows → bucket key md5(band, m..m); buckets with
+         ≥2 docs become groups keyed by gid = min member doc_id,
+      3. star edges (doc's min gid → each other gid, ≤3/doc after
+         distinct) feed min-label components on the GROUP graph —
+         metadata-sized, never the doc corpus,
+      4. doc label = min over its groups' component labels ≡ the
+         cluster's min doc_id (gid is a member min, so the component
+         min IS the canonical doc).
+
+    Unlike every other near-dup clustering here, the full pipeline is
+    hash-checkable at EVERY scale factor including sf10, because the
+    signature family is (A·i·b + C·i) mod 2^31-1 over b = 28 bits of
+    md5 — products stay < 2^52, exact in int64 in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w"),
+    )
+    base = F.conv(F.substring(F.md5(F.col("w")), 1, 7), 16, 10).cast("long")
+    sig = w.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(_LSHC_A * (i + 1)) * base + F.lit(_LSHC_C * (i + 1)))
+                % F.lit(_LSHC_P)
+            ).alias(f"m{i}")
+            for i in range(_LSHC_H)
+        ]
+    )
+    gkeys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.lit(b),
+                    *[F.col(f"m{_LSHC_R * b + i}") for i in range(_LSHC_R)],
+                )
+            )
+            for b in range(_LSHC_H // _LSHC_R)
+        ]
+    )
+    memb = sig.select("doc_id", F.explode(gkeys).alias("gkey"))
+    g = (
+        memb.groupBy("gkey")
+        .agg(F.min("doc_id").alias("gid"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("gkey", "gid")
+    )
+    m2 = memb.join(g, "gkey").select("doc_id", "gid")
+    dmin = m2.groupBy("doc_id").agg(F.min("gid").alias("g0"))
+    ge = (
+        m2.join(dmin, "doc_id")
+        .filter(F.col("gid") > F.col("g0"))
+        .select(F.col("g0").alias("doc_a"), F.col("gid").alias("doc_b"))
+        .distinct()
+    )
+    glabels = min_label_components(ge).select(
+        F.col("doc_id").alias("gid"), F.col("canonical_id").alias("glabel")
+    )
+    glab = (
+        g.select("gid")
+        .distinct()
+        .join(F.broadcast(glabels), "gid", "left")
+        .select("gid", F.coalesce("glabel", F.col("gid")).alias("glabel"))
+    )
+    return (
+        m2.join(F.broadcast(glab), "gid")
+        .groupBy("doc_id")
+        .agg(F.min("glabel").alias("canonical_id"))
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "pipeline_clean_corpus",
     survey_row=68,
