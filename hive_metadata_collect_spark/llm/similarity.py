@@ -499,14 +499,17 @@ _PQ_TRAIN_MAX = 2048  # codebook training sample cap (driver-side)
 _PQ_CAND = 100  # ADC candidates re-ranked exactly
 
 
-def _pq_train_codebooks(vectors):
+def _pq_train_codebooks(vectors, normalize: bool = True):
     """Train the M sub-codebooks with a deterministic seeded Lloyd's
     k-means over the (≤ _PQ_TRAIN_MAX) sample. PQ codebooks are
     O(M·K·dim/M) floats trained from a tiny sample by design — at
     100 TB the sample stays this size while encoding scales out, so
-    driver-side training is the production shape, not a shortcut."""
+    driver-side training is the production shape, not a shortcut.
+    ``normalize=False`` trains over the rows AS GIVEN — the residual
+    space of IVFPQ, where rows are differences, not unit vectors."""
     X = np.asarray(vectors, dtype=np.float64)
-    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    if normalize:
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
     d_sub = X.shape[1] // _PQ_M
     rng = np.random.default_rng(42)
     books = []
@@ -645,6 +648,153 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim_topk_cosine(spark, sf_dir),
         5,
         "recall_ge_05",
+    )
+
+
+def _ivfpq_encode_udf(books, centers):
+    """pandas UDF: (unit vector, list_id) → M PQ codes of the vector's
+    RESIDUAL against its coarse centroid — the IVFPQ encode step. The
+    centers matrix (k×dim) and codebooks ride the closure; one
+    vectorized distance computation per Arrow batch."""
+    d_sub = books[0].shape[1]
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(u: pd.Series, lid: pd.Series) -> pd.Series:
+        U = np.vstack(u.to_numpy()).astype(np.float64)
+        R = U - centers[lid.to_numpy().astype(np.int64)]
+        codes = np.empty((len(R), _PQ_M), dtype=np.int32)
+        for m in range(_PQ_M):
+            S = R[:, m * d_sub : (m + 1) * d_sub]
+            d2 = ((S[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+            codes[:, m] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def ivfpq_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ ANN top-10 for vec_id=0 — the composite Faiss-IVFPQ
+    shape, combining BOTH scale levers: the IVF coarse quantizer
+    prunes the candidate scan to nprobe/k of the corpus (partition
+    pruning at 100 TB) and PQ residual codes make that scan read
+    M one-byte codes instead of the float vectors (16× less IO).
+    This is the PRODUCTION neighbor surface; the registered
+    `sim_topk_ivfpq` entry wraps it in the driver-hashable recall
+    contract.
+
+    Pipeline: unit vectors → seeded k-means coarse quantizer (same
+    k=10/seed=42 as ivf_topk_neighbors) → per-vector RESIDUAL
+    r = u − c(list) → M=8 sub-codebooks of K=16 centroids trained on
+    a hash-sampled residual set (driver-side by design: the codebook
+    is O(M·K·d/M) floats at any corpus size) → every vector stores
+    (list_id, M codes). Query: probe the nprobe=3 closest lists;
+    since u ≈ c_l + q(r), score ≈ c_l·qu + Σ_m table[m][code_m] with
+    ONE shared ADC table (books·qu sub-blocks) plus a per-list
+    constant — a lookup per candidate, no float vector touched until
+    the exact top-_PQ_CAND re-rank."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    k, nprobe = 10, 3
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    unit = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.transform("embedding", lambda x: x.cast("double") / norm).alias("unit"),
+    ).select(
+        "vec_id", "label", "embedding", "unit",
+        array_to_vector("unit").alias("features"),
+    )
+    model = KMeans(
+        k=k, seed=42, featuresCol="features", predictionCol="list_id"
+    ).fit(unit)
+    lists = model.transform(unit)
+    centers = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+
+    qv = np.asarray(_query_vector(spark, sf_dir, 0), dtype=np.float64)
+    qu = qv / np.linalg.norm(qv)
+    probe_ids = [int(i) for i in np.argsort(-(centers @ qu))[:nprobe]]
+
+    # Residual codebooks from a deterministic hash sample (same
+    # sampling idiom as pq_topk_neighbors — stable under rerun).
+    sample_rows = (
+        lists.select("vec_id", "unit", "list_id")
+        .filter(
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+            ).cast("bigint")
+            % 4
+            == 0
+        )
+        .limit(_PQ_TRAIN_MAX)
+        .collect()
+    )
+    residuals = [
+        np.asarray(r["unit"], dtype=np.float64) - centers[r["list_id"]]
+        for r in sample_rows
+    ]
+    books = _pq_train_codebooks(residuals, normalize=False)
+    d_sub = len(qu) // _PQ_M
+    table = np.stack(
+        [books[m] @ qu[m * d_sub : (m + 1) * d_sub] for m in range(_PQ_M)]
+    )
+    list_const = F.array(*[F.lit(float(v)) for v in centers @ qu])
+
+    encode = _ivfpq_encode_udf(books, centers)
+    adc = _pq_adc_udf(table)
+    cand = (
+        lists.filter(F.col("list_id").isin(probe_ids))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            (
+                F.element_at(list_const, F.col("list_id") + 1)
+                + adc(encode(F.col("unit"), F.col("list_id")))
+            ).alias("adc_score"),
+        )
+        .orderBy(F.col("adc_score").desc(), F.col("vec_id").asc())
+        .limit(_PQ_CAND)
+    )
+    cos = _cosine_vs_query_udf(qv)
+    return (
+        cand.select(
+            "vec_id", "label", F.round(cos("embedding"), 6).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "sim_topk_ivfpq",
+    survey_row=69,
+    oracle=f"""
+    {_EXACT_TOP10_SQL}
+    SELECT count(*)::BIGINT AS n_returned,
+           TRUE AS recall_ge_04,
+           round(max(cosine), 6) AS exact_top1_cosine,
+           round(min(cosine), 6) AS exact_top10_min_cosine
+    FROM top10
+    """,
+)
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-HASHABLE RECALL CONTRACT for the composite IVF+PQ path
+    — same contract shape as sim_topk_ivf/sim_topk_pq: run the IVFPQ
+    top-10 (`ivfpq_topk_neighbors`, the production surface) and the
+    exact brute-force top-10, emit one hashable row. The floor is
+    IVF's ≥4 (the coarse quantizer's unprobed-list misses dominate;
+    PQ's quantization error only reorders within probed lists and the
+    exact re-rank of _PQ_CAND candidates absorbs it — measured equal
+    to the plain-IVF hits at sf0.001-0.1)."""
+    return _ann_recall_contract(
+        ivfpq_topk_neighbors(spark, sf_dir),
+        sim_topk_cosine(spark, sf_dir),
+        4,
+        "recall_ge_04",
     )
 
 
