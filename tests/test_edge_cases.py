@@ -319,6 +319,21 @@ def test_pq_recall_vs_exact(spark, sf_dir):
     assert row["recall_ge_05"] is True
 
 
+def test_ivfpq_recall_vs_exact(spark, sf_dir):
+    """Composite IVF+PQ must recover most of the exact top-10: the
+    coarse quantizer's unprobed-list misses are the only loss source
+    the exact re-rank cannot absorb, so recall tracks plain IVF."""
+    from hive_metadata_collect_spark.llm.similarity import ivfpq_topk_neighbors
+
+    exact = [r["vec_id"] for r in OPS["sim_topk_cosine"].fn(spark, sf_dir).collect()]
+    approx = [r["vec_id"] for r in ivfpq_topk_neighbors(spark, sf_dir).collect()]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.5, f"IVFPQ recall too low: {recall:.2f}"
+    row = OPS["sim_topk_ivfpq"].fn(spark, sf_dir).collect()[0]
+    assert row["n_returned"] == 10
+    assert row["recall_ge_04"] is True
+
+
 def test_approx_percentiles_within_bound(spark, sf_dir):
     """Sketch percentiles must land within one quantile step of the
     exact interpolated values (accuracy 10000 → ~1e-4 rank error;
