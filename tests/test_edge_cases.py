@@ -319,6 +319,32 @@ def test_pq_recall_vs_exact(spark, sf_dir):
     assert row["recall_ge_05"] is True
 
 
+def test_lsh_components_invariants(spark, sf_dir):
+    """LSH-bucket star components: labels are component minima (every
+    canonical_id <= its doc_id and is itself a clustered doc's label
+    root), and exact duplicates — identical text, hence identical
+    minhash signatures and band buckets — always land in one cluster."""
+    rows = OPS["dedup_lsh_components"].fn(spark, sf_dir).collect()
+    label = {r["doc_id"]: r["canonical_id"] for r in rows}
+    assert rows, "no clustered docs at this sf"
+    assert all(c <= d for d, c in label.items())
+    # every canonical is a fixpoint: label[c] == c for clustered canons
+    assert all(label.get(c, c) == c for c in set(label.values()))
+    from hive_metadata_collect_spark.sources.fixtures import load_table
+    import pyspark.sql.functions as F
+
+    dup_groups = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .collect()
+    )
+    for g in dup_groups:
+        labels = {label.get(d) for d in g["ids"]}
+        assert len(labels) == 1 and None not in labels, g["ids"]
+
+
 def test_ivfpq_recall_vs_exact(spark, sf_dir):
     """Composite IVF+PQ must recover most of the exact top-10: the
     coarse quantizer's unprobed-list misses are the only loss source
