@@ -897,10 +897,11 @@ _LSHC_SIG_SQL = ",\n           ".join(
 )
 
 
-@register(
-    "dedup_lsh_components",
-    survey_row=68,
-    oracle=f"""
+#: Shared oracle CTE chain: documents → md5-based universal minhashes
+#: → band buckets → star components on the group graph → per-doc
+#: labels (doclab). Consumed by dedup_lsh_components (the labeling
+#: itself) and pipeline_clean_corpus_lsh (the corpus it cleans).
+_LSHC_ORACLE_CTES = f"""
     WITH RECURSIVE w AS (
         SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
         FROM documents
@@ -937,10 +938,20 @@ _LSHC_SIG_SQL = ",\n           ".join(
         LEFT JOIN (
             SELECT node, least(node, min(r)) AS mn
             FROM reach GROUP BY node) rr ON rr.node = gids.gid
+    ), doclab AS (
+        SELECT m2.doc_id AS doc_id, min(glab.glabel) AS canonical_id
+        FROM m2 JOIN glab USING (gid)
+        GROUP BY m2.doc_id
     )
-    SELECT m2.doc_id AS doc_id, min(glab.glabel) AS canonical_id
-    FROM m2 JOIN glab USING (gid)
-    GROUP BY m2.doc_id ORDER BY doc_id
+"""
+
+
+@register(
+    "dedup_lsh_components",
+    survey_row=68,
+    oracle=_LSHC_ORACLE_CTES
+    + """
+    SELECT doc_id, canonical_id FROM doclab ORDER BY doc_id
     """,
 )
 def dedup_lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1026,7 +1037,53 @@ def dedup_lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         m2.join(F.broadcast(glab), "gid")
         .groupBy("doc_id")
         .agg(F.min("glabel").alias("canonical_id"))
+        # Terminal presentation sort; when this frame is composed
+        # under a join/aggregate (pipeline_clean_corpus_lsh) Catalyst's
+        # EliminateSorts removes it — verified in the composite's plan.
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "pipeline_clean_corpus_lsh",
+    survey_row=68,
+    oracle=_LSHC_ORACLE_CTES
+    + """
+    SELECT lang, count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           min(doc_id) AS first_doc
+    FROM documents
+    WHERE doc_id NOT IN (
+        SELECT doc_id FROM doclab WHERE canonical_id <> doc_id)
+      AND len(string_split(text, ' ')) >= 3
+    GROUP BY lang
+    """,
+)
+def pipeline_clean_corpus_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline_clean_corpus at the 100 TB shape: identical cleaning
+    composition (cluster → keep canonical → length floor → per-lang
+    stats of the survivors) but the clustering stage is
+    dedup_lsh_components instead of the exact-Jaccard pair graph — so
+    the END-TO-END pretraining cleanup is hash-checkable at every
+    scale factor, where pipeline_clean_corpus's oracle (and its
+    engine-side pair stage) is a documented sf10 skip by pair-volume
+    construction. Same lazy anti-join composition: the casualty set
+    (non-canonical cluster members) is metadata-sized next to the
+    corpus scan it filters."""
+    d = load_table(spark, sf_dir, "documents")
+    labels = dedup_lsh_components(spark, sf_dir)
+    casualties = labels.filter(F.col("canonical_id") != F.col("doc_id")).select(
+        "doc_id"
+    )
+    return (
+        d.join(casualties, "doc_id", "left_anti")
+        .filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
     )
 
 
