@@ -3203,3 +3203,170 @@ def pipeline_mixture_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dedup_substring_spans",
+    survey_row=68,
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source, string_split(lower(text), ' ') AS w
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, source, i,
+               w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+               || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]
+               || ' ' || w[i+8] AS g
+        FROM d, unnest(range(len(w) - 7)) r(i)
+    ),
+    df AS (
+        SELECT g FROM pos GROUP BY g
+        HAVING count(DISTINCT doc_id) > 1
+    ),
+    dup AS (
+        SELECT p.doc_id, p.source, p.i,
+               CASE WHEN p.i - lag(p.i) OVER (
+                   PARTITION BY p.doc_id ORDER BY p.i) >= 8
+               THEN 1 ELSE 0 END AS brk
+        FROM pos p JOIN df USING (g)
+    ),
+    isl AS (
+        SELECT doc_id, source, i,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island
+        FROM dup
+    ),
+    spans AS (
+        SELECT doc_id, source,
+               max(i) - min(i) + 8 AS span_words
+        FROM isl GROUP BY doc_id, source, island
+    ),
+    per_doc AS (
+        SELECT doc_id, source, count(*) AS n_spans,
+               max(span_words) AS max_span_words,
+               sum(span_words) AS covered_words
+        FROM spans GROUP BY doc_id, source
+    ),
+    corpus AS (
+        SELECT source, sum(len(w)) AS total_words FROM d GROUP BY source
+    )
+    SELECT c.source,
+           coalesce(count(p.doc_id), 0)::BIGINT AS n_docs_with_spans,
+           coalesce(sum(p.n_spans), 0)::BIGINT AS n_spans,
+           coalesce(max(p.max_span_words), 0)::BIGINT AS max_span_words,
+           coalesce(sum(p.covered_words), 0)::BIGINT AS covered_words,
+           c.total_words::BIGINT AS total_words,
+           round(coalesce(sum(p.covered_words), 0) * 1.0
+                 / c.total_words, 6) AS covered_frac
+    FROM corpus c LEFT JOIN per_doc p USING (source)
+    GROUP BY c.source, c.total_words ORDER BY c.source
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING DEDUP SPANS (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the span-removal
+    form, public): per document, merge the word positions covered by
+    cross-document duplicated 8-grams (distinct-doc df ≥ 2) into
+    MAXIMAL SPANS — a gaps-and-islands pass where a new island starts
+    when the next duplicated gram position no longer overlaps the
+    previous one's 8-word window (gap ≥ 8) — then roll up per source
+    the span structure a substring-dedup pass would actually cut:
+    span count, longest span, and the exact number of word positions
+    covered. `text_dup_ngram_coverage` counts duplicated GRAM
+    positions; this op resolves them into disjoint WORD intervals —
+    the difference between "how much is duplicated" and "what would
+    removal delete", and the reason covered_frac < dup_coverage on
+    bursty boilerplate (overlapping grams collapse into one span).
+
+    Shape: one posexplode to (position, 8-gram); the gram inverted
+    index collapsed to distinct-doc df (map-side combined) with the
+    df > 1 survivors semi-joined back onto the position stream — one
+    gram-keyed exchange, the same index every near-dup op builds;
+    then islands via a per-doc window (lag + running sum — state
+    bounded by a single doc's dup positions) and pure integer
+    rollups. At 100 TB the gram index is the scale object (bucketable
+    by gram hash; ultra-high-df grams cap out exactly like minhash
+    band buckets), and the window stage partitions by doc_id —
+    embarrassingly parallel, no global ordering anywhere. Only the
+    presentation ratio is a float; every accumulator is an integer.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split(F.lower(F.col("text")), " ").alias("w")
+    )
+    pos = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(
+                "CASE WHEN size(w) >= 8 THEN"
+                " transform(sequence(0, size(w) - 8),"
+                " i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],"
+                " w[i+4], w[i+5], w[i+6], w[i+7]))"
+                " ELSE array() END"
+            )
+        ).alias("i", "g"),
+    )
+    # distinct-doc df per gram: collapse (g, doc) first (map-side
+    # combined), then a gram-partitioned window count — one exchange.
+    gd = pos.select("g", "doc_id").groupBy("g", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dup_grams = (
+        gd.select("g", F.count(F.lit(1)).over(Window.partitionBy("g")).alias("df"))
+        .filter(F.col("df") > 1)
+        .select("g")
+        .distinct()
+    )
+    dup_pos = pos.join(dup_grams, "g", "left_semi")
+    wdoc = Window.partitionBy("doc_id").orderBy("i")
+    isl = dup_pos.select(
+        "doc_id",
+        "source",
+        "i",
+        F.sum(
+            F.when(F.col("i") - F.lag("i").over(wdoc) >= 8, 1).otherwise(0)
+        )
+        .over(wdoc.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    spans = isl.groupBy("doc_id", "source", "island").agg(
+        (F.max("i") - F.min("i") + 8).alias("span_words")
+    )
+    per_doc = spans.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.max("span_words").alias("max_span_words"),
+        F.sum("span_words").alias("covered_words"),
+    )
+    corpus = d.groupBy("source").agg(F.sum(F.size("w")).alias("total_words"))
+    return (
+        corpus.join(per_doc, "source", "left_outer")
+        .groupBy("source", "total_words")
+        .agg(
+            F.count("doc_id").cast("long").alias("n_docs_with_spans"),
+            F.coalesce(F.sum("n_spans"), F.lit(0))
+            .cast("long")
+            .alias("n_spans"),
+            F.coalesce(F.max("max_span_words"), F.lit(0))
+            .cast("long")
+            .alias("max_span_words"),
+            F.coalesce(F.sum("covered_words"), F.lit(0))
+            .cast("long")
+            .alias("covered_words"),
+            F.round(
+                F.coalesce(F.sum("covered_words"), F.lit(0))
+                * 1.0
+                / F.col("total_words"),
+                6,
+            ).alias("covered_frac"),
+        )
+        .select(
+            "source",
+            "n_docs_with_spans",
+            "n_spans",
+            "max_span_words",
+            "covered_words",
+            F.col("total_words").cast("long").alias("total_words"),
+            "covered_frac",
+        )
+        .orderBy("source")
+    )
