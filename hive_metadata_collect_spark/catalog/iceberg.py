@@ -399,3 +399,233 @@ def cat_iceberg_live_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reconciled"
         ),
     )
+
+
+def _snapshot_map(spark: SparkSession) -> DataFrame:
+    """(snapshot_id, parent_id, list_file, operation, summary added/
+    deleted records) from the LATEST v{N}.metadata.json — the same
+    version resolution as _current_manifest_list, widened to the full
+    snapshot log."""
+    raw = spark.read.text(
+        _META_DIR + "/*.metadata.json", wholetext=True
+    ).select(
+        "value",
+        F.regexp_extract(F.input_file_name(), r"v(\d+)\.metadata\.json", 1)
+        .cast("long")
+        .alias("v"),
+    )
+    latest = raw.withColumn(
+        "maxv", F.max("v").over(Window.partitionBy())
+    ).filter(F.col("v") == F.col("maxv"))
+    return latest.select(
+        F.explode(
+            F.from_json(
+                F.get_json_object("value", "$.snapshots"),
+                "array<struct<`snapshot-id`:bigint,"
+                "`parent-snapshot-id`:bigint,`manifest-list`:string,"
+                "summary:map<string,string>>>",
+            )
+        ).alias("s")
+    ).select(
+        F.col("s.`snapshot-id`").alias("snapshot_id"),
+        F.col("s.`parent-snapshot-id`").alias("parent_id"),
+        F.col("s.`manifest-list`").alias("list_file"),
+        F.element_at("s.summary", "operation").alias("operation"),
+        F.element_at("s.summary", "added-records")
+        .cast("long")
+        .alias("summary_added_records"),
+        F.element_at("s.summary", "deleted-records")
+        .cast("long")
+        .alias("summary_deleted_records"),
+    )
+
+
+@register(
+    "cat_iceberg_snapshot_diff",
+    survey_row=61,
+    oracle=f"""
+    WITH raw AS (
+        SELECT content AS line,
+               regexp_extract(filename, 'v(\\d+)\\.metadata\\.json', 1)
+                   ::BIGINT AS v
+        FROM read_text('{_META_DIR}/*.metadata.json')
+    ),
+    latest AS (
+        SELECT line FROM raw WHERE v = (SELECT max(v) FROM raw)
+    ),
+    smap AS (
+        SELECT (s->>'snapshot-id')::BIGINT AS sid,
+               (s->>'parent-snapshot-id')::BIGINT AS pid,
+               s->>'manifest-list' AS list_file,
+               s->'summary'->>'operation' AS operation,
+               (s->'summary'->>'added-records')::BIGINT AS sum_added,
+               (s->'summary'->>'deleted-records')::BIGINT AS sum_deleted
+        FROM (
+            SELECT json_extract(line, '$.snapshots[' || i || ']') AS s
+            FROM latest,
+                 unnest(range(0,
+                     json_array_length(line->'snapshots')::BIGINT)) r(i)
+        )
+    ),
+    entries AS (
+        SELECT * FROM read_json(
+            '{_META_DIR}/manifest_entries.json',
+            format='newline_delimited')
+    ),
+    live AS (
+        SELECT m.sid, e.file_path, e.record_count
+        FROM entries e JOIN smap m ON e.list_file = m.list_file
+        WHERE e.status <> 2
+    ),
+    prevlive AS (
+        SELECT c.sid AS child_sid, l.file_path, l.record_count
+        FROM live l JOIN smap c ON l.sid = c.pid
+    ),
+    diff AS (
+        SELECT coalesce(a.sid, p.child_sid) AS sid,
+               a.file_path AS af, a.record_count AS arc,
+               p.file_path AS pf, p.record_count AS prc
+        FROM live a FULL JOIN prevlive p
+          ON a.sid = p.child_sid AND a.file_path = p.file_path
+    )
+    SELECT m.sid AS snapshot_id,
+           m.pid AS parent_id,
+           m.operation,
+           count(CASE WHEN d.pf IS NULL AND d.af IS NOT NULL
+                 THEN 1 END)::BIGINT AS n_files_added,
+           coalesce(sum(CASE WHEN d.pf IS NULL THEN d.arc END), 0)
+               ::BIGINT AS records_added,
+           count(CASE WHEN d.af IS NULL AND d.pf IS NOT NULL
+                 THEN 1 END)::BIGINT AS n_files_removed,
+           coalesce(sum(CASE WHEN d.af IS NULL THEN d.prc END), 0)
+               ::BIGINT AS records_removed,
+           m.sum_added AS summary_added_records,
+           m.sum_deleted AS summary_deleted_records,
+           (coalesce(sum(CASE WHEN d.pf IS NULL THEN d.arc END), 0)
+                = m.sum_added
+            AND coalesce(sum(CASE WHEN d.af IS NULL THEN d.prc END), 0)
+                = m.sum_deleted) AS reconciled
+    FROM smap m LEFT JOIN diff d ON d.sid = m.sid
+    GROUP BY m.sid, m.pid, m.operation, m.sum_added, m.sum_deleted
+    ORDER BY snapshot_id
+    """,
+)
+def cat_iceberg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICEBERG SNAPSHOT CHANGELOG FROM MANIFEST REACHABILITY — the
+    incremental-read primitive (Iceberg's `incremental append scan` /
+    CDC-by-snapshot): for EVERY snapshot in the log, diff its live
+    file inventory (its manifest list → manifests → non-DELETED
+    entries) against its parent's — files gained and removed with
+    record deltas — and reconcile both deltas against the snapshot's
+    own summary layer (added-records / deleted-records). This is the
+    set-difference ground truth a consumer uses to read "what changed
+    between s1 and s2" without replaying data files, and the audit
+    that catches a summary that lies about its manifests. On the
+    fixture: append +100, append +150, overwrite +80/−50 — all three
+    reconciled, with the overwrite's EXISTING (status 0) carry-over
+    file correctly absent from both deltas.
+
+    Shape: the same one-decode-per-manifest mapInPandas stages as
+    cat_iceberg_manifest_prune (binaryFile, no concatenation point);
+    every linkage (list→snapshot, entry→list, live→parent-live full
+    outer) joins metadata-sized frames — broadcastable at any table
+    size, since manifests are bounded by partitions-per-snapshot, not
+    data volume. The full-outer self-diff keys on (child_snapshot,
+    file_path): file-count-sized, the same object Iceberg's own
+    planner holds. DuckDB re-derives the identical changelog from the
+    committed NDJSON projection of the same manifests."""
+    smap = _snapshot_map(spark)
+    lists = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "snap-*.avro"
+    ).load(_META_DIR).select("path", "content").mapInPandas(
+        _decode_manifest_lists, _LIST_SCHEMA
+    )
+    entries = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "m-*.avro"
+    ).load(_META_DIR).select("path", "content").mapInPandas(
+        _decode_manifest_entries, _ENTRY_SCHEMA
+    )
+    tagged = lists.join(
+        F.broadcast(smap.select("snapshot_id", "list_file")), "list_file"
+    ).select(
+        "snapshot_id",
+        F.element_at(F.split(F.col("manifest_path"), "/"), -1).alias(
+            "manifest_base"
+        ),
+    )
+    live = (
+        entries.join(
+            F.broadcast(tagged),
+            entries["manifest_file"] == tagged["manifest_base"],
+        )
+        .filter(F.col("status") != 2)
+        .select(F.col("snapshot_id").alias("sid"), "file_path", "record_count")
+    )
+    prevlive = live.join(
+        F.broadcast(
+            smap.select(
+                F.col("snapshot_id").alias("child_sid"),
+                F.col("parent_id").alias("pid"),
+            )
+        ),
+        live["sid"] == F.col("pid"),
+    ).select("child_sid", F.col("file_path").alias("pf"), F.col("record_count").alias("prc"))
+    cur = live.select(
+        F.col("sid").alias("a_sid"),
+        F.col("file_path").alias("af"),
+        F.col("record_count").alias("arc"),
+    )
+    diff = cur.join(
+        prevlive,
+        (cur["a_sid"] == prevlive["child_sid"]) & (cur["af"] == prevlive["pf"]),
+        "full_outer",
+    ).select(
+        F.coalesce("a_sid", "child_sid").alias("sid"), "af", "arc", "pf", "prc"
+    )
+    return (
+        smap.join(diff, smap["snapshot_id"] == diff["sid"], "left_outer")
+        .groupBy(
+            "snapshot_id",
+            "parent_id",
+            "operation",
+            "summary_added_records",
+            "summary_deleted_records",
+        )
+        .agg(
+            F.count(F.when(F.col("pf").isNull() & F.col("af").isNotNull(), 1))
+            .cast("long")
+            .alias("n_files_added"),
+            F.coalesce(
+                F.sum(F.when(F.col("pf").isNull(), F.col("arc"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("records_added"),
+            F.count(F.when(F.col("af").isNull() & F.col("pf").isNotNull(), 1))
+            .cast("long")
+            .alias("n_files_removed"),
+            F.coalesce(
+                F.sum(F.when(F.col("af").isNull(), F.col("prc"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("records_removed"),
+        )
+        .select(
+            "snapshot_id",
+            "parent_id",
+            "operation",
+            "n_files_added",
+            "records_added",
+            "n_files_removed",
+            "records_removed",
+            "summary_added_records",
+            "summary_deleted_records",
+            (
+                (F.col("records_added") == F.col("summary_added_records"))
+                & (
+                    F.col("records_removed")
+                    == F.col("summary_deleted_records")
+                )
+            ).alias("reconciled"),
+        )
+        .orderBy("snapshot_id")
+    )
