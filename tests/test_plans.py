@@ -1148,3 +1148,30 @@ def test_rolling_distinct_users_no_fanout(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
     assert "Window" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_substring_spans_single_gram_exchange(spark, sf_dir):
+    """dedup_substring_spans: the gram inverted index is the only
+    data-sized join (left_semi on the gram key); islands run per-doc
+    windows — no single-partition window, no cartesian, no Python."""
+    df = OPS["dedup_substring_spans"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_iceberg_snapshot_diff_linkages_broadcast(spark, sf_dir):
+    """cat_iceberg_snapshot_diff: every LINKAGE join (list→snapshot,
+    entry→list, live→parent-map) broadcasts a metadata-sized frame;
+    the only shuffle joins are the full-outer inventory diff itself
+    and the final summary attach — keyed on (snapshot, file_path),
+    i.e. file-count-sized, which is the correct shape at a
+    billion-file table (full outer cannot broadcast in Spark)."""
+    df = OPS["cat_iceberg_snapshot_diff"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 5, plan[:2000]
+    assert "FullOuter" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
