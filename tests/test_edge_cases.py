@@ -923,3 +923,41 @@ def test_naive_bayes_beats_prior_baseline(spark, sf_dir):
         by_true[r["true_lang"]] = by_true.get(r["true_lang"], 0) + r["n"]
     majority = max(by_true.values())
     assert correct > majority, (correct, majority, total)
+
+
+def test_substring_spans_island_merge(spark, tmp_path):
+    """dedup_substring_spans island semantics on a constructed corpus:
+    two docs share (a) a 10-word run — 3 overlapping duplicated 8-gram
+    positions that must merge into ONE 10-word span — and (b) a
+    separate 8-word run far enough away (gap ≥ 8) to stay its own
+    span; a third doc with <8 words contributes total_words only."""
+    run1 = [f"r{i}" for i in range(10)]       # 10-word shared run
+    sep_a = [f"ax{i}" for i in range(9)]      # unique separators
+    sep_b = [f"bx{i}" for i in range(9)]
+    run2 = [f"s{i}" for i in range(8)]        # 8-word shared run
+    doc_a = " ".join(run1 + sep_a + run2)
+    doc_b = " ".join(run1 + sep_b + run2)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "source": ["x", "x", "x"],
+            "text": [doc_a, doc_b, "tiny doc"],
+        }
+    )
+    p = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(pdf).write.parquet(p)
+    out = (
+        OPS["dedup_substring_spans"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    )
+    assert len(out) == 1
+    r = out[0]
+    # each of doc 1 and 2: spans = {10-word run1, 8-word run2}
+    assert r["n_docs_with_spans"] == 2
+    assert r["n_spans"] == 4
+    assert r["max_span_words"] == 10
+    assert r["covered_words"] == 2 * (10 + 8)
+    assert r["total_words"] == 2 * 27 + 2
