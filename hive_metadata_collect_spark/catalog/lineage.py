@@ -29,13 +29,30 @@ from hive_metadata_collect_spark.sources.fixtures import TABLES, load_table
 @register(
     "cat_lineage_2hop",
     survey_row=66,
+    # Signature-collapse oracle (r10): the previous hub pair-join
+    # formulation (edges a JOIN edges b ON event_type) is quadratic in
+    # users-per-hub — ~1.1e11 intermediate rows at sf10, the same wall
+    # the Spark side's r9 rewrite removed. Re-derived here with
+    # DuckDB's OWN list machinery over per-user type signatures
+    # (≤2^|types| distinct sets): row-identical to the pair form at
+    # sf0.01 (verified), linear in users at any scale. Explicit BIGINT
+    # casts keep sum() off DuckDB's HUGEINT rendering.
     oracle="""
-    WITH edges AS (SELECT DISTINCT user_id, event_type FROM events)
-    SELECT a.user_id,
-           count(DISTINCT a.event_type) AS n_types,
-           count(DISTINCT b.user_id) - 1 AS n_2hop_users
-    FROM edges a JOIN edges b ON a.event_type = b.event_type
-    GROUP BY a.user_id
+    WITH edges AS (SELECT DISTINCT user_id, event_type FROM events),
+    usig AS (
+        SELECT user_id, list_sort(list(DISTINCT event_type)) AS sig
+        FROM edges GROUP BY user_id
+    ),
+    sigc AS (SELECT sig, count(*) AS n FROM usig GROUP BY sig),
+    reach AS (
+        SELECT a.sig, sum(b.n)::BIGINT AS reach
+        FROM sigc a JOIN sigc b ON len(list_intersect(a.sig, b.sig)) > 0
+        GROUP BY a.sig
+    )
+    SELECT u.user_id,
+           len(u.sig)::BIGINT AS n_types,
+           (r.reach - 1)::BIGINT AS n_2hop_users
+    FROM usig u JOIN reach r ON u.sig = r.sig
     """,
 )
 def cat_lineage_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:

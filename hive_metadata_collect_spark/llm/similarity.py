@@ -935,7 +935,16 @@ def sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a per-partition partial top-k (mapInPandas heap) before the
     final rank — same two-phase idea as partial aggregation; at
     larger corpus, switch to the IVF/PQ paths which prune candidates
-    structurally."""
+    structurally.
+
+    sf10 sweep status (r10): documented VOLUME-BOUND skip on both
+    engines — the probe set is a fixed 1% fraction, so the scored
+    intermediate is |Q|×|corpus| = 4e10 rows at sf10 (~TB-scale
+    shuffle Spark-side, the same product DuckDB-side). That is the
+    exact-brute-force semantics doing what it says; the operator's
+    role is the small-SF exact twin that gates the ANN contracts
+    (sim_topk_ivf / _pq / _ivfpq), each of which IS sf10-swept with
+    bucketed plans. Hash gates at sf0.001–sf1."""
     emb = load_table(spark, sf_dir, "embeddings")
     is_q = F.col("vec_id") % 100 == 0
     q = emb.filter(is_q).select(
