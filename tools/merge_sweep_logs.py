@@ -30,7 +30,7 @@ SKIPS = {
     "pipeline_clean_corpus": "composes the near-dup pair stages above",
     "pipeline_fuzzy_dedup_keep_best": "composes the near-dup pair stages above",
     "cat_lineage_sql_columns": "recursive column-graph oracle is quadratic in edge closure at sf10 (>45 min, r9-documented)",
-    "cat_lineage_2hop": "naive-join oracle sf10-infeasible by construction (r9-documented); Spark side ENGINE-OK at sf10 (6.3 s / 150k rows re-verified r10), hash gates at sf0.001-0.1",
+    "sim_knn_batch": "exact brute-force batch retrieval: the 1%-probe batch makes the scored intermediate |Q|x|corpus| = 4e10 rows at sf10 on BOTH engines by construction; the sf10-swept scale paths are the IVF/PQ/IVFPQ contracts",
     "sort_skyline_2d": "oracle IS the quadratic NOT-EXISTS formulation by design (op docstring); Spark's linear frontier verified ENGINE-OK at sf10 (11.5 s)",
 }
 
@@ -72,7 +72,8 @@ def main() -> None:
         if op not in fresh and op in carried and op not in SKIPS
     )
     print("# sf10 full-inventory driver-contract sweep, round 10")
-    print("# per-op isolated processes, 900 s individual timeouts, two workers;")
+    print("# per-op isolated processes, 900 s individual timeouts, three workers")
+    print("# (two forward halves + one reverse cross-marking tail-eater);")
     print("# contract_sweep.py --driverlike --max-rows 2000000 --driver-mem 24g")
     print(f"# coverage: {len(registry_ops)} registry ops = {n_fresh} swept fresh this round")
     print(f"# + {n_carried} carried from SWEEP_SF10_r9.log (module unchanged since that log was cut)")
