@@ -1006,7 +1006,16 @@ def pipeline_decontaminate_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~10 % split — bounded, broadcastable; at 100 TB the join becomes
     the SRP-bucketed candidate join (sim_pairs_lsh's structure) with
     this exact scorer as the re-rank, so the operator's contract is
-    the scale path's correctness oracle."""
+    the scale path's correctness oracle.
+
+    sf10 sweep status (r10): documented VOLUME-BOUND skip on both
+    engines — the 10%-eval split makes the cross-set scoring
+    1.8M × 200k ≈ 3.6e11 cosine evaluations at sf10 by construction
+    (same class as sim_knn_batch). The production scale path is
+    `pipeline_decontaminate_embed_lsh`'s SRP-bucketed candidate join
+    (whose registered contract re-derives THIS exact hit set, so its
+    sf10 oracle shares the wall); hash gates for both live at
+    sf0.001–sf1."""
     emb = load_table(spark, sf_dir, "embeddings")
     bucket = (
         F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)

@@ -27,6 +27,8 @@ SKIPS = {
     "dedup_levenshtein": "51M-row pair output at sf1 already; quadratic at sf10",
     "sim_pairs_threshold": "exact threshold pair oracle is quadratic (200k vectors -> 2e10 dots)",
     "sim_pairs_lsh": "bound contract re-derives the exact pair set: same quadratic wall",
+    "pipeline_decontaminate_embed": "exact train x eval cross-set scoring: 1.8M x 200k = 3.6e11 cosine evaluations at sf10 on BOTH engines by construction; the SRP-bucketed _lsh twin is the production scale path, gated by this exact twin at sf0.001-1",
+    "pipeline_decontaminate_embed_lsh": "bound contract re-derives the exact train x eval hit set: same 3.6e11 wall (production SRP-bucket path itself is sf10-shaped; hash gates at sf0.001-1)",
     "pipeline_clean_corpus": "composes the near-dup pair stages above",
     "pipeline_fuzzy_dedup_keep_best": "composes the near-dup pair stages above",
     "cat_lineage_sql_columns": "recursive column-graph oracle is quadratic in edge closure at sf10 (>45 min, r9-documented)",
