@@ -2,7 +2,7 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE compact JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "protocol": "prepared-v2",
+  {"metric": "...", "value": N, "unit": "sec", "protocol": "prepared-v3-noop",
    "queries": {...}, "total_cold": N, "queries_cold": {...}, "sf": ...}
 
 `value`/`queries` time the PREPARED frame (plan built once, warm —
@@ -13,7 +13,20 @@ cross-round comparisons stay honest in both forms.
 Query keys mirror BASELINE.md's measured-baseline table so the judge
 can line BENCH_r{N}.json up against it row by row. One SparkSession is
 reused for the whole suite (BASELINE.md "interpretation" note); each
-query is fully executed via a count-style action that forces every row.
+query is fully executed via a noop-sink WRITE (protocol v3), which
+materializes EVERY output column of every row.
+
+PROTOCOL v3 (r10): rounds 4-9 timed `df.count()`. count() discards
+the output columns, so Catalyst prunes every expression and even
+row-preserving joins (unique-key outer joins with unused columns) out
+of the executed plan — for sim_semdedup the entire pair join vanished
+(2 joins in the count plan vs 7 in the real plan) and the committed
+sf10 number timed a skeleton (1.27 s) while the honest execution is
+minutes. `df.write.format("noop")` keeps the full output schema in
+the executed plan (the Spark-native benchmarking sink). Numbers for
+queries whose work survived count-pruning are comparable to the v2
+series within noise; queries with pruned work (q_semdedup above all)
+are NOT comparable to their v2 numbers — v2 understated them.
 
 The per-stage wall-timing evidence for the above-floor queries (the
 floor-vs-fixable breakdown) is written to BENCH_STAGES.json NEXT TO
@@ -28,6 +41,19 @@ from __future__ import annotations
 
 import glob
 import json
+
+
+def _execute(df):
+    """Materialize every output column of every row (protocol v3).
+
+    NOT count(): count() lets Catalyst prune unused output columns —
+    and with them whole expression trees and row-preserving joins —
+    so it under-measures any query whose expensive work feeds only
+    the output columns (observed: sim_semdedup's pair join eliminated
+    under count, 8 joins -> 2). The noop sink executes the plan with
+    the full output schema and writes nothing.
+    """
+    df.write.format("noop").mode("overwrite").save()
 import os
 import shutil
 import sys
@@ -215,7 +241,7 @@ def main() -> None:
     # vs rounds ≤3, which rebuilt the frame inside the timed region.
     for op_name in headline.values():
         if registry.resolvable(op_name):
-            registry.prepared_frame(spark, op_name, sf_dir).count()
+            _execute(registry.prepared_frame(spark, op_name, sf_dir))
 
     # Settle between warm and timed passes: the warm pass materializes
     # every result set (the LSH pair query alone is tens of millions
@@ -233,8 +259,8 @@ def main() -> None:
         best = None
         for _ in range(3):
             t0 = time.perf_counter()
-            # force full execution of every partition
-            registry.prepared_frame(spark, op_name, sf_dir).count()
+            # force full execution of every partition AND column
+            _execute(registry.prepared_frame(spark, op_name, sf_dir))
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
         timings[key] = round(best, 4)
@@ -252,7 +278,7 @@ def main() -> None:
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
-            registry.build_frame(spark, op_name, sf_dir).count()
+            _execute(registry.build_frame(spark, op_name, sf_dir))
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
         timings_cold[key] = round(best, 4)
@@ -271,7 +297,7 @@ def main() -> None:
         "metric": "headline_suite_total_wall",
         "value": total,
         "unit": "sec",
-        "protocol": "prepared-v2",
+        "protocol": "prepared-v3-noop",
         "queries": timings,
         "total_cold": total_cold,
         "queries_cold": timings_cold,
@@ -340,12 +366,12 @@ def _stage_sidecar(headline, ops, sf_dir, sf, master, mem, shuffle, total):
         if not registry.resolvable(op_name):
             continue
         df = registry.prepared_frame(spark, op_name, sf_dir)
-        df.count()  # warm
+        _execute(df)  # warm
         best = None
         for _ in range(2):
             e0 = time.time() * 1000
             t0 = time.perf_counter()
-            df.count()
+            _execute(df)
             dt = time.perf_counter() - t0
             if best is None or dt < best:
                 best = dt
@@ -367,7 +393,7 @@ def _stage_sidecar(headline, ops, sf_dir, sf, master, mem, shuffle, total):
             {
                 "sf": sf,
                 "headline_total": total,
-                "protocol": "prepared-v2",
+                "protocol": "prepared-v3-noop",
                 "stage_breakdown": breakdown,
             },
             f,
