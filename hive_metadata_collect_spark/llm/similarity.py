@@ -2420,11 +2420,6 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d2")
         )
     )
-    idot = F.aggregate(
-        F.zip_with(F.col("qv_a"), F.col("qv_b"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
     n2 = F.aggregate(
         F.transform(F.col("qv"), lambda x: x * x),
         F.lit(0).cast("long"),
@@ -2433,38 +2428,53 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = q.join(d2, ["vec_id", "label"]).select(
         "vec_id", "label", "qv", n2.alias("n2"), "d2"
     )
-    a = m.select(
-        F.col("label"),
-        F.col("vec_id").alias("vid_a"),
-        F.col("qv").alias("qv_a"),
-        F.col("n2").alias("n2_a"),
-        F.col("d2").alias("d2_a"),
-    )
-    b = m.select(
-        F.col("label"),
-        F.col("vec_id").alias("vid_b"),
-        F.col("qv").alias("qv_b"),
-        F.col("n2").alias("n2_b"),
-        F.col("d2").alias("d2_b"),
-    )
-    better = (F.col("d2_a") < F.col("d2_b")) | (
-        (F.col("d2_a") == F.col("d2_b")) & (F.col("vid_a") < F.col("vid_b"))
-    )
-    pairs = a.join(b, "label").filter(
-        (F.col("vid_a") != F.col("vid_b")) & better
-    )
-    dot = idot
-    dropped = (
-        pairs.filter(
-            (dot > 0)
-            & (dot * dot * 100 > 9 * F.col("n2_a") * F.col("n2_b"))
+
+    # Per-cell BLAS Gram stage (r10 rewrite). The previous form
+    # expressed the within-cell pair scan as a label self-join whose
+    # join predicate evaluated the 64-element zip_with dot per pair —
+    # Catalyst runs higher-order functions INTERPRETED, so the cell's
+    # |cell|² pairs each paid an interpreted array walk: ~4e9 pairs at
+    # sf10 never finished a 30-min budget. (The cost was invisible to
+    # the bench until protocol v3: under count() Catalyst pruned the
+    # whole pair join out of the executed plan — 2 joins vs 7 — and
+    # the committed 1.27 s sf10 number timed that skeleton.) This is
+    # the SemDeDup paper's own computation unit — a per-cluster Gram
+    # matrix — so run it that way: one Arrow group per cell, rows
+    # sorted by (d2, vec_id) so "strictly better" ≡ "earlier row",
+    # V·Vᵀ in float64 dgemm blocks (exact: every dot is an integer
+    # < 2⁵³), the τ compare done back in int64 with the same headroom
+    # as the old Catalyst expression, column-block masking keeping
+    # peak memory at n×2048 doubles per cell. Parallelism is the cell
+    # count — exactly the K-scaling story the docstring's 100 TB note
+    # describes (raise K, cells stay ~10³). Measured at sf10:
+    # interpreted pair join >1800 s → 18 s end-to-end.
+    def _cell_drops(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["d2", "vec_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        n = len(pdf)
+        V = np.array(pdf["qv"].tolist(), dtype=np.float64)
+        n2v = pdf["n2"].to_numpy(dtype=np.int64)
+        dropped = np.zeros(n, dtype=bool)
+        block = 2048
+        for b0 in range(0, n, block):
+            b1 = min(b0 + block, n)
+            dots = np.rint(V @ V[b0:b1].T).astype(np.int64)
+            cond = (dots > 0) & (
+                100 * dots * dots > 9 * np.outer(n2v, n2v[b0:b1])
+            )
+            cond &= np.arange(n)[:, None] < np.arange(b0, b1)[None, :]
+            dropped[b0:b1] |= cond.any(axis=0)
+        return pd.DataFrame(
+            {"label": pdf["label"], "is_drop": dropped.astype(np.int64)}
         )
-        .select(F.col("vid_b").alias("vec_id"))
-        .distinct()
+
+    label_t = next(
+        f.dataType.simpleString() for f in m.schema.fields if f.name == "label"
     )
-    flags = m.join(
-        dropped.withColumn("is_drop", F.lit(1)), "vec_id", "left"
-    ).select("label", F.coalesce("is_drop", F.lit(0)).alias("is_drop"))
+    flags = m.groupBy("label").applyInPandas(
+        _cell_drops, f"label {label_t}, is_drop long"
+    )
     return (
         flags.groupBy("label")
         .agg(

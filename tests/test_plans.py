@@ -961,14 +961,17 @@ def test_hdr_buckets_collapse_before_window(spark, sf_dir):
 
 
 def test_semdedup_pairs_cluster_keyed(spark, sf_dir):
-    """sim_semdedup's pair stage must join on the cluster key — no
+    """sim_semdedup's pair stage is one Arrow group per CLUSTER (the
+    r10 per-cell BLAS Gram rewrite — the paper's own computation
+    unit): FlatMapGroupsInPandas keyed on label, never a
     CartesianProduct / BroadcastNestedLoopJoin (the all-pairs shape
-    SemDeDup exists to avoid), and no Python anywhere."""
+    SemDeDup exists to avoid), and no row-at-a-time Python."""
     df = OPS["sim_semdedup"].fn(spark, sf_dir)
     plan = physical_plan(df)
+    assert "FlatMapGroupsInPandas" in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_dup_ngram_coverage_gram_index_join(spark, sf_dir):
