@@ -64,7 +64,20 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the TPC-H spec itself types these columns DECIMAL; the r9 sf10
     sweep measured the raw double sums drifting past the half-cent
     boundary between engines at ~10M rows/group, the same class as
-    tpch_q5 at sf1 in r8)."""
+    tpch_q5 at sf1 in r8).
+
+    Perf note (r10, measured under the v3 noop protocol that first
+    exposed the real aggregation cost — count() had been letting
+    Catalyst prune the agg expressions entirely): Spark's
+    Decimal-backed sums run this op at ~1.0 s / sf0.1 where an int64
+    integer-cents accumulation measures 0.44 s. The cents form is NOT
+    taken for the flagship: Q1 groups to only 4 rows, so at the
+    100 TB point (~sf1e5) per-group cent sums reach ~6e18 and brush
+    int64's ceiling — DECIMAL(12,2) accumulation is the
+    any-scale-safe spec type, and the 2.2× local delta is engine
+    decimal-agg cost, not a plan defect. Operators whose groups stay
+    data-proportional (the per-key money rollups) keep the cents fast
+    path."""
     li = load_table(spark, sf_dir, "lineitem")
     d = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
     one = F.lit(1).cast("decimal(12,2)")
