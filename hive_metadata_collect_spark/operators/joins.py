@@ -31,6 +31,13 @@ from hive_metadata_collect_spark.sources.fixtures import load_table
 # runtime-stat conversion.
 _BROADCAST_GATE_BYTES = 8 << 20
 
+#: join_multiway_star middle band: broadcast the JOINED dim (a
+#: narrower subset of filtered orders) while plan-time o_est is under
+#: this. 256 MB of 2-col filtered-orders estimate ⇒ an actual dim of
+#: a few tens of MB in-memory — comfortably inside an executor heap;
+#: past it the fact-shuffle SHJ plan is the honest one.
+_DIM_BCAST_GATE_BYTES = 256 << 20
+
 
 #: (sf_dir, region) → [(n_nationkey, n_name)] — see _region_nations.
 _REGION_NATIONS_MEMO: dict[tuple[str, str], list[tuple[int, str]]] = {}
@@ -191,30 +198,56 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sides BROADCAST; measured 3.57 → 2.13 s at sf10, rows
         # identical. At 100 TB this is the same story: one fact
         # shuffle on the join key, never two.
+        #
+        # r11 (r10 verdict item 4, measured): within the dims-first
+        # restructure there is a MIDDLE band where the joined dim
+        # (orderkey → n_name, a filtered-orders subset with narrower
+        # rows, so always ≤ ~0.35 × o_est bytes) still fits a
+        # broadcast even though raw filtered orders do not: broadcast
+        # it and the FACT NEVER SHUFFLES AT ALL — one codegen span
+        # scans lineitem, probes the dim map, and partial-aggregates
+        # per nation (measured sf10: 3.27 s SHJ → 1.41 s broadcast-dim
+        # in one session). Past _DIM_BCAST_GATE_BYTES of o_est the SHJ
+        # form remains (at 100 TB the dim is ~1e10 rows — the one
+        # fact shuffle on one key is the honest plan). An eager
+        # per-orderkey pre-agg below the join (join_agg_pushdown's
+        # rewrite) was ALSO measured here and REJECTED: 3.39 s vs
+        # 2.63 s baseline — with only ~6 % of orderkeys surviving the
+        # date×region dims, the pre-agg pays a 15M-group hash agg for
+        # keys the join then discards (eager agg wins when the join
+        # keeps most keys, loses under selective dims).
         dim = o.join(
             cust_asia.hint("shuffle_hash"),
             F.col("o_custkey") == cust_asia.c_custkey,
         ).select("o_orderkey", "n_name")
-        joined = li.join(
-            dim.hint("shuffle_hash"), li.l_orderkey == dim.o_orderkey
-        )
-    return (
-        joined.groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(18,4)")
-                    * (
-                        F.lit(1).cast("decimal(5,4)")
-                        - F.col("l_discount").cast("decimal(5,4)")
-                    )
-                ),
-                2,
+        if o_est < _DIM_BCAST_GATE_BYTES:
+            joined = li.join(F.broadcast(dim), li.l_orderkey == dim.o_orderkey)
+        else:
+            joined = li.join(
+                dim.hint("shuffle_hash"), li.l_orderkey == dim.o_orderkey
             )
-            .cast("double")
-            .alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
+    # revenue merge: int64 1e-4$-unit partials per (nation, task) +
+    # DECIMAL merge (the agg_pricing_summary pattern — task partials
+    # are rows-per-task-bounded, only the |nations|-row merge is
+    # decimal; the integer units are the same rationals the oracle's
+    # DECIMAL(18,4) products produce, so hashes are unchanged)
+    rev_e4 = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100, 0).cast("long")
+    )
+    part = joined.groupBy(
+        "n_name", F.spark_partition_id().alias("_pid")
+    ).agg(F.sum(rev_e4).alias("s_e4"), F.count(F.lit(1)).alias("n"))
+    return part.groupBy("n_name").agg(
+        F.round(
+            F.sum(
+                F.col("s_e4").cast("decimal(20,0)")
+                * F.lit("0.0001").cast("decimal(4,4)")
+            ),
+            2,
         )
+        .cast("double")
+        .alias("revenue"),
+        F.sum("n").alias("n_items"),
     )
 
 

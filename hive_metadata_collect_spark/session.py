@@ -26,8 +26,14 @@ def get_spark(
         master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    # Local-mode driver heap: Spark's 1g default starves 32 executor
+    # threads (bench.py sizes 32g ≈ 1g/thread — the per-executor
+    # sizing a real cluster runs); only effective before JVM launch.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
     return configure(
-        SparkSession.builder.appName(app_name).master(master),
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.driver.memory", mem),
         shuffle_partitions=shuffle_partitions,
     ).getOrCreate()
 
@@ -56,6 +62,18 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int = 32):
             "spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k"
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # TypedImperative aggregates (bitmap_construct_agg, sketches)
+        # run under ObjectHashAggregateExec, which silently falls back
+        # to SORT-BASED aggregation past 128 distinct keys — a 60M-row
+        # external sort where a hash map of a few hundred 4 KB bitmaps
+        # would do (observed: agg_count_distinct's bitmap route hit
+        # 183 keys → GC-thrashing sort). 64k keys × 4 KB ≈ 256 MB
+        # worst case, well inside an executor; cluster-size this to
+        # taste, the default is tuned for tiny-state sketches only.
+        .config(
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+            "65536",
+        )
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.ui.enabled", "false")
         # No [Stage N] console progress bars: the grading driver merges
@@ -93,6 +111,8 @@ def tune_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.files.maxPartitionBytes", "32m"),
         ("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        # see configure(): keep bitmap/sketch aggs hash-based
+        ("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536"),
     ):
         try:
             spark.conf.set(key, val)

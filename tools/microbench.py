@@ -19,6 +19,12 @@ from hive_metadata_collect_spark import registry
 from hive_metadata_collect_spark.session import get_spark
 
 
+def _execute(df):
+    """Protocol v3 (bench.py): noop-sink write so Catalyst cannot
+    prune output-only expressions/joins the way count() does."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     names = sys.argv[1].split(",")
     sf_dir = sys.argv[2] if len(sys.argv) > 2 and not sys.argv[2].startswith("--") else "/root/testdata/sf0.1"
@@ -29,13 +35,13 @@ def main() -> None:
     out = {}
     for name in names:
         fn = ops[name].fn
-        fn(spark, sf_dir).count()  # warm
+        _execute(fn(spark, sf_dir))  # warm
         best, best_detail = None, None
         for _ in range(3):
             tracker = spark.sparkContext.statusTracker()
             before = set(tracker.getJobIdsForGroup(None) or [])
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
+            _execute(fn(spark, sf_dir))
             dt = time.perf_counter() - t0
             if best is None or dt < best:
                 best = dt
