@@ -41,6 +41,13 @@ from __future__ import annotations
 
 import glob
 import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _execute(df):
@@ -54,13 +61,6 @@ def _execute(df):
     the full output schema and writes nothing.
     """
     df.write.format("noop").mode("overwrite").save()
-import os
-import shutil
-import sys
-import tempfile
-import time
-
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hive_metadata_collect_spark import registry
 from hive_metadata_collect_spark.session import configure
@@ -99,16 +99,17 @@ HEADLINE = {
     # Round-7 (r6 verdict item 3): the LLM-pipeline path with real
     # compute on the bench — banding-join dedup, shingle
     # decontamination, sequence packing, feature hashing.
-    # q_minhash_lsh is UNPAIRED (no oracle by design — DuckDB has no
-    # seeded xxhash64, and timing a different algorithm against it
-    # would be the dishonest pairing the q_token_bucket precedent
-    # bans); the other three pair against oracles that ARE DuckDB's
-    # natural formulation of the same task. Since the r9 bound
-    # contracts the REGISTERED dedup_near_minhash_lsh is a 1-row
-    # recall report that also executes the exact quadratic twin; the
-    # bench keeps timing the production banding path via the
-    # registry's helper name so the series stays comparable.
-    "q_minhash_lsh": "dedup_near_minhash_lsh_pairs",
+    # r11 (r10 verdict item 3/7): the timed LSH representative is now
+    # dedup_lsh_components — the r10 clustering form whose oracle CTE
+    # chain is hash-exact at every SF through sf10 — so every
+    # headline query is PAIRED. The old representative
+    # (dedup_near_minhash_lsh_pairs, the banding pair-emitter) was
+    # 23 % of suite wall with NO DuckDB twin by design (no seeded
+    # xxhash64 in DuckDB); it stays registered as an engine-only
+    # artifact and in the r7–r10 bench history. Cross-round note:
+    # q_minhash_lsh values before r11 time the OLD pair query — the
+    # series breaks here deliberately (BASELINE.md r11 section).
+    "q_minhash_lsh": "dedup_lsh_components",
     "q_decontaminate": "pipeline_decontaminate",
     "q_pack": "pipeline_pack_sequences",
     "q_hashed_features": "text_hashed_features",
@@ -303,13 +304,31 @@ def main() -> None:
         "queries_cold": timings_cold,
         "sf": sf,
     }
-    # Optional provenance note carried INSIDE the promoted artifact
-    # (r9 verdict: the committed BENCH json should say which code
-    # state and machine condition produced it, so a stale artifact is
-    # detectable without cross-referencing SURVEY).
+    # Provenance carried INSIDE every artifact (r9/r10 verdicts: the
+    # committed BENCH json should say which code state and machine
+    # condition produced it, so a stale artifact is detectable
+    # without cross-referencing SURVEY — BENCH_r10.json lacked the
+    # key and drifted 33 % from the promoted pairing). A default
+    # stamp (git HEAD, date, session shape) is always emitted;
+    # SPARK_GRAFT_NOTE prepends the human condition note
+    # ("idle machine", ...).
+    import datetime
+    import subprocess
+
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or "unknown"
+    except Exception:
+        head = "unknown"
+    stamp = (
+        f"protocol v3 noop; code {head}; {datetime.date.today()}; "
+        f"{master}, {mem} driver, shuffle={shuffle}"
+    )
     note = os.environ.get("SPARK_GRAFT_NOTE")
-    if note:
-        payload["provenance"] = note
+    payload["provenance"] = f"{note}; {stamp}" if note else stamp
     headline_json = json.dumps(payload)
     try:
         _stage_sidecar(headline, ops, sf_dir, sf, master, mem, shuffle, total)

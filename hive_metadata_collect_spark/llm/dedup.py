@@ -404,40 +404,47 @@ def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_ngram_jaccard",
-    survey_row=68,
-    oracle=f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+#: shared DuckDB CTE prefix for the signature-collapsed 3-gram-set
+#: oracles: distinct SORTED gram sets (signatures) with their member
+#: doc lists. chr(31) (unit separator) joins grams for the digest;
+#: both engines hash the same concatenated string, so even a
+#: pathological separator ambiguity would merge groups IDENTICALLY
+#: on both sides.
+_GRAM_SIG_CTES = """
+    t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     gs AS (
         SELECT doc_id,
                list_distinct(list_transform(generate_series(1, len(w) - 2),
                    i -> array_to_string(w[i:i+2], ' '))) AS grams
         FROM t
     ),
-    gf AS (SELECT doc_id, grams, len(grams) AS ng FROM gs WHERE len(grams) > 0)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(len(list_intersect(a.grams, b.grams))::DOUBLE /
-                 (a.ng + b.ng - len(list_intersect(a.grams, b.grams))),
-                 6) AS jaccard
-    FROM gf a JOIN gf b
-      ON a.doc_id < b.doc_id
-     AND a.ng >= CAST(ceil({_NGRAM_TAU} * b.ng) AS BIGINT)
-     AND b.ng >= CAST(ceil({_NGRAM_TAU} * a.ng) AS BIGINT)
-    WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
-          (a.ng + b.ng - len(list_intersect(a.grams, b.grams)))
-          >= {_NGRAM_TAU}
-    """,
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by word-3-gram-shingle Jaccard ≥ τ.
+    gf AS (
+        SELECT doc_id, list_sort(grams) AS grams, len(grams) AS ng
+        FROM gs WHERE len(grams) > 0
+    ),
+    sig AS (
+        SELECT md5(array_to_string(grams, chr(31))) AS sg,
+               any_value(grams) AS grams, any_value(ng) AS ng,
+               list(doc_id) AS docs, count(*) AS n
+        FROM gf GROUP BY 1
+    )
+"""
 
-    Shingling makes the set order-sensitive (unlike the word-set
-    variant #68), so reordered texts stop matching — the standard
-    web-dedup formulation. Same inverted-index pair generation as
-    dedup_near_minhash: the shuffle key is the shingle, pairs never
-    materialize beyond co-occurring candidates.
-    """
+
+def _gram_signature_frames(spark: SparkSession, sf_dir: str):
+    """(membership, distinct-set) frames for the 3-gram-shingle dedup
+    family — the SIGNATURE COLLAPSE (r10's cat_lineage_2hop /
+    dedup_simhash recipe, applied per r10 verdict item 8): documents
+    with identical shingle SETS collapse to one signature row before
+    any pairwise work, so the inverted-index join runs over distinct
+    sets (sf10: 4 992 signatures for 500 000 docs — a 100× cut on
+    each join side, 10 000× on candidate pairs) and doc-level pairs
+    are recovered by joining group membership back at the end.
+
+    Returns (mem, sets): mem = (doc_id, sg); sets = (sg, grams
+    sorted, ng, n). The signature is xxhash64 over the
+    chr(31)-joined sorted gram list — sorted first so docs with the
+    same set but different first-occurrence order collapse."""
     d = load_table(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
     # Guard: F.sequence(1, n) descends when n < 1, so gate on size ≥ 3
@@ -451,15 +458,99 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    items = (
-        d.select("doc_id", grams.alias("grams"))
+    gf = (
+        d.select("doc_id", F.array_sort(grams).alias("grams"))
+        .filter(F.size("grams") > 0)
         .select(
             "doc_id",
-            F.size("grams").alias("set_size"),
-            F.explode("grams").alias("item"),
+            "grams",
+            F.size("grams").alias("ng"),
+            F.xxhash64(F.concat_ws("\x1f", F.col("grams"))).alias("sg"),
         )
     )
-    return _jaccard_pairs(items, _NGRAM_TAU)
+    mem = gf.select("doc_id", "sg")
+    sets = gf.groupBy("sg").agg(
+        F.first("grams").alias("grams"),
+        F.first("ng").alias("ng"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return mem, sets
+
+
+@register(
+    "dedup_ngram_jaccard",
+    survey_row=68,
+    oracle=f"""
+    WITH {_GRAM_SIG_CTES},
+    sp AS (
+        SELECT len(list_intersect(a.grams, b.grams)) AS ni,
+               a.ng AS na, b.ng AS nb, a.docs AS da, b.docs AS db
+        FROM sig a JOIN sig b
+          ON a.sg < b.sg
+         AND a.ng >= CAST(ceil({_NGRAM_TAU} * b.ng) AS BIGINT)
+         AND b.ng >= CAST(ceil({_NGRAM_TAU} * a.ng) AS BIGINT)
+    )
+    SELECT least(x, y) AS doc_a, greatest(x, y) AS doc_b,
+           round(ni::DOUBLE / (na + nb - ni), 6) AS jaccard
+    FROM sp, unnest(da) AS ua(x), unnest(db) AS ub(y)
+    WHERE ni::DOUBLE / (na + nb - ni) >= {_NGRAM_TAU}
+    UNION ALL
+    SELECT x AS doc_a, y AS doc_b, 1.0 AS jaccard
+    FROM sig, unnest(docs) AS ua(x), unnest(docs) AS ub(y)
+    WHERE x < y
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by word-3-gram-shingle Jaccard ≥ τ.
+
+    Shingling makes the set order-sensitive (unlike the word-set
+    variant #68), so reordered texts stop matching — the standard
+    web-dedup formulation.
+
+    r11 (r10 verdict item 8): SIGNATURE-COLLAPSED. The inverted-index
+    pair generation (`_jaccard_pairs` — shuffle key is the shingle,
+    pairs only materialize on co-occurrence) now runs over DISTINCT
+    gram sets rather than documents (see `_gram_signature_frames`),
+    and doc pairs are recovered by two membership joins: cross-set
+    pairs inherit the set-level Jaccard (identical rationals — the
+    value depends only on the sets); same-set pairs are exactly the
+    Jaccard-1.0 rows, emitted directly from membership without any
+    intersection work. This closed the sf10 oracle skip: the DuckDB
+    twin's all-pairs list_intersect went from 500k²-scale (OOM) to
+    4 992² with the same final row set."""
+    mem, sets = _gram_signature_frames(spark, sf_dir)
+    items = sets.select(
+        F.col("sg").alias("doc_id"),
+        F.col("ng").alias("set_size"),
+        F.explode("grams").alias("item"),
+    )
+    sig_pairs = _jaccard_pairs(items, _NGRAM_TAU).select(
+        F.col("doc_a").alias("sg_a"),
+        F.col("doc_b").alias("sg_b"),
+        "jaccard",
+    )
+    ma = mem.select(F.col("sg").alias("sg_a"), F.col("doc_id").alias("x"))
+    mb = mem.select(F.col("sg").alias("sg_b"), F.col("doc_id").alias("y"))
+    cross = (
+        sig_pairs.join(ma, "sg_a")
+        .join(mb, "sg_b")
+        .select(
+            F.least("x", "y").alias("doc_a"),
+            F.greatest("x", "y").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    m2 = mem.select("sg", F.col("doc_id").alias("y"))
+    intra = (
+        mem.join(m2, "sg")
+        .filter(F.col("doc_id") < F.col("y"))
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("y").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionAll(intra)
 
 
 @register(
@@ -1660,28 +1751,26 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_containment",
     survey_row=68,
     oracle=f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    gs AS (
-        SELECT doc_id,
-               list_distinct(list_transform(generate_series(1, len(w) - 2),
-                   i -> array_to_string(w[i:i+2], ' '))) AS grams
-        FROM t
-    ),
-    gf AS (SELECT doc_id, grams, len(grams) AS ng FROM gs WHERE len(grams) > 0),
-    p AS (
-        SELECT a.doc_id AS da, b.doc_id AS db,
-               len(list_intersect(a.grams, b.grams)) AS ni,
-               a.ng AS na, b.ng AS nb
-        FROM gf a JOIN gf b ON a.doc_id < b.doc_id
+    WITH {_GRAM_SIG_CTES},
+    sp AS (
+        SELECT len(list_intersect(a.grams, b.grams)) AS ni,
+               a.ng AS na, b.ng AS nb, a.docs AS da, b.docs AS db
+        FROM sig a JOIN sig b ON a.sg < b.sg
         WHERE len(list_intersect(a.grams, b.grams)) > 0
     )
-    SELECT da AS doc_sub, db AS doc_super,
+    SELECT x AS doc_sub, y AS doc_super,
            round(ni::DOUBLE / na, 6) AS containment
-    FROM p WHERE ni::DOUBLE / na >= {_NGRAM_TAU}
+    FROM sp, unnest(da) AS ua(x), unnest(db) AS ub(y)
+    WHERE ni::DOUBLE / na >= {_NGRAM_TAU}
     UNION ALL
-    SELECT db AS doc_sub, da AS doc_super,
+    SELECT y AS doc_sub, x AS doc_super,
            round(ni::DOUBLE / nb, 6) AS containment
-    FROM p WHERE ni::DOUBLE / nb >= {_NGRAM_TAU}
+    FROM sp, unnest(da) AS ua(x), unnest(db) AS ub(y)
+    WHERE ni::DOUBLE / nb >= {_NGRAM_TAU}
+    UNION ALL
+    SELECT x AS doc_sub, y AS doc_super, 1.0 AS containment
+    FROM sig, unnest(docs) AS ua(x), unnest(docs) AS ub(y)
+    WHERE x <> y
     """,
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1691,53 +1780,67 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc embedded in a much larger one scores low symmetric overlap
     but containment 1.0); dedup policy keeps the superset doc.
 
-    Same inverted-index pair generation as the Jaccard twin, but the
-    size-band prune CANNOT apply (small-inside-large is exactly the
-    signal), so the scale lever is dropping ultra-high-DF shingles
-    before the join — noted, not needed at fixture DF. One
-    intersection count serves both directions."""
-    d = load_table(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
-    grams = F.when(
-        F.size(w) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - 2),
-                lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    items = d.select("doc_id", grams.alias("grams")).select(
-        "doc_id",
-        F.size("grams").alias("set_size"),
+    r11 (r10 verdict item 8): SIGNATURE-COLLAPSED like the Jaccard
+    twin (`_gram_signature_frames`): the inverted-index intersection
+    runs over distinct gram sets; each qualifying DIRECTED set pair
+    expands to ordered doc pairs through two membership joins
+    (containment ni/n_sub depends only on the sets, so the expanded
+    value is the same rational the per-doc form computed); same-set
+    ordered pairs (x≠y) are containment-1.0 both ways by identity.
+    The size-band prune still cannot apply (small-inside-large IS
+    the signal); the scale lever remains dropping ultra-high-DF
+    shingles before the join — noted, not needed at fixture DF.
+    This closed the sf10 oracle skip (all-pairs list_intersect →
+    |distinct sets|² with the same row multiset)."""
+    mem, sets = _gram_signature_frames(spark, sf_dir)
+    a = sets.select(
+        F.col("sg").alias("sa"),
+        F.col("ng").alias("na"),
         F.explode("grams").alias("item"),
     )
-    a = items.select(
-        F.col("doc_id").alias("da"), "item", F.col("set_size").alias("na")
-    )
-    b = items.select(
-        F.col("doc_id").alias("db"), "item", F.col("set_size").alias("nb")
+    b = sets.select(
+        F.col("sg").alias("sb"),
+        F.col("ng").alias("nb"),
+        F.explode("grams").alias("item"),
     )
     inter = (
-        a.join(b, (a["item"] == b["item"]) & (F.col("da") < F.col("db")))
-        .groupBy("da", "db", "na", "nb")
+        a.join(b, (a["item"] == b["item"]) & (F.col("sa") < F.col("sb")))
+        .groupBy("sa", "sb", "na", "nb")
         .agg(F.count(F.lit(1)).alias("ni"))
     )
-    fwd = inter.filter(
-        F.col("ni") / F.col("na") >= _NGRAM_TAU
-    ).select(
-        F.col("da").alias("doc_sub"),
-        F.col("db").alias("doc_super"),
+    fwd = inter.filter(F.col("ni") / F.col("na") >= _NGRAM_TAU).select(
+        F.col("sa").alias("sg_sub"),
+        F.col("sb").alias("sg_sup"),
         F.round(F.col("ni") / F.col("na"), 6).alias("containment"),
     )
-    rev = inter.filter(
-        F.col("ni") / F.col("nb") >= _NGRAM_TAU
-    ).select(
-        F.col("db").alias("doc_sub"),
-        F.col("da").alias("doc_super"),
+    rev = inter.filter(F.col("ni") / F.col("nb") >= _NGRAM_TAU).select(
+        F.col("sb").alias("sg_sub"),
+        F.col("sa").alias("sg_sup"),
         F.round(F.col("ni") / F.col("nb"), 6).alias("containment"),
     )
-    return fwd.unionAll(rev)
+    msub = mem.select(
+        F.col("sg").alias("sg_sub"), F.col("doc_id").alias("doc_sub")
+    )
+    msup = mem.select(
+        F.col("sg").alias("sg_sup"), F.col("doc_id").alias("doc_super")
+    )
+    cross = (
+        fwd.unionAll(rev)
+        .join(msub, "sg_sub")
+        .join(msup, "sg_sup")
+        .select("doc_sub", "doc_super", "containment")
+    )
+    m2 = mem.select("sg", F.col("doc_id").alias("doc_super"))
+    intra = (
+        mem.join(m2, "sg")
+        .filter(F.col("doc_id") != F.col("doc_super"))
+        .select(
+            F.col("doc_id").alias("doc_sub"),
+            "doc_super",
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    return cross.unionAll(intra)
 
 
 @register(

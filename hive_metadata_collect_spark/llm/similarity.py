@@ -2453,8 +2453,33 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["d2", "vec_id"], kind="mergesort"
         ).reset_index(drop=True)
         n = len(pdf)
+        # Cell-size guard (r10 advice): one Arrow group materializes
+        # the whole cell in this task (V is n×64 float64, a dots
+        # block n×2048 int64 ≈ n×16 KB). A degenerate/skewed label
+        # distribution must fail loudly with the fix named — raise K
+        # so cells shrink — not OOM the executor. 200k members ≈
+        # 3.2 GB peak block, the edge of a sane task.
+        if n > 200_000:
+            raise ValueError(
+                f"semdedup cell has {n} members; raise the cluster "
+                "count K so cells stay bounded (SemDeDup's own "
+                "scale lever) — refusing a >200k-member Gram"
+            )
         V = np.array(pdf["qv"].tolist(), dtype=np.float64)
         n2v = pdf["n2"].to_numpy(dtype=np.int64)
+        # int64/float64 headroom guard (r10 advice): the τ compare is
+        # 100·dot² vs 9·n2ᵢ·n2ⱼ and Cauchy–Schwarz bounds |dot| ≤
+        # max(n2), so both sides stay < 2⁶³ iff max(n2) ≤ 3.0e8 —
+        # which also keeps every dot exactly representable in the
+        # float64 dgemm (< 2⁵³). The ×1000 quantization of unit-norm
+        # embeddings gives n2 ≈ 1e6, 300× inside the bound; assert so
+        # larger-magnitude inputs fail loudly instead of wrapping.
+        if n and int(n2v.max()) > 300_000_000:
+            raise ValueError(
+                f"semdedup quantized norm² {int(n2v.max())} exceeds "
+                "the 3.0e8 int64-headroom bound for the 100·dot² "
+                "compare; reduce the quantization scale"
+            )
         dropped = np.zeros(n, dtype=bool)
         block = 2048
         for b0 in range(0, n, block):
