@@ -201,42 +201,43 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     BITMAP ROUTE (r11; r10 verdict item 5): both distinct keys here
     are dense positive integers (partkey ≤ 2M·SF, suppkey ≤ 10k·SF),
-    so each count(DISTINCT) runs as the `agg_bitmap_distinct` shape —
-    (flag, bitmap_bucket_number(key)) → 4 KB bitmap chunks
-    (bitmap_construct_agg, map-side combinable) → Σ bitmap_count per
-    flag — instead of Catalyst's Expand plan, which widens the 60M-row
-    scan ×3 (one replica per DISTINCT column) and shuffles every
-    distinct (flag, value) pair. The shuffle here is |flags| ×
-    key_range/32768 fixed-size bitmaps, INDEPENDENT of row count —
-    at 100 TB (key range ~2e9) that is ~61k chunks/flag ≈ 244 MB,
-    versus Expand's multi-TB widened stream. Each key gets its own
-    columnar scan (flag+that key only); the 3-row per-key results
-    broadcast-join back together. Exactness: bitmaps are bit-exact
-    (no sketch); NULL keys are ignored by bitmap_bit_position exactly
-    as count(DISTINCT) ignores them. Non-integer/sparse keys keep the
-    generic Expand form (`agg_count_distinct_multi` and the DISTINCT
-    ops elsewhere in this file). Measured sf10: 3.82 s → 1.36 s,
-    identical hashes."""
+    so each count(DISTINCT) runs as a WORD-BITMAP aggregate —
+    groupBy (flag, key div 64) with bit_or(1 << key mod 64), then
+    Σ bit_count(word) per flag — instead of Catalyst's Expand plan,
+    which widens the 60M-row scan ×3 (one replica per DISTINCT
+    column) and shuffles every distinct (flag, value) pair. The
+    64-bit word per bucket keeps the aggregation buffer a plain
+    LONG, so the whole pipeline stays in codegen HashAggregate —
+    Spark 4's bitmap_construct_agg (4 KB binary buffers) was
+    measured first and REJECTED: binary buffers force SortAggregate
+    (a per-task sort of the full scan; 2.5 s sf10), while this form
+    runs 1.20 s in the same session, vs 3.82 s for the Expand plan.
+    Shuffle volume is |flags| × key_range/64 words, INDEPENDENT of
+    row count — at 100 TB (key range ~2e9) ~94M 24-byte rows ≈
+    2.3 GB, versus Expand's multi-TB widened stream. The row count
+    rides the partkey pass for free; the 3-row per-key results
+    broadcast-join back together. Exactness: bit-exact (no sketch);
+    NULL keys produce NULL words that bit_or skips exactly as
+    count(DISTINCT) ignores NULLs — but note negative keys would
+    need a signed floor-div bucket (keys here are ≥ 1). Non-integer
+    or sparse-domain keys keep the generic Expand form (the DISTINCT
+    ops elsewhere in this file)."""
     li = load_table(spark, sf_dir, "lineitem")
 
-    def bitmap_distinct(col: str, alias: str, with_n: bool) -> DataFrame:
-        # the row count rides the partkey pass for free (every row has
-        # a bucket), saving a third scan
-        chunks = li.groupBy(
-            "l_returnflag",
-            F.expr(f"bitmap_bucket_number({col})").alias("bkt"),
-        ).agg(
-            F.expr(f"bitmap_construct_agg(bitmap_bit_position({col}))")
-            .alias("bm"),
-            F.count(F.lit(1)).alias("c"),
-        )
-        aggs = [F.sum(F.expr("bitmap_count(bm)")).alias(alias)]
+    def word_bitmap_distinct(col: str, alias: str, with_n: bool) -> DataFrame:
+        bkt = (F.col(col) / 64).cast("long")
+        word = F.expr(f"shiftleft(1L, CAST({col} % 64 AS INT))")
+        aggs = [F.bit_or(word).alias("w")]
         if with_n:
-            aggs.append(F.sum("c").alias("n_rows"))
-        return chunks.groupBy("l_returnflag").agg(*aggs)
+            aggs.append(F.count(F.lit(1)).alias("c"))
+        chunks = li.groupBy("l_returnflag", bkt.alias("bkt")).agg(*aggs)
+        out = [F.sum(F.bit_count("w")).alias(alias)]
+        if with_n:
+            out.append(F.sum("c").alias("n_rows"))
+        return chunks.groupBy("l_returnflag").agg(*out)
 
-    parts = bitmap_distinct("l_partkey", "distinct_parts", with_n=True)
-    supps = bitmap_distinct("l_suppkey", "distinct_supps", with_n=False)
+    parts = word_bitmap_distinct("l_partkey", "distinct_parts", with_n=True)
+    supps = word_bitmap_distinct("l_suppkey", "distinct_supps", with_n=False)
     return parts.join(supps, "l_returnflag").select(
         "l_returnflag", "distinct_parts", "distinct_supps", "n_rows"
     )
@@ -888,7 +889,14 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitmap_count. Unlike approx_count_distinct this is bit-exact, and
     unlike Expand-based count(DISTINCT) it never widens rows — at
     100 TB the shuffle carries |groups| × |key-range|/32768 bitmaps,
-    independent of row count. Oracle = plain COUNT(DISTINCT)."""
+    independent of row count. Oracle = plain COUNT(DISTINCT).
+
+    Plan caveat (r11): bitmap_construct_agg's BINARY buffer is not
+    hash-aggregable, so Spark plans SortAggregate — a per-task sort
+    of the scan. This op stays as the Spark-4 built-in's contract
+    row; the codegen-friendly variant (bit_or over 64-bit words,
+    plain LONG buffer, HashAggregate throughout — measured 2×
+    faster at sf10) is what `agg_count_distinct` ships."""
     o = load_table(spark, sf_dir, "orders")
     chunks = o.groupBy(
         "o_orderpriority",

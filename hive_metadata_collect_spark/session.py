@@ -62,14 +62,15 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int = 32):
             "spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k"
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # TypedImperative aggregates (bitmap_construct_agg, sketches)
-        # run under ObjectHashAggregateExec, which silently falls back
-        # to SORT-BASED aggregation past 128 distinct keys — a 60M-row
-        # external sort where a hash map of a few hundred 4 KB bitmaps
-        # would do (observed: agg_count_distinct's bitmap route hit
-        # 183 keys → GC-thrashing sort). 64k keys × 4 KB ≈ 256 MB
-        # worst case, well inside an executor; cluster-size this to
-        # taste, the default is tuned for tiny-state sketches only.
+        # TypedImperative aggregates (sketches, collect_*) run under
+        # ObjectHashAggregateExec, which silently falls back to
+        # SORT-BASED aggregation past 128 distinct keys — an
+        # input-wide external sort where a hash map of a few hundred
+        # buffers would do. 64k keys, well inside an executor;
+        # cluster-size to taste, the default is tuned for tiny-state
+        # sketches only. (Spark 4's bitmap_construct_agg is NOT saved
+        # by this — its binary buffer plans as SortAggregate outright,
+        # which is why agg_count_distinct uses bit_or word bitmaps.)
         .config(
             "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
             "65536",

@@ -1178,3 +1178,46 @@ def test_iceberg_snapshot_diff_linkages_broadcast(spark, sf_dir):
     assert "FullOuter" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_grouping_sets_expand_sits_on_preagg(spark, sf_dir):
+    """r11 (r10 verdict item 3): the grouping-sets Expand must run
+    over the eager (status, priority, task) pre-aggregate, never the
+    fact scan — in the printed plan (root-first) a HashAggregate pair
+    must appear BETWEEN the Expand and the FileScan. Same shape for
+    rollup/cube."""
+    for name in ("agg_grouping_sets", "agg_rollup", "agg_cube"):
+        plan = physical_plan(OPS[name].fn(spark, sf_dir))
+        assert "Expand" in plan, name
+        below_expand = plan[plan.index("Expand"):]
+        assert "FileScan" in below_expand, name
+        between = below_expand[: below_expand.index("FileScan")]
+        assert "HashAggregate" in between, (
+            f"{name}: Expand sits directly on the scan\n{plan[:2000]}"
+        )
+
+
+def test_count_distinct_bitmap_route_no_expand(spark, sf_dir):
+    """r11 (r10 verdict item 5): the integer-key distinct counts run
+    as word-bitmap aggregates — no Catalyst Expand (the ×3 row
+    widening of the countDistinct plan), and the whole pipeline must
+    stay in codegen HashAggregate: no SortAggregate (what Spark 4's
+    binary-buffer bitmap_construct_agg degrades to) and no
+    ObjectHashAggregate."""
+    plan = physical_plan(OPS["agg_count_distinct"].fn(spark, sf_dir))
+    assert "Expand" not in plan, plan[:2000]
+    assert "bit_or" in plan, plan[:2000]
+    assert "SortAggregate" not in plan, plan[:2000]
+    assert "ObjectHashAggregate" not in plan, plan[:2000]
+
+
+def test_pricing_summary_partials_are_int64(spark, sf_dir):
+    """r11 (r10 verdict item 1): the Q1-shape hot path accumulates
+    int64 cents — the partial aggregate over the scan must carry
+    sum(...bigint...) expressions and NO decimal sums; decimal
+    appears only in the |groups|×|tasks| merge above."""
+    plan = physical_plan(OPS["agg_pricing_summary"].fn(spark, sf_dir))
+    scan_side = plan[plan.index("FileScan") - 2000 : plan.index("FileScan")]
+    first_partial = plan.rindex("partial_")  # deepest partial = scan-side
+    partial_line = plan[first_partial : plan.index("\n", first_partial)]
+    assert "decimal" not in partial_line.lower(), partial_line
