@@ -2390,43 +2390,21 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the CLUSTER key, so candidate volume is Σ|cell|², not |corpus|²;
     at 100 TB one raises K (the paper uses K≈10⁵ cells for ~10⁸
     docs) so cells stay ~10³ and the quadratic term is bounded per
-    task. Parallelism comes from the cell count, the centroid frame
-    is K×dim metadata (broadcast), and only vec_id/priority — never
-    raw vectors — leave the pair stage. A vector is dropped iff a
+    task. Parallelism comes from the cell count, the centroid is a
+    d-vector computed in-cell from data the task already holds (r11;
+    a trainer would hand it over as K×d metadata), and only
+    vec_id/priority — never raw vectors — leave the pair stage. A vector is dropped iff a
     strictly-better same-cell partner exceeds τ, so output accounting
     (per-cell members/dropped/kept) is exactly the paper's dedup-rate
     telemetry."""
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.select(
+    m = e.select(
         "vec_id",
         "label",
         F.transform(
             F.col("embedding"),
             lambda x: F.round(x.cast("double") * 1000).cast("long"),
         ).alias("qv"),
-    )
-    ve = q.select("vec_id", "label", F.posexplode("qv").alias("dim", "val"))
-    cents = ve.groupBy("label", "dim").agg(
-        F.floor(F.sum("val") * 1.0 / F.count(F.lit(1)))
-        .cast("long")
-        .alias("cv")
-    )
-    d2 = (
-        ve.join(F.broadcast(cents), ["label", "dim"])
-        .groupBy("vec_id", "label")
-        .agg(
-            F.sum(
-                (F.col("val") - F.col("cv")) * (F.col("val") - F.col("cv"))
-            ).alias("d2")
-        )
-    )
-    n2 = F.aggregate(
-        F.transform(F.col("qv"), lambda x: x * x),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    m = q.join(d2, ["vec_id", "label"]).select(
-        "vec_id", "label", "qv", n2.alias("n2"), "d2"
     )
 
     # Per-cell BLAS Gram stage (r10 rewrite). The previous form
@@ -2448,10 +2426,20 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count — exactly the K-scaling story the docstring's 100 TB note
     # describes (raise K, cells stay ~10³). Measured at sf10:
     # interpreted pair join >1800 s → 18 s end-to-end.
+    # r11: the centroid / centroid-distance / norm² stages moved
+    # INSIDE the cell task. The r10 form built them distributed —
+    # posexplode to (vec, dim, val), a broadcast-join centroid
+    # aggregate, and a re-join of d2 back onto the arrays — but the
+    # cell task already holds the ENTIRE label group, so all three
+    # are one vectorized pass over data already in hand (sf10: ~29 s
+    # of the 47 s wall was these stages; now sub-ms per cell). The
+    # arithmetic is replicated operation-for-operation so hashes are
+    # unchanged: centroid = floor(float64(Σval) · 1.0 / n) per dim —
+    # the same IEEE double divide both engines' floor sees — and
+    # d2/n2 are int64 exactly as before. At 100 TB the trainer hands
+    # each cell its centroid anyway; recomputing the mean in-cell is
+    # O(n·d) colocated work, not an extra distributed stage.
     def _cell_drops(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(
-            ["d2", "vec_id"], kind="mergesort"
-        ).reset_index(drop=True)
         n = len(pdf)
         # Cell-size guard (r10 advice): one Arrow group materializes
         # the whole cell in this task (V is n×64 float64, a dots
@@ -2465,33 +2453,66 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "count K so cells stay bounded (SemDeDup's own "
                 "scale lever) — refusing a >200k-member Gram"
             )
-        V = np.array(pdf["qv"].tolist(), dtype=np.float64)
-        n2v = pdf["n2"].to_numpy(dtype=np.int64)
-        # int64/float64 headroom guard (r10 advice): the τ compare is
-        # 100·dot² vs 9·n2ᵢ·n2ⱼ and Cauchy–Schwarz bounds |dot| ≤
-        # max(n2), so both sides stay < 2⁶³ iff max(n2) ≤ 3.0e8 —
-        # which also keeps every dot exactly representable in the
-        # float64 dgemm (< 2⁵³). The ×1000 quantization of unit-norm
-        # embeddings gives n2 ≈ 1e6, 300× inside the bound; assert so
-        # larger-magnitude inputs fail loudly instead of wrapping.
-        if n and int(n2v.max()) > 300_000_000:
+        Vi = np.array(pdf["qv"].tolist(), dtype=np.int64)
+        cv = np.floor(
+            Vi.sum(axis=0).astype(np.float64) * 1.0 / n
+        ).astype(np.int64)
+        diff = Vi - cv
+        d2 = (diff * diff).sum(axis=1)
+        n2v = (Vi * Vi).sum(axis=1)
+        vid = pdf["vec_id"].to_numpy()
+        # int64 headroom guard (r10 advice, r11 bound): n2 and d2 are
+        # 64-term int64 sums of val², so |val| must stay ≤ 1e8 or the
+        # sums wrap silently; the ×1000 quantization of unit-norm
+        # embeddings gives |val| ≈ 1e3, five orders inside.
+        if n and int(np.abs(Vi).max(initial=0)) > 100_000_000:
             raise ValueError(
-                f"semdedup quantized norm² {int(n2v.max())} exceeds "
-                "the 3.0e8 int64-headroom bound for the 100·dot² "
-                "compare; reduce the quantization scale"
+                f"semdedup quantized value {int(np.abs(Vi).max())} "
+                "exceeds the 1e8 int64-headroom bound for the "
+                "n2/d2 sums; reduce the quantization scale"
             )
+        # priority order: (d2, vec_id) lexicographic — "strictly
+        # better" ≡ "earlier row" exactly as the r10 sorted frame
+        order = np.lexsort((vid, d2))
+        Vi = Vi[order]
+        n2v = n2v[order]
+        labels = pdf["label"].to_numpy()[order]
+        # τ compare as a SINGLE float compare on the normalized Gram
+        # (r11): cos = W·Wᵀ with W = V/‖V‖ row-normalized once, and
+        # "cos > 0.3" decides each pair — one dgemm + one pass,
+        # replacing the r10 int64 elementwise chain (rint/astype,
+        # 100·dots², 9·outer(n2,n2)) that was 10× the dgemm cost in
+        # memory traffic (measured per 20k cell, same session: 58 s →
+        # 8.3 s, identical drop sets). Exactness is preserved, not
+        # assumed: |C − cos| ≤ ~1e-13 (64-term unit-vector dot), so
+        # any entry with |C − 0.3| ≥ 1e-9 is decided correctly for
+        # ANY BLAS summation order, and the rare near-boundary
+        # entries are re-checked in exact arbitrary-precision integer
+        # arithmetic (python ints — the original 100·dot² > 9·n2ᵢn2ⱼ
+        # compare). The dgemm is also PREFIX-height (rows 0..b1 only
+        # — later rows can never be the "better partner"), halving
+        # FLOPs; blocks stay 2048 wide (an 8192 block thrashed cache:
+        # 74 s).
+        s = np.sqrt(n2v.astype(np.float64))
+        s[s == 0.0] = 1.0  # zero vectors: cos ≡ 0 (< τ) on both paths
+        W = Vi.astype(np.float64) / s[:, None]
         dropped = np.zeros(n, dtype=bool)
         block = 2048
         for b0 in range(0, n, block):
             b1 = min(b0 + block, n)
-            dots = np.rint(V @ V[b0:b1].T).astype(np.int64)
-            cond = (dots > 0) & (
-                100 * dots * dots > 9 * np.outer(n2v, n2v[b0:b1])
-            )
-            cond &= np.arange(n)[:, None] < np.arange(b0, b1)[None, :]
+            C = W[:b1] @ W[b0:b1].T
+            tri = np.arange(b1)[:, None] < np.arange(b0, b1)[None, :]
+            cond = (C > 0.3) & tri
+            near = (np.abs(C - 0.3) < 1e-9) & tri
+            if near.any():
+                for i, j in zip(*np.nonzero(near)):
+                    d = int(Vi[i] @ Vi[j + b0])
+                    cond[i, j] = d > 0 and (
+                        100 * d * d > 9 * int(n2v[i]) * int(n2v[j + b0])
+                    )
             dropped[b0:b1] |= cond.any(axis=0)
         return pd.DataFrame(
-            {"label": pdf["label"], "is_drop": dropped.astype(np.int64)}
+            {"label": labels, "is_drop": dropped.astype(np.int64)}
         )
 
     label_t = next(
