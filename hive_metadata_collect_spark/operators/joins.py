@@ -509,6 +509,36 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _money_rollup_e4(joined: DataFrame, key: str) -> DataFrame:
+    """Revenue rollup per `key` in int64 1e-4$-unit partials with a
+    DECIMAL merge (the agg_pricing_summary pattern, r11): per-(key,
+    task) int64 sums are rows-per-task-bounded (max ~1.1e9/row ×
+    <7e6 rows/task — 1000× int64 headroom), only the |keys|-row merge
+    runs decimal, and the integer units are the same rationals the
+    oracle's DECIMAL(12,2) products produce, so hashes are unchanged.
+    Shared by the skew-join twins; join_multiway_star inlines the
+    same shape with its own key."""
+    rev_e4 = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100, 0).cast("long")
+    )
+    part = joined.groupBy(key, F.spark_partition_id().alias("_pid")).agg(
+        F.sum(rev_e4).alias("s_e4"), F.count(F.lit(1)).alias("n")
+    )
+    return part.groupBy(key).agg(
+        F.round(
+            F.sum(
+                F.col("s_e4").cast("decimal(20,0)")
+                * F.lit("0.0001").cast("decimal(4,4)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.sum("n").alias("n_items"),
+    )
+
+
 # Salt fan-out: sized to the hot-key factor you need to absorb (each
 # salt bucket carries ~1/N of a hot key). Dim-side replication cost is
 # linear in N, so don't over-salt.
@@ -566,22 +596,8 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders,
         (li["l_orderkey"] == orders["o_orderkey"]) & (li["salt"] == orders["salt"]),
     )
-    return joined.groupBy("o_orderpriority").agg(
-        # DECIMAL accumulation (r9 sf10 sweep money class), DOUBLE out
-        F.round(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(12,2)")
-                * (
-                    F.lit(1).cast("decimal(12,2)")
-                    - F.col("l_discount").cast("decimal(12,2)")
-                )
-            ),
-            2,
-        )
-        .cast("double")
-        .alias("revenue"),
-        F.count(F.lit(1)).alias("n_items"),
-    )
+    # int64-cents partials + DECIMAL merge (r11) — see _money_rollup_e4
+    return _money_rollup_e4(joined, "o_orderpriority")
 
 
 @register(
@@ -621,29 +637,12 @@ def join_skew_unsalted(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
-    return (
-        li.join(
-            orders.hint("shuffle_hash"),
-            li["l_orderkey"] == orders["o_orderkey"],
-        )
-        .groupBy("o_orderpriority")
-        .agg(
-            # DECIMAL accumulation (r9 sf10 sweep money class)
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(12,2)")
-                    * (
-                        F.lit(1).cast("decimal(12,2)")
-                        - F.col("l_discount").cast("decimal(12,2)")
-                    )
-                ),
-                2,
-            )
-            .cast("double")
-            .alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
+    joined = li.join(
+        orders.hint("shuffle_hash"),
+        li["l_orderkey"] == orders["o_orderkey"],
     )
+    # int64-cents partials + DECIMAL merge (r11) — see _money_rollup_e4
+    return _money_rollup_e4(joined, "o_orderpriority")
 
 
 @register(
