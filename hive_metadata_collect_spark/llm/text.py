@@ -644,7 +644,11 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (collisions merge counts within one doc only; ~n²/2⁶⁵ odds at
     # per-doc n — negligible and hash-verified at every swept SF).
     # The gram string never materializes at all. Measured sf10
-    # same-session: 7.4 s → 4.7 s, identical hashes.
+    # same-session: 7.4 s → 4.7 s, identical hashes. Dead end
+    # (r11, measured): fusing both signals into ONE tagged-struct
+    # explode + single (doc, kind, h) shuffle ran 1.6× SLOWER at
+    # sf0.1 (0.95 s vs 0.60 s) — the struct-array concat/explode
+    # costs more than the second exchange saves.
     words = d.select(
         "doc_id",
         F.explode(F.expr("transform(w, x -> xxhash64(x))")).alias("word"),
@@ -3451,12 +3455,20 @@ def text_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE token pass: the corpus explodes exactly once into per-doc
     # word counts (lang rides along — constant per doc); every model
     # statistic (class counts, doc lengths, priors, vocab size)
-    # derives from this persisted frame, not from re-exploding text
+    # derives from this persisted frame, not from re-exploding text.
+    # r11: tokens are xxhash64 DIGESTS end-to-end — the confusion-
+    # matrix output never needs a word string, so the (doc, word)
+    # collapse, the class counts, the vocab size and the scoring
+    # join all key on 8 bytes (collisions merge two vocab entries
+    # with ~|V|²/2⁶⁴ ≈ 1e-9 odds — hash-verified per SF like the
+    # other digest ops)
     docw = (
         docs.select(
             "doc_id",
             "lang",
-            F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+            F.explode(
+                F.expr("transform(split(lower(text), ' '), x -> xxhash64(x))")
+            ).alias("word"),
         )
         .groupBy("doc_id", "word")
         .agg(F.max("lang").alias("lang"), F.count(F.lit(1)).alias("m"))

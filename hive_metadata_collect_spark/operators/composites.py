@@ -1017,9 +1017,25 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    lines = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey).repartition(
-        "l_orderkey"
+    # r11: the orders side is HALF THE ORDERS TABLE (status F), so
+    # broadcasting it only pays while it is genuinely small — at sf10
+    # that broadcast builds a 7.3M-entry map per the 32 threads and
+    # measured 8.3 s vs 6.3 s for joining it SHUFFLE_HASH on the very
+    # exchange the cascade already creates (repartition(l_orderkey)
+    # satisfies the join AND both aggregations — the orders exchange
+    # is the only added cost, and it is narrow). Plan-time stats gate,
+    # same device as join_multiway_star.
+    o_est = int(
+        str(o._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     )
+    if o_est < 8 << 20:
+        lines = li.join(
+            F.broadcast(o), li.l_orderkey == o.o_orderkey
+        ).repartition("l_orderkey")
+    else:
+        lines = li.repartition("l_orderkey").join(
+            o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey
+        )
     late = (
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     ).cast("int")
