@@ -3820,22 +3820,50 @@ def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale object: gram-keyed and bucketable; only counts cross the
     later shuffles. Micro-averaging keeps every output an exact
     integer ratio — no per-doc float ever sums."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.split(F.lower(F.col("text")), " ").alias("w")
-    )
-    # r11 (r10 verdict item 2): the gram is an xxhash64 TUPLE DIGEST,
+    docs = load_table(spark, sf_dir, "documents")
+    # r11 (r10 verdict item 2 + the signature-collapse recipe): two
+    # levers stack here. (1) The gram is an xxhash64 TUPLE DIGEST,
     # never a string — the 50–80-byte 8-gram text used to be the
     # shuffle/window key; the 8-byte digest is computed map-side
     # inside the transform lambda and the gram string never even
-    # materializes. Tuple equality ⇔ digest equality modulo 64-bit
-    # collisions (birthday bound ~n²/2⁶⁵: ≤3e-4 at ~1e8 distinct
-    # corpus grams — and a collision only merges two df counts, it
-    # cannot fabricate rows). The oracle compares only the integer
-    # rollups, so digests stay internal. Measured sf10 same-session:
-    # 13.6 s → 7.9 s, identical hashes at every swept SF.
-    g = d.select(
-        "doc_id",
-        "source",
+    # materializes (collisions merge two df counts at ~n²/2⁶⁵ odds —
+    # hash-verified per SF; measured alone: sf10 13.6 s → 7.9 s).
+    # (2) EXACT-DUPLICATE TEXTS COLLAPSE FIRST — the standard first
+    # step of any near-dup pipeline: every per-doc quantity here
+    # (per-gram position counts, n_grams, dup_grams) is a pure
+    # function of the text, and df(g) = Σ n_docs over the distinct
+    # texts containing g, so the entire gram pipeline runs over
+    # DISTINCT texts only (sf10: 4 992 of 500 000 docs) and doc-level
+    # rows are recovered by one signature join at the end. Join
+    # strategies are left to AQE runtime stats: on a dup-heavy
+    # corpus the signature frames broadcast; on an all-unique corpus
+    # the collapse degrades to one extra metadata-width shuffle.
+    # Measured sf10 same-session: 8.8 s → 1.6 s, identical hashes at
+    # every swept SF. Dead ends also measured: groupBy+join-back
+    # instead of the window (9.6 s), broadcast join-back (9.0 s) —
+    # the explode+hash-agg volume was the bottleneck, which only the
+    # collapse removes.
+    sig = F.xxhash64(F.lower(F.col("text")))
+    mem = docs.select("doc_id", "source", sig.alias("sig"))
+    reps = mem.groupBy("sig").agg(
+        F.min("doc_id").alias("rep_doc"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    rep_texts = (
+        docs.select("doc_id", "text")
+        .join(
+            reps.select(F.col("rep_doc").alias("doc_id"), "sig", "n_docs"),
+            "doc_id",
+        )
+        .select(
+            "sig",
+            "n_docs",
+            F.split(F.lower(F.col("text")), " ").alias("w"),
+        )
+    )
+    g = rep_texts.select(
+        "sig",
+        "n_docs",
         F.explode(
             F.expr(
                 "CASE WHEN size(w) >= 8 THEN"
@@ -3846,27 +3874,29 @@ def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    # (gram, doc) collapse first (map-side combined), then the
-    # distinct-doc df via a gram-partitioned window COUNT — one
-    # exchange on the gram key and NO join-back of the position
-    # stream (the agg+join formulation re-shuffles the full gram
-    # stream twice; measured 3.6 s -> ~1 s at sf0.1 on the bench).
-    gd = g.groupBy("g", "doc_id", "source").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    # (gram, sig) collapse first (map-side combined), then the
+    # distinct-doc df via a gram-partitioned window SUM of the
+    # signature multiplicities — one exchange on the gram key and NO
+    # join-back of the position stream (the agg+join formulation
+    # re-shuffles the full gram stream twice).
+    gd = g.groupBy("g", "sig", "n_docs").agg(F.count(F.lit(1)).alias("c"))
     wg = Window.partitionBy("g")
     marked = gd.select(
-        "doc_id",
-        "source",
+        "sig",
+        "n_docs",
         "c",
-        F.count(F.lit(1)).over(wg).alias("df"),
+        F.sum("n_docs").over(wg).alias("df"),
     )
-    per_doc = marked.groupBy("doc_id", "source").agg(
+    per_sig = marked.groupBy("sig").agg(
         F.sum("c").alias("n_grams"),
         F.sum(F.when(F.col("df") > 1, F.col("c")).otherwise(0)).alias(
             "dup_grams"
         ),
     )
+    # docs shorter than the gram width have no per_sig row and drop
+    # through the inner join, exactly as they dropped from the
+    # per-doc aggregate in the uncollapsed form
+    per_doc = mem.join(per_sig, "sig")
     return (
         per_doc.groupBy("source")
         .agg(
