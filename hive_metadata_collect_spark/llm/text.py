@@ -635,32 +635,42 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines. Fractions are ratios of small exact integers —
     deterministic across engines. At 100 TB this is embarrassingly
     parallel per doc; the only shuffle key is doc_id."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
+    docs = load_table(spark, sf_dir, "documents")
+    # r11 (r10 verdict item 2 + the signature-collapse recipe): both
+    # signals are PURE FUNCTIONS OF THE TEXT, so the whole
+    # explode/count pipeline runs over DISTINCT texts only (sf10:
+    # 4 992 of 500 000 docs) and per-doc rows are recovered by one
+    # signature join at the end — AQE picks the join strategy, so an
+    # all-unique corpus degrades to one extra metadata-width
+    # shuffle. Words and trigrams shuffle as xxhash64 DIGESTS, not
+    # text (collisions merge counts within one text only; ~n²/2⁶⁵
+    # odds — negligible and hash-verified at every swept SF); the
+    # gram string never materializes at all. Measured: digests alone
+    # sf10 7.4 s → 4.7 s; + the collapse → 1.2 s. Dead end (r11,
+    # measured): fusing both signals into ONE tagged-struct explode
+    # + single (key, kind, h) shuffle ran 1.6× SLOWER at sf0.1 —
+    # the struct-array concat/explode costs more than the second
+    # exchange saves.
+    sig = F.xxhash64(F.lower(F.col("text")))
+    mem = docs.select("doc_id", sig.alias("sig"))
+    reps = mem.groupBy("sig").agg(F.min("doc_id").alias("rep_doc"))
+    d = (
+        docs.select("doc_id", "text")
+        .join(reps.select(F.col("rep_doc").alias("doc_id"), "sig"), "doc_id")
+        .select("sig", F.split(F.lower(F.col("text")), " ").alias("w"))
     )
-    # r11 (r10 verdict item 2): words and trigrams shuffle as xxhash64
-    # DIGESTS, not text — both signals only need per-doc COUNTS of
-    # equal tokens/grams, so the 8-byte digest is a drop-in key
-    # (collisions merge counts within one doc only; ~n²/2⁶⁵ odds at
-    # per-doc n — negligible and hash-verified at every swept SF).
-    # The gram string never materializes at all. Measured sf10
-    # same-session: 7.4 s → 4.7 s, identical hashes. Dead end
-    # (r11, measured): fusing both signals into ONE tagged-struct
-    # explode + single (doc, kind, h) shuffle ran 1.6× SLOWER at
-    # sf0.1 (0.95 s vs 0.60 s) — the struct-array concat/explode
-    # costs more than the second exchange saves.
     words = d.select(
-        "doc_id",
+        "sig",
         F.explode(F.expr("transform(w, x -> xxhash64(x))")).alias("word"),
     )
     ws = (
-        words.groupBy("doc_id", "word")
+        words.groupBy("sig", "word")
         .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
+        .groupBy("sig")
         .agg(F.sum("c").alias("n_words"), F.max("c").alias("top_cnt"))
     )
     tri = d.select(
-        "doc_id",
+        "sig",
         F.explode(
             # guard: sequence(0, n) DESCENDS when n < 0, so a <3-token
             # doc would fabricate grams from null-padded wraparound —
@@ -675,9 +685,9 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("g"),
     )
     ts = (
-        tri.groupBy("doc_id", "g")
+        tri.groupBy("sig", "g")
         .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
+        .groupBy("sig")
         .agg(
             F.sum("c").alias("n_tri"),
             F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
@@ -687,7 +697,9 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top_frac = F.col("top_cnt") / F.col("n_words")
     dup_frac = F.col("dup_tri") / F.col("n_tri")
-    return ws.join(ts, "doc_id").select(
+    # <3-token texts have no ts row and their docs drop through the
+    # inner joins, exactly as in the per-doc form
+    return mem.join(ws.join(ts, "sig"), "sig").select(
         "doc_id",
         "n_words",
         F.round(top_frac, 4).alias("top_word_frac"),
@@ -1460,34 +1472,51 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffles the exploded token stream by word; it re-groups
     by doc_id, which the explode preserves partition-locally."""
     docs = load_table(spark, sf_dir, "documents")
+    # r11 signature collapse: both the corpus word counts (weighted
+    # by text multiplicity — Σ over docs ≡ Σ over distinct texts ×
+    # n_docs) and the per-doc OOV scores (pure text functions given
+    # the vocab) compute over DISTINCT texts only; doc rows recover
+    # via one signature join. AQE picks the join strategies, so an
+    # all-unique corpus degrades to one extra metadata-width shuffle.
+    sig = F.xxhash64(F.lower(F.col("text")))
+    mem = docs.select("doc_id", sig.alias("sig"))
+    reps = mem.groupBy("sig").agg(
+        F.min("doc_id").alias("rep_doc"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    d = (
+        docs.select("doc_id", "text")
+        .join(
+            reps.select(F.col("rep_doc").alias("doc_id"), "sig", "n_docs"),
+            "doc_id",
+        )
+        .select(
+            "sig", "n_docs", F.split(F.lower(F.col("text")), " ").alias("w")
+        )
+    )
     # vocab build: word strings are needed once for the deterministic
     # (count desc, word asc) tie-break, but the hash-agg KEY is the
     # xxhash64 digest — the string rides along as min(word) (all
     # members of a digest group are the same word modulo 64-bit
-    # collisions), so the exchange rows carry an 8-byte key instead
-    # of re-hashing/comparing variable-length text (r10 verdict
-    # item 2; collision odds ~n²/2⁶⁵ — hash-verified per SF).
-    words_str = docs.select(
-        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
-    )
+    # collisions; odds ~n²/2⁶⁵ — hash-verified per SF); counts are
+    # multiplicity-weighted so the top-50 is the corpus top-50.
+    words_str = d.select("n_docs", F.explode("w").alias("word"))
     vocab = (
         words_str.groupBy(F.xxhash64("word").alias("wh"))
-        .agg(F.count(F.lit(1)).alias("n"), F.min("word").alias("word"))
+        .agg(F.sum("n_docs").alias("n"), F.min("word").alias("word"))
         .orderBy(F.col("n").desc(), F.col("word").asc())
         .limit(50)
         .select("wh", F.lit(1).alias("in_vocab"))
     )
     # scoring pass: tokens cross as digests only; the 50-row digest
     # vocab broadcasts, so the exploded stream never shuffles by word
-    words_h = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(split(lower(text), ' '), x -> xxhash64(x))")
-        ).alias("wh"),
+    words_h = d.select(
+        "sig",
+        F.explode(F.expr("transform(w, x -> xxhash64(x))")).alias("wh"),
     )
-    return (
+    per_sig = (
         words_h.join(F.broadcast(vocab), "wh", "left_outer")
-        .groupBy("doc_id")
+        .groupBy("sig")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
@@ -1497,6 +1526,9 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("oov_rate"),
         )
+    )
+    return mem.join(per_sig, "sig").select(
+        "doc_id", "n_tokens", "n_oov", "oov_rate"
     )
 
 
