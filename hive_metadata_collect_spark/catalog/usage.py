@@ -123,11 +123,27 @@ def cat_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     log three times. Scale: the collected lists hold only each
     user's click/purchase timestamps (not all events); the hot-user
     straggler bound is the same as the window form's sort run, minus
-    the sort."""
+    the sort.
+
+    r12 (r11 verdict item 2): two shuffle-volume cuts measured in one
+    idle sf10 session — (1) funnel-irrelevant event types (signup,
+    error — 40 % of rows) are filtered BEFORE the aggregate, so they
+    never enter the exchange; (2) timestamps travel as unix_micros
+    longs (order-isomorphic to Spark's µs-precision timestamps, so
+    every strict-> comparison is unchanged; a plain seconds cast
+    would be wrong — truncation can create false ties). sf10:
+    0.91 s → 0.57 s vs a 0.32 s scan floor and DuckDB 0.20 s; the
+    three-pass broadcast-join chain the oracle uses was measured at
+    1.71 s (three scans dominate) and rejected. The residual over
+    DuckDB is the scan floor plus the 6M-entry list exchange — at the
+    floor for a one-shuffle JVM plan."""
     e = load_table(spark, sf_dir, "events")
     is_type = lambda t: F.col("event_type") == t  # noqa: E731
     per_user = (
-        e.select("user_id", "ts", "event_type")
+        e.select(
+            "user_id", F.unix_micros("ts").alias("ts"), "event_type"
+        )
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
         .groupBy("user_id")
         .agg(
             F.min(F.when(is_type("view"), F.col("ts"))).alias("fv"),
