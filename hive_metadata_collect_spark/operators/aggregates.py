@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from hive_metadata_collect_spark.operators.numerics import cents
 from hive_metadata_collect_spark.registry import register
 from hive_metadata_collect_spark.sources.fixtures import load_table
 
@@ -86,20 +87,23 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     side here is DECIMAL precisely so the global total never touches
     int64). Measured sf10 (one microbench session): 7.79 s
     (all-DECIMAL) → 3.28 s (this form), identical hashes; sf1 0.94 s.
+    r12: the cents conversion itself was the next cost — F.round runs
+    a BigDecimal expansion per row × 4 money columns; the multiply-add
+    truncating form (numerics.cents) is row-identical on this domain
+    and took the sf10 wall 1.97 s → 1.03 s in one idle session
+    (collect()-identical outputs), leaving scan + the 6-measure
+    partial agg, i.e. the engine floor for this shape.
 
     Averages: cast the exact decimal sum to DOUBLE *before* dividing
     so both engines round the identical double — DuckDB promotes
     DECIMAL/BIGINT division to DOUBLE before round(,4), while
     Spark's decimal quotient rounds exact half-up (r9 advisory)."""
     li = load_table(spark, sf_dir, "lineitem")
-    # integer cents via double round — F.round operates on the exact
-    # BigDecimal expansion of the double, so for ≤2-fractional-digit
-    # money domains (the TPC-H spec domain; every fixture SF) this is
-    # value-identical to the oracle's ::DECIMAL(12,2) cast while
-    # costing a double multiply instead of a per-row BigDecimal
-    # conversion (measured sf10: the decimal-cast cents form spends
-    # 2.1 s/60M rows in the cast alone — 4.9 s vs 2.8 s end-to-end)
-    cents = lambda c: F.round(F.col(c) * 100, 0).cast("long")  # noqa: E731
+    # integer cents via multiply-add + truncating cast (numerics.cents,
+    # r12): value-identical to the oracle's ::DECIMAL(12,2) cast on the
+    # non-negative ≤2-digit money domain, and unlike F.round it never
+    # touches BigDecimal per row (r11's F.round form measured 2× the
+    # per-row cost at sf10 — exactness proof at the helper)
     rows = li.filter(
         F.col("l_shipdate") <= F.lit("2000-09-01").cast("timestamp")
     ).select(
@@ -340,14 +344,14 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor plus two metadata-sized stages — the Expand volume itself
     is gone: 0.63 s of the 1.00 is the pre-agg stage alone)."""
     o = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    c_int = cents("o_totalprice")
     pre = o.groupBy(
         "o_orderstatus",
         "o_orderpriority",
         F.spark_partition_id().alias("_pid"),
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(cents).alias("s_c"),
+        F.sum(c_int).alias("s_c"),
     )
     sdec = F.col("s_c").cast("decimal(20,0)") * F.lit("0.01").cast(
         "decimal(2,2)"
@@ -381,12 +385,12 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Expand runs over the ~|groups|×|tasks| pre-agg, never the
     fact scan."""
     o = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    c_int = cents("o_totalprice")
     pre = o.groupBy(
         "o_orderstatus",
         "o_orderpriority",
         F.spark_partition_id().alias("_pid"),
-    ).agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("s_c"))
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(c_int).alias("s_c"))
     sdec = F.col("s_c").cast("decimal(20,0)") * F.lit("0.01").cast(
         "decimal(2,2)"
     )
@@ -415,12 +419,12 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~|groups|×|tasks| pre-agg instead of quadrupling the 60M-row
     lineitem stream."""
     li = load_table(spark, sf_dir, "lineitem")
-    cents = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    c_int = cents("l_quantity")
     pre = li.groupBy(
         "l_returnflag",
         "l_linestatus",
         F.spark_partition_id().alias("_pid"),
-    ).agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("s_c"))
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(c_int).alias("s_c"))
     sdec = F.col("s_c").cast("decimal(20,0)") * F.lit("0.01").cast(
         "decimal(2,2)"
     )

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hive_metadata_collect_spark.operators.numerics import cents
 from hive_metadata_collect_spark.registry import register
 from hive_metadata_collect_spark.sources.fixtures import load_table
 
@@ -231,9 +232,7 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are rows-per-task-bounded, only the |nations|-row merge is
     # decimal; the integer units are the same rationals the oracle's
     # DECIMAL(18,4) products produce, so hashes are unchanged)
-    rev_e4 = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (
-        100 - F.round(F.col("l_discount") * 100, 0).cast("long")
-    )
+    rev_e4 = cents("l_extendedprice") * (100 - cents("l_discount"))
     part = joined.groupBy(
         "n_name", F.spark_partition_id().alias("_pid")
     ).agg(F.sum(rev_e4).alias("s_e4"), F.count(F.lit(1)).alias("n"))
@@ -518,10 +517,10 @@ def _money_rollup_e4(joined: DataFrame, key: str) -> DataFrame:
     runs decimal, and the integer units are the same rationals the
     oracle's DECIMAL(12,2) products produce, so hashes are unchanged.
     Shared by the skew-join twins; join_multiway_star inlines the
-    same shape with its own key."""
-    rev_e4 = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (
-        100 - F.round(F.col("l_discount") * 100, 0).cast("long")
-    )
+    same shape with its own key. r12: cents conversion via
+    numerics.cents (multiply-add + truncating cast) — F.round's
+    per-row BigDecimal was 0.45 s of a 0.72 s 60M-row agg at sf10."""
+    rev_e4 = cents("l_extendedprice") * (100 - cents("l_discount"))
     part = joined.groupBy(key, F.spark_partition_id().alias("_pid")).agg(
         F.sum(rev_e4).alias("s_e4"), F.count(F.lit(1)).alias("n")
     )
