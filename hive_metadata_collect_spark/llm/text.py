@@ -18,6 +18,12 @@ from pyspark.sql.window import Window
 from hive_metadata_collect_spark.registry import register
 from hive_metadata_collect_spark.sources.fixtures import load_table, spread_small
 
+# Plan-time scan-size gate for the exact-duplicate text collapse
+# (text_vocab_coverage): below this, the collapse's two join-backs
+# cost more than the duplicate work they remove (measured sf0.1
+# 0.25 s → 0.63 s on a near-unique corpus; −36 % at 100×-dup sf10).
+_VOCAB_COLLAPSE_GATE_BYTES = 2 << 20
+
 
 @register(
     "text_wordcount",
@@ -1478,6 +1484,48 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the vocab) compute over DISTINCT texts only; doc rows recover
     # via one signature join. AQE picks the join strategies, so an
     # all-unique corpus degrades to one extra metadata-width shuffle.
+    #
+    # r12 (r11 verdict item 4): that degradation is not free when the
+    # base work is this small — the collapse's two extra joins took
+    # the near-unique sf0.1 corpus 0.25 s → 0.63 s while buying 36 %
+    # at the 100×-duplicated sf10. Gate on the plan-time scan size
+    # (zero-cost, the join_multiway_star stats-gate pattern): small
+    # corpora score per-doc directly; past the gate the collapse's
+    # join-backs amortize over the dup mass (fixture sizes: sf0.1
+    # 0.6 MB near-unique, sf1 5.6 MB at 10× dup — gate between).
+    docs_est = int(
+        str(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    if docs_est < _VOCAB_COLLAPSE_GATE_BYTES:
+        words_str = docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+        )
+        vocab = (
+            words_str.groupBy(F.xxhash64("word").alias("wh"))
+            .agg(F.count(F.lit(1)).alias("n"), F.min("word").alias("word"))
+            .orderBy(F.col("n").desc(), F.col("word").asc())
+            .limit(50)
+            .select("wh", F.lit(1).alias("in_vocab"))
+        )
+        words_h = docs.select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(split(lower(text), ' '), x -> xxhash64(x))")
+            ).alias("wh"),
+        )
+        return (
+            words_h.join(F.broadcast(vocab), "wh", "left_outer")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_tokens"),
+                F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+                F.round(
+                    F.count(F.when(F.col("in_vocab").isNull(), 1))
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("oov_rate"),
+            )
+        )
     sig = F.xxhash64(F.lower(F.col("text")))
     mem = docs.select("doc_id", sig.alias("sig"))
     reps = mem.groupBy("sig").agg(
