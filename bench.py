@@ -82,7 +82,6 @@ HEADLINE = {
     "q_sessions": "stream_session_windows",
     "q_lineage": "cat_lineage_closure",
     "q_percentiles": "agg_percentiles",
-    "q_salted_join": "join_skew_salted",
     "q_unsalted_join": "join_skew_unsalted",
     "q_funnel": "cat_funnel_conversion",
     "q_scd2": "cat_scd2_diff",
@@ -143,13 +142,27 @@ HEADLINE = {
     # the natural DuckDB formulation of the same exact-integer logic.
     "q_semdedup": "sim_semdedup",
     "q_dup_ngram": "text_dup_ngram_coverage",
+    # r12: the parse-once ingest twin of q_json (r11 verdict item 1's
+    # production answer) — warm runs time the typed-column scan; the
+    # first (untimed) warm call pays the one-off materialization.
+    "q_json_ingested": "fn_json_extract_ingested",
+}
+
+# By-design-pessimal demos (r11 verdict item 7): timed and reported
+# under "demos"/"demos_cold" but EXCLUDED from the suite totals — the
+# salted-join twin exists to measure the cost of salting itself
+# (docstring), ~10 s of sf10 suite wall for a lesson, not an engine
+# number. Its honest engine twin q_unsalted_join stays in the suite.
+# Suite-total comparability across rounds: BASELINE.md r12 section
+# dual-reports the totals with and without this exclusion.
+DEMO = {
+    "q_salted_join": "join_skew_salted",
 }
 
 #: Queries that get a per-stage breakdown in the output (the ones
 #: sitting above the local floor — evidence for floor-vs-fixable).
 BREAKDOWN = [
     "q_join_agg",
-    "q_salted_join",
     "q_unsalted_join",
     "q_lineage",
     "q_sessions",
@@ -206,6 +219,11 @@ def main() -> None:
         if only
         else HEADLINE
     )
+    demo = (
+        {k: v for k, v in DEMO.items() if k in set(only.split(","))}
+        if only
+        else DEMO
+    )
     # 16 shuffle partitions measured fastest for the sf0.1 suite on
     # local[32] (AQE coalesces further at runtime); env-overridable.
     shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "16"))
@@ -240,7 +258,7 @@ def main() -> None:
     # sub-ms; Spark's Python DAG rebuild + re-analysis is 50–270 ms of
     # driver overhead that no served query pays twice). Protocol change
     # vs rounds ≤3, which rebuilt the frame inside the timed region.
-    for op_name in headline.values():
+    for op_name in list(headline.values()) + list(demo.values()):
         if registry.resolvable(op_name):
             _execute(registry.prepared_frame(spark, op_name, sf_dir))
 
@@ -253,18 +271,23 @@ def main() -> None:
     spark._jvm.System.gc()
     time.sleep(1.0)
 
-    timings: dict[str, float] = {}
-    for key, op_name in headline.items():
-        if not registry.resolvable(op_name):
-            continue
-        best = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            # force full execution of every partition AND column
-            _execute(registry.prepared_frame(spark, op_name, sf_dir))
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        timings[key] = round(best, 4)
+    def _time_prepared(mapping: dict[str, str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for key, op_name in mapping.items():
+            if not registry.resolvable(op_name):
+                continue
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                # force full execution of every partition AND column
+                _execute(registry.prepared_frame(spark, op_name, sf_dir))
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            out[key] = round(best, 4)
+        return out
+
+    timings = _time_prepared(headline)
+    demo_timings = _time_prepared(demo)
 
     # Cold timings (rounds ≤3 protocol): the Python DAG is rebuilt and
     # re-analyzed INSIDE the timed region (relation cache stays warm,
@@ -272,17 +295,22 @@ def main() -> None:
     # BENCH_r{N} stays comparable across rounds in BOTH protocols
     # (round-4 verdict item 4 / advice: the prepared-only headline
     # conflated engine speed with the protocol change).
-    timings_cold: dict[str, float] = {}
-    for key, op_name in headline.items():
-        if not registry.resolvable(op_name):
-            continue
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _execute(registry.build_frame(spark, op_name, sf_dir))
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        timings_cold[key] = round(best, 4)
+    def _time_cold(mapping: dict[str, str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for key, op_name in mapping.items():
+            if not registry.resolvable(op_name):
+                continue
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _execute(registry.build_frame(spark, op_name, sf_dir))
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            out[key] = round(best, 4)
+        return out
+
+    timings_cold = _time_cold(headline)
+    demo_timings_cold = _time_cold(demo)
     spark.stop()
 
     total = round(sum(timings.values()), 4)
@@ -302,6 +330,10 @@ def main() -> None:
         "queries": timings,
         "total_cold": total_cold,
         "queries_cold": timings_cold,
+        # Out-of-total demo queries (see DEMO above) — timed, reported,
+        # not summed into value/total_cold.
+        "demos": demo_timings,
+        "demos_cold": demo_timings_cold,
         "sf": sf,
     }
     # Provenance carried INSIDE every artifact (r9/r10 verdicts: the
