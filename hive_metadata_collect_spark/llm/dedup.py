@@ -424,7 +424,7 @@ _GRAM_SIG_CTES = """
     ),
     sig AS (
         SELECT md5(array_to_string(grams, chr(31))) AS sg,
-               any_value(grams) AS grams, any_value(ng) AS ng,
+               min(grams) AS grams, len(min(grams)) AS ng,
                list(doc_id) AS docs, count(*) AS n
         FROM gf GROUP BY 1
     )
@@ -469,11 +469,16 @@ def _gram_signature_frames(spark: SparkSession, sf_dir: str):
         )
     )
     mem = gf.select("doc_id", "sg")
+    # Deterministic representative (r11 ADVICE): if two DISTINCT
+    # sorted gram lists ever collided through the chr(31) join (a
+    # token containing \x1f), F.first vs DuckDB's any_value could
+    # pick different members; min over the lexicographic array
+    # ordering is engine-agreed, with ng derived FROM the chosen
+    # representative so the (grams, ng) pair stays consistent.
     sets = gf.groupBy("sg").agg(
-        F.first("grams").alias("grams"),
-        F.first("ng").alias("ng"),
+        F.min("grams").alias("grams"),
         F.count(F.lit(1)).alias("n"),
-    )
+    ).withColumn("ng", F.size("grams"))
     return mem, sets
 
 

@@ -199,7 +199,6 @@ def src_jdbc_embedded_metastore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KAFKA_FEED_DIRS: dict[str, str] = {}
 _KAFKA_QUERY_SEQ = [0]
 
 
@@ -209,7 +208,7 @@ _KAFKA_QUERY_SEQ = [0]
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*)::BIGINT AS n_events,
-           round(sum(value), 2) AS sum_value
+           round(sum(CAST(value AS DECIMAL(12,2))), 2)::DOUBLE AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -234,10 +233,27 @@ def src_kafka_shaped_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: Kafka parallelism follows topic partitions (the feed
     carries pmod(event_id, 8) partitions); the rollup is the
     stream_tumbling_counts shape — watermarked hash agg, state
-    bounded by open windows."""
-    import os as _os
-    import tempfile as _tempfile
+    bounded by open windows.
 
+    r12 lifecycle fixes (r11 ADVICE, all three): (1) the feed is
+    materialized ATOMICALLY — written to a uuid tmp dir and
+    os.rename'd into place, so a concurrent session can never stream
+    a half-written directory and whoever renames first wins; (2) the
+    per-run checkpoint dir is rmtree'd and the memory-sink temp view
+    dropped after the result is materialized (localCheckpoint breaks
+    the plan's reference to the sink), so repeated sweeps no longer
+    accumulate disk or driver memory; (3) sum_value accumulates in
+    int64 cents inside the streaming agg (events.value is the
+    non-negative 2-decimal audit-amount domain) with a DECIMAL
+    presentation merge, and the oracle casts to DECIMAL(12,2) the
+    same way — the order-dependent double-sum drift class the r9
+    money ops documented is gone on both sides."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from hive_metadata_collect_spark.operators.numerics import cents
     from hive_metadata_collect_spark.sources.fixtures import load_table
     from hive_metadata_collect_spark.streaming.streams import (
         run_available_now,
@@ -248,13 +264,10 @@ def src_kafka_shaped_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scratch = _os.path.join(repo_root, ".scratch")
     _os.makedirs(scratch, exist_ok=True)
-    key = f"{id(spark)}:{sf_dir}"
-    feed_dir = _KAFKA_FEED_DIRS.get(key)
-    if feed_dir is None or not _os.path.isdir(feed_dir):
-        feed_dir = _os.path.join(
-            scratch,
-            "kafka_feed_" + _os.path.basename(sf_dir.rstrip("/")),
-        )
+    feed_dir = _os.path.join(
+        scratch, "kafka_feed_" + _os.path.basename(sf_dir.rstrip("/"))
+    )
+    if not _os.path.isdir(feed_dir):
         ev = load_table(spark, sf_dir, "events")
         rec = ev.select(
             F.col("event_id").cast("string").cast("binary").alias("key"),
@@ -272,8 +285,13 @@ def src_kafka_shaped_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("timestamp"),
             F.lit(0).cast("int").alias("timestampType"),
         )
-        rec.write.mode("overwrite").parquet(feed_dir)
-        _KAFKA_FEED_DIRS[key] = feed_dir
+        tmp = f"{feed_dir}.tmp.{_uuid.uuid4().hex[:8]}"
+        rec.write.mode("overwrite").parquet(tmp)
+        try:
+            _os.rename(tmp, feed_dir)
+        except OSError:
+            # a concurrent run renamed first — stream from theirs
+            _shutil.rmtree(tmp, ignore_errors=True)
 
     kafka_schema = (
         "key binary, value binary, topic string, partition int, "
@@ -292,16 +310,25 @@ def src_kafka_shaped_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(cents(F.col("value"))).alias("s_c"),
         )
     )
     _KAFKA_QUERY_SEQ[0] += 1
     name = f"kafka_feed_rollup_{_KAFKA_QUERY_SEQ[0]}"
     ckpt = _tempfile.mkdtemp(prefix="kafka_feed_ckpt_", dir=scratch)
     out = run_available_now(agg, name, ckpt, output_mode="complete")
-    return out.select(
+    result = out.select(
         F.col("window.start").alias("window_start"),
         "event_type",
         "n_events",
-        "sum_value",
-    )
+        F.round(
+            F.col("s_c").cast("decimal(20,0)")
+            * F.lit("0.01").cast("decimal(2,2)"),
+            2,
+        )
+        .cast("double")
+        .alias("sum_value"),
+    ).localCheckpoint(eager=True)  # snapshot before the sink is dropped
+    spark.catalog.dropTempView(name)
+    _shutil.rmtree(ckpt, ignore_errors=True)
+    return result
