@@ -1734,15 +1734,23 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM comp a JOIN comp b
           ON a.vec_id = b.vec_id AND a.d < b.d
         GROUP BY a.d, b.d
+    ),
+    num AS (
+        SELECT d1::BIGINT AS d1, d2::BIGINT AS d2,
+               CAST(n_.n AS HUGEINT) * sxy
+               - CAST(s1.s AS HUGEINT) * s2.s AS nu,
+               CAST(n_.n AS HUGEINT) * n_.n AS nn
+        FROM cross_
+        JOIN sums s1 ON s1.d = d1
+        JOIN sums s2 ON s2.d = d2
+        CROSS JOIN n_
     )
-    SELECT d1::BIGINT AS d1, d2::BIGINT AS d2,
-           round((sxy - s1.s * 1.0 * s2.s / n_.n) / (n_.n * 1000000.0),
-                 6) AS cov
-    FROM cross_
-    JOIN sums s1 ON s1.d = d1
-    JOIN sums s2 ON s2.d = d2
-    CROSS JOIN n_
-    ORDER BY abs((sxy - s1.s * 1.0 * s2.s / n_.n)) DESC, d1, d2
+    SELECT d1, d2,
+           CAST((CASE WHEN nu < 0 THEN -1 ELSE 1 END)
+                * ((2 * abs(nu) + nn) // (2 * nn)) AS DOUBLE)
+           / 1000000.0 AS cov
+    FROM num
+    ORDER BY abs(nu) DESC, d1, d2
     LIMIT 20
     """,
 )
@@ -1759,10 +1767,24 @@ def sim_covariance_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ADD, which is how a 100 TB covariance matrix is actually built
     (the d²-sized result never shuffles more than once).
 
-    Top-20 by |centered covariance| with a (d1, d2) tie-break; the
-    centering and scaling are fixed IEEE ops on the exact sums.
+    Top-20 by |centered covariance| with a (d1, d2) tie-break.
     The pair join is per-vector (a.d < b.d), i.e. 64·63/2 products
-    per row — the map-side cost of any Gram build."""
+    per row — the map-side cost of any Gram build.
+
+    r12 exactness fix (hypothesis-found EXACT-half boundary): a
+    generated corpus produced cov·1e6 = 7893.5 exactly, and the two
+    engines' round(double, 6) DISAGREE on such values by
+    construction — Spark's Round goes through Java
+    BigDecimal.valueOf, which reads the SHORTEST decimal repr of the
+    double ("0.0078935" → half-up → 0.007894), while DuckDB rounds
+    the exact binary value (…349999… → 0.007893). No double-side
+    formulation can reconcile that, so the rounding itself moved to
+    exact integer arithmetic on BOTH engines: with nu = n·sxy −
+    s1·s2 (exact wide int: decimal(38,0)/HUGEINT) and nn = n², the
+    half-up-rounded 6-decimal value is sign(nu)·((2|nu| + nn) div
+    (2nn)) — pure integral ops — and the emitted double is that
+    integer cast to double divided by 1e6, one identical IEEE op per
+    engine. The ORDER key is |nu| itself."""
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
     comp = emb.select(
@@ -1788,15 +1810,23 @@ def sim_covariance_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1 = sums.select(F.col("d").alias("d1"), F.col("s").alias("s1"))
     s2 = sums.select(F.col("d").alias("d2"), F.col("s").alias("s2"))
-    centered = F.col("sxy") - F.col("s1") * F.col("s2") / n
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    centered_n = d19(F.lit(n)) * d19(F.col("sxy")) - d19(F.col("s1")) * d19(
+        F.col("s2")
+    )  # exact decimal(38,0) integer: nu = n·sxy − s1·s2
+    nn = n * n  # exact python int; literals below stay integral
+    rounded_e6 = F.when(centered_n < 0, F.lit(-1)).otherwise(F.lit(1)) * (
+        F.expr(f"(2 * abs(_nu) + {nn}) div {2 * nn}")
+    )  # half-up |nu|/nn in pure integral ops (see docstring)
     return (
         cross.join(F.broadcast(s1), "d1")
         .join(F.broadcast(s2), "d2")
+        .withColumn("_nu", centered_n)
         .select(
             F.col("d1").cast("long").alias("d1"),
             F.col("d2").cast("long").alias("d2"),
-            F.round(centered / (n * 1000000.0), 6).alias("cov"),
-            F.abs(centered).alias("_ord"),
+            (rounded_e6.cast("double") / F.lit(1000000.0)).alias("cov"),
+            F.abs(F.col("_nu")).alias("_ord"),
         )
         .orderBy(F.col("_ord").desc(), "d1", "d2")
         .limit(20)
