@@ -28,6 +28,20 @@ _FLOAT_FMT = ".12g"
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     con.execute("SET timezone='UTC'")
+    # Bounded-memory discipline (r12): cap the allocator and give it a
+    # spill dir, the same guard tools/baseline_duck.py applies. The
+    # uncapped sf10 dedup_ngram_jaccard oracle grew to 109 GB RSS and
+    # was kernel-OOM-killed mid-sweep (taking the whole sweep process
+    # with it — unrecoverable from Python); capped, DuckDB spills and
+    # completes. No effect at the driver's sf0.01 gate scale.
+    mem = os.environ.get("SPARK_GRAFT_DUCK_MEM", "24GB")
+    spill = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch", "duck_spill",
+    )
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(path):  # multi-file table (tools/make_sf10x.py)
