@@ -63,6 +63,15 @@ def main() -> None:
             )
         return con
 
+    def _timed(con, sql):
+        con.execute(sql).fetchall()  # warm
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            rows = con.execute(sql).fetchall()
+            times.append(time.perf_counter() - t0)
+        return rows, statistics.median(times)
+
     con = fresh_con()
     ops = registry.load_all()
     total = 0.0
@@ -84,31 +93,52 @@ def main() -> None:
         if sql is None:
             print(f"{key:<22} (no oracle)")
             continue
-        # An OOM on one query must not kill the whole pairing run
+        # An error on one query must not kill the whole pairing run
         # (r7/r9: q_hashed_features OOMs DuckDB materializing the
-        # 500k x 1024 feature matrix at sf10 — recorded as an
-        # engine-capacity note, not a timed point).
+        # 500k x 1024 feature matrix at sf10; r12: the OOM can also
+        # invalidate the connection so the NEXT query dies with a
+        # FatalException the old OutOfMemoryException-only handler let
+        # escape, silently truncating the pairing log). Catch every
+        # duckdb error, rebuild the connection, and retry a capped OOM
+        # once under a larger — still kernel-safe — limit, annotating
+        # the line with the limit that produced the timed point.
+        note = ""
         try:
-            con.execute(sql).fetchall()  # warm
-            times = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                rows = con.execute(sql).fetchall()
-                times.append(time.perf_counter() - t0)
-        except duckdb.OutOfMemoryException as e:
-            print(f"{key:<22} (OOM: {str(e)[:60]})")
-            # an OOM poisons the allocator state of the whole
-            # connection (observed: every later query fails on
-            # 8-byte allocations) — rebuild it before continuing
+            rows, med = _timed(con, sql)
+        except duckdb.Error as e:
             con.close()
             con = fresh_con()
-            continue
-        med = statistics.median(times)
+            if isinstance(e, duckdb.OutOfMemoryException):
+                retry_mem = os.environ.get(
+                    "SPARK_GRAFT_DUCK_MEM_RETRY", "64GB"
+                )
+                try:
+                    con.execute(f"SET memory_limit='{retry_mem}'")
+                    rows, med = _timed(con, sql)
+                    note = f" ({retry_mem} limit)"
+                except duckdb.Error as e2:
+                    print(f"{key:<22} (OOM even at {retry_mem}: "
+                          f"{str(e2)[:40]})")
+                    con.close()
+                    con = fresh_con()
+                    continue
+                finally:
+                    try:
+                        mem0 = os.environ.get(
+                            "SPARK_GRAFT_DUCK_MEM", "24GB"
+                        )
+                        con.execute(f"SET memory_limit='{mem0}'")
+                    except duckdb.Error:
+                        pass
+            else:
+                print(f"{key:<22} (error: {str(e)[:60]})")
+                continue
         if is_demo:
-            print(f"{key:<22} {med * 1000:8.1f} ms  rows={len(rows)} (demo, excl. total)")
+            print(f"{key:<22} {med * 1000:8.1f} ms  rows={len(rows)}"
+                  f" (demo, excl. total){note}")
         else:
             total += med
-            print(f"{key:<22} {med * 1000:8.1f} ms  rows={len(rows)}")
+            print(f"{key:<22} {med * 1000:8.1f} ms  rows={len(rows)}{note}")
     print(f"{'TOTAL':<22} {total * 1000:8.1f} ms")
 
 
