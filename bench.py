@@ -148,13 +148,15 @@ HEADLINE = {
     "q_json_ingested": "fn_json_extract_ingested",
 }
 
-# By-design-pessimal demos (r11 verdict item 7): timed and reported
-# under "demos"/"demos_cold" but EXCLUDED from the suite totals — the
-# salted-join twin exists to measure the cost of salting itself
-# (docstring), ~10 s of sf10 suite wall for a lesson, not an engine
-# number. Its honest engine twin q_unsalted_join stays in the suite.
-# Suite-total comparability across rounds: BASELINE.md r12 section
-# dual-reports the totals with and without this exclusion.
+# By-design-pessimal demos (r11 verdict item 7): the salted-join twin
+# exists to measure the cost of salting itself (docstring) — ~10 s of
+# sf10 suite wall for a lesson, not an engine number. The driver
+# contract forbids removing or renaming entries in "queries", so demo
+# keys STAY in "queries"/"queries_cold" and in value/total_cold
+# exactly as in r1–r11; the engine-only reading the r11 verdict asked
+# for is emitted as the ADDITIONAL fields "value_ex_demos"/
+# "total_cold_ex_demos" plus "demo_keys" naming the exclusions
+# (documented in OPTIMIZATION_r12.md and BASELINE.md).
 DEMO = {
     "q_salted_join": "join_skew_salted",
 }
@@ -286,8 +288,7 @@ def main() -> None:
             out[key] = round(best, 4)
         return out
 
-    timings = _time_prepared(headline)
-    demo_timings = _time_prepared(demo)
+    timings = _time_prepared({**headline, **demo})
 
     # Cold timings (rounds ≤3 protocol): the Python DAG is rebuilt and
     # re-analyzed INSIDE the timed region (relation cache stays warm,
@@ -309,12 +310,16 @@ def main() -> None:
             out[key] = round(best, 4)
         return out
 
-    timings_cold = _time_cold(headline)
-    demo_timings_cold = _time_cold(demo)
+    timings_cold = _time_cold({**headline, **demo})
     spark.stop()
 
     total = round(sum(timings.values()), 4)
     total_cold = round(sum(timings_cold.values()), 4)
+    demo_keys = [k for k in demo if k in timings]
+    total_ex = round(total - sum(timings[k] for k in demo_keys), 4)
+    total_cold_ex = round(
+        total_cold - sum(timings_cold[k] for k in demo_keys), 4
+    )
     # The headline JSON is printed at the END of main() (after the
     # pass-2 sidecar work) so it is the LAST line of output: the
     # grading driver merges stdout+stderr and parses the tail — any
@@ -330,10 +335,12 @@ def main() -> None:
         "queries": timings,
         "total_cold": total_cold,
         "queries_cold": timings_cold,
-        # Out-of-total demo queries (see DEMO above) — timed, reported,
-        # not summed into value/total_cold.
-        "demos": demo_timings,
-        "demos_cold": demo_timings_cold,
+        # Engine-only totals excluding the by-design-pessimal demo
+        # queries (see DEMO above) — additional fields; the demo keys
+        # themselves stay in "queries" per the driver contract.
+        "demo_keys": demo_keys,
+        "value_ex_demos": total_ex,
+        "total_cold_ex_demos": total_cold_ex,
         "sf": sf,
     }
     # Provenance carried INSIDE every artifact (r9/r10 verdicts: the

@@ -313,14 +313,21 @@ def fn_json_extract_ingested(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost once, not N times, and the hot scan shrinks from a ~9-byte
     string per row to a dictionary-encoded int.
 
-    The materialization is cached per scale factor under .scratch and
-    built atomically (write to a tmp dir, os.rename into place) so a
-    concurrent run can never observe a half-written table; whichever
-    process renames first wins and the loser reuses the winner's copy.
+    The materialization is keyed by (SparkSession applicationId, scale
+    factor): every session — and therefore every bench or oracle
+    invocation — re-parses the JSON from the parquet inputs before its
+    first query, and the timed warm runs then scan the typed column.
+    Nothing persists across invocations (a cross-run cache of work
+    derived from the test data would be result caching, which the
+    measurement rules forbid); stale tables from earlier sessions are
+    swept on build. The dir is written to a tmp path and os.rename'd
+    atomically so a concurrent reader in the same session can never
+    observe a half-written table.
     Measured sf10 (idle session, v3 noop): typed-column query 0.21 s vs
     0.41 s for the in-query fast-path parse and 1.43 s for full
     from_json — the scan floor with the props column not read.
     """
+    import glob
     import os
     import shutil
     import uuid
@@ -328,8 +335,23 @@ def fn_json_extract_ingested(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_metadata_collect_spark.operators.scans import _SCRATCH
 
     sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    target = os.path.join(_SCRATCH, f"params_ingested_{sf_tag}")
+    app_id = spark.sparkContext.applicationId
+    target = os.path.join(_SCRATCH, f"params_ingested_{app_id}_{sf_tag}")
     if not os.path.isdir(target):
+        # Sweep tables left by finished sessions (bounded disk). Only
+        # dirs idle for >1h, so a live concurrent session's table is
+        # never pulled out from under it.
+        import time as _time
+
+        for stale in glob.glob(
+            os.path.join(_SCRATCH, "params_ingested_*")
+        ):
+            try:
+                idle = _time.time() - os.path.getmtime(stale)
+            except OSError:
+                continue
+            if f"params_ingested_{app_id}_" not in stale and idle > 3600:
+                shutil.rmtree(stale, ignore_errors=True)
         ev = load_table(spark, sf_dir, "events")
         flat_k = F.expr(
             r"""try_cast(nullif(regexp_extract(props,"""

@@ -75,9 +75,11 @@ def main() -> None:
     con = fresh_con()
     ops = registry.load_all()
     total = 0.0
+    demo_total = 0.0
     print(f"# DuckDB {duckdb.__version__} @ {sf_dir}")
-    # DEMO queries (bench.py: out-of-total demos) are paired last and
-    # not summed into TOTAL, mirroring bench.py's payload split.
+    # DEMO queries are paired last; they count into TOTAL (mirroring
+    # bench.py's contract-preserving payload) and a TOTAL_EX_DEMOS
+    # line additionally reports the engine-only sum.
     for key, op_name in list(HEADLINE.items()) + list(DEMO.items()):
         is_demo = key in DEMO
         if only is not None and key not in only:
@@ -133,13 +135,15 @@ def main() -> None:
             else:
                 print(f"{key:<22} (error: {str(e)[:60]})")
                 continue
+        total += med
         if is_demo:
+            demo_total += med
             print(f"{key:<22} {med * 1000:8.1f} ms  rows={len(rows)}"
-                  f" (demo, excl. total){note}")
+                  f" (demo){note}")
         else:
-            total += med
             print(f"{key:<22} {med * 1000:8.1f} ms  rows={len(rows)}{note}")
     print(f"{'TOTAL':<22} {total * 1000:8.1f} ms")
+    print(f"{'TOTAL_EX_DEMOS':<22} {(total - demo_total) * 1000:8.1f} ms")
 
 
 if __name__ == "__main__":
