@@ -202,6 +202,12 @@ def cat_lineage_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PR_ITERS = 5
 _PR_DAMP = 0.85
+# Teleport mass as a LITERAL, never computed as (1.0 - _PR_DAMP):
+# Python/Spark IEEE gives 1.0-0.85 = 0.15000000000000002 while
+# DuckDB's DECIMAL literals subtract exactly to 0.15 before promoting
+# to DOUBLE — a 1-ulp teleport drift that propagates through every
+# iteration and flips round-boundary ranks (r12 hypothesis find).
+_PR_TELEPORT = 0.15
 
 
 def _pagerank_oracle() -> str:
@@ -232,7 +238,7 @@ def _pagerank_oracle() -> str:
         parts.append(f""",
     r{i} AS (
         SELECT nodes.node,
-               (1.0 - {_PR_DAMP}) / nn.n +
+               {_PR_TELEPORT} / nn.n +
                {_PR_DAMP} * coalesce(sum(r{i - 1}.rank / outdeg.deg), 0.0)
                    AS rank
         FROM nodes CROSS JOIN nn
@@ -242,7 +248,8 @@ def _pagerank_oracle() -> str:
         GROUP BY nodes.node, nn.n
     )""")
     parts.append(f"""
-    SELECT node AS entity, round(rank, 8) AS pagerank
+    SELECT node AS entity,
+           floor(rank * 1e8 + 0.5) / 1e8 AS pagerank
     FROM r{_PR_ITERS}""")
     return "WITH " + "".join(parts)
 
@@ -265,7 +272,23 @@ def cat_lineage_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream (window over (user, ts), then DISTINCT collapses it to
     |V|² max). No dangling-mass redistribution on either side (sinks
     leak rank identically in engine and oracle, so scores still
-    match)."""
+    match).
+
+    r12 correctness fix (hypothesis-found falsifying graph, pinned in
+    tests/test_property_parity.py): two cross-engine drift sources on
+    a rank sitting 1 ulp under the round(,8) boundary (0.0991368749…).
+    (1) The teleport constant: Python's 1.0-0.85 is IEEE
+    0.15000000000000002 while DuckDB's DECIMAL literals subtract
+    exactly to 0.15 — a 1-ulp teleport drift that compounds through
+    every iteration; both sides now use the literal 0.15
+    (_PR_TELEPORT). (2) Presentation rounding: Spark's Round
+    (BigDecimal half-up on the shortest decimal repr) and DuckDB's
+    round (half-away on the exact binary value) can still disagree by
+    1e-8 on the SAME double, so both engines now run the identical
+    IEEE sequence floor(rank*1e8 + 0.5)/1e8 (half-up on the
+    non-negative rank domain; floor is exact and the int-valued
+    quotient ≤1e8 < 2^53 — same class as the sim_covariance_top_pairs
+    fix)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     trans = ev.select(
@@ -305,13 +328,16 @@ def cat_lineage_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "node",
                 (
-                    F.lit((1.0 - _PR_DAMP) / n_nodes)
+                    F.lit(_PR_TELEPORT / n_nodes)
                     + F.lit(_PR_DAMP) * F.coalesce("inflow", F.lit(0.0))
                 ).alias("rank"),
             )
         )
     return ranks.select(
-        F.col("node").alias("entity"), F.round("rank", 8).alias("pagerank")
+        F.col("node").alias("entity"),
+        (F.floor(F.col("rank") * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)).alias(
+            "pagerank"
+        ),
     )
 
 @register(

@@ -350,6 +350,40 @@ def test_event_op_parity_on_generated_data(spark, name, rows):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_pagerank_round8_boundary_pinned(spark):
+    """Pinned r12 falsifying example: this 3-user graph puts the
+    'click' rank double on the round(,8) representational boundary
+    (0.0991368749… — shortest repr 0.099136875) where Spark's
+    BigDecimal half-up and DuckDB's binary-value round disagree by
+    1e-8 on the SAME double. Locked here independent of the local
+    hypothesis example database; the fix is the identical IEEE
+    floor(rank*1e8 + 0.5)/1e8 on both engines."""
+    rows = [
+        (0, 1_700_000_000_000_000, 0, "error", 0.0, '{"k": 0}'),
+        (1, 1_700_000_000_000_000, 1, "purchase", 0.0, '{"k": 1}'),
+        (2, 1_700_001_200_000_000, 0, "click", 0.0, '{"k": 2}'),
+        (3, 1_700_000_600_000_000, 0, "view", 0.0, '{"k": 0}'),
+        (4, 1_700_087_000_000_000, 0, "buy", 0.0, '{"k": 1}'),
+        (5, 1_700_000_000_000_000, 2, "click", 0.0, '{"k": 2}'),
+        (6, 1_700_000_000_000_000, 0, "error", 0.0, '{"k": 0}'),
+        (7, 1_700_000_000_000_000, 1, "click", 0.0, '{"k": 1}'),
+        (8, 1_700_000_000_000_000, 0, "purchase", 0.0, '{"k": 2}'),
+    ]
+    op = OPS["cat_lineage_pagerank"]
+    tmp = _write_events(rows)
+    try:
+        con = duckdb.connect()
+        con.execute("SET timezone='UTC'")
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp}/events.parquet')"
+        )
+        compare_frames(op.fn(spark, tmp), con, op.oracle)
+        con.close()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 DOC_OPS = [
     "dedup_exact",
     "text_bigram_topk",
