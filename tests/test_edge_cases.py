@@ -961,3 +961,30 @@ def test_substring_spans_island_merge(spark, tmp_path):
     assert r["max_span_words"] == 10
     assert r["covered_words"] == 2 * (10 + 8)
     assert r["total_words"] == 2 * 27 + 2
+
+
+def test_cents_kernel_matches_round_half_up(spark):
+    """numerics.cents (r12: multiply-add + truncating cast) must be
+    row-identical to the F.round(x*100, 0) form it replaced on the
+    whole non-negative ≤2-fractional-digit money domain — exhaustively
+    over every cent value to $20,000.00 plus the TPC-H extendedprice
+    magnitude band (~1e5 dollars, where x*100 carries the largest ulp)
+    and the known representational troublemakers (0.285, 16.38, ...)."""
+    from hive_metadata_collect_spark.operators.numerics import cents
+
+    grid = spark.range(0, 2_000_000).select(
+        (F.col("id") / 100.0).alias("x")
+    )
+    band = spark.range(0, 200_000).select(
+        ((F.col("id") + 10_000_000) / 100.0).alias("x")
+    )
+    nasty = spark.createDataFrame(
+        [(0.285,), (16.38,), (1.005,), (2.675,), (8.825,), (0.07,),
+         (1094.99,), (104949.5,), (0.0,)],
+        "x double",
+    )
+    df = grid.unionAll(band).unionAll(nasty)
+    bad = df.filter(
+        cents("x") != F.round(F.col("x") * 100, 0).cast("long")
+    ).count()
+    assert bad == 0
