@@ -72,6 +72,28 @@ def main() -> None:
             times.append(time.perf_counter() - t0)
         return rows, statistics.median(times)
 
+    def _rebuild(old):
+        """Close a poisoned connection and build a fresh one. The dying
+        instance's buffers are released asynchronously, so an immediate
+        duckdb.connect() can itself die with a tiny bad-allocation (the
+        r12 sf10 q_hashed_features run lost the whole pairing to a
+        45 KB alloc failure inside fresh_con) — gc + backoff retries."""
+        import gc
+
+        try:
+            old.close()
+        except Exception:
+            pass
+        del old
+        for delay in (0.5, 2.0, 5.0, 10.0):
+            gc.collect()
+            time.sleep(delay)
+            try:
+                return fresh_con()
+            except duckdb.Error:
+                continue
+        return fresh_con()  # final attempt — let a real failure raise
+
     con = fresh_con()
     ops = registry.load_all()
     total = 0.0
@@ -108,8 +130,7 @@ def main() -> None:
         try:
             rows, med = _timed(con, sql)
         except duckdb.Error as e:
-            con.close()
-            con = fresh_con()
+            con = _rebuild(con)
             if isinstance(e, duckdb.OutOfMemoryException):
                 retry_mem = os.environ.get(
                     "SPARK_GRAFT_DUCK_MEM_RETRY", "64GB"
@@ -121,8 +142,7 @@ def main() -> None:
                 except duckdb.Error as e2:
                     print(f"{key:<22} (OOM even at {retry_mem}: "
                           f"{str(e2)[:40]})")
-                    con.close()
-                    con = fresh_con()
+                    con = _rebuild(con)
                     continue
                 finally:
                     try:
