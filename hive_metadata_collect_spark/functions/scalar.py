@@ -337,10 +337,19 @@ def fn_json_extract_ingested(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     app_id = spark.sparkContext.applicationId
     target = os.path.join(_SCRATCH, f"params_ingested_{app_id}_{sf_tag}")
-    if not os.path.isdir(target):
+    if os.path.isdir(target):
+        # Heartbeat: reading parquet does not update dir mtime, and a
+        # session can run for hours, so without this a concurrent
+        # session's >1h-idle sweep below could remove a LIVE table
+        # between its builds and its later reuse (r12 ADVICE item 2).
+        try:
+            os.utime(target, None)
+        except OSError:
+            pass
+    else:
         # Sweep tables left by finished sessions (bounded disk). Only
-        # dirs idle for >1h, so a live concurrent session's table is
-        # never pulled out from under it.
+        # dirs idle for >1h; live sessions touch their dir on every
+        # reuse (above), so an active table is never swept.
         import time as _time
 
         for stale in glob.glob(

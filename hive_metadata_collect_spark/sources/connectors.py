@@ -264,10 +264,31 @@ def src_kafka_shaped_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scratch = _os.path.join(repo_root, ".scratch")
     _os.makedirs(scratch, exist_ok=True)
-    feed_dir = _os.path.join(
-        scratch, "kafka_feed_" + _os.path.basename(sf_dir.rstrip("/"))
-    )
-    if not _os.path.isdir(feed_dir):
+    # Keyed by (applicationId, sf) like the params-ingest table
+    # (r12 verdict item 5 → r13): a feed staged by an EARLIER run is
+    # never reused, so a regenerated events fixture at the same path
+    # can never serve stale bytes; stale feeds from finished sessions
+    # are swept, and a live session heartbeats its dir so the sweep
+    # never removes a table in use.
+    sf_tag = _os.path.basename(sf_dir.rstrip("/"))
+    app_id = spark.sparkContext.applicationId
+    feed_dir = _os.path.join(scratch, f"kafka_feed_{app_id}_{sf_tag}")
+    if _os.path.isdir(feed_dir):
+        try:
+            _os.utime(feed_dir, None)
+        except OSError:
+            pass
+    else:
+        import glob as _glob
+        import time as _time
+
+        for stale in _glob.glob(_os.path.join(scratch, "kafka_feed_*")):
+            try:
+                idle = _time.time() - _os.path.getmtime(stale)
+            except OSError:
+                continue
+            if f"kafka_feed_{app_id}_" not in stale and idle > 3600:
+                _shutil.rmtree(stale, ignore_errors=True)
         ev = load_table(spark, sf_dir, "events")
         rec = ev.select(
             F.col("event_id").cast("string").cast("binary").alias("key"),
