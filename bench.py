@@ -341,6 +341,13 @@ def main() -> None:
         "demo_keys": demo_keys,
         "value_ex_demos": total_ex,
         "total_cold_ex_demos": total_cold_ex,
+        # Core-count legibility (r12 verdict item 2): the driver's
+        # scaling probe compares runs at different $SPARK_GRAFT_CPUS;
+        # carrying the honored value as first-class fields makes a
+        # floor-bound ≈1 ratio at sf0.1 distinguishable from an
+        # ignored env var without reading the provenance string.
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "master": master,
         "sf": sf,
     }
     # Provenance carried INSIDE every artifact (r9/r10 verdicts: the

@@ -117,6 +117,32 @@ def main() -> None:
         if sql is None:
             print(f"{key:<22} (no oracle)")
             continue
+        note0 = ""
+        if key == "q_json_ingested":
+            # Same-work pairing (r12 verdict item 7): Spark's side of
+            # this op is parse-once-at-ingest — the JSON parse happens
+            # in the UNTIMED warm pass and the timed runs scan the
+            # typed column. Pairing that against an oracle that
+            # re-parses JSON inside the timed region would flatter
+            # Spark, so the oracle gets the identical amortization: a
+            # parse-once table built OUTSIDE the timed region, and the
+            # timed SQL scans the typed column. The registry oracle
+            # (used by the driver's correctness gate) is unchanged.
+            try:
+                con.execute(
+                    "CREATE OR REPLACE TABLE params_ingested AS "
+                    "SELECT event_type, CAST(json_extract_string(props,"
+                    " '$.k') AS BIGINT) AS k_val FROM events"
+                )
+                sql = (
+                    "SELECT event_type, round(avg(k_val), 4) AS avg_k,"
+                    " count(*) AS n_events FROM params_ingested"
+                    " GROUP BY event_type"
+                )
+                note0 = " (ingest-amortized: parse-once table untimed)"
+            except duckdb.Error:
+                con = _rebuild(con)
+                note0 = " (WARNING ingest table failed; timing re-parse)"
         # An error on one query must not kill the whole pairing run
         # (r7/r9: q_hashed_features OOMs DuckDB materializing the
         # 500k x 1024 feature matrix at sf10; r12: the OOM can also
@@ -126,7 +152,7 @@ def main() -> None:
         # duckdb error, rebuild the connection, and retry a capped OOM
         # once under a larger — still kernel-safe — limit, annotating
         # the line with the limit that produced the timed point.
-        note = ""
+        note = note0
         try:
             rows, med = _timed(con, sql)
         except duckdb.Error as e:
@@ -138,7 +164,7 @@ def main() -> None:
                 try:
                     con.execute(f"SET memory_limit='{retry_mem}'")
                     rows, med = _timed(con, sql)
-                    note = f" ({retry_mem} limit)"
+                    note = note0 + f" ({retry_mem} limit)"
                 except duckdb.Error as e2:
                     print(f"{key:<22} (OOM even at {retry_mem}: "
                           f"{str(e2)[:40]})")
