@@ -663,7 +663,19 @@ def join_skew_unsalted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the right default at 100 TB when neither side's per-partition
     hash table fits in memory — the hint encodes measured local-mode
     knowledge, not a universal rule (the `preferSortMergeJoin=false`
-    session-wide variant stays a documented dead end, r5). Results
+    session-wide variant stays a documented dead end, r5). r13 closed
+    the last two r12-verdict candidates: (1) explicit sort-merge at
+    sf10 measured 3.70 s vs this form's 3.23–3.51 s in the same idle
+    session (collect()-identical) — SHJ stays the winner; (2) AQE
+    skew-split cannot fire here by construction — the whole sf10 fact
+    exchange is ~1 GB across 16 partitions (~60 MB each), far under
+    the 256 MB skewedPartitionThresholdInBytes, and l_orderkey has no
+    hot key (TPC-H uniform); the salted twin IS the repo's skew
+    demonstration. The residual vs DuckDB (~3.2 s vs ~0.9 s at sf10)
+    is genuinely the cost of shuffling 60M narrow rows through a
+    local-mode pull-based shuffle vs a single-process in-memory hash
+    join — formally ACCEPTED with this dead-end table (BASELINE.md
+    r13). Results
     are provably identical — both declare the same oracle, and
     tests/test_plans.py asserts salted == unsalted row sets."""
     li = _rev_e4(load_table(spark, sf_dir, "lineitem"))
